@@ -1,0 +1,76 @@
+"""As-of join (SURVEY.md §2 D15) — "most recent right row at or before each
+left row's timestamp, per key".
+
+Implemented as union + sorted last-observation-carried-forward window rather
+than a range join: a range join is O(|L|x|R|) per key, while this is one
+shuffle on the key and a single sort — the strategy that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` sharing the ``by`` keys (inclusive, like DuckDB's
+    ASOF JOIN ``>=``). Right-side ties on timestamp resolve to the row that
+    sorts last by ``value_cols[0]``.
+
+    Returns all left columns plus ``{c}{suffix}`` for each value col.
+    """
+    by = list(by)
+    out_cols = [f"{c}{suffix}" for c in value_cols]
+
+    r = right.select(
+        *by,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(o) for c, o in zip(value_cols, out_cols)],
+    )
+    left_cols = left.columns
+    l = left.select(
+        *by,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(r.schema[o].dataType).alias(o) for o in out_cols],
+        *[F.col(c) for c in left_cols if c not in by],
+    )
+    r = r.select(*by, "__ts", "__side", *out_cols, *[
+        F.lit(None).cast(left.schema[c].dataType).alias(c)
+        for c in left_cols
+        if c not in by
+    ])
+
+    unioned = r.unionByName(l)
+    # right rows (side=0) sort before left rows at equal ts => inclusive >=;
+    # among right ties the last by sort order is carried forward.
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("__ts", "__side", out_cols[0])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *by,
+        "__ts",
+        "__side",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_cols],
+        *[c for c in left_cols if c not in by],
+    )
+    return filled.filter(F.col("__side") == 1).select(
+        *by,
+        F.col("__ts").alias(left_ts),
+        *[c for c in left_cols if c not in by and c != left_ts],
+        *out_cols,
+    )

@@ -1,0 +1,336 @@
+"""Pipeline operator queries (SURVEY.md §2.B-2.C batch form + D15 + A7/O4).
+
+Each query exercises one pipeline operator from the reference's streaming
+path as a deterministic batch plan with a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_kinesis_spark.operators.asof import asof_join
+from aws_kinesis_spark.operators.upsert import apply_cdc, staging_upsert
+from aws_kinesis_spark.registry import register
+from aws_kinesis_spark.sources.envelope import decode_envelope, synthesize_envelope
+from aws_kinesis_spark.tables import load
+
+# --------------------------------------------------------------------------
+# C1-C8: the record-transform scalar surface
+# --------------------------------------------------------------------------
+
+
+@register(
+    "c01_envelope_roundtrip",
+    oracle="""
+        SELECT o_orderkey AS id,
+               o_orderstatus AS status,
+               CASE o_orderkey % 3 WHEN 0 THEN 'I' WHEN 1 THEN 'U' ELSE 'D' END AS op,
+               'sales-orders-' || o_orderkey AS partition_key,
+               CAST(CAST('100000000000000000000000000000' AS DECIMAL(38,0))
+                    + o_orderkey AS DECIMAL(38,0)) AS sequence_number,
+               o_orderdate AS arrival_ts
+        FROM orders
+    """,
+)
+def c01_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope codec round-trip (README.md:100, 144-146, 224): base64-encode
+    the nested CDC JSON, then decode_envelope() recovers id/status/op exactly.
+    30-digit sequence numbers stay DecimalType(38,0) — never cast to long
+    (README.md:238)."""
+    env = synthesize_envelope(load(spark, sf_dir, "orders"))
+    return decode_envelope(env).select(
+        "id", "status", "op", "partition_key", "sequence_number", "arrival_ts"
+    )
+
+
+@register(
+    "c06_time_partition_cols",
+    oracle="""
+        SELECT o_orderkey,
+               EXTRACT(year FROM o_orderdate)::INT  AS year,
+               EXTRACT(month FROM o_orderdate)::INT AS month,
+               EXTRACT(day FROM o_orderdate)::INT   AS day,
+               EXTRACT(hour FROM o_orderdate)::INT  AS hour,
+               printf('year=%d/month=%02d/day=%02d/hour=%02d',
+                      EXTRACT(year FROM o_orderdate)::INT,
+                      EXTRACT(month FROM o_orderdate)::INT,
+                      EXTRACT(day FROM o_orderdate)::INT,
+                      EXTRACT(hour FROM o_orderdate)::INT) AS partition_path
+        FROM orders
+    """,
+)
+def c06_time_partition_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive partition-column derivation — the `!{timestamp:yyyy}/MM/dd/HH`
+    prefix template (README.md:130, 285, 424)."""
+    o = load(spark, sf_dir, "orders")
+    y, m, d, h = (
+        F.year("o_orderdate"),
+        F.month("o_orderdate"),
+        F.dayofmonth("o_orderdate"),
+        F.hour("o_orderdate"),
+    )
+    return o.select(
+        "o_orderkey",
+        y.alias("year"),
+        m.alias("month"),
+        d.alias("day"),
+        h.alias("hour"),
+        F.format_string("year=%d/month=%02d/day=%02d/hour=%02d", y, m, d, h).alias(
+            "partition_path"
+        ),
+    )
+
+
+@register(
+    "c07_composite_key",
+    oracle="""
+        SELECT 'sales' || '-' || 'orders' || '-' || o_orderkey AS partition_key,
+               'orders' || '‖' || CAST(o_orderkey % 1000 AS VARCHAR) AS salted_key,
+               o_orderkey
+        FROM orders
+    """,
+)
+def c07_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key construction: `schema-table-id` (README.md:75, 225) and
+    the salted hot-key form `table=orders||random(1000)` (README.md:85-86) —
+    salt made deterministic (keyed hash, not rand()) for replayability."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        F.concat_ws("-", F.lit("sales"), F.lit("orders"), F.col("o_orderkey")).alias(
+            "partition_key"
+        ),
+        F.concat(F.lit("orders"), F.lit("‖"), (F.col("o_orderkey") % 1000).cast("string")).alias(
+            "salted_key"
+        ),
+        "o_orderkey",
+    )
+
+
+@register(
+    "c08_hashing",
+    oracle="""
+        SELECT doc_id,
+               md5(text) AS text_md5,
+               sha256(text) AS text_sha256,
+               length(text) AS text_len
+        FROM documents
+    """,
+)
+def c08_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing / checksums (README.md:47, 287, 418): content digests of the
+    kind used for PartitionKey routing and ETag integrity checks."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.length("text").alias("text_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B2-B4: salting / sequencing / dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "b02_salted_aggregation",
+    oracle="""
+        SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+        FROM events GROUP BY user_id
+    """,
+)
+def b02_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key mitigation by salting (README.md:84-86): two-phase aggregate —
+    partial agg on (key, salt) spreads a skewed key over 8 reducers, final
+    agg re-combines. Result is identical to the direct group-by."""
+    ev = load(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("__salt", (F.col("event_id") % 8).cast("int"))
+        .groupBy("user_id", "__salt")
+        .agg(F.count("*").alias("pn"), F.sum("value").alias("pv"))
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n_events"), F.round(F.sum("pv"), 4).alias("total_value")
+    )
+
+
+@register(
+    "b03_sequence_numbering",
+    oracle="""
+        SELECT event_id, user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+        FROM events
+    """,
+)
+def b03_sequence_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone per-shard sequence assignment (README.md:48, 238): the shard
+    is the partition key; order is arrival time."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select("event_id", "user_id", F.row_number().over(w).alias("seq"))
+
+
+@register(
+    "b04_dedup_by_sequence",
+    oracle="""
+        SELECT DISTINCT event_id, ts, event_type, round(value, 4) AS value_r
+        FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+    """,
+)
+def b04_dedup_by_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingest dedup (README.md:51, 204): a replayed producer
+    batch (the doubled input) yields zero duplicates after sequence-number
+    dedup."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", F.round("value", 4).alias("value_r")
+    )
+    return ev.unionByName(ev).dropDuplicates(["event_id"])
+
+
+# --------------------------------------------------------------------------
+# A7 / O4: upserts;  D15: as-of join
+# --------------------------------------------------------------------------
+
+
+@register(
+    "a07_staging_upsert",
+    oracle="""
+        SELECT o_orderkey, round(o_totalprice, 4) AS totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey, round(o_totalprice * 2, 4) AS totalprice, 'R' AS o_orderstatus
+        FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def a07_staging_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's zero-duplicate staging upsert (README.md:573-575):
+    DELETE-USING + INSERT-SELECT == anti-join + union."""
+    o = load(spark, sf_dir, "orders")
+    target = o.select(
+        "o_orderkey", F.round("o_totalprice", 4).alias("totalprice"), "o_orderstatus"
+    )
+    staging = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 2, 4).alias("totalprice"),
+            F.lit("R").alias("o_orderstatus"),
+        )
+    )
+    return staging_upsert(target, staging, ["o_orderkey"])
+
+
+@register(
+    "o04_cdc_apply",
+    oracle="""
+        WITH cdc AS (
+            SELECT o_orderkey AS id, o_orderstatus AS status,
+                   CASE o_orderkey % 3 WHEN 0 THEN 'I' WHEN 1 THEN 'U' ELSE 'D' END AS op,
+                   CAST(CAST('100000000000000000000000000000' AS DECIMAL(38,0))
+                        + o_orderkey AS DECIMAL(38,0)) AS sequence_number
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey AS id, 'U2' AS status, 'U' AS op,
+                   CAST(CAST('100000000000000000000000000000' AS DECIMAL(38,0))
+                        + 1000000000 + o_orderkey AS DECIMAL(38,0)) AS sequence_number
+            FROM orders WHERE o_orderkey % 5 = 0
+        ),
+        latest AS (
+            SELECT id, status, op,
+                   row_number() OVER (PARTITION BY id ORDER BY sequence_number DESC) AS rn
+            FROM cdc
+        )
+        SELECT id, status, op FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def o04_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog -> final state (README.md:167-168, 573-575): two epochs
+    of envelope records collapse to latest-per-key, deletes removed."""
+    o = load(spark, sf_dir, "orders")
+    epoch0 = decode_envelope(synthesize_envelope(o, epoch=0))
+    epoch1 = decode_envelope(
+        synthesize_envelope(
+            o.filter(F.col("o_orderkey") % 5 == 0).withColumn("o_orderstatus", F.lit("U2")),
+            epoch=1,
+        )
+    ).withColumn("op", F.lit("U"))
+    cdc = epoch0.unionByName(epoch1).select("id", "status", "op", "sequence_number")
+    return apply_cdc(cdc, ["id"], "sequence_number").select("id", "status", "op")
+
+
+@register(
+    "d15_asof_join",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.ts,
+               p.event_id AS prior_event_id,
+               round(p.value, 4) AS prior_value
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def d15_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY.md D15): for each error event, the most recent
+    prior purchase by the same user — union + LOCF window, not a range
+    cross-join, so it scales (operators/asof.py)."""
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("event_id").alias("pe_id"), F.round("value", 4).alias("pv"))
+    )
+    joined = asof_join(
+        errors,
+        purchases,
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["pe_id", "pv"],
+        suffix="",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("pe_id").alias("prior_event_id"),
+        F.col("pv").alias("prior_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A12: batch lake scan round-trip (write partitioned -> read -> aggregate)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "a12_lake_roundtrip",
+    oracle="""
+        SELECT EXTRACT(year FROM o_orderdate)::INT AS year,
+               count(*) AS n,
+               round(sum(o_totalprice), 4) AS total
+        FROM orders GROUP BY 1
+    """,
+)
+def a12_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-lake write + partition-discovery read (README.md:130,
+    441-449): write orders hive-partitioned by year, read the directory back
+    (automatic partition discovery — no crawler, README.md:446), aggregate.
+    Exercises A4 (partitioned sink) + A10 (discovery) + A12 (batch scan)."""
+    o = load(spark, sf_dir, "orders")
+    lake = os.path.join(tempfile.mkdtemp(prefix="kinesis_lake_"), "orders")
+    (
+        o.withColumn("year", F.year("o_orderdate"))
+        .repartition("year")
+        .write.mode("overwrite")
+        .partitionBy("year")
+        .parquet(lake)
+    )
+    back = spark.read.parquet(lake)
+    return back.groupBy("year").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+    )

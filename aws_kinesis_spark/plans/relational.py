@@ -1,0 +1,578 @@
+"""Relational / analytical operator surface over the lake (SURVEY.md §2.D).
+
+The reference delegates this surface to Athena/Redshift/DuckDB/Spark
+(README.md:160-168, 441-456, 551-575 in /root/reference/); our engine answers
+natively via Catalyst. Every query here is declarative DataFrame API so
+predicate pushdown / column pruning / join selection are free (SURVEY.md §4).
+
+Float discipline: aggregates over doubles are rounded to 4-6 decimals in BOTH
+the Spark query and the oracle SQL, so engine-order-dependent last-bit float
+differences cannot flip the driver's value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_kinesis_spark.registry import register
+from aws_kinesis_spark.tables import load
+
+
+# --------------------------------------------------------------------------
+# D1-D4: projection / filter / partition-pruned filter / limit
+# --------------------------------------------------------------------------
+
+
+@register(
+    "d01_projection",
+    oracle="SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+)
+def d01_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection (README.md:554): column pruning reaches the parquet scan."""
+    return load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "d02_filter_predicate",
+    oracle="""
+        SELECT l_orderkey, l_quantity, l_extendedprice, l_discount
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1996-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def d02_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate pushed to the parquet scan (README.md:164, 443)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+
+
+@register(
+    "d03_time_pruned_filter",
+    oracle="""
+        SELECT event_id, ts, event_type, value
+        FROM events
+        WHERE EXTRACT(hour FROM ts) = 14
+    """,
+)
+def d03_time_pruned_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`WHERE hour = 14` (README.md:556-558). On the hive-partitioned lake this
+    is partition pruning (tested in tests/test_lake.py); here the SQL-surface
+    twin on the raw events table."""
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.hour("ts") == 14).select("event_id", "ts", "event_type", "value")
+
+
+@register(
+    "d04_limit",
+    oracle="SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 10",
+)
+def d04_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT with deterministic order (README.md:557)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# D5-D7: joins / set ops
+# --------------------------------------------------------------------------
+
+
+@register(
+    "d05_join_star",
+    oracle="""
+        SELECT r_name, n_name,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS total_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+)
+def d05_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema equi-join (README.md:574 pattern): dims broadcast so the
+    only shuffle is the final aggregation; at 100 TB the fact side never
+    shuffles for the join itself."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "d06_join_semi_anti",
+    oracle="""
+        SELECT c_custkey, c_name, 'no_orders' AS reason
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        UNION ALL
+        SELECT c_custkey, c_name, 'has_open' AS reason
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+)
+def d06_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti + left-semi joins — the two halves of the reference's
+    staging-table upsert (README.md:573-575)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    no_orders = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .withColumn("reason", F.lit("no_orders"))
+    )
+    has_open = (
+        customer.join(
+            orders.filter(F.col("o_orderstatus") == "O"),
+            customer.c_custkey == orders.o_custkey,
+            "left_semi",
+        )
+        .select("c_custkey", "c_name")
+        .withColumn("reason", F.lit("has_open"))
+    )
+    return no_orders.unionByName(has_open)
+
+
+@register(
+    "d07_set_ops",
+    oracle="""
+        WITH hi AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000),
+             urgent AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        SELECT o_orderkey, 'union' AS op FROM (SELECT * FROM hi UNION SELECT * FROM urgent)
+        UNION ALL
+        SELECT o_orderkey, 'intersect' AS op FROM (SELECT * FROM hi INTERSECT SELECT * FROM urgent)
+        UNION ALL
+        SELECT o_orderkey, 'except' AS op FROM (SELECT * FROM hi EXCEPT SELECT * FROM urgent)
+    """,
+)
+def d07_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union / intersect / except (README.md:575 INSERT-SELECT append; the
+    zero-duplicate audits at README.md:178)."""
+    orders = load(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 300000).select("o_orderkey")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return (
+        hi.union(urgent).distinct().withColumn("op", F.lit("union"))
+        .unionByName(hi.intersect(urgent).withColumn("op", F.lit("intersect")))
+        .unionByName(hi.exceptAll(urgent).distinct().withColumn("op", F.lit("except")))
+    )
+
+
+# --------------------------------------------------------------------------
+# D8-D10: aggregation / time buckets / distinct
+# --------------------------------------------------------------------------
+
+
+@register(
+    "d08_agg_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4)       AS sum_qty,
+               round(sum(l_extendedprice), 4)  AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+               round(avg(l_quantity), 4)       AS avg_qty,
+               round(avg(l_extendedprice), 4)  AS avg_price,
+               round(avg(l_discount), 4)       AS avg_disc,
+               count(*)                        AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def d08_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregation with count/sum/avg (README.md:260, 172, 38) — TPC-H
+    Q1 shape; Catalyst does partial (map-side) + final aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "d09_tumbling_hourly_agg",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def d09_tumbling_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (README.md:130, 38) via the same
+    `window()` operator the streaming path uses."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "d10_distinct",
+    oracle="""
+        SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def d10_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct / duplicate detection (README.md:204, 178)."""
+    return load(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# --------------------------------------------------------------------------
+# D11-D13: sort / top-k / window functions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "d11_sort_topn",
+    oracle="""
+        SELECT event_id, user_id, value
+        FROM events
+        ORDER BY value DESC, event_id
+        LIMIT 100
+    """,
+)
+def d11_sort_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-by with deterministic tiebreak (README.md:53, 309): Spark plans
+    this as TakeOrderedAndProject — no global sort materialized."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "user_id", "value")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(100)
+    )
+
+
+@register(
+    "d12_latest_per_key",
+    oracle="""
+        SELECT user_id, event_id, ts, event_type
+        FROM (
+            SELECT user_id, event_id, ts, event_type,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+)
+def d12_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-per-key — the OpenSearch keep-latest-doc-per-id semantics
+    (README.md:167-168, 307)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+@register(
+    "d13_window_functions",
+    oracle="""
+        SELECT event_id, user_id,
+               round(value, 4) AS value_r,
+               round(lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS prev_value,
+               round(lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS next_value,
+               rank()       OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum
+        FROM events
+    """,
+)
+def d13_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions: lag/lead for CDC before/after-image analysis
+    (README.md:224, 307), rank, running sum."""
+    ev = load(spark, sf_dir, "events")
+    w_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_val = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    w_run = w_ts.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("value_r"),
+        F.round(F.lag("value").over(w_ts), 4).alias("prev_value"),
+        F.round(F.lead("value").over(w_ts), 4).alias("next_value"),
+        F.rank().over(w_val).alias("value_rank"),
+        F.round(F.sum("value").over(w_run), 4).alias("running_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D14: rollup / cube / grouping sets
+# --------------------------------------------------------------------------
+
+
+@register(
+    "d14_rollup",
+    oracle="""
+        SELECT EXTRACT(year FROM l_shipdate)::INT AS ship_year,
+               l_returnflag,
+               count(*) AS n,
+               round(sum(l_extendedprice), 4) AS sum_price
+        FROM lineitem
+        GROUP BY ROLLUP (1, l_returnflag)
+    """,
+)
+def d14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup across the time hierarchy (README.md:130, 323-330)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("ship_year", F.year("l_shipdate"))
+        .rollup("ship_year", "l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 4).alias("sum_price"))
+    )
+
+
+@register(
+    "d14b_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               round(sum(l_quantity), 4) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def d14b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube aggregation (README.md:592-599 cost/volume rollups)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("sum_qty")
+    )
+
+
+# --------------------------------------------------------------------------
+# D16-D21: scalar function families
+# --------------------------------------------------------------------------
+
+
+@register(
+    "d16_string_functions",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_brand)                                   AS brand_up,
+               lower(p_type)                                    AS type_lo,
+               substring(p_name, 1, 8)                          AS name_pfx,
+               length(p_name)                                   AS name_len,
+               concat_ws('-', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
+               regexp_extract(p_type, '([a-z]+)$', 1)           AS type_last,
+               replace(p_name, ' ', '_')                        AS name_us,
+               lpad(CAST(p_partkey AS VARCHAR), 10, '0')        AS key_pad,
+               (p_type LIKE '%brushed%')                        AS is_brushed,
+               trim('  pad  ')                                  AS trimmed
+        FROM part
+    """,
+)
+def d16_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface (README.md:85, 130, 224): concat/substr/regexp/
+    case/pad/like — all JVM-side, whole-stage-codegen friendly."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_up"),
+        F.lower("p_type").alias("type_lo"),
+        F.substring("p_name", 1, 8).alias("name_pfx"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("-", F.col("p_brand"), F.col("p_size").cast("string")).alias("brand_size"),
+        F.regexp_extract("p_type", "([a-z]+)$", 1).alias("type_last"),
+        F.regexp_replace("p_name", " ", "_").alias("name_us"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_pad"),
+        F.col("p_type").like("%brushed%").alias("is_brushed"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+    )
+
+
+@register(
+    "d17_datetime_functions",
+    oracle="""
+        SELECT event_id,
+               EXTRACT(year FROM ts)::INT   AS y,
+               EXTRACT(month FROM ts)::INT  AS mo,
+               EXTRACT(day FROM ts)::INT    AS d,
+               EXTRACT(hour FROM ts)::INT   AS h,
+               EXTRACT(minute FROM ts)::INT AS mi,
+               strftime(ts, '%Y-%m-%d')     AS day_str,
+               epoch_ms(date_trunc('millisecond', ts)) AS epoch_millis,
+               date_diff('day', TIMESTAMP '2024-01-01', ts) AS days_since,
+               date_trunc('day', ts)        AS day_ts,
+               ts + INTERVAL 90 MINUTE      AS ts_plus
+        FROM events
+    """,
+)
+def d17_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface (README.md:248, 145, 204): component
+    extraction, formatting, epoch math, interval arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+        (F.unix_millis(F.date_trunc("millisecond", F.col("ts")))).alias("epoch_millis"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        F.date_trunc("day", "ts").alias("day_ts"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts_plus"),
+    )
+
+
+@register(
+    "d18_math_functions",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * (1 - l_discount), 4) AS net,
+               abs(l_discount - 0.05)                        AS disc_dev,
+               CAST(ceil(l_quantity) AS BIGINT)              AS qty_ceil,
+               CAST(floor(l_quantity) AS BIGINT)             AS qty_floor,
+               round(power(l_quantity, 2), 4)                AS qty_sq,
+               l_orderkey % 7                                AS key_mod,
+               round(sqrt(l_extendedprice), 4)               AS price_sqrt,
+               CAST(l_quantity AS INT)                       AS qty_int
+        FROM lineitem
+    """,
+)
+def d18_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface (README.md:278, 323-330): rounding, powers,
+    modulo, casts — the compression/cost accounting arithmetic."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.pow("l_quantity", 2), 4).alias("qty_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+    )
+
+
+@register(
+    "d19_array_functions",
+    oracle="""
+        SELECT vec_id,
+               len(embedding)                                      AS dim,
+               round(CAST(embedding[1] AS DOUBLE), 6)              AS first_elem,
+               round(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm,
+               len(list_filter(embedding, x -> x > 0))             AS n_positive
+        FROM embeddings
+    """,
+)
+def d19_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar surface (README.md:295-303 manifest entries[]):
+    size/element_at/transform/filter/aggregate — higher-order functions stay
+    JVM-side (no Python round-trip)."""
+    em = load(spark, sf_dir, "embeddings")
+    return em.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_elem"),
+        F.round(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ),
+            6,
+        ).alias("sq_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@register(
+    "d20_json_functions",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k,
+               (CAST(json_extract_string(props, '$.k') AS INT) > 50) AS k_high
+        FROM events
+    """,
+)
+def d20_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar surface (README.md:144): get_json_object / from_json over
+    the events props column."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_id", k.alias("k"), (k > 50).alias("k_high"))
+
+
+@register(
+    "d21_conditional_null",
+    oracle="""
+        SELECT o_orderkey,
+               CASE o_orderstatus WHEN 'F' THEN 'finished'
+                                  WHEN 'O' THEN 'open'
+                                  ELSE 'partial' END AS status_label,
+               coalesce(nullif(o_orderpriority, '1-URGENT'), 'URGENT!') AS prio,
+               (o_totalprice IS NULL) AS price_missing,
+               CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size_class
+        FROM orders
+    """,
+)
+def d21_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / null handling (README.md:142, 156, 300): the Ok-vs-
+    ProcessingFailed routing expressed as when/otherwise + coalesce/nullif."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("partial")
+        .alias("status_label"),
+        F.coalesce(F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")), F.lit("URGENT!")).alias(
+            "prio"
+        ),
+        F.isnull("o_totalprice").alias("price_missing"),
+        F.when(F.col("o_totalprice") > 200000, "big").otherwise("small").alias("size_class"),
+    )

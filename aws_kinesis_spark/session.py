@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode testing uses ``local[$SPARK_GRAFT_CPUS]``; the configs below are
+chosen to also be the right defaults on a real cluster (AQE on, skew-join
+handling, partition-count discipline) — see SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Number of shuffle partitions: match local cores; on a 1000-executor cluster
+# this would be set to ~2-3x total cores (AQE coalesces down at runtime).
+_DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(app_name: str = "aws-kinesis-spark", cpus: str | None = None) -> SparkSession:
+    """Build (or get) the tuned SparkSession.
+
+    AQE is enabled so runtime re-planning handles skewed joins and coalesces
+    small shuffle partitions; timezone pinned to UTC to match the reference's
+    ISO-8601 convention (README.md:145) and the DuckDB oracle's naive
+    timestamps.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", _DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine configs to an externally provided session.
+
+    The driver hands us its own SparkSession for ``entry()``/``queries()``;
+    these settings keep semantics (UTC timestamps) and plans (AQE) consistent
+    with our own factory without restarting the JVM.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos timestamp —
+    # read as long and convert (tables.load truncates ns -> us like DuckDB).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark

@@ -1,0 +1,114 @@
+"""The stream record envelope (SURVEY.md §1.2; reference README.md:222-252).
+
+Every stream record carries (Data base64-bytes, PartitionKey, SequenceNumber,
+ApproximateArrivalTimestamp). The decoded Data payload is the nested CDC JSON
+``{"data": {"id", "status"}, "metadata": {"op"}}`` (README.md:224).
+
+``synthesize_envelope`` materializes the FIXTURES.md §2 deterministic fixture
+from the ``orders`` table; ``decode_envelope`` is the Lambda-transform stage
+(README.md:139-148) as pure Catalyst expressions: unbase64 -> from_json ->
+flatten -> add ``processed_at`` — no Python UDF anywhere on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Nested CDC payload schema (README.md:224 decoded; SURVEY.md §1.2).
+CDC_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "data",
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType()),
+                    T.StructField("status", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "metadata",
+            T.StructType([T.StructField("op", T.StringType())]),
+        ),
+    ]
+)
+
+# Envelope schema (README.md:222-252; SURVEY.md §1.6).
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("data", T.BinaryType()),
+        T.StructField("partition_key", T.StringType()),
+        T.StructField("sequence_number", T.DecimalType(38, 0)),
+        T.StructField("arrival_ts", T.TimestampType()),
+    ]
+)
+
+# 30-digit sequence base: reference sequence numbers are 30-digit decimals
+# that must NOT fit in int64 (README.md:238; SURVEY.md §7 hard-point 4).
+SEQ_BASE = "100000000000000000000000000000"
+
+
+def synthesize_envelope(orders: DataFrame, epoch: int = 0, status_col: str = "o_orderstatus") -> DataFrame:
+    """Deterministic CDC envelope from ``orders`` (FIXTURES.md §2).
+
+    op is keyed off o_orderkey % 3 -> I/U/D; PartitionKey is the composite
+    ``schema-table-id`` key (README.md:47, 225); sequence numbers are
+    30-digit decimals, monotone in (epoch, orderkey).
+    """
+    payload = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("o_orderkey").alias("id"),
+                F.col(status_col).alias("status"),
+            ).alias("data"),
+            F.struct(
+                F.element_at(
+                    F.array(F.lit("I"), F.lit("U"), F.lit("D")),
+                    (F.col("o_orderkey") % 3 + 1).cast("int"),
+                ).alias("op")
+            ).alias("metadata"),
+        )
+    )
+    seq = (
+        F.lit(SEQ_BASE).cast(T.DecimalType(38, 0))
+        + (F.lit(epoch) * F.lit(1000000000)).cast(T.DecimalType(38, 0))
+        + F.col("o_orderkey").cast(T.DecimalType(38, 0))
+    ).cast(T.DecimalType(38, 0))
+    return orders.select(
+        F.base64(payload.cast("binary")).cast("binary").alias("data"),
+        F.concat_ws("-", F.lit("sales"), F.lit("orders"), F.col("o_orderkey")).alias(
+            "partition_key"
+        ),
+        seq.alias("sequence_number"),
+        F.col("o_orderdate").alias("arrival_ts"),
+    )
+
+
+def decode_envelope(env: DataFrame, corrupt_col: str = "_corrupt") -> DataFrame:
+    """The transform stage (README.md:139-148): base64-decode, JSON-parse into
+    the nested struct, flatten, and append ``processed_at`` (README.md:145).
+
+    Parse failures yield NULL payloads; callers route them to the DLQ branch
+    (README.md:156) via ``col(corrupt_col)`` — never dropped silently.
+    """
+    parsed = F.from_json(
+        F.unbase64(F.col("data").cast("string")).cast("string"), CDC_PAYLOAD_SCHEMA
+    )
+    return env.select(
+        F.col("data"),
+        F.col("partition_key"),
+        F.col("sequence_number"),
+        F.col("arrival_ts"),
+        parsed.alias("payload"),
+    ).select(
+        F.col("payload.data.id").alias("id"),
+        F.col("payload.data.status").alias("status"),
+        F.col("payload.metadata.op").alias("op"),
+        F.col("partition_key"),
+        F.col("sequence_number"),
+        F.col("arrival_ts"),
+        F.current_timestamp().alias("processed_at"),
+        (F.col("payload").isNull() | F.col("payload.data.id").isNull()).alias(corrupt_col),
+    )

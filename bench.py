@@ -1,0 +1,149 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+BASELINE.md targets:
+  (a) lake-path micro-batch (transform + partitioned parquet commit) <= 4.2 s
+      at ~2.8 MB/batch  -> key "lake_microbatch"
+  (b) partition-pruned point query <= 4 s -> key "point_query"
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from aws_kinesis_spark import registry
+from aws_kinesis_spark.session import get_spark
+from aws_kinesis_spark.tables import load
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline queries: one per operator family (join, agg, window, topk, json,
+# rollup, dedup, knn ...). Extended as families land in the registry.
+HEADLINE = [
+    "d05_join_star",
+    "d08_agg_pricing_summary",
+    "d09_tumbling_hourly_agg",
+    "d12_latest_per_key",
+    "d14_rollup",
+    "d19_array_functions",
+    "d20_json_functions",
+    "b04_dedup_by_sequence",
+    "c01_envelope_roundtrip",
+    "g01_dedup_exact",
+    "g02_dedup_minhash_lsh",
+    "g03_knn_bruteforce",
+    "g04_text_quality",
+]
+
+
+def _noop_write(df) -> None:
+    """Materialize fully without driver collect."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_query(spark, name: str, fn) -> float:
+    t0 = time.perf_counter()
+    _noop_write(fn(spark, SF_DIR))
+    return time.perf_counter() - t0
+
+
+def bench_lake_microbatch(spark, tmp: str) -> float:
+    """BASELINE (a): one ~2.8 MB envelope batch -> decode -> enrich ->
+    hive-partitioned snappy parquet commit (README.md:359 figure: 2.1 s)."""
+    from aws_kinesis_spark.sources.envelope import synthesize_envelope, decode_envelope
+
+    orders = load(spark, SF_DIR, "orders")
+    # ~1000-record batches in the reference are 2.79 MB; our envelope rows are
+    # ~200 B so take enough rows to land near 2.8 MB of payload.
+    batch = synthesize_envelope(orders.limit(15000))
+    out = os.path.join(tmp, "lake")
+    t0 = time.perf_counter()
+    decoded = decode_envelope(batch)
+    (
+        decoded.withColumn("year", F.year("processed_at"))
+        .withColumn("month", F.month("processed_at"))
+        .withColumn("day", F.dayofmonth("processed_at"))
+        .withColumn("hour", F.hour("processed_at"))
+        .repartition("year", "month", "day", "hour")
+        .write.mode("overwrite")
+        .partitionBy("year", "month", "day", "hour")
+        .option("compression", "snappy")
+        .parquet(out)
+    )
+    return time.perf_counter() - t0
+
+
+def bench_point_query(spark, tmp: str) -> float:
+    """BASELINE (b): partition-pruned point query over the lake
+    (README.md:164, 554-559: 2 s Athena)."""
+    lake = os.path.join(tmp, "events_lake")
+    ev = load(spark, SF_DIR, "events")
+    (
+        ev.withColumn("year", F.year("ts"))
+        .withColumn("month", F.month("ts"))
+        .withColumn("day", F.dayofmonth("ts"))
+        .withColumn("hour", F.hour("ts"))
+        .repartition("day", "hour")
+        .write.mode("overwrite")
+        .partitionBy("year", "month", "day", "hour")
+        .parquet(lake)
+    )
+    t0 = time.perf_counter()
+    rows = (
+        spark.read.parquet(lake)
+        .filter((F.col("day") == 7) & (F.col("hour") == 14))
+        .select("event_id", "event_type", "value")
+        .limit(5)
+        .collect()
+    )
+    assert rows is not None
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("aws-kinesis-spark-bench", cpus=cpus)
+    qmap = registry.queries()
+    results: dict[str, float] = {}
+
+    # warm the JVM/codegen once with a trivial action
+    load(spark, SF_DIR, "region").count()
+
+    for name in HEADLINE:
+        if name not in qmap:
+            continue
+        results[name] = round(bench_query(spark, name, qmap[name]), 4)
+
+    tmp = tempfile.mkdtemp(prefix="kinesis_bench_")
+    try:
+        results["lake_microbatch"] = round(bench_lake_microbatch(spark, tmp), 4)
+        results["point_query"] = round(bench_point_query(spark, tmp), 4)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(results.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
