@@ -52,6 +52,9 @@ def configure(spark: SparkSession) -> SparkSession:
     with our own factory without restarting the JVM.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # streaming disables AQE, so stateful ops inherit shuffle.partitions
+    # directly — pin it to the local core count instead of the 200 default
+    spark.conf.set("spark.sql.shuffle.partitions", _DEFAULT_SHUFFLE_PARTITIONS)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -93,8 +93,11 @@ def decode_envelope(env: DataFrame, corrupt_col: str = "_corrupt") -> DataFrame:
     Parse failures yield NULL payloads; callers route them to the DLQ branch
     (README.md:156) via ``col(corrupt_col)`` — never dropped silently.
     """
+    # try_to_binary returns NULL on malformed base64 (unbase64 would throw),
+    # which is what routes bad records to the DLQ instead of failing the batch.
     parsed = F.from_json(
-        F.unbase64(F.col("data").cast("string")).cast("string"), CDC_PAYLOAD_SCHEMA
+        F.try_to_binary(F.col("data").cast("string"), F.lit("base64")).cast("string"),
+        CDC_PAYLOAD_SCHEMA,
     )
     return env.select(
         F.col("data"),
@@ -111,4 +114,5 @@ def decode_envelope(env: DataFrame, corrupt_col: str = "_corrupt") -> DataFrame:
         F.col("arrival_ts"),
         F.current_timestamp().alias("processed_at"),
         (F.col("payload").isNull() | F.col("payload.data.id").isNull()).alias(corrupt_col),
+        F.col("data"),  # raw envelope payload, kept for the DLQ/backup branch
     )

@@ -1,0 +1,167 @@
+"""The Parquet lake path (reference README.md:113-135, 283-303, 413-430).
+
+Batch realization of the flagship lifecycle: decode -> split ok/errors ->
+hive-partitioned snappy parquet write -> atomic manifest commit -> raw
+backup. The manifest is the commit record: "If PUT #1 fails -> no manifest ->
+zero partial data" (README.md:429-430); readers consume the manifest, never
+the folder (README.md:429, 453-455).
+
+Scale notes: the only shuffle is the repartition by partition columns before
+the write (avoids small files — one task per partition dir); everything else
+is narrow. File listings happen on the driver but are O(files-per-batch),
+not O(table).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_kinesis_spark.sources.envelope import decode_envelope
+
+PARTITION_COLS = ["year", "month", "day", "hour"]
+
+
+def with_partition_cols(df: DataFrame, ts_col: str = "processed_at") -> DataFrame:
+    """Derive the hive partition columns from the processing timestamp —
+    the `!{timestamp:yyyy}/MM/dd/HH` prefix template (README.md:130, 424)."""
+    return (
+        df.withColumn("year", F.year(ts_col))
+        .withColumn("month", F.month(ts_col))
+        .withColumn("day", F.dayofmonth(ts_col))
+        .withColumn("hour", F.hour(ts_col))
+    )
+
+
+def split_errors(decoded: DataFrame, corrupt_col: str = "_corrupt") -> tuple[DataFrame, DataFrame]:
+    """DLQ split (README.md:134, 156): parse failures are quarantined with an
+    error prefix, never dropped silently — 'zero records lost'."""
+    ok = decoded.filter(~F.col(corrupt_col)).drop(corrupt_col)
+    bad = decoded.filter(F.col(corrupt_col)).drop(corrupt_col)
+    return ok, bad
+
+
+def _list_parquet_files(root: str) -> list[str]:
+    out: list[str] = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.join(dirpath, f))
+    return sorted(out)
+
+
+def write_manifest(lake_dir: str, batch_id: int, files: list[str], n_records: int) -> str:
+    """Atomic manifest commit (README.md:291-303, 514-523): entries[] lists
+    the exact object URLs; the manifest appears only after all data files
+    are durable (write-to-temp + atomic rename mirrors the reference's
+    ordered-two-PUT protocol, README.md:413-421). Idempotent per batch_id."""
+    manifest_dir = os.path.join(lake_dir, "_manifests")
+    os.makedirs(manifest_dir, exist_ok=True)
+    payload = {
+        "batchId": batch_id,
+        "entries": [{"url": f} for f in files],
+        "recordCount": n_records,
+        "totalBytes": sum(os.path.getsize(f) for f in files),
+    }
+    final = os.path.join(manifest_dir, f"manifest-{batch_id:010d}.json")
+    fd, tmp = tempfile.mkstemp(dir=manifest_dir, suffix=".tmp")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    os.replace(tmp, final)  # atomic on POSIX
+    return final
+
+
+def read_manifest(lake_dir: str, batch_id: int) -> dict:
+    with open(os.path.join(lake_dir, "_manifests", f"manifest-{batch_id:010d}.json")) as fh:
+        return json.load(fh)
+
+
+@dataclass
+class FlushStats:
+    """Per-flush accounting (README.md:260, 276-278): record counts, input
+    vs output bytes, compression ratio."""
+
+    batch_id: int
+    n_ok: int
+    n_error: int
+    bytes_out: int
+    n_files: int
+    manifest_path: str
+
+
+def run_lake_batch(
+    env: DataFrame,
+    lake_dir: str,
+    batch_id: int = 0,
+    raw_backup: bool = True,
+) -> FlushStats:
+    """One buffer flush through the lake path (README.md:266-303):
+    decode -> DLQ split -> partitioned snappy parquet -> manifest -> backup.
+
+    Idempotent per batch_id: data lands under data/batch=<id>/ subpartitions
+    and is overwritten on replay (dynamic partition overwrite), so a retried
+    flush produces zero duplicates (README.md:204).
+    """
+    spark = env.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    decoded = decode_envelope(env)
+    ok, bad = split_errors(decoded)
+    # the lake stores decoded columns; the raw payload lives in the backup
+    ok = with_partition_cols(ok.drop("data")).withColumn("batch", F.lit(batch_id))
+
+    data_dir = os.path.join(lake_dir, "data")
+    (
+        ok.repartition(*PARTITION_COLS)
+        .write.mode("overwrite")
+        .partitionBy("batch", *PARTITION_COLS)
+        .option("compression", "snappy")
+        .parquet(data_dir)
+    )
+    batch_root = os.path.join(data_dir, f"batch={batch_id}")
+    files = _list_parquet_files(batch_root)
+    n_ok = spark.read.parquet(batch_root).count()
+
+    # DLQ branch (README.md:156, 383-384): quarantined raw envelopes
+    n_error = bad.count()
+    if n_error:
+        (
+            bad.select("data", "partition_key", "sequence_number", "arrival_ts")
+            .write.mode("overwrite")
+            .parquet(os.path.join(lake_dir, "errors", f"batch={batch_id}"))
+        )
+
+    # raw backup (README.md:605 S3BackupMode=AllData): unparsed envelope
+    if raw_backup:
+        env.write.mode("overwrite").parquet(os.path.join(lake_dir, "raw", f"batch={batch_id}"))
+
+    manifest = write_manifest(lake_dir, batch_id, files, n_ok)
+    return FlushStats(
+        batch_id=batch_id,
+        n_ok=n_ok,
+        n_error=n_error,
+        bytes_out=sum(os.path.getsize(f) for f in files),
+        n_files=len(files),
+        manifest_path=manifest,
+    )
+
+
+def read_via_manifest(spark: SparkSession, lake_dir: str, batch_id: int) -> DataFrame:
+    """Warehouse-style read: 'COPY reads the manifest, never the folder'
+    (README.md:429, 453-455)."""
+    entries = [e["url"] for e in read_manifest(lake_dir, batch_id)["entries"]]
+    if not entries:
+        raise ValueError(f"manifest {batch_id} lists no files")
+    return spark.read.parquet(*entries)
+
+
+def register_lake_table(spark: SparkSession, name: str, lake_dir: str) -> None:
+    """Catalog registration + partition discovery (README.md:121, 163,
+    541-549): the crawler's job is a view over the partition-discovering
+    parquet read (README.md:446 — 'no Glue needed')."""
+    spark.read.parquet(os.path.join(lake_dir, "data")).createOrReplaceTempView(name)

@@ -1,0 +1,223 @@
+"""Structured Streaming realization of the reference pipeline (SURVEY.md §3).
+
+The stream source in production is the Kinesis connector
+(`spark.readStream.format("kinesis")`); tests and the driver fixtures use a
+file source feeding the identical envelope schema — a drop-in swap
+(SURVEY.md §7 M3). Two independent consumers (README.md:30-32) are two
+streaming queries with separate checkpoints on the same source.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from aws_kinesis_spark.session import configure
+from aws_kinesis_spark.sources.envelope import ENVELOPE_SCHEMA, decode_envelope
+from aws_kinesis_spark.sources.lake import (
+    PARTITION_COLS,
+    _list_parquet_files,
+    split_errors,
+    with_partition_cols,
+    write_manifest,
+)
+
+
+def envelope_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of envelope records (README.md:222-252). Each file
+    plays the role of one producer PutRecords batch; `maxFilesPerTrigger`
+    bounds micro-batch size like the 64 MB buffer hint (README.md:131)."""
+    configure(spark)
+    reader = spark.readStream.schema(ENVELOPE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def start_lake_path(
+    env_stream: DataFrame,
+    lake_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    trigger_seconds: int = 60,
+) -> StreamingQuery:
+    """The flagship lake lifecycle (README.md:113-135) as one streaming query:
+    decode -> DLQ split -> hive-partitioned snappy parquet -> manifest.
+
+    foreachBatch gives the reference's external-reader manifest contract
+    (README.md:429 "readers consume manifest, never folder"): files first,
+    manifest second, keyed on batchId so a replayed batch overwrites
+    idempotently instead of duplicating (README.md:204) — Spark's checkpoint
+    WAL provides resume-after-sequence (README.md:305-309).
+    """
+
+    def flush(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        decoded = decode_envelope(batch_df)
+        ok, bad = split_errors(decoded)
+        ok = with_partition_cols(ok.drop("data")).withColumn("batch", F.lit(batch_id))
+        data_dir = os.path.join(lake_dir, "data")
+        (
+            ok.repartition(*PARTITION_COLS)
+            .write.mode("overwrite")
+            .partitionBy("batch", *PARTITION_COLS)
+            .option("compression", "snappy")
+            .parquet(data_dir)
+        )
+        if bad.limit(1).count():
+            (
+                bad.select("data", "partition_key", "sequence_number", "arrival_ts")
+                .write.mode("overwrite")
+                .parquet(os.path.join(lake_dir, "errors", f"batch={batch_id}"))
+            )
+        batch_root = os.path.join(data_dir, f"batch={batch_id}")
+        files = _list_parquet_files(batch_root)
+        write_manifest(lake_dir, batch_id, files, n_records=-1)
+
+    writer = env_stream.writeStream.foreachBatch(flush).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def start_alert_path(
+    env_stream: DataFrame,
+    checkpoint_dir: str,
+    sink_table: str,
+    alert_op: str = "D",
+) -> StreamingQuery:
+    """The hot path (README.md:27-31, 101): decode -> predicate -> alert sink.
+    One fused executor pipeline (map+filter, no shuffle); the memory sink
+    stands in for SNS. trigger(availableNow) in tests; processingTime='0'
+    for the EFO-like low-latency mode (README.md:109-111)."""
+    alerts = (
+        decode_envelope(env_stream)
+        .filter(~F.col("_corrupt") & (F.col("op") == alert_op))
+        .select("id", "status", "op", "partition_key", "sequence_number", "arrival_ts")
+    )
+    return (
+        alerts.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_stream_dedup(
+    env_stream: DataFrame,
+    checkpoint_dir: str,
+    sink_table: str,
+    watermark: str = "365 days",
+) -> StreamingQuery:
+    """Exactly-once ingest dedup across micro-batches (README.md:51, 309):
+    dropDuplicatesWithinWatermark on the sequence number — replayed producer
+    batches in later micro-batches don't duplicate."""
+    deduped = (
+        env_stream.withWatermark("arrival_ts", watermark)
+        .dropDuplicatesWithinWatermark(["sequence_number"])
+    )
+    out = decode_envelope(deduped).select("id", "status", "op", "sequence_number")
+    return (
+        out.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Stream of the events fixture (event-time `ts` already a timestamp)."""
+    configure(spark)
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    return spark.readStream.schema(schema).parquet(input_dir)
+
+
+def start_windowed_agg(
+    events: DataFrame,
+    checkpoint_dir: str,
+    sink_table: str,
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    session_gap: str | None = None,
+    watermark: str = "1 hour",
+) -> StreamingQuery:
+    """Tumbling / sliding / session windowed aggregation (SURVEY.md E1-E3)
+    with a watermark bounding state (E4). Complete output mode so
+    availableNow emits every window in tests; on a live stream this would be
+    append mode with the watermark closing windows."""
+    ev = events.withWatermark("ts", watermark)
+    if session_gap is not None:
+        win = F.session_window("ts", session_gap)
+        grouped = ev.groupBy(win.alias("w"), "user_id")
+    elif slide is not None:
+        grouped = ev.groupBy(F.window("ts", window_duration, slide).alias("w"))
+    else:
+        grouped = ev.groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+    agg = grouped.agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    return (
+        agg.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+class ProgressRecorder:
+    """Stream metrics observability (README.md:64, 179, 230): mirrors the
+    reference's IteratorAge / MillisBehindLatest / PutRecords.Success
+    checklist via StreamingQueryListener progress events."""
+
+    def __init__(self, spark: SparkSession):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        recorder = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                recorder.started.append(event.id)
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                recorder.progress.append(
+                    {
+                        "batchId": p.batchId,
+                        "numInputRows": p.numInputRows,
+                        "inputRowsPerSecond": p.inputRowsPerSecond,
+                        "batchDurationMs": p.batchDuration,
+                    }
+                )
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                recorder.terminated.append(event.id)
+
+        self.started: list = []
+        self.progress: list = []
+        self.terminated: list = []
+        self._listener = _L()
+        self._spark = spark
+        spark.streams.addListener(self._listener)
+
+    def close(self) -> None:
+        self._spark.streams.removeListener(self._listener)

@@ -68,7 +68,7 @@ def bench_lake_microbatch(spark, tmp: str) -> float:
     batch = synthesize_envelope(orders.limit(15000))
     out = os.path.join(tmp, "lake")
     t0 = time.perf_counter()
-    decoded = decode_envelope(batch)
+    decoded = decode_envelope(batch).drop("data")
     (
         decoded.withColumn("year", F.year("processed_at"))
         .withColumn("month", F.month("processed_at"))

@@ -1,0 +1,109 @@
+"""Golden pipeline test (SURVEY.md §5.2.2): the reference's forensic trace
+(README.md:219-320) asserted as invariants over one deterministic flush."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_kinesis_spark.sources.envelope import synthesize_envelope
+from aws_kinesis_spark.sources.lake import (
+    PARTITION_COLS,
+    read_manifest,
+    read_via_manifest,
+    register_lake_table,
+    run_lake_batch,
+)
+from aws_kinesis_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def envelope(spark):
+    orders = load(spark, SF, "orders")
+    return synthesize_envelope(orders)
+
+
+def _corrupt_some(env):
+    """Flip every 100th record's payload into invalid base64/JSON."""
+    return env.withColumn(
+        "data",
+        F.when(
+            F.col("partition_key").endswith("00"),
+            F.lit("!!not-base64!!").cast("binary"),
+        ).otherwise(F.col("data")),
+    )
+
+
+def test_golden_flush(spark, envelope, tmp_path):
+    lake = str(tmp_path / "lake")
+    env = _corrupt_some(envelope)
+    n_total = env.count()
+
+    stats = run_lake_batch(env, lake, batch_id=7)
+
+    # zero records lost (README.md:204, 480)
+    assert stats.n_ok + stats.n_error == n_total
+    assert stats.n_error > 0
+
+    # partition layout year=/month=/day=/hour= (README.md:285)
+    files = [e["url"] for e in read_manifest(lake, 7)["entries"]]
+    assert files, "manifest lists no files"
+    for f in files:
+        for col in PARTITION_COLS:
+            assert f"{col}=" in f, f"missing {col}= in {f}"
+
+    # manifest lists exactly the written files (README.md:295-303)
+    on_disk = []
+    for dirpath, _d, fs in os.walk(os.path.join(lake, "data", "batch=7")):
+        on_disk += [os.path.join(dirpath, x) for x in fs if x.endswith(".parquet")]
+    assert sorted(files) == sorted(on_disk)
+    assert read_manifest(lake, 7)["recordCount"] == stats.n_ok
+
+    # processed_at added (README.md:279); decoded payload is correct
+    back = read_via_manifest(spark, lake, 7)
+    assert "processed_at" in back.columns
+    sample = back.filter(F.col("id") == 3).collect()
+    assert len(sample) == 1 and sample[0]["op"] == "I"  # 3 % 3 == 0 -> 'I'
+
+    # bad records land in errors/, unparsed (README.md:156)
+    errs = spark.read.parquet(os.path.join(lake, "errors", "batch=7"))
+    assert errs.count() == stats.n_error
+    assert set(errs.columns) == {"data", "partition_key", "sequence_number", "arrival_ts"}
+
+    # raw backup holds every input record (README.md:605)
+    raw = spark.read.parquet(os.path.join(lake, "raw", "batch=7"))
+    assert raw.count() == n_total
+
+
+def test_replay_idempotence(spark, envelope, tmp_path):
+    """Re-running the same batch produces zero duplicates (README.md:204)."""
+    lake = str(tmp_path / "lake")
+    s1 = run_lake_batch(envelope, lake, batch_id=1)
+    s2 = run_lake_batch(envelope, lake, batch_id=1)
+    assert s1.n_ok == s2.n_ok
+    back = read_via_manifest(spark, lake, 1)
+    assert back.count() == s1.n_ok
+    assert back.select("id").distinct().count() == s1.n_ok
+
+
+def test_catalog_registration_and_pruned_query(spark, envelope, tmp_path):
+    """A10 + D3: register the lake, run a partition-pruned point query and
+    check the plan actually prunes (PartitionFilters reach the scan)."""
+    lake = str(tmp_path / "lake")
+    run_lake_batch(envelope, lake, batch_id=0, raw_backup=False)
+    register_lake_table(spark, "cdc_orders", lake)
+
+    row = spark.sql(
+        "SELECT id, status FROM cdc_orders WHERE year = 1995 AND id = 3 LIMIT 1"
+    ).collect()
+    assert len(row) <= 1
+
+    plan = spark.sql(
+        "SELECT id FROM cdc_orders WHERE year = 1995"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "year" in plan
