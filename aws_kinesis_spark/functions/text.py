@@ -1,0 +1,112 @@
+"""Text-analysis function surface (SURVEY.md §2.G G4): tokenization,
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+Everything is built from JVM-side expressions (split/filter/transform/
+regexp) so the ops vectorize inside whole-stage codegen — the 100 TB path
+never crosses into Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small: the heuristic scores languages by stopword
+# hits and falls back to 'und' (BCP-47 undetermined) on zero evidence.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "y", "en", "que", "los", "un"),
+    "fr": ("le", "la", "de", "et", "un", "les", "des", "en"),
+    "de": ("der", "die", "das", "und", "ein", "zu", "den", "von"),
+    "zh": ("的", "了", "是", "在", "我", "有", "和", "就"),
+}
+
+# A BPE-ish pre-tokenization: words, digit runs, and individual symbols —
+# the usual byte-pair-encoding pre-split regex family.
+BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Count of BPE-ish pre-tokens (regexp-based, JVM-side)."""
+    return F.regexp_count(text, F.lit(BPE_SPLIT_RE))
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    """Number of tokens that are stopwords of `lang`."""
+    words = list(STOPWORDS[lang])
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*words)))
+
+
+def detect_language(text: Column | str) -> Column:
+    """Stopword-scoring language ID: the language with the most stopword
+    hits wins (ties broken by language code order); zero hits -> 'und'."""
+    scored = F.array(
+        *[
+            F.struct(stopword_hits(text, lang).alias("hits"), F.lit(lang).alias("lang"))
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    best = F.array_max(F.filter(scored, lambda s: s["hits"] > 0))
+    # array_max on struct orders by (hits, lang); lang DESC on ties is fine
+    # as long as the oracle replicates the same rule.
+    return F.coalesce(best["lang"], F.lit("und"))
+
+
+def distinct_ratio(text: Column | str) -> Column:
+    t = tokens(text)
+    return F.size(F.array_distinct(t)).cast("double") / F.size(t)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are not [a-z0-9space]."""
+    return (
+        F.length(F.regexp_replace(F.lower(text), "[a-z0-9 ]", "")).cast("double")
+        / F.length(text)
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite document quality in [0,1]: length saturation, lexical
+    diversity, stopword presence, punctuation cleanliness — the standard
+    pre-training quality-filter feature stack."""
+    n = token_count(text).cast("double")
+    len_score = F.least(F.lit(1.0), n / F.lit(100.0))
+    stop = stopword_hits(text, "en").cast("double") / n
+    stop_score = F.least(F.lit(1.0), stop * F.lit(5.0))
+    clean_score = F.lit(1.0) - punct_ratio(text)
+    return F.round(
+        F.lit(0.3) * len_score
+        + F.lit(0.3) * distinct_ratio(text)
+        + F.lit(0.2) * stop_score
+        + F.lit(0.2) * clean_score,
+        4,
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    token set (the classic near-dup content signature)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct positional n-gram shingles (token n-grams). Shingling keeps
+    word order information that bag-of-words Jaccard loses — on small
+    vocabularies set-Jaccard saturates while shingle-Jaccard stays
+    discriminative."""
+    t = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(t) - F.lit(n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, i + j) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, gram))

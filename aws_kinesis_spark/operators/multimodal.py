@@ -1,0 +1,96 @@
+"""Multimodal columns (SURVEY.md §2.G G5): image/audio/video as opaque
+binary payloads with typed metadata — the same envelope pattern as the
+stream's base64 `Data` column (reference README.md:224).
+
+The Spark-side plumbing (schema, partitioning, Arrow batch shape through
+mapInPandas) is real and tested; the actual media decode is STUBBED because
+image/audio libraries are not in this container — `decode_media` raises
+NotImplementedError and `extract_features` uses a clearly-marked
+deterministic fake (leading payload bytes) in its place.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("source", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+N_FEATURES = 8
+
+
+def to_media_envelope(docs: DataFrame, payload_col: str = "text") -> DataFrame:
+    """Wrap a column as an opaque binary payload + typed metadata struct —
+    the multimodal analogue of the stream envelope (README.md:224)."""
+    payload = F.col(payload_col).cast("binary")
+    return docs.select(
+        F.col("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(payload: bytes, mime: str) -> object:
+    """STUB: real image/audio decode (PIL/libav) is not available in this
+    container. The Spark plumbing around it is real; swap this body for the
+    actual decoder in a full environment."""
+    raise NotImplementedError(
+        f"media decode for {mime!r} requires image/audio libraries not present here"
+    )
+
+
+def extract_features(envelope: DataFrame, batch_size_hint: int = 10_000) -> DataFrame:
+    """Feature extraction over media payloads via mapInPandas: Arrow-batched,
+    one output row per input row, fixed feature width.
+
+    DETERMINISTIC FAKE standing in for the stubbed decoder: features are the
+    first N_FEATURES byte values of the payload (zero-padded). The batch
+    shape, schema, and partitioning are exactly what a real embedding model
+    UDF would use."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                [int(b) for b in (payload[:N_FEATURES] or b"").ljust(N_FEATURES, b"\0")]
+                for payload in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "features": feats,
+                }
+            )
+
+    return envelope.mapInPandas(_extract, FEATURE_SCHEMA)

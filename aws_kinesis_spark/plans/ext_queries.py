@@ -1,1 +1,267 @@
-"""[EXT] LLM-data-pipeline queries (SURVEY.md §2.G) — filled in M4."""
+"""[EXT] LLM-data-pipeline queries (SURVEY.md §2.G) over the documents and
+embeddings fixtures. The DuckDB oracles verify end RESULTS (e.g. exact
+all-pairs Jaccard), while the Spark side runs the scalable algorithm
+(MinHash+LSH, inverted index, bucketed ANN) — result parity is the proof
+that the approximation achieves full recall at the threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_kinesis_spark.functions import text as TX
+from aws_kinesis_spark.operators.dedup import (
+    embedding_neardup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_dedup,
+    simhash_dedup,
+)
+from aws_kinesis_spark.operators.multimodal import extract_features, to_media_envelope
+from aws_kinesis_spark.operators.similarity import knn_bruteforce, knn_lsh
+from aws_kinesis_spark.registry import register
+from aws_kinesis_spark.tables import load
+
+# DuckDB shingle + jaccard fragments shared by the dedup oracles
+_DUCK_SHINGLES = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             WHERE len(string_split(text, ' ')) >= 3),
+    sh AS (SELECT doc_id,
+                  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 for i in range(1, len(w) - 1)]) AS s
+           FROM toks)
+"""
+
+_DUCK_COSINE = """
+    list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+              for i in range(1, len(a.embedding) + 1)])
+    / nullif(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in a.embedding]))
+             * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in b.embedding])), 0)
+"""
+
+
+@register(
+    "g01_dedup_exact",
+    oracle="""
+        SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+)
+def g01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: exact dedup by content hash — hash groupBy, smallest id kept."""
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "g02_dedup_minhash_lsh",
+    oracle=f"""
+        WITH {_DUCK_SHINGLES}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s))::DOUBLE
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+    """,
+)
+def g02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: shingle -> minhash -> band -> bucket-join -> exact-verify. The
+    oracle is the exact all-pairs answer: parity demonstrates the LSH
+    banding (r=4, b=32) reaches full recall at jaccard>=0.7."""
+    return minhash_lsh_dedup(load(spark, sf_dir, "documents"), threshold=0.7)
+
+
+@register(
+    "g02b_dedup_ngram_jaccard",
+    oracle=f"""
+        WITH {_DUCK_SHINGLES}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s))::DOUBLE
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+    """,
+)
+def g02b_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 exact variant: inverted shingle index for candidates, exact
+    Jaccard verify — guaranteed identical to all-pairs."""
+    return ngram_jaccard_dedup(load(spark, sf_dir, "documents"), threshold=0.7)
+
+
+@register("g02c_dedup_simhash")  # rows-only: 64-bit simhash has no SQL twin
+def g02c_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 SimHash variant: 64-bit signatures, hamming<=3 via pigeonhole
+    chunk join. Verified in tests/test_ext.py against the Jaccard ground
+    truth (every jaccard=1.0 pair must be found)."""
+    return simhash_dedup(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register(
+    "g03_knn_bruteforce",
+    oracle=f"""
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round({_DUCK_COSINE}, 4) AS cos_sim
+        FROM (SELECT * FROM embeddings WHERE vec_id < 5) a
+        JOIN embeddings b ON b.vec_id <> a.vec_id
+        QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                   ORDER BY {_DUCK_COSINE} DESC, b.vec_id) <= 10
+    """,
+)
+def g03_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: exact cosine top-10 for 5 query vectors — broadcast queries, one
+    corpus pass, deterministic (cos desc, id) ranking."""
+    em = load(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_bruteforce(em, queries, k=10)
+
+
+@register("g03b_knn_lsh_ann")  # rows-only: ANN recall measured in tests
+def g03b_knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 scale path: sign-bucket LSH ANN with hamming<=1 multi-probe.
+    Recall vs knn_bruteforce asserted in tests/test_ext.py."""
+    em = load(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_lsh(em, queries, k=10)
+
+
+@register(
+    "g05_embedding_neardup",
+    oracle=f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_DUCK_COSINE}, 4) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_DUCK_COSINE} >= 0.4
+    """,
+)
+def g05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2/G3: embedding-cosine near-dup pairs (exact reference impl)."""
+    return embedding_neardup(load(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "g04_text_stats",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, text, string_split(text, ' ') AS w,
+                   len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the','a','of','and','to','in','is','it'))) AS en_hits,
+                   len(list_filter(string_split(text, ' '),
+                       x -> x IN ('el','la','de','y','en','que','los','un'))) AS es_hits,
+                   len(list_filter(string_split(text, ' '),
+                       x -> x IN ('le','la','de','et','un','les','des','en'))) AS fr_hits,
+                   len(list_filter(string_split(text, ' '),
+                       x -> x IN ('der','die','das','und','ein','zu','den','von'))) AS de_hits,
+                   len(list_filter(string_split(text, ' '),
+                       x -> x IN ('的','了','是','在','我','有','和','就'))) AS zh_hits
+            FROM documents
+        )
+        SELECT doc_id,
+               len(w) AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+               CASE
+                 WHEN zh_hits > 0 AND zh_hits >= fr_hits AND zh_hits >= es_hits
+                      AND zh_hits >= en_hits AND zh_hits >= de_hits THEN 'zh'
+                 WHEN fr_hits > 0 AND fr_hits >= es_hits AND fr_hits >= en_hits
+                      AND fr_hits >= de_hits THEN 'fr'
+                 WHEN es_hits > 0 AND es_hits >= en_hits AND es_hits >= de_hits THEN 'es'
+                 WHEN en_hits > 0 AND en_hits >= de_hits THEN 'en'
+                 WHEN de_hits > 0 THEN 'de'
+                 ELSE 'und'
+               END AS pred_lang,
+               round(0.3 * least(1.0, len(w) / 100.0)
+                     + 0.3 * (len(list_distinct(w))::DOUBLE / len(w))
+                     + 0.2 * least(1.0, (en_hits::DOUBLE / len(w)) * 5.0)
+                     + 0.2 * (1.0 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                                    / length(text)), 4) AS quality
+        FROM t
+    """,
+)
+def g04_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: token counting (whitespace + BPE-ish regex), stopword language
+    ID, composite quality score — all JVM-side expressions."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.bpe_token_count("text").alias("n_bpe_tokens"),
+        TX.detect_language("text").alias("pred_lang"),
+        TX.quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "g04b_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                   AS fingerprint
+        FROM documents
+    """,
+)
+def g04b_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: order-insensitive document fingerprint (sorted distinct tokens)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "g06_quality_filter",
+    oracle="""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE n_chars BETWEEN 100 AND 2000
+          AND lang IN ('en', 'es', 'de')
+          AND len(string_split(text, ' ')) >= 20
+          AND len(list_distinct(string_split(text, ' ')))::DOUBLE
+              / len(string_split(text, ' ')) >= 0.2
+    """,
+)
+def g06_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: the pre-training quality-filter predicate stack — plain filters,
+    fully pushdown-friendly."""
+    d = load(spark, sf_dir, "documents")
+    return d.filter(
+        F.col("n_chars").between(100, 2000)
+        & F.col("lang").isin("en", "es", "de")
+        & (TX.token_count("text") >= 20)
+        & (TX.distinct_ratio("text") >= 0.2)
+    ).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "g07_multimodal_meta",
+    oracle="""
+        SELECT doc_id,
+               'text/plain' AS mime,
+               octet_length(text::BLOB) AS n_bytes,
+               source,
+               upper(hex(encode(substring(text, 1, 4)))) AS head_hex
+        FROM documents
+    """,
+)
+def g07_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: multimodal envelope — opaque binary payload + typed metadata
+    struct (the README.md:224 Data-column pattern applied to media)."""
+    env = to_media_envelope(load(spark, sf_dir, "documents"))
+    return env.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.source").alias("source"),
+        F.upper(F.hex(F.substring("payload", 1, 4))).alias("head_hex"),
+    )
+
+
+@register("g07b_multimodal_features")  # rows-only: mapInPandas feature extract
+def g07b_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: Arrow-batched feature extraction over binary payloads via
+    mapInPandas (deterministic fake standing in for the stubbed media
+    decoder; schema/batching identical to a real model UDF)."""
+    env = to_media_envelope(load(spark, sf_dir, "documents"))
+    return extract_features(env)
