@@ -34,18 +34,23 @@ def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 128,
+    num_hashes: int = 64,
     shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash signatures over token shingles: h_i(doc) = min over shingles
-    of xxhash64(i || shingle). xxhash64 is the JVM-side fast path (a
-    DuckDB-replicable md5 variant would be ~10x slower; the oracle instead
-    verifies end results against exact Jaccard)."""
+    of xxhash64(i, xxhash64(shingle)).
+
+    Cost shape matters at 100 TB: the shingle STRING is hashed exactly once
+    (`__h`); the num_hashes-member family then re-hashes that fixed-width
+    long with the member index as a second input — integer hashing inside
+    whole-stage codegen, ~10x cheaper than num_hashes string hashes per
+    shingle. The oracle verifies end results against exact Jaccard, so the
+    hash family only needs to be a good hash family, not DuckDB-replicable."""
     sh = docs.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__s")
-    )
+    ).select(F.col(id_col), F.xxhash64("__s").alias("__h"))
     mins = [
-        F.min(F.xxhash64(F.concat(F.lit(f"{i}:"), F.col("__s")))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*mins)
@@ -54,25 +59,27 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
-    num_hashes: int = 128,
-    bands: int = 32,
+    num_hashes: int = 64,
+    bands: int = 16,
 ) -> DataFrame:
     """Band the signature (r = num_hashes/bands rows per band) and emit
-    candidate pairs sharing any band bucket. P(candidate) =
-    1-(1-s^r)^bands; at r=4, b=32 the S-curve passes ~0.9998 recall for
-    s>=0.7. Returns distinct (id_a, id_b) with id_a < id_b."""
+    candidate pairs sharing any band bucket. P(candidate) = 1-(1-s^r)^bands;
+    at r=4, b=16 the S-curve gives ~0.99 recall at s=0.7 and ~1-1e-6 by
+    s=0.85. Returns distinct (id_a, id_b) with id_a < id_b.
+
+    Plan-size discipline: band hashes go through xxhash64 over the signature
+    columns directly (no string concat), banding is one posexplode of one
+    array (not `bands` named columns), and the banded table is materialized
+    with localCheckpoint before the self-join — otherwise the optimizer sees
+    the entire upstream signature plan twice and analysis time dwarfs the
+    (tiny) bucket-join itself."""
     r = num_hashes // bands
-    band_cols = [
-        F.xxhash64(F.concat_ws(",", *[f"h{b * r + j}" for j in range(r)])).alias(f"b{b}")
-        for b in range(bands)
-    ]
-    banded = signatures.select(id_col, *band_cols)
-    stacked = banded.select(
-        id_col,
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bh")) for b in range(bands)])
-        ).alias("e"),
-    ).select(id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    band_arr = F.array(
+        *[F.xxhash64(*[f"h{b * r + j}" for j in range(r)]) for b in range(bands)]
+    )
+    stacked = signatures.select(
+        id_col, F.posexplode(band_arr).alias("band", "bh")
+    ).localCheckpoint(eager=True)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -90,8 +97,14 @@ def lsh_candidate_pairs(
 def _exact_jaccard_on_pairs(
     pairs: DataFrame, docs: DataFrame, text_col: str, id_col: str, shingle_n: int
 ) -> DataFrame:
-    """Join shingle sets onto candidate pairs and compute exact Jaccard."""
-    sets = docs.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh"))
+    """Join shingle sets onto candidate pairs and compute exact Jaccard.
+
+    The shingle-set table is referenced twice (once per pair side); cutting
+    its lineage keeps the optimizer from re-analyzing the doc-scan plan per
+    side and computes the shingling once."""
+    sets = docs.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")
+    ).localCheckpoint(eager=True)
     inter = F.size(F.array_intersect("__sha", "__shb")).cast("double")
     union = F.size("__sha") + F.size("__shb") - F.size(F.array_intersect("__sha", "__shb"))
     return (
@@ -107,8 +120,8 @@ def minhash_lsh_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
-    num_hashes: int = 128,
-    bands: int = 32,
+    num_hashes: int = 64,
+    bands: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
     """G2: MinHash+LSH near-dup pairs, exact-Jaccard-verified.
@@ -199,6 +212,9 @@ def simhash_dedup(
 
     signed = simhash_signatures(docs, text_col, id_col, shingle_n)
 
+    # one chunk-join per pigeonhole; each references this table twice, so cut
+    # the 64-bit-sum signature plan out of the optimizer's view (and compute
+    # it once) before fanning out n_chunks self-joins.
     chunks = signed.select(
         id_col,
         "simhash",
@@ -208,7 +224,7 @@ def simhash_dedup(
             .alias(f"c{c}")
             for c in range(n_chunks)
         ],
-    )
+    ).localCheckpoint(eager=True)
     pairs = None
     for c in range(n_chunks):
         a, b = chunks.alias("a"), chunks.alias("b")
