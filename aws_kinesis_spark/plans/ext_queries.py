@@ -68,7 +68,7 @@ def g01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2: shingle -> minhash -> band -> bucket-join -> exact-verify. The
     oracle is the exact all-pairs answer: parity demonstrates the LSH
-    banding (r=4, b=32) reaches full recall at jaccard>=0.7."""
+    banding (r=4, b=16) reaches full recall at jaccard>=0.7."""
     return minhash_lsh_dedup(load(spark, sf_dir, "documents"), threshold=0.7)
 
 

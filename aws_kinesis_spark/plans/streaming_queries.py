@@ -20,6 +20,7 @@ from aws_kinesis_spark.streaming.pipeline import (
     event_stream,
     start_lake_path,
     start_stream_dedup,
+    start_stream_static_join,
     start_windowed_agg,
 )
 from aws_kinesis_spark.tables import load
@@ -55,6 +56,134 @@ def e01_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tbl).select(
         F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value"
     )
+
+
+@register(
+    "e02_stream_sliding_window",
+    oracle="""
+        SELECT CAST(ws AS TIMESTAMP) AS window_start,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM (SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                             date_trunc('hour', ts)]) AS ws,
+                     value
+              FROM events)
+        GROUP BY 1
+    """,
+)
+def e02_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregation (SURVEY.md E2; the reference's
+    1-min enhanced metrics over a continuous stream, README.md:64): 2 h
+    windows sliding by 1 h — every event lands in exactly two windows, which
+    is what the oracle's unnest of the two candidate starts replicates."""
+    root = _tmp("e02")
+    inp = os.path.join(root, "events")
+    load(spark, sf_dir, "events").repartition(3).write.mode("overwrite").parquet(inp)
+    tbl = f"e02_{uuid.uuid4().hex[:8]}"
+    q = start_windowed_agg(
+        event_stream(spark, inp),
+        os.path.join(root, "ckpt"),
+        tbl,
+        window_duration="2 hours",
+        slide="1 hour",
+    )
+    q.awaitTermination(300)
+    return spark.table(tbl).select(
+        F.col("w.start").alias("window_start"), "n_events", "sum_value"
+    )
+
+
+@register(
+    "e03_stream_session_window",
+    oracle="""
+        WITH brk AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM brk
+        )
+        SELECT user_id,
+               CAST(min(ts) AS TIMESTAMP) AS session_start,
+               CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM sess
+        GROUP BY user_id, sid
+    """,
+)
+def e03_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window streaming aggregation (SURVEY.md E3, clickstream
+    sessionization): 30 min inactivity gap per user. The oracle is the
+    classic gaps-and-islands rewrite — a new session starts exactly when the
+    gap >= 30 min, and session_end = last event + gap, matching Spark's
+    half-open session_window semantics."""
+    root = _tmp("e03")
+    inp = os.path.join(root, "events")
+    load(spark, sf_dir, "events").repartition(3).write.mode("overwrite").parquet(inp)
+    tbl = f"e03_{uuid.uuid4().hex[:8]}"
+    q = start_windowed_agg(
+        event_stream(spark, inp),
+        os.path.join(root, "ckpt"),
+        tbl,
+        session_gap="30 minutes",
+    )
+    q.awaitTermination(300)
+    return spark.table(tbl).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "e07_stream_static_join",
+    oracle="""
+        SELECT o.o_orderkey AS id,
+               o.o_orderstatus AS status,
+               CASE o.o_orderkey % 3 WHEN 0 THEN 'I' WHEN 1 THEN 'U' ELSE 'D' END AS op,
+               c.c_name AS c_name,
+               n.n_name AS n_name
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def e07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (SURVEY.md E7): the CDC order stream joins a
+    broadcast customer->nation dimension; the dim-dim join happens once,
+    statically, before the stream starts."""
+    root = _tmp("e07")
+    inp = os.path.join(root, "input")
+    synthesize_envelope(load(spark, sf_dir, "orders")).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    dim = (
+        orders.select(F.col("o_orderkey").alias("id"), "o_custkey")
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("id", "c_name", "n_name")
+    )
+    tbl = f"e07_{uuid.uuid4().hex[:8]}"
+    q = start_stream_static_join(
+        envelope_stream(spark, inp, max_files_per_trigger=2),
+        dim,
+        os.path.join(root, "ckpt"),
+        tbl,
+    )
+    q.awaitTermination(300)
+    return spark.table(tbl)
 
 
 @register(

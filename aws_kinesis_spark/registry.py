@@ -61,5 +61,6 @@ def _ensure_loaded() -> None:
     from aws_kinesis_spark.plans import pipeline_queries  # noqa: F401
     from aws_kinesis_spark.plans import ext_queries  # noqa: F401
     from aws_kinesis_spark.plans import streaming_queries  # noqa: F401
+    from aws_kinesis_spark.plans import udf_queries  # noqa: F401
 
     _LOADED = True

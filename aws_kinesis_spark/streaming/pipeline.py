@@ -181,6 +181,30 @@ def start_windowed_agg(
     )
 
 
+def start_stream_static_join(
+    env_stream: DataFrame,
+    dim: DataFrame,
+    checkpoint_dir: str,
+    sink_table: str,
+) -> StreamingQuery:
+    """Stream-static enrichment join (SURVEY.md E7; README.md:38 "hourly
+    analytics on every order change"): the decoded CDC stream joins a static
+    dimension table. The dim side is broadcast — on a cluster every executor
+    holds the dim and the stream never shuffles."""
+    decoded = decode_envelope(env_stream).filter(~F.col("_corrupt"))
+    enriched = decoded.join(F.broadcast(dim), "id").select(
+        "id", "status", "op", *[c for c in dim.columns if c != "id"]
+    )
+    return (
+        enriched.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 class ProgressRecorder:
     """Stream metrics observability (README.md:64, 179, 230): mirrors the
     reference's IteratorAge / MillisBehindLatest / PutRecords.Success

@@ -42,7 +42,8 @@ HEADLINE = [
     "g01_dedup_exact",
     "g02_dedup_minhash_lsh",
     "g03_knn_bruteforce",
-    "g04_text_quality",
+    "g04_text_stats",
+    "f03_grouped_agg_udaf",
 ]
 
 
