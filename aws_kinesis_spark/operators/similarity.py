@@ -14,8 +14,12 @@ Two strategies:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
 
 from aws_kinesis_spark.functions.vectors import cosine
 
@@ -59,6 +63,90 @@ def sign_bucket_at(vec_col: str, offset: int, bits: int = 8) -> F.Column:
             F.element_at(F.col(vec_col), offset + i + 1) > 0, F.lit(1 << i)
         ).otherwise(0)
     return b.cast("int")
+
+
+def _spherical_kmeans(sample: np.ndarray, nlist: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Driver-side spherical k-means (Lloyd's on the unit sphere) over a
+    bounded corpus sample. Centroids are tiny (nlist x dim) regardless of
+    corpus size — at 100 TB you train on a fixed-size sample and broadcast;
+    the full corpus is only ever *assigned*, never collected."""
+    rng = np.random.default_rng(seed)
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cent = x[rng.choice(len(x), size=nlist, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(nlist):
+            m = x[assign == c]
+            if len(m):
+                v = m.sum(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 32,
+    nprobe: int = 4,
+    train_rows: int = 4096,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k with an IVF (inverted-file) index: train nlist spherical
+    k-means centroids on a sample, assign every corpus vector to its nearest
+    centroid (one Arrow-batched matmul pass — no shuffle), then search each
+    query only inside its nprobe closest cells.
+
+    Scale shape: centroids broadcast to executors inside the UDF closure;
+    the corpus is partition-pruned to probed cells by an equi-join on
+    cluster id (broadcast probe list). nprobe/nlist is the recall dial —
+    recall vs knn_bruteforce is measured in tests/test_ext.py."""
+    train = np.array(
+        [r[0] for r in corpus.select(vec_col).limit(train_rows).collect()],
+        dtype=np.float64,
+    )
+    cent = _spherical_kmeans(train, nlist=min(nlist, len(train)))
+
+    @F.pandas_udf(IntegerType())
+    def nearest_cell(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(x @ cent.T, axis=1).astype(np.int32))
+
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col), nearest_cell(F.col(vec_col)).alias("__cell")
+    )
+
+    # queries are few: compute their probe cells driver-side
+    qrows = queries.select(query_id_col, vec_col).collect()
+    probes = []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        top = np.argsort(-(cent @ qv))[:nprobe]
+        probes.extend((r[0], int(c)) for c in top)
+    spark = corpus.sparkSession
+    probe_df = spark.createDataFrame(probes, f"{query_id_col} long, __cell int")
+    qdf = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    ).join(probe_df, query_id_col)
+
+    cand = assigned.join(F.broadcast(qdf), "__cell").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        cosine("__qvec", vec_col).alias("__cos"),
+    ).dropDuplicates([query_id_col, "neighbor_id"])
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, "neighbor_id", F.round("__cos", 4).alias("cos_sim"))
+    )
 
 
 def knn_lsh(

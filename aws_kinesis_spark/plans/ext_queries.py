@@ -19,7 +19,7 @@ from aws_kinesis_spark.operators.dedup import (
     simhash_dedup,
 )
 from aws_kinesis_spark.operators.multimodal import extract_features, to_media_envelope
-from aws_kinesis_spark.operators.similarity import knn_bruteforce, knn_lsh
+from aws_kinesis_spark.operators.similarity import knn_bruteforce, knn_ivf, knn_lsh
 from aws_kinesis_spark.registry import register
 from aws_kinesis_spark.tables import load
 
@@ -128,6 +128,19 @@ def g03b_knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return knn_lsh(em, queries, k=10)
+
+
+@register("g03c_knn_ivf_ann")  # rows-only: ANN recall measured in tests
+def g03c_knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 scale path #2: IVF index — spherical-kmeans cells trained on a
+    sample, corpus assigned in one Arrow matmul pass, queries probe their
+    nprobe nearest cells. Recall vs knn_bruteforce asserted in
+    tests/test_ext.py."""
+    em = load(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_ivf(em, queries, k=10)
 
 
 @register(

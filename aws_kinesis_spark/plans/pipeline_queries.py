@@ -302,6 +302,75 @@ def d15_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "b07_replay_from_offset",
+    oracle="""
+        SELECT o_orderkey AS id,
+               'U2' AS status,
+               CAST(CAST('100000000000000000000000000000' AS DECIMAL(38,0))
+                    + 1000000000 + o_orderkey AS DECIMAL(38,0)) AS sequence_number
+        FROM orders WHERE o_orderkey % 5 = 0
+    """,
+)
+def b07_replay_from_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay/resume-after-checkpoint (README.md:52, 305-309, 81-83): given
+    the retained log of two producer epochs and a consumer checkpoint at the
+    end of epoch 0, the resumed read returns exactly the epoch-1 records —
+    strictly after the checkpointed sequence number, as a DECIMAL(38,0)
+    comparison (30-digit sequences never fit int64, README.md:238)."""
+    o = load(spark, sf_dir, "orders")
+    epoch0 = synthesize_envelope(o, epoch=0)
+    epoch1 = synthesize_envelope(
+        o.filter(F.col("o_orderkey") % 5 == 0).withColumn("o_orderstatus", F.lit("U2")),
+        epoch=1,
+    )
+    log = epoch0.unionByName(epoch1)
+    checkpoint = epoch0.agg(F.max("sequence_number")).collect()[0][0]
+    resumed = log.filter(F.col("sequence_number") > F.lit(checkpoint))
+    return decode_envelope(resumed).select("id", "status", "sequence_number")
+
+
+@register(
+    "a10_catalog_partition_discovery",
+    oracle="""
+        SELECT EXTRACT(day FROM ts)::INT AS day,
+               EXTRACT(hour FROM ts)::INT AS hour,
+               count(*) AS n_events
+        FROM events
+        WHERE EXTRACT(day FROM ts) = 7
+        GROUP BY 1, 2
+    """,
+)
+def a10_catalog_partition_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog registration + partition discovery (README.md:121, 163,
+    541-549): the crawler's job is CREATE EXTERNAL TABLE + partition sync —
+    here CREATE TABLE USING parquet over the partitioned prefix followed by
+    MSCK REPAIR TABLE, then a partition-pruned SQL query THROUGH the catalog
+    table (the pruning is visible as PartitionFilters in the scan)."""
+    ev = load(spark, sf_dir, "events")
+    lake = os.path.join(tempfile.mkdtemp(prefix="kinesis_catalog_"), "events")
+    (
+        ev.withColumn("day", F.dayofmonth("ts"))
+        .withColumn("hour", F.hour("ts"))
+        .repartition("day", "hour")
+        .write.mode("overwrite")
+        .partitionBy("day", "hour")
+        .parquet(lake)
+    )
+    tbl = f"cdc_events_{abs(hash(lake)) % 10**8}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"""CREATE TABLE {tbl} (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            event_type STRING, value DOUBLE, props STRING, day INT, hour INT)
+            USING parquet PARTITIONED BY (day, hour) LOCATION '{lake}'"""
+    )
+    spark.sql(f"MSCK REPAIR TABLE {tbl}")
+    return spark.sql(
+        f"""SELECT day, hour, count(*) AS n_events FROM {tbl}
+            WHERE day = 7 GROUP BY day, hour"""
+    )
+
+
 # --------------------------------------------------------------------------
 # A12: batch lake scan round-trip (write partitioned -> read -> aggregate)
 # --------------------------------------------------------------------------

@@ -16,7 +16,7 @@ from aws_kinesis_spark.operators.multimodal import (
     extract_features,
     to_media_envelope,
 )
-from aws_kinesis_spark.operators.similarity import knn_bruteforce, knn_lsh
+from aws_kinesis_spark.operators.similarity import knn_bruteforce, knn_ivf, knn_lsh
 from aws_kinesis_spark.tables import load
 
 SF = "/root/testdata/sf0.01"
@@ -80,6 +80,22 @@ def test_ann_recall_vs_bruteforce(spark):
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.5, f"ANN recall too low: {recall:.2f}"
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF ANN: probing 8/32 cells must reach >=50% top-10 recall on the
+    (near-orthogonal random) fixture while scanning ~1/4 of the corpus;
+    clustered real embeddings do much better."""
+    em = load(spark, SF, "embeddings")
+    queries = em.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = knn_bruteforce(em, queries, k=10).collect()
+    approx = knn_ivf(em, queries, k=10, nlist=32, nprobe=8).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
 
 
 def test_multimodal_decode_is_stubbed():
