@@ -145,6 +145,60 @@ def e03_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e06_stream_stateful_buffer",
+    oracle="""
+        WITH env AS (
+            SELECT o_orderkey % 4 AS shard,
+                   CAST(CAST('100000000000000000000000000000' AS DECIMAL(38,0))
+                        + o_orderkey AS DECIMAL(38,0)) AS seq,
+                   length(to_base64(encode(
+                       '{"data":{"id":' || o_orderkey || ',"status":"' || o_orderstatus
+                       || '"},"metadata":{"op":"'
+                       || CASE o_orderkey % 3 WHEN 0 THEN 'I' WHEN 1 THEN 'U' ELSE 'D' END
+                       || '"}}'))) AS n_bytes
+            FROM orders
+        ),
+        r AS (
+            SELECT shard, n_bytes,
+                   row_number() OVER (PARTITION BY shard ORDER BY seq) - 1 AS rn
+            FROM env
+        ),
+        g AS (
+            SELECT shard, rn // 500 AS flush_id,
+                   count(*) AS n_records, sum(n_bytes) AS n_bytes
+            FROM r GROUP BY 1, 2
+        )
+        SELECT shard, flush_id, n_records, n_bytes FROM g WHERE n_records = 500
+    """,
+)
+def e06_stream_stateful_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (SURVEY.md E6/B5): per-shard record buffer
+    with a 500-record flush bound via applyInPandasWithState — the
+    reference's buffer accounting ("Records: 1000 / 1.38 MB",
+    README.md:258-276). The oracle reconstructs the flush boundaries with a
+    row_number partition walk; only completed flushes are emitted (the
+    trailing partial buffer stays in state, exactly like an unflushed
+    Firehose buffer)."""
+    from aws_kinesis_spark.streaming.stateful import start_buffer_accounting
+
+    root = _tmp("e06")
+    inp = os.path.join(root, "input")
+    synthesize_envelope(load(spark, sf_dir, "orders")).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    tbl = f"e06_{uuid.uuid4().hex[:8]}"
+    q = start_buffer_accounting(
+        envelope_stream(spark, inp),
+        os.path.join(root, "ckpt"),
+        tbl,
+        n_shards=4,
+        max_records=500,
+    )
+    q.awaitTermination(300)
+    return spark.table(tbl)
+
+
+@register(
     "e07_stream_static_join",
     oracle="""
         SELECT o.o_orderkey AS id,

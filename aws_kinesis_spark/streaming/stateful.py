@@ -1,0 +1,99 @@
+"""Custom stateful streaming operator (SURVEY.md E6 / B5): the reference's
+record buffer that accumulates per shard until a record-count or byte bound
+and flushes as one unit (README.md:117, 131, 258-264, 367-380).
+
+Built on ``applyInPandasWithState``: per-shard running (count, bytes, flush_id)
+state carried across micro-batches, Arrow-batched in and out. This is the only
+operator in the engine that needs custom state — everything else rides
+built-in windows/dedup (SURVEY.md §7 hard-point 5).
+
+Scale: state is O(shards) tuples of three longs — independent of stream
+length. Rows are processed in sequence-number order within each shard
+(README.md:53 per-shard ordering), so flush boundaries are deterministic and
+replayable from the checkpoint.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# output: one row per completed flush
+FLUSH_SCHEMA = "shard INT, flush_id BIGINT, n_records BIGINT, n_bytes BIGINT"
+# state: running buffer per shard
+STATE_SCHEMA = "count BIGINT, bytes BIGINT, flush_id BIGINT"
+
+
+def make_buffer_fn(max_records: int, max_bytes: int):
+    """Flush function: accumulate (count, bytes) per shard; emit a flush row
+    whenever EITHER bound is reached (the reference's 64 MB OR 60 s dual
+    trigger — the time half is the micro-batch trigger itself)."""
+
+    def buffer_fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        count, nbytes, fid = state.get if state.exists else (0, 0, 0)
+        flushes: list[tuple[int, int, int, int]] = []
+        shard = key[0]
+        # the iterator chunks one micro-batch's group arbitrarily: gather and
+        # sort so records are consumed in sequence order (README.md:53) and
+        # flush boundaries are deterministic. Batch size is bounded by the
+        # trigger (maxFilesPerTrigger), so this buffers one micro-batch's
+        # shard, not the stream.
+        batch = pd.concat(list(pdfs)) if pdfs else pd.DataFrame(columns=["n_bytes"])
+        batch = batch.sort_values("sequence_number") if len(batch) else batch
+        for sz in batch["n_bytes"]:
+            count += 1
+            nbytes += int(sz)
+            if count >= max_records or nbytes >= max_bytes:
+                flushes.append((shard, fid, count, nbytes))
+                fid += 1
+                count = 0
+                nbytes = 0
+        state.update((count, nbytes, fid))
+        yield pd.DataFrame(flushes, columns=["shard", "flush_id", "n_records", "n_bytes"])
+
+    return buffer_fn
+
+
+def start_buffer_accounting(
+    env_stream: DataFrame,
+    checkpoint_dir: str,
+    sink_table: str,
+    n_shards: int = 4,
+    max_records: int = 1000,
+    max_bytes: int = 1 << 40,
+) -> StreamingQuery:
+    """B5/E6: shard the envelope stream, run the stateful buffer, emit one
+    row per completed flush (the reference's per-flush accounting lines
+    "Records: 1000 / 1.38 MB", README.md:260-276)."""
+    keyed = env_stream.select(
+        # o_orderkey-derived shard so tests/oracles can reproduce it in SQL;
+        # production uses pmod(hash(partition_key), n_shards) (README.md:47)
+        (F.element_at(F.split("partition_key", "-"), -1).cast("long") % n_shards)
+        .cast("int")
+        .alias("shard"),
+        F.col("sequence_number"),
+        F.length("data").cast("long").alias("n_bytes"),
+    )
+    flushed = keyed.groupBy("shard").applyInPandasWithState(
+        make_buffer_fn(max_records, max_bytes),
+        outputStructType=FLUSH_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        flushed.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

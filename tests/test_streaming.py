@@ -171,3 +171,58 @@ def test_progress_listener(spark, env_input, tmp_path):
         rec.close()
     assert rec.progress, "no progress events recorded"
     assert sum(p["numInputRows"] for p in rec.progress) > 0
+
+
+def test_stateful_buffer_carries_state_across_batches(spark, tmp_path):
+    """E6/B5: the per-shard buffer's running (count, bytes) state must carry
+    across micro-batches — a partial buffer left by epoch 0 is completed by
+    epoch 1's records, exactly like an unflushed Firehose buffer surviving
+    into the next poll."""
+    import time
+
+    from aws_kinesis_spark.streaming.stateful import start_buffer_accounting
+
+    inp = str(tmp_path / "input")
+    orders = load(spark, SF, "orders")
+    e0 = synthesize_envelope(orders, epoch=0)
+    e1 = synthesize_envelope(orders, epoch=1)
+    e0.repartition(1).write.mode("overwrite").parquet(inp)
+    time.sleep(1.1)  # distinct modTime => deterministic file-source batch order
+    e1.repartition(1).write.mode("append").parquet(inp)
+
+    tbl = _uniq("e06")
+    q = start_buffer_accounting(
+        envelope_stream(spark, inp, max_files_per_trigger=1),
+        str(tmp_path / "ckpt"),
+        tbl,
+        n_shards=4,
+        max_records=150,
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.shard, r.flush_id): (r.n_records, r.n_bytes)
+        for r in spark.table(tbl).collect()
+    }
+
+    # expected: walk records in (epoch, key) = sequence order per shard
+    rows = sorted(
+        (int(str(r.partition_key).rsplit("-", 1)[1]) % 4, r.sequence_number, len(r.data))
+        for r in e0.unionByName(e1).collect()
+    )
+    import collections
+
+    state = collections.defaultdict(lambda: [0, 0, 0])  # count, bytes, fid
+    want = {}
+    for shard, _seq, nb in sorted(rows, key=lambda t: (t[0], t[1])):
+        st = state[shard]
+        st[0] += 1
+        st[1] += nb
+        if st[0] >= 150:
+            want[(shard, st[2])] = (st[0], st[1])
+            st[2] += 1
+            st[0] = 0
+            st[1] = 0
+    assert got == want
+    # epoch0 leaves 1500/4=375 rows/shard = 2 flushes + 75 leftover; epoch1's
+    # records must have completed the third flush (i.e. > 4 flushes total)
+    assert all(len([1 for (s, _f) in got if s == sh]) == 5 for sh in range(4))
