@@ -1,0 +1,96 @@
+"""Physical-plan quality tests (SCALE.md): the scale posture is part of the
+contract, not an accident — these assert the plan shapes that make the
+operators viable at 100 TB, so a refactor that silently de-optimizes a scan
+or join fails CI.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from aws_kinesis_spark.registry import queries
+from aws_kinesis_spark.tables import load
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """D2: the predicate stack must land in PushedFilters, not a post-scan
+    Filter-only plan; the scan must read only referenced columns."""
+    plan = _plan(queries()["d02_filter_predicate"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "l_comment" not in plan  # column pruning: untouched columns absent
+
+
+def test_quality_filter_pushdown(spark):
+    """G6: the quality predicate stack (range + IN) is pushdown-eligible."""
+    plan = _plan(queries()["g06_quality_filter"](spark, SF))
+    assert "GreaterThanOrEqual(n_chars,100)" in plan
+    assert "In(lang, [de,en,es])" in plan
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    """D5: every dimension side of the star join must broadcast — a
+    SortMergeJoin here means the fact table shuffles, which is the wrong
+    plan at any scale."""
+    plan = _plan(queries()["d05_join_star"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_partition_pruning_on_lake_scan(spark, tmp_path):
+    """D3/A10: a filter on a hive partition column must become a
+    PartitionFilter (metadata prune), not a data filter."""
+    ev = load(spark, SF, "events")
+    lake = os.path.join(str(tmp_path), "lake")
+    (
+        ev.withColumn("day", F.dayofmonth("ts"))
+        .repartition("day")
+        .write.partitionBy("day")
+        .parquet(lake)
+    )
+    df = spark.read.parquet(lake).filter(F.col("day") == 7).select("event_id")
+    plan = _plan(df)
+    assert "PartitionFilters: [isnotnull(day" in plan
+    # the partition predicate must be metadata-only: no data-side pushed filter
+    assert "PushedFilters: []" in plan or "PushedFilters" not in plan
+
+
+def test_aggregation_is_partial(spark):
+    """D8: aggregations must run partial (map-side) before the exchange —
+    the shuffle carries O(groups), not O(rows)."""
+    plan = _plan(queries()["d08_agg_pricing_summary"](spark, SF), "simple")
+    first_agg = plan.index("HashAggregate")
+    exchange = plan.index("Exchange")
+    # plan prints top-down: final agg, exchange, partial agg, scan
+    assert "HashAggregate" in plan[exchange:], "no partial aggregate below the exchange"
+    assert first_agg < exchange
+
+
+def test_hot_paths_have_no_python_udf(spark):
+    """SCALE.md §0: relational/pipeline/text queries stay JVM-side — a
+    BatchEvalPython or ArrowEvalPython node in these plans means someone
+    put Python on the hot path."""
+    for name in [
+        "c01_envelope_roundtrip",
+        "d05_join_star",
+        "d08_agg_pricing_summary",
+        "g04_text_stats",
+        "g01_dedup_exact",
+    ]:
+        plan = _plan(queries()[name](spark, SF), "simple")
+        assert "EvalPython" not in plan, f"{name} crossed into Python"
+
+
+def test_knn_broadcasts_queries_not_corpus(spark):
+    """G3: the query side must broadcast; the corpus must not."""
+    plan = _plan(queries()["g03_knn_bruteforce"](spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
