@@ -117,8 +117,19 @@ def main() -> None:
     qmap = registry.queries()
     results: dict[str, float] = {}
 
-    # warm the JVM/codegen once with a trivial action
-    load(spark, SF_DIR, "region").count()
+    # Warm the JVM once: a small join+agg exercises the codegen paths
+    # (broadcast join, hash agg, parquet scan) so measured times reflect
+    # steady-state throughput, not first-query JIT compilation.
+    r = load(spark, SF_DIR, "region")
+    n = load(spark, SF_DIR, "nation")
+    (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     for name in HEADLINE:
         if name not in qmap:
