@@ -94,3 +94,73 @@ def extract_features(envelope: DataFrame, batch_size_hint: int = 10_000) -> Data
             )
 
     return envelope.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(envelope: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """Resize/thumbnail over media payloads via mapInPandas (1 row -> 1 row).
+
+    DETERMINISTIC FAKE for the stubbed decoder: the "thumbnail" is the
+    leading width*height/8 payload bytes. A real implementation decodes via
+    decode_media, resizes, and re-encodes — same schema, same Arrow batch
+    flow, same partitioning; only the body changes."""
+    n_out = max(1, (width * height) // 8)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "thumb": [bytes(p[:n_out]) for p in pdf["payload"]],
+                }
+            )
+
+    return envelope.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+FRAME_SIZE = 16
+
+
+def sample_frames(
+    envelope: DataFrame, stride: int = 4, max_frames: int = 4
+) -> DataFrame:
+    """Video frame sampling via mapInPandas (1 row -> N rows, the UDTF
+    shape): emit every stride-th fixed-size "frame" up to max_frames.
+
+    DETERMINISTIC FAKE: frames are FRAME_SIZE-byte payload slices at
+    stride*FRAME_SIZE offsets — the real body would seek/decode keyframes,
+    with identical fan-out schema and batching."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for k in range(max_frames):
+                    off = k * stride * FRAME_SIZE
+                    if off >= len(payload):
+                        break
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    frames.append(bytes(payload[off : off + FRAME_SIZE]))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return envelope.mapInPandas(_frames, FRAME_SCHEMA)

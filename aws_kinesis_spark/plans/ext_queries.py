@@ -18,7 +18,12 @@ from aws_kinesis_spark.operators.dedup import (
     ngram_jaccard_dedup,
     simhash_dedup,
 )
-from aws_kinesis_spark.operators.multimodal import extract_features, to_media_envelope
+from aws_kinesis_spark.operators.multimodal import (
+    extract_features,
+    resize_media,
+    sample_frames,
+    to_media_envelope,
+)
 from aws_kinesis_spark.operators.similarity import knn_bruteforce, knn_ivf, knn_lsh
 from aws_kinesis_spark.registry import register
 from aws_kinesis_spark.tables import load
@@ -278,3 +283,68 @@ def g07b_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder; schema/batching identical to a real model UDF)."""
     env = to_media_envelope(load(spark, sf_dir, "documents"))
     return extract_features(env)
+
+
+@register(
+    "g07c_multimodal_resize",
+    oracle="""
+        SELECT doc_id, 16 AS width, 16 AS height,
+               upper(hex(encode(substring(text, 1, 32)))) AS thumb_hex
+        FROM documents
+    """,
+)
+def g07c_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: resize/thumbnail plumbing (mapInPandas 1->1 over binary payloads).
+    The fake body is byte slicing, which the oracle replicates — proving the
+    Arrow round-trip is byte-exact; a real decoder swaps in with no schema
+    change. Binary surfaces as hex at the comparison boundary."""
+    env = to_media_envelope(load(spark, sf_dir, "documents"))
+    out = resize_media(env, width=16, height=16)
+    return out.select(
+        "doc_id", "width", "height", F.upper(F.hex("thumb")).alias("thumb_hex")
+    )
+
+
+@register(
+    "g07d_multimodal_frame_sample",
+    oracle="""
+        SELECT doc_id, k AS frame_idx,
+               upper(hex(encode(substring(text, k * 64 + 1, 16)))) AS frame_hex
+        FROM documents
+        CROSS JOIN (SELECT unnest(range(4)) AS k)
+        WHERE k * 64 < length(text)
+    """,
+)
+def g07d_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: frame sampling plumbing (mapInPandas 1->N, the UDTF fan-out
+    shape): every 4th 16-byte "frame", up to 4 per document."""
+    env = to_media_envelope(load(spark, sf_dir, "documents"))
+    out = sample_frames(env, stride=4, max_frames=4)
+    return out.select("doc_id", "frame_idx", F.upper(F.hex("frame")).alias("frame_hex"))
+
+
+@register(
+    "g04c_rolling_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(0::BIGINT,
+                       list_transform(string_split(text, ' '),
+                           t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT))),
+                   (a, b) -> (a * 131 + b) % 2147483647) AS fingerprint
+        FROM documents
+    """,
+)
+def g04c_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: order-SENSITIVE rolling-hash document fingerprint (polynomial
+    fold over token hashes mod 2^31-1), complementing g04b's
+    order-insensitive set fingerprint. All-JVM expression fold; modulus
+    keeps every step overflow-free under ANSI arithmetic."""
+    d = load(spark, sf_dir, "documents")
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")  # noqa: E731
+    fp = F.aggregate(
+        F.transform(F.split(F.col("text"), " "), tok_hash),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 131 + h) % 2147483647,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))

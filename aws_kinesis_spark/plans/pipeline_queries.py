@@ -303,6 +303,46 @@ def d15_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c09_orc_roundtrip",
+    oracle="""
+        SELECT EXTRACT(year FROM o_orderdate)::INT AS year,
+               count(*) AS n,
+               round(sum(o_totalprice), 4) AS total
+        FROM orders GROUP BY 1
+    """,
+)
+def c09_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format conversion, ORC variant (README.md:606 "ORC 15% smaller"):
+    write orders hive-partitioned as ORC, read back, aggregate — the same
+    engine-level conversion surface as Parquet (C9), different codec."""
+    o = load(spark, sf_dir, "orders")
+    lake = os.path.join(tempfile.mkdtemp(prefix="kinesis_orc_"), "orders")
+    (
+        o.withColumn("year", F.year("o_orderdate"))
+        .repartition("year")
+        .write.mode("overwrite")
+        .partitionBy("year")
+        .orc(lake)
+    )
+    back = spark.read.orc(lake)
+    return back.groupBy("year").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+    )
+
+
+@register("d10b_approx_distinct")  # rows-only: HLL sketch has no exact SQL twin
+def d10b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 scale path: approx_count_distinct (HyperLogLog++) — the sketch
+    you use when exact distinct would shuffle 100 TB of keys. Accuracy vs
+    exact asserted in tests/test_ext.py (relative error < 5%)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
     "b07_replay_from_offset",
     oracle="""
         SELECT o_orderkey AS id,

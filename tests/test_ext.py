@@ -118,3 +118,23 @@ def test_multimodal_feature_extraction(spark):
     # deterministic across runs
     again = extract_features(env).filter(F.col("doc_id") == 0).collect()[0]
     assert again["features"] == row["features"]
+
+
+def test_approx_distinct_accuracy(spark):
+    """D10b: HLL++ approx distinct within 5% of exact per group."""
+    from aws_kinesis_spark.registry import queries
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in queries()["d10b_approx_distinct"](spark, SF).collect()
+    }
+    ev = load(spark, SF, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.05, (k, approx[k], exact[k])
