@@ -576,3 +576,52 @@ def d21_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.isnull("o_totalprice").alias("price_missing"),
         F.when(F.col("o_totalprice") > 200000, "big").otherwise("small").alias("size_class"),
     )
+
+
+@register(
+    "d14c_grouping_sets",
+    oracle="""
+        SELECT EXTRACT(year FROM o_orderdate)::INT AS year,
+               o_orderstatus AS status,
+               count(*) AS n, round(sum(o_totalprice), 4) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((year, status), (year), ())
+    """,
+)
+def d14c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL surface (SURVEY.md §3.3 — the
+    interactive `spark.sql` path is literally Catalyst): the same one-pass
+    expand-aggregate as rollup/cube, with a hand-picked set list."""
+    o = load(spark, sf_dir, "orders")
+    view = "orders_d14c"
+    o.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""SELECT year(o_orderdate) AS year,
+                   o_orderstatus AS status,
+                   count(*) AS n, round(sum(o_totalprice), 4) AS total
+            FROM {view}
+            GROUP BY GROUPING SETS ((year, status), (year), ())"""
+    )
+
+
+@register(
+    "d22_golden_point_lookup",
+    oracle="""
+        SELECT o_orderkey AS id,
+               o_orderstatus AS status,
+               EXTRACT(hour FROM o_orderdate)::INT AS hour
+        FROM orders
+        WHERE o_orderkey = 98
+    """,
+)
+def d22_golden_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's golden query (README.md:554-559: `SELECT id, status,
+    processed_at FROM cdc.orders WHERE hour=14 LIMIT 1` returning one known
+    row): decode the CDC envelope into the lake shape, point-look-up one id
+    inside one hour partition. processed_at is wall-clock (README.md:145) so
+    the deterministic twin projects the partition hour instead."""
+    from aws_kinesis_spark.sources.envelope import decode_envelope, synthesize_envelope
+
+    env = synthesize_envelope(load(spark, sf_dir, "orders"))
+    lake = decode_envelope(env).withColumn("hour", F.hour("arrival_ts"))
+    return lake.filter(F.col("id") == 98).select("id", "status", "hour")

@@ -17,3 +17,9 @@ def spark():
 
     s = get_spark("aws-kinesis-spark-tests", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     yield s
+
+
+@pytest.fixture(scope="session")
+def spark_session(spark):
+    """Session-scoped alias for hypothesis @given tests."""
+    return spark

@@ -1,0 +1,60 @@
+"""Property-based tests (hypothesis) for codec/operator invariants the
+fixtures can't fully cover (SURVEY.md §5.2.3)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+# printable-ish payload strings: no control chars that JSON would escape away
+_status = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126, exclude_characters='"\\'),
+    min_size=0,
+    max_size=20,
+)
+_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2**62), _status),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_rows)
+def test_envelope_roundtrip_identity(spark_session, rows):
+    """decode(encode(x)) == x for arbitrary (id, status) payloads — the
+    base64/JSON codec must be lossless (README.md:100, 144-146, 224)."""
+    from aws_kinesis_spark.sources.envelope import decode_envelope, synthesize_envelope
+
+    df = spark_session.createDataFrame(
+        [(i, s, None) for i, s in rows],
+        "o_orderkey LONG, o_orderstatus STRING, o_orderdate TIMESTAMP",
+    )
+    out = decode_envelope(synthesize_envelope(df)).select("id", "status", "_corrupt")
+    got = {(r.id, r.status) for r in out.collect()}
+    assert not [r for r in out.collect() if r._corrupt]
+    assert got == set(rows)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=40),
+)
+def test_latest_per_key_is_max_sequence(spark_session, keys):
+    """CDC apply keeps exactly the max-sequence row per key for arbitrary
+    key multisets (README.md:573-575)."""
+    from aws_kinesis_spark.operators.upsert import apply_cdc
+
+    rows = [(k, i, f"s{i}") for i, k in enumerate(keys)]
+    df = spark_session.createDataFrame(rows, "id LONG, seq LONG, status STRING")
+    cdc = df.withColumn("op", F.lit("U"))
+    got = {
+        (r.id, r.seq) for r in apply_cdc(cdc, ["id"], "seq").select("id", "seq").collect()
+    }
+    want = {}
+    for k, i, _ in rows:
+        want[k] = max(want.get(k, -1), i)
+    assert got == set(want.items())

@@ -226,3 +226,48 @@ def test_stateful_buffer_carries_state_across_batches(spark, tmp_path):
     # epoch0 leaves 1500/4=375 rows/shard = 2 flushes + 75 leftover; epoch1's
     # records must have completed the third flush (i.e. > 4 flushes total)
     assert all(len([1 for (s, _f) in got if s == sh]) == 5 for sh in range(4))
+
+
+def test_two_independent_consumers(spark, env_input, tmp_path):
+    """E8/A2-A3 (README.md:30-32): one stream, two consumers — the alert
+    path and the lake path run as independent queries with separate
+    checkpoints; each sees the full stream and neither blocks the other."""
+    from aws_kinesis_spark.sources.lake import read_manifest
+
+    tbl = _uniq("alerts")
+    q1 = start_alert_path(
+        envelope_stream(spark, env_input), str(tmp_path / "c1"), tbl, alert_op="D"
+    )
+    lake = str(tmp_path / "lake")
+    q2 = start_lake_path(
+        envelope_stream(spark, env_input, max_files_per_trigger=2),
+        lake,
+        str(tmp_path / "c2"),
+    )
+    q1.awaitTermination(300)
+    q2.awaitTermination(300)
+
+    orders = load(spark, SF, "orders")
+    n_total = orders.count()
+    n_deletes = orders.filter(F.col("o_orderkey") % 3 == 2).count()
+    assert spark.table(tbl).count() == n_deletes
+    lake_rows = spark.read.parquet(os.path.join(lake, "data"))
+    assert lake_rows.count() == n_total
+
+
+def test_stream_source_factory(spark, env_input):
+    """A1: the source factory builds the file replay stream; the kinesis
+    path fails with a clear actionable error when the connector is absent."""
+    from aws_kinesis_spark.sources.kinesis import stream_source
+
+    df = stream_source(spark, kind="file", path=env_input)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "data", "partition_key", "sequence_number", "arrival_ts",
+    ]
+    with pytest.raises((RuntimeError, Exception)):
+        stream_source(
+            spark, kind="kinesis", streamName="orders", region="us-east-1"
+        ).writeStream  # noqa: B018
+    with pytest.raises(ValueError):
+        stream_source(spark, kind="tape")
