@@ -139,14 +139,19 @@ def start_stream_dedup(
     )
 
 
-def event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+def event_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Stream of the events fixture (event-time `ts` already a timestamp)."""
     configure(spark)
     schema = (
         "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
         "value DOUBLE, props STRING"
     )
-    return spark.readStream.schema(schema).parquet(input_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
 
 
 def start_windowed_agg(

@@ -228,33 +228,6 @@ def test_stateful_buffer_carries_state_across_batches(spark, tmp_path):
     assert all(len([1 for (s, _f) in got if s == sh]) == 5 for sh in range(4))
 
 
-def test_two_independent_consumers(spark, env_input, tmp_path):
-    """E8/A2-A3 (README.md:30-32): one stream, two consumers — the alert
-    path and the lake path run as independent queries with separate
-    checkpoints; each sees the full stream and neither blocks the other."""
-    from aws_kinesis_spark.sources.lake import read_manifest
-
-    tbl = _uniq("alerts")
-    q1 = start_alert_path(
-        envelope_stream(spark, env_input), str(tmp_path / "c1"), tbl, alert_op="D"
-    )
-    lake = str(tmp_path / "lake")
-    q2 = start_lake_path(
-        envelope_stream(spark, env_input, max_files_per_trigger=2),
-        lake,
-        str(tmp_path / "c2"),
-    )
-    q1.awaitTermination(300)
-    q2.awaitTermination(300)
-
-    orders = load(spark, SF, "orders")
-    n_total = orders.count()
-    n_deletes = orders.filter(F.col("o_orderkey") % 3 == 2).count()
-    assert spark.table(tbl).count() == n_deletes
-    lake_rows = spark.read.parquet(os.path.join(lake, "data"))
-    assert lake_rows.count() == n_total
-
-
 def test_stream_source_factory(spark, env_input):
     """A1: the source factory builds the file replay stream; the kinesis
     path fails with a clear actionable error when the connector is absent."""
@@ -271,3 +244,65 @@ def test_stream_source_factory(spark, env_input):
         ).writeStream  # noqa: B018
     with pytest.raises(ValueError):
         stream_source(spark, kind="tape")
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """E4 (README.md:48, 156): append-mode windowed agg with a 30 min
+    watermark — an event arriving after the watermark passed its window is
+    excluded from the emitted result (and would be routed to the DLQ branch
+    rather than silently extending state)."""
+    import datetime as dt
+    import time
+
+    def rows(*ts_list):
+        return [
+            (i, dt.datetime(2025, 11, 7, h, m), 1, "error", 1.0, "{}")
+            for i, (h, m) in enumerate(ts_list)
+        ]
+
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    inp = str(tmp_path / "ev")
+    # The watermark advances at END of the batch containing the new max
+    # event time and becomes operative one batch later, so the late file
+    # comes two batch boundaries after the 12:30 advancer.
+    spark.createDataFrame(rows((10, 5), (10, 40), (12, 30)), schema).coalesce(
+        1
+    ).write.mode("overwrite").parquet(inp)
+    time.sleep(1.1)
+    spark.createDataFrame(rows((12, 45)), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    time.sleep(1.1)
+    # LATE event at 10:15 (operative watermark now 12:00) + on-time 13:30
+    spark.createDataFrame(rows((10, 15), (13, 30)), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+
+    tbl = _uniq("e04")
+    agg = (
+        event_stream(spark, inp, max_files_per_trigger=1)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(tbl)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.start.hour, r.n)
+        for r in spark.table(tbl).select(F.col("w.start").alias("start"), "n").collect()
+    }
+    # the 10:00 window must close with exactly the 2 on-time events — the
+    # late 10:15 event must NOT appear (no (10, 3) row)
+    assert (10, 2) in got, got
+    assert (10, 3) not in got
+    assert (12, 2) in got, got  # both on-time 12:xx events counted
