@@ -135,3 +135,51 @@ def test_compression_accounting(spark, tmp_path):
     )
     ratio = 1 - parquet_bytes / json_bytes
     assert ratio > 0.3, f"snappy parquet should compress the envelope: {ratio:.2%}"
+
+
+def test_retry_backoff_then_dlq(spark):
+    """B8 (README.md:87-88, 155): transient sink failures retry on the
+     1->32 s exponential ladder; persistent failure escalates the batch to
+    the DLQ instead of dropping it or killing the query."""
+    from aws_kinesis_spark.streaming.retry import flush_with_dlq, retry_with_backoff
+
+    delays = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 4:
+            raise OSError("throttled")
+        return "ok"
+
+    assert retry_with_backoff(flaky, sleep=delays.append) == "ok"
+    assert delays == [1.0, 2.0, 4.0]  # exponential ladder
+    # cap at 32 s
+    delays2 = []
+    calls2 = {"n": 0}
+
+    def always_fail():
+        calls2["n"] += 1
+        raise OSError("down")
+
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):
+        retry_with_backoff(always_fail, attempts=8, sleep=delays2.append)
+    assert delays2 == [1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 32.0]
+    assert calls2["n"] == 8
+
+    # DLQ escalation keeps the batch
+    df = spark.range(3)
+    seen = {}
+
+    def bad_flush(batch_df, batch_id):
+        raise OSError("sink down")
+
+    def dlq(batch_df, batch_id, err):
+        seen["batch_id"] = batch_id
+        seen["rows"] = batch_df.count()
+        seen["err"] = str(err)
+
+    flush_with_dlq(bad_flush, dlq, attempts=2, sleep=lambda _d: None)(df, 7)
+    assert seen == {"batch_id": 7, "rows": 3, "err": "sink down"}
