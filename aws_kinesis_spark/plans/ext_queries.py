@@ -324,6 +324,59 @@ def g07d_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "g04d_tfidf_top_terms",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        ),
+        df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4)
+                       AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) <= 5
+    """,
+)
+def g04d_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: TF-IDF with smoothed idf (ln((N+1)/(df+1))+1, the scikit-style
+    smoothing), top-5 terms per document. Pure relational formulation —
+    explode -> two aggregations -> broadcast-joinable df table -> window
+    top-k — rather than MLlib HashingTF, so it composes with the rest of
+    the SQL surface and the df table stays reusable/broadcastable at scale."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@register(
     "g04c_rolling_fingerprint",
     oracle="""
         SELECT doc_id,
