@@ -1,0 +1,58 @@
+"""Keyed partitioning with per-key ordering (SURVEY.md B1; reference
+README.md:47, 53) and bucketed co-located joins (SCALE.md §0).
+
+The stream guarantee is "records with the same PartitionKey never reorder"
+WITHIN a shard — in Spark terms: hash-repartition on the key so each key
+lives in exactly one partition, then sort within partitions by sequence
+number. Global order across keys is explicitly NOT promised (same as the
+reference).
+
+Bucketing is the at-rest analogue: two tables bucketed by the same key into
+the same bucket count join WITHOUT a shuffle — the co-location was paid once
+at write time, which is the right trade for a 100 TB fact table joined every
+hour.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def keyed_ordered_partitions(
+    df: DataFrame,
+    key: str = "partition_key",
+    seq: str = "sequence_number",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """B1: the shard layout — hash(key) -> partition, ordered by sequence
+    within the partition (README.md:47, 53). AQE must not coalesce away the
+    layout mid-plan, so callers write/consume it directly."""
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(key)).sortWithinPartitions(key, seq)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str,
+    buckets: int = 8,
+) -> None:
+    """Persist a table bucketed (and sorted) by the join key. Joins between
+    tables bucketed the same way skip the exchange entirely — verified in
+    tests/test_plans.py."""
+    (
+        df.write.bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str
+) -> DataFrame:
+    """Join two same-bucketed tables on the bucket key."""
+    return spark.table(left_table).join(spark.table(right_table), key)

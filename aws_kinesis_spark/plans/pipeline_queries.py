@@ -31,7 +31,7 @@ from aws_kinesis_spark.tables import load
                CASE o_orderkey % 3 WHEN 0 THEN 'I' WHEN 1 THEN 'U' ELSE 'D' END AS op,
                'sales-orders-' || o_orderkey AS partition_key,
                CAST(CAST('100000000000000000000000000000' AS DECIMAL(38,0))
-                    + o_orderkey AS DECIMAL(38,0)) AS sequence_number,
+                    + o_orderkey AS VARCHAR) AS sequence_number,
                o_orderdate AS arrival_ts
         FROM orders
     """,
@@ -43,7 +43,14 @@ def c01_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (README.md:238)."""
     env = synthesize_envelope(load(spark, sf_dir, "orders"))
     return decode_envelope(env).select(
-        "id", "status", "op", "partition_key", "sequence_number", "arrival_ts"
+        "id",
+        "status",
+        "op",
+        "partition_key",
+        # DECIMAL(38,0) internally; stringified at the comparison boundary
+        # (pandas renders >18-digit decimals as lossy float64 otherwise)
+        F.col("sequence_number").cast("string").alias("sequence_number"),
+        "arrival_ts",
     )
 
 
@@ -303,6 +310,62 @@ def d15_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b01_keyed_partition_order",
+    oracle="""
+        SELECT 'sales-orders-' || o_orderkey AS partition_key,
+               2 AS n_records,  -- one record per epoch in the replayed log
+               CAST(CAST('100000000000000000000000000000' AS DECIMAL(38,0))
+                    + 1000000000 + o_orderkey AS VARCHAR) AS last_seq
+        FROM orders
+    """,
+)
+def b01_keyed_partition_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 (README.md:47, 53): hash-partition by key, order by sequence
+    within partitions, then per-key accounting computed from the laid-out
+    stream (last = max sequence). The layout invariant itself (one
+    partition per key, sorted within) is asserted in tests/test_lake.py."""
+    from aws_kinesis_spark.operators.partitioning import keyed_ordered_partitions
+
+    o = load(spark, sf_dir, "orders")
+    log = synthesize_envelope(o, epoch=0).unionByName(synthesize_envelope(o, epoch=1))
+    laid_out = keyed_ordered_partitions(log, n_partitions=8)
+    return laid_out.groupBy("partition_key").agg(
+        F.count("*").alias("n_records"),
+        F.max("sequence_number").cast("string").alias("last_seq"),
+    )
+
+
+@register(
+    "b05_bucketed_join",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey, c.c_name,
+               round(o.o_totalprice, 4) AS totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def b05_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (SCALE.md §0): both sides bucketed by the
+    join key at write time, so the join itself needs no exchange (the
+    no-shuffle plan is asserted in tests/test_plans.py). At 100 TB this is
+    the difference between shuffling the fact table every query and never."""
+    import uuid as _uuid
+
+    from aws_kinesis_spark.operators.partitioning import bucketed_join, write_bucketed
+
+    root = tempfile.mkdtemp(prefix="kinesis_bucketed_")
+    sfx = _uuid.uuid4().hex[:8]
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("totalprice")
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    write_bucketed(o, f"orders_b_{sfx}", os.path.join(root, "o"), "o_custkey")
+    write_bucketed(c, f"customer_b_{sfx}", os.path.join(root, "c"), "o_custkey")
+    return bucketed_join(spark, f"orders_b_{sfx}", f"customer_b_{sfx}", "o_custkey")
+
+
+@register(
     "c09_orc_roundtrip",
     oracle="""
         SELECT EXTRACT(year FROM o_orderdate)::INT AS year,
@@ -348,7 +411,7 @@ def d10b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey AS id,
                'U2' AS status,
                CAST(CAST('100000000000000000000000000000' AS DECIMAL(38,0))
-                    + 1000000000 + o_orderkey AS DECIMAL(38,0)) AS sequence_number
+                    + 1000000000 + o_orderkey AS VARCHAR) AS sequence_number
         FROM orders WHERE o_orderkey % 5 = 0
     """,
 )
@@ -367,7 +430,9 @@ def b07_replay_from_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = epoch0.unionByName(epoch1)
     checkpoint = epoch0.agg(F.max("sequence_number")).collect()[0][0]
     resumed = log.filter(F.col("sequence_number") > F.lit(checkpoint))
-    return decode_envelope(resumed).select("id", "status", "sequence_number")
+    return decode_envelope(resumed).select(
+        "id", "status", F.col("sequence_number").cast("string").alias("sequence_number")
+    )
 
 
 @register(

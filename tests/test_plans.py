@@ -94,3 +94,72 @@ def test_knn_broadcasts_queries_not_corpus(spark):
     """G3: the query side must broadcast; the corpus must not."""
     plan = _plan(queries()["g03_knn_bruteforce"](spark, SF), "simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """SCALE.md §0: same-bucketed tables join without an exchange — with
+    broadcast disabled the plan must be a SortMergeJoin whose children read
+    the buckets directly (zero Exchange nodes)."""
+    import os
+    import uuid
+
+    from aws_kinesis_spark.operators.partitioning import bucketed_join, write_bucketed
+
+    sfx = uuid.uuid4().hex[:8]
+    o = load(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, SF, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    write_bucketed(o, f"t_ord_{sfx}", os.path.join(str(tmp_path), "o"), "o_custkey")
+    write_bucketed(c, f"t_cus_{sfx}", os.path.join(str(tmp_path), "c"), "o_custkey")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(bucketed_join(spark, f"t_ord_{sfx}", f"t_cus_{sfx}", "o_custkey"), "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join must not shuffle"
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+
+
+def test_keyed_partition_order_invariant(spark):
+    """B1 (README.md:53): after keyed_ordered_partitions, every key lives in
+    exactly one partition and its records are sequence-ordered within it."""
+    from aws_kinesis_spark.operators.partitioning import keyed_ordered_partitions
+    from aws_kinesis_spark.sources.envelope import synthesize_envelope
+
+    o = load(spark, "/root/testdata/sf0.001", "orders")
+    log = synthesize_envelope(o, epoch=0).unionByName(synthesize_envelope(o, epoch=1))
+    laid = keyed_ordered_partitions(log, n_partitions=8)
+
+    def check(it):
+        import pandas as pd
+
+        # one partition may arrive as several Arrow chunks — reassemble so
+        # the order check sees the partition's full row sequence
+        chunks = list(it)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks)
+        ordered = (
+            pdf.groupby("partition_key")["sequence_number"]
+            .apply(lambda s: bool(s.is_monotonic_increasing))
+            .all()
+        )
+        yield pd.DataFrame(
+            {
+                "key": pdf["partition_key"].unique(),
+                "ordered": bool(ordered),
+            }
+        )
+
+    per_part = laid.select("partition_key", "sequence_number").mapInPandas(
+        check, "key STRING, ordered BOOLEAN"
+    )
+    rows = per_part.collect()
+    assert all(r.ordered for r in rows)
+    # each key appears in exactly one partition => no key duplicated across
+    # the per-partition outputs
+    keys = [r.key for r in rows]
+    assert len(keys) == len(set(keys))
