@@ -476,6 +476,53 @@ def a10_catalog_partition_discovery(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "d15b_range_join_binned",
+    oracle="""
+        SELECT e.event_id AS error_id, p.event_id AS purchase_id,
+               e.user_id
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id
+         AND p.ts BETWEEN e.ts - INTERVAL 10 MINUTE AND e.ts
+    """,
+)
+def d15b_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (SURVEY.md D15 range flavor): purchases within the 10
+    minutes before each error by the same user.
+
+    Scale shape: a naive `BETWEEN` theta-join degenerates to per-key
+    nested loops. Instead, bucket time into bins of the range width and
+    equi-join on (user_id, bin) with each error probing its own bin and the
+    previous one — any in-range pair must share one of the two bins
+    (pigeonhole over a 10-minute window), then the exact BETWEEN predicate
+    filters. The join stays a hash/sort-merge equi-join at any scale."""
+    ev = load(spark, sf_dir, "events")
+    width = 600  # seconds = the range width
+    bin_of = lambda c: (F.unix_timestamp(c) / width).cast("long")  # noqa: E731
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("e_ts"),
+        F.explode(F.array(bin_of("ts"), bin_of("ts") - 1)).alias("bin"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        bin_of("ts").alias("bin"),
+    )
+    return (
+        errors.join(purchases, ["user_id", "bin"])
+        .filter(
+            (F.col("p_ts") <= F.col("e_ts"))
+            & (F.col("p_ts") >= F.col("e_ts") - F.expr("INTERVAL 10 MINUTES"))
+        )
+        .select("error_id", "purchase_id", "user_id")
+        .distinct()
+    )
+
+
 # --------------------------------------------------------------------------
 # A12: batch lake scan round-trip (write partitioned -> read -> aggregate)
 # --------------------------------------------------------------------------
