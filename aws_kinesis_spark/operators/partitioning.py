@@ -56,3 +56,30 @@ def bucketed_join(
 ) -> DataFrame:
     """Join two same-bucketed tables on the bucket key."""
     return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salts: int = 8,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """B2 join form (reference README.md:84-86 hot-key salting): when one
+    join key dominates, a plain shuffle join puts the whole hot key on one
+    reducer. Salt the fact side (deterministic hash of a row-unique column —
+    replayable, unlike rand()) and replicate the dim side `salts` times, so
+    the hot key spreads across `salts` reducers.
+
+    Result is row-identical to `fact.join(dim, key)`: every fact row meets
+    exactly the one dim replica carrying its salt. AQE's skew-join handles
+    moderate skew automatically; explicit salting is the knob for the
+    pathological single-key case."""
+    src = salt_source or fact.columns[0]
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(src)), F.lit(salts)).cast("int")
+    )
+    replicated_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    return salted_fact.join(replicated_dim, [key, "__salt"]).drop("__salt")

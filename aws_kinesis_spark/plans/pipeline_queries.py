@@ -167,6 +167,26 @@ def b02_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b02b_salted_join",
+    oracle="""
+        SELECT e.event_id, e.user_id, c.c_name
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def b02b_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key salted JOIN (README.md:84-86): the fact side salted by a
+    deterministic row hash, the dim side replicated — row-identical to the
+    plain join (the oracle) while spreading any hot user over 8 reducers."""
+    from aws_kinesis_spark.operators.partitioning import salted_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    return salted_join(ev, cust, "user_id", salts=8, salt_source="event_id")
+
+
+@register(
     "b03_sequence_numbering",
     oracle="""
         SELECT event_id, user_id,
