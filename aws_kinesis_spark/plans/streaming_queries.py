@@ -241,6 +241,39 @@ def e07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e09_continuous_rollup",
+    oracle="""
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def e09_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate (D9+A7 composed): the hourly rollup maintained
+    incrementally across micro-batches via versioned merge-and-swap; after
+    the stream drains, the materialized table equals the batch rollup of
+    all events — the TimescaleDB-style continuous-aggregate contract."""
+    from aws_kinesis_spark.streaming.rollup import read_rollup, start_continuous_rollup
+
+    root = _tmp("e09")
+    inp = os.path.join(root, "events")
+    load(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(inp)
+    q = start_continuous_rollup(
+        event_stream(spark, inp, max_files_per_trigger=2),
+        os.path.join(root, "rollup"),
+        os.path.join(root, "ckpt"),
+    )
+    q.awaitTermination(300)
+    out = read_rollup(spark, os.path.join(root, "rollup"))
+    return out.select(
+        "hour_start", "event_type", "n_events", F.round("sum_value", 4).alias("sum_value")
+    )
+
+
+@register(
     "e05_stream_dedup",
     oracle="""
         SELECT o_orderkey AS id,

@@ -306,3 +306,42 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert (10, 2) in got, got
     assert (10, 3) not in got
     assert (12, 2) in got, got  # both on-time 12:xx events counted
+
+
+def test_continuous_rollup_restart_is_idempotent(spark, tmp_path):
+    """E9: restarting the continuous rollup from its checkpoint reprocesses
+    nothing; the materialized table still equals the batch answer."""
+    from aws_kinesis_spark.streaming.rollup import read_rollup, start_continuous_rollup
+
+    inp = str(tmp_path / "events")
+    ev = load(spark, SF, "events")
+    ev.repartition(3).write.mode("overwrite").parquet(inp)
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = start_continuous_rollup(
+        event_stream(spark, inp, max_files_per_trigger=1), rollup, ckpt
+    )
+    q.awaitTermination(300)
+    first = {
+        (r.hour_start, r.event_type): (r.n_events, round(r.sum_value, 4))
+        for r in read_rollup(spark, rollup).collect()
+    }
+
+    q2 = start_continuous_rollup(event_stream(spark, inp), rollup, ckpt)
+    q2.awaitTermination(120)
+    second = {
+        (r.hour_start, r.event_type): (r.n_events, round(r.sum_value, 4))
+        for r in read_rollup(spark, rollup).collect()
+    }
+    assert first == second
+
+    want = {
+        (r.hs, r.event_type): (r.n, round(r.sv, 4))
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hs"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .collect()
+    }
+    assert first == want
