@@ -145,6 +145,71 @@ def e03_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e04_stream_late_data",
+    oracle="""
+        SELECT * FROM (VALUES
+            (TIMESTAMP '2025-11-07 10:00:00', 2),
+            (TIMESTAMP '2025-11-07 12:00:00', 2)
+        ) AS t(window_start, n_events)
+    """,
+)
+def e04_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark / late-data semantics (SURVEY.md E4; README.md:48, 156) as
+    a golden trace, the reference's own test style (README.md:554-559):
+    controlled micro-batches where one event arrives after the watermark
+    passed its window. Expected output is fully determined: the 10:00
+    window closes with its 2 on-time events (late event dropped), the
+    12:00 window with its 2; the 13:00 window stays open at stream end."""
+    import datetime as dt
+    import time as _time
+
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+
+    def batch(*hm):
+        return [
+            (i, dt.datetime(2025, 11, 7, h, m), 1, "error", 1.0, "{}")
+            for i, (h, m) in enumerate(hm)
+        ]
+
+    root = _tmp("e04")
+    inp = os.path.join(root, "ev")
+    # watermark becomes operative one batch after it advances, so the late
+    # file is two batch boundaries after the 12:30 advancer
+    spark.createDataFrame(batch((10, 5), (10, 40), (12, 30)), schema).coalesce(
+        1
+    ).write.mode("overwrite").parquet(inp)
+    _time.sleep(1.1)
+    spark.createDataFrame(batch((12, 45)), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    _time.sleep(1.1)
+    spark.createDataFrame(batch((10, 15), (13, 30)), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+
+    agg = (
+        event_stream(spark, inp, max_files_per_trigger=1)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    tbl = f"e04_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(tbl)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(tbl).select(F.col("w.start").alias("window_start"), "n_events")
+
+
+@register(
     "e06_stream_stateful_buffer",
     oracle="""
         WITH env AS (
