@@ -130,6 +130,12 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    # ... and fork the Arrow/Python UDF workers once (their cold start is
+    # ~5-10 s of pure process spawn, not query work)
+    from aws_kinesis_spark.plans.udf_queries import _charge
+
+    k = F.col("r_regionkey").cast("double")
+    r.select(_charge(k, k, k)).write.format("noop").mode("overwrite").save()
 
     for name in HEADLINE:
         if name not in qmap:
