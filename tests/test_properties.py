@@ -58,3 +58,44 @@ def test_latest_per_key_is_max_sequence(spark_session, keys):
     for k, i, _ in rows:
         want[k] = max(want.get(k, -1), i)
     assert got == set(want.items())
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=25
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(0, 99)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_asof_join_matches_naive(spark_session, left, right):
+    """D15: the union+LOCF as-of join equals the naive per-row 'most recent
+    right event at or before left.ts' definition on arbitrary inputs
+    (ties on the right side broken by the largest value, matching
+    last-in-sort-order semantics)."""
+    import datetime as dt
+
+    from aws_kinesis_spark.operators.asof import asof_join
+
+    base = dt.datetime(2025, 1, 1)
+    ldf = spark_session.createDataFrame(
+        [(k, base + dt.timedelta(seconds=ts), i) for i, (k, ts) in enumerate(left)],
+        "k LONG, ts TIMESTAMP, lid LONG",
+    )
+    rdf = spark_session.createDataFrame(
+        [(k, base + dt.timedelta(seconds=ts), v) for k, ts, v in right],
+        "k LONG, ts TIMESTAMP, v LONG",
+    )
+    got = {
+        (r.lid): r.v
+        for r in asof_join(
+            ldf, rdf, by=["k"], left_ts="ts", right_ts="ts", value_cols=["v"], suffix=""
+        ).collect()
+    }
+    for i, (k, lts) in enumerate(left):
+        cands = [(ts, v) for (rk, ts, v) in right if rk == k and ts <= lts]
+        want = max(cands)[1] if cands else None
+        assert got.get(i) == want, (i, k, lts, got.get(i), want)

@@ -345,3 +345,33 @@ def test_continuous_rollup_restart_is_idempotent(spark, tmp_path):
         .collect()
     }
     assert first == want
+
+
+def test_stateful_buffer_byte_bound(spark, tmp_path):
+    """B5: the OTHER half of the dual flush trigger (README.md:131
+    '64 MB or 60 s') — with a byte bound, flushes close when accumulated
+    payload bytes reach it, regardless of record count."""
+    from aws_kinesis_spark.streaming.stateful import start_buffer_accounting
+
+    inp = str(tmp_path / "input")
+    orders = load(spark, SF, "orders")
+    synthesize_envelope(orders).repartition(1).write.mode("overwrite").parquet(inp)
+
+    tbl = _uniq("e06b")
+    max_bytes = 16_000
+    q = start_buffer_accounting(
+        envelope_stream(spark, inp),
+        str(tmp_path / "ckpt"),
+        tbl,
+        n_shards=4,
+        max_records=1 << 30,  # count bound off: only bytes can trigger
+        max_bytes=max_bytes,
+    )
+    q.awaitTermination(300)
+    rows = spark.table(tbl).collect()
+    assert rows, "expected at least one byte-bounded flush"
+    for r in rows:
+        # every flush crossed the byte bound with its last record, so
+        # n_bytes in [max_bytes, max_bytes + one max-record overshoot)
+        assert max_bytes <= r.n_bytes < max_bytes + 200, r
+        assert r.n_records > 1
