@@ -625,3 +625,39 @@ def d22_golden_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = synthesize_envelope(load(spark, sf_dir, "orders"))
     lake = decode_envelope(env).withColumn("hour", F.hour("arrival_ts"))
     return lake.filter(F.col("id") == 98).select("id", "status", "hour")
+
+
+@register(
+    "d14d_pivot",
+    oracle="""
+        SELECT EXTRACT(year FROM o_orderdate)::INT AS year,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending,
+               round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4) AS total_open
+        FROM orders
+        GROUP BY 1
+    """,
+)
+def d14d_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (status columns per year) — one pass with an explicit pivot
+    value list, so Spark skips the extra distinct-values job and the plan
+    stays a single hash aggregate (the FILTER-aggregation form the oracle
+    uses is exactly what pivot compiles to)."""
+    o = load(spark, sf_dir, "orders")
+    p = (
+        o.withColumn("year", F.year("o_orderdate"))
+        .groupBy("year")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),  # count(*) is rejected inside pivot
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )
+    return p.select(
+        "year",
+        F.col("O_n").alias("n_open"),
+        F.col("F_n").alias("n_filled"),
+        F.col("P_n").alias("n_pending"),
+        F.col("O_total").alias("total_open"),
+    )
