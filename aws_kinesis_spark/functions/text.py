@@ -41,18 +41,31 @@ def bpe_token_count(text: Column | str) -> Column:
     return F.regexp_count(text, F.lit(BPE_SPLIT_RE))
 
 
-def stopword_hits(text: Column | str, lang: str) -> Column:
-    """Number of tokens that are stopwords of `lang`."""
-    words = list(STOPWORDS[lang])
-    return F.size(F.filter(tokens(text), lambda t: t.isin(*words)))
+def stopword_hits(text: Column | str, lang: str, toks: Column | None = None) -> Column:
+    """Number of tokens that are stopwords of `lang`.
+
+    Implemented as a single regexp_count pass over the raw text (zero-width
+    boundary assertions so adjacent matches don't consume each other's
+    separating space) instead of filter()+isin over the token array: the
+    regex stays inside whole-stage codegen as one tiny call, while the
+    higher-order-function form is interpreted per row and inflates the
+    codegen unit. Tokens are space-delimited, matching split(text, ' ')."""
+    if toks is not None:  # token-array form still available for composability
+        words = list(STOPWORDS[lang])
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+    alts = "|".join(STOPWORDS[lang])
+    return F.regexp_count(text, F.lit(f"(?:^|(?<= ))(?:{alts})(?= |$)"))
 
 
-def detect_language(text: Column | str) -> Column:
+def detect_language(text: Column | str, toks: Column | None = None) -> Column:
     """Stopword-scoring language ID: the language with the most stopword
     hits wins (ties broken by language code order); zero hits -> 'und'."""
     scored = F.array(
         *[
-            F.struct(stopword_hits(text, lang).alias("hits"), F.lit(lang).alias("lang"))
+            F.struct(
+                stopword_hits(text, lang, toks).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
             for lang in sorted(STOPWORDS)
         ]
     )
@@ -62,8 +75,8 @@ def detect_language(text: Column | str) -> Column:
     return F.coalesce(best["lang"], F.lit("und"))
 
 
-def distinct_ratio(text: Column | str) -> Column:
-    t = tokens(text)
+def distinct_ratio(text: Column | str, toks: Column | None = None) -> Column:
+    t = toks if toks is not None else tokens(text)
     return F.size(F.array_distinct(t)).cast("double") / F.size(t)
 
 
@@ -75,18 +88,19 @@ def punct_ratio(text: Column | str) -> Column:
     )
 
 
-def quality_score(text: Column | str) -> Column:
+def quality_score(text: Column | str, toks: Column | None = None) -> Column:
     """Composite document quality in [0,1]: length saturation, lexical
     diversity, stopword presence, punctuation cleanliness — the standard
     pre-training quality-filter feature stack."""
-    n = token_count(text).cast("double")
+    t = toks if toks is not None else tokens(text)
+    n = F.size(t).cast("double")
     len_score = F.least(F.lit(1.0), n / F.lit(100.0))
-    stop = stopword_hits(text, "en").cast("double") / n
+    stop = stopword_hits(text, "en", t).cast("double") / n
     stop_score = F.least(F.lit(1.0), stop * F.lit(5.0))
     clean_score = F.lit(1.0) - punct_ratio(text)
     return F.round(
         F.lit(0.3) * len_score
-        + F.lit(0.3) * distinct_ratio(text)
+        + F.lit(0.3) * distinct_ratio(text, t)
         + F.lit(0.2) * stop_score
         + F.lit(0.2) * clean_score,
         4,

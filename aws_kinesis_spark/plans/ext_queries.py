@@ -204,12 +204,48 @@ def g04_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4: token counting (whitespace + BPE-ish regex), stopword language
     ID, composite quality score — all JVM-side expressions."""
     d = load(spark, sf_dir, "documents")
+    # Per-language hit counts are single regexp_count calls (JVM-side, tiny
+    # codegen footprint); the CASE chain and quality combine them. Catalyst
+    # re-inlines projected columns (CollapseProject), so keeping each leaf
+    # expression small matters more than naming intermediates.
+    toks = TX.tokens("text")
+    hits = {lang: TX.stopword_hits("text", lang) for lang in sorted(TX.STOPWORDS)}
+    # Tie-break priority mirrors the oracle CASE: zh > fr > es > en > de.
+    pred = (
+        F.when(
+            (hits["zh"] > 0)
+            & (hits["zh"] >= hits["fr"]) & (hits["zh"] >= hits["es"])
+            & (hits["zh"] >= hits["en"]) & (hits["zh"] >= hits["de"]),
+            "zh",
+        )
+        .when(
+            (hits["fr"] > 0)
+            & (hits["fr"] >= hits["es"]) & (hits["fr"] >= hits["en"])
+            & (hits["fr"] >= hits["de"]),
+            "fr",
+        )
+        .when(
+            (hits["es"] > 0) & (hits["es"] >= hits["en"]) & (hits["es"] >= hits["de"]),
+            "es",
+        )
+        .when((hits["en"] > 0) & (hits["en"] >= hits["de"]), "en")
+        .when(hits["de"] > 0, "de")
+        .otherwise("und")
+    )
+    n = F.size(toks).cast("double")
+    quality = F.round(
+        F.lit(0.3) * F.least(F.lit(1.0), n / 100.0)
+        + F.lit(0.3) * (F.size(F.array_distinct(toks)).cast("double") / n)
+        + F.lit(0.2) * F.least(F.lit(1.0), (hits["en"].cast("double") / n) * 5.0)
+        + F.lit(0.2) * (F.lit(1.0) - TX.punct_ratio("text")),
+        4,
+    )
     return d.select(
         "doc_id",
-        TX.token_count("text").alias("n_tokens"),
+        F.size(toks).alias("n_tokens"),
         TX.bpe_token_count("text").alias("n_bpe_tokens"),
-        TX.detect_language("text").alias("pred_lang"),
-        TX.quality_score("text").alias("quality"),
+        pred.alias("pred_lang"),
+        quality.alias("quality"),
     )
 
 
