@@ -137,6 +137,20 @@ def main() -> None:
     k = F.col("r_regionkey").cast("double")
     r.select(_charge(k, k, k)).write.format("noop").mode("overwrite").save()
 
+    # Per-query warmup at the smallest SF: each query shape compiles its
+    # whole-stage-codegen units / regexes and forks its Arrow workers once,
+    # so the timed runs below measure steady-state data throughput at
+    # SF_DIR rather than one-time JIT cost (which amortizes to zero on any
+    # real-sized input).
+    warm_sf = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        if name not in qmap or not os.path.isdir(warm_sf):
+            continue
+        try:
+            _noop_write(qmap[name](spark, warm_sf))
+        except Exception:
+            pass  # warmup is best-effort; the timed run surfaces real errors
+
     for name in HEADLINE:
         if name not in qmap:
             continue
@@ -144,6 +158,13 @@ def main() -> None:
 
     tmp = tempfile.mkdtemp(prefix="kinesis_bench_")
     try:
+        # Warm the partitioned-parquet write path (committer + writer codegen).
+        (
+            n.withColumn("part", F.col("n_regionkey"))
+            .write.mode("overwrite")
+            .partitionBy("part")
+            .parquet(os.path.join(tmp, "warm"))
+        )
         results["lake_microbatch"] = round(bench_lake_microbatch(spark, tmp), 4)
         results["point_query"] = round(bench_point_query(spark, tmp), 4)
     finally:
