@@ -661,3 +661,88 @@ def d14d_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("P_n").alias("n_pending"),
         F.col("O_total").alias("total_open"),
     )
+
+
+# --------------------------------------------------------------------------
+# D23-D24: subqueries through the raw-SQL surface; D08b: statistical aggs
+# --------------------------------------------------------------------------
+
+
+@register(
+    "d23_correlated_scalar_subquery",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 4) AS acctbal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def d23_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery via the raw-SQL entry point (run_sql):
+    customers above their nation's average balance. Catalyst decorrelates
+    this into an aggregate + join — the per-nation average is computed once,
+    not per outer row, so the plan scales as one shuffle on c_nationkey."""
+    from aws_kinesis_spark.tables import run_sql
+
+    return run_sql(
+        spark,
+        sf_dir,
+        """SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 4) AS acctbal
+           FROM customer c
+           WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                                WHERE c2.c_nationkey = c.c_nationkey)""",
+    )
+
+
+@register(
+    "d24_exists_subquery",
+    oracle="""
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def d24_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS subqueries via the raw-SQL entry point: customers
+    with an open order but no pending one. Catalyst rewrites the pair into a
+    left-semi + left-anti join on o_custkey (same physical shape as d06), so
+    the subquery surface costs nothing extra at scale."""
+    from aws_kinesis_spark.tables import run_sql
+
+    return run_sql(
+        spark,
+        sf_dir,
+        """SELECT c.c_custkey, c.c_name
+           FROM customer c
+           WHERE EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+             AND NOT EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""",
+    )
+
+
+@register(
+    "d08b_stats_aggregates",
+    oracle="""
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 4) AS sd_qty,
+               round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc,
+               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def d08b_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 statistical extension: sample stddev / covariance / correlation per
+    return flag — second-moment aggregates Catalyst computes in the same
+    single partial+final hash-aggregate pass as sum/avg (values kept in
+    well-conditioned ranges so 4-6 decimal rounding is oracle-stable)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+    )

@@ -20,6 +20,22 @@ TABLES = [
 ]
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view, giving users the raw-SQL
+    interface the reference delegates to Athena/Redshift/DuckDB
+    (README.md:164, 441-456): any ANSI SQL string over the lake tables runs
+    through Catalyst exactly as §3.3 describes."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """The interactive SQL entry point (SURVEY.md §3.3): register the lake
+    views, then parse/analyze/optimize/execute the query with Catalyst."""
+    register_views(spark, sf_dir)
+    return spark.sql(sql)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table; pins session semantics (UTC) first.
 
