@@ -437,3 +437,71 @@ def g04c_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, h: (acc * 131 + h) % 2147483647,
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "g08_label_centroids",
+    oracle="""
+        WITH flat AS (
+            SELECT label, generate_subscripts(embedding, 1) AS pos,
+                   unnest(embedding)::DOUBLE AS v
+            FROM embeddings)
+        SELECT label, pos, round(avg(v), 4) AS centroid
+        FROM flat GROUP BY label, pos
+    """,
+)
+def g08_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 support: per-label mean embedding (the IVF/кmeans building block)
+    as (label, pos, value) rows — posexplode keeps the whole computation a
+    single partial+final hash aggregate on (label, pos); no vector is ever
+    assembled on the driver, so the same plan holds at any corpus size."""
+    em = load(spark, sf_dir, "embeddings")
+    flat = em.select(
+        "label", F.posexplode("embedding").alias("pos0", "v")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), F.col("v").cast("double").alias("v"))
+    return flat.groupBy("label", "pos").agg(F.round(F.avg("v"), 4).alias("centroid"))
+
+
+@register(
+    "g03d_knn_classify",
+    oracle=f"""
+        WITH nn AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label
+            FROM (SELECT * FROM embeddings WHERE vec_id < 5) a
+            JOIN embeddings b ON b.vec_id <> a.vec_id
+            QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                       ORDER BY {_DUCK_COSINE} DESC, b.vec_id) <= 10
+        ),
+        votes AS (
+            SELECT query_id, label, count(*) AS n_votes
+            FROM nn GROUP BY 1, 2
+        )
+        SELECT query_id, label AS pred_label, n_votes
+        FROM votes
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, label) = 1
+    """,
+)
+def g03d_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 composition: kNN majority-vote classification — exact top-10
+    neighbors (broadcast queries, one corpus pass), labels joined on, then a
+    deterministic argmax (votes desc, label asc). The vote aggregation and
+    argmax are tiny relative to the kNN pass, so the scale profile is
+    exactly knn_bruteforce's."""
+    from pyspark.sql import Window
+
+    em = load(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    nn = knn_bruteforce(em, queries, k=10)
+    labeled = nn.join(
+        em.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+    )
+    votes = labeled.groupBy("query_id", "label").agg(F.count("*").alias("n_votes"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "n_votes")
+    )

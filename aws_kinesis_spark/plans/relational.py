@@ -746,3 +746,28 @@ def d08b_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
     )
+
+
+@register(
+    "d10c_percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+               round(quantile_cont(l_quantity, 0.50), 4) AS p50,
+               round(quantile_cont(l_quantity, 0.95), 4) AS p95
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def d10c_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont` semantics). The exact form needs the per-group
+    values collected at the reducer, which is fine for low-cardinality
+    groups; high-cardinality/100 TB paths switch to approx_percentile
+    (t-digest, mergeable partial state) — d10b is that pattern's twin."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 4).alias("p95"),
+    )
