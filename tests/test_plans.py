@@ -163,3 +163,31 @@ def test_keyed_partition_order_invariant(spark):
     # the per-partition outputs
     keys = [r.key for r in rows]
     assert len(keys) == len(set(keys))
+
+
+def test_correlated_subquery_decorrelates(spark):
+    """D23: Catalyst must rewrite the correlated scalar subquery into an
+    aggregate + join (one pass over the inner table), never a per-row
+    re-execution; with a small inner side the join should broadcast."""
+    plan = _plan(queries()["d23_correlated_scalar_subquery"](spark, SF))
+    assert "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_exists_subqueries_become_semi_anti_joins(spark):
+    """D24: EXISTS / NOT EXISTS must compile to LeftSemi / LeftAnti joins —
+    the same physical shape as the staging-upsert halves (d06)."""
+    plan = _plan(queries()["d24_exists_subquery"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_label_centroids_single_aggregate_pass(spark):
+    """G8: the centroid computation must be one partial+final hash aggregate
+    over the posexploded vectors — no window, no sort, no collect."""
+    plan = _plan(queries()["g08_label_centroids"](spark, SF))
+    assert "partial_avg" in plan
+    # exactly one shuffle — the (label, pos) exchange between the partial
+    # and final aggregates ("Exchange (N)" appears once in the plan tree;
+    # the detail section repeats it as "(N) Exchange")
+    assert plan.count("Exchange (") == 1
