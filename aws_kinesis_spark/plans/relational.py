@@ -771,3 +771,63 @@ def d10c_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("p50"),
         F.round(F.expr("percentile(l_quantity, 0.95)"), 4).alias("p95"),
     )
+
+
+@register(
+    "d26_sessionization",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN epoch_us(ts)
+                             - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                      ORDER BY ts, event_id))
+                             > 1800000000
+                             OR lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_sess,
+                   event_id
+            FROM events
+        ),
+        numbered AS (
+            SELECT user_id, ts, value,
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               round(sum(value), 4) AS total_value
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+)
+def d26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a session breaks after a
+    30-minute silence per user. lag -> new-session flag -> running sum
+    assigns ids in ONE window pass (single shuffle on user_id, reused by
+    both window functions and carried into the final aggregation), then a
+    per-session rollup — the batch twin of the streaming session window
+    (e03). Gap math on epoch microseconds so sub-second timestamps compare
+    exactly."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0)
+    )
+    numbered = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

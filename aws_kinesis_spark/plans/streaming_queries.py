@@ -230,7 +230,8 @@ def e04_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         g AS (
             SELECT shard, rn // 500 AS flush_id,
-                   count(*) AS n_records, sum(n_bytes) AS n_bytes
+                   count(*) AS n_records,
+                   CAST(sum(n_bytes) AS BIGINT) AS n_bytes  -- hugeint->float in pandas otherwise
             FROM r GROUP BY 1, 2
         )
         SELECT shard, flush_id, n_records, n_bytes FROM g WHERE n_records = 500
