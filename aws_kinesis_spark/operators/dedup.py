@@ -55,15 +55,31 @@ def minhash_signatures(
     long with the member index as a second input — integer hashing inside
     whole-stage codegen, ~10x cheaper than num_hashes string hashes per
     shingle. The oracle verifies end results against exact Jaccard, so the
-    hash family only needs to be a good hash family, not DuckDB-replicable."""
-    sh = docs.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__s")
-    ).select(F.col(id_col), F.xxhash64("__s").alias("__h"))
+    hash family only needs to be a good hash family, not DuckDB-replicable.
+
+    Plan shape: NO explode/groupBy. Each signature member is
+    array_min(transform(shingle_hashes, h -> xxhash64(i, h))) — a pure
+    projection over the doc row, so signatures cost zero shuffles and never
+    leave the scan stage. At 100 TB this is the difference between a
+    map-only pass and shuffling billions of exploded shingle rows through a
+    64-aggregate hash agg."""
+    hashed = docs.select(
+        F.col(id_col),
+        F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)).alias(
+            "__hs"
+        ),
+    )
+
+    def member(i):
+        # closure (not a default arg): a 2-param lambda would make Spark pass
+        # the array INDEX as the second argument, silently shadowing i.
+        return lambda h: F.xxhash64(F.lit(i), h)
+
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"h{i}")
+        F.array_min(F.transform("__hs", member(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*mins)
+    return hashed.select(F.col(id_col), *mins)
 
 
 def lsh_candidate_pairs(
@@ -115,11 +131,12 @@ def _exact_jaccard_on_pairs(
     sets = docs.select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")
     ).localCheckpoint(eager=True)
-    inter = F.size(F.array_intersect("__sha", "__shb")).cast("double")
-    union = F.size("__sha") + F.size("__shb") - F.size(F.array_intersect("__sha", "__shb"))
+    inter = F.col("__inter").cast("double")
+    union = F.size("__sha") + F.size("__shb") - F.col("__inter")
     return (
         pairs.join(sets.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha")), "id_a")
         .join(sets.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb")), "id_b")
+        .withColumn("__inter", F.size(F.array_intersect("__sha", "__shb")))
         .withColumn("jaccard", inter / union)  # unrounded: thresholds compare the true value
         .drop("__sha", "__shb")
     )

@@ -9,8 +9,10 @@ buffered batch, README.md:390-392). Spark-first, that surface is:
   per-row logic — never row-at-a-time Python UDFs;
 - F3 grouped-agg ``pandas_udf`` (Series... -> scalar) for custom
   aggregations, executing as a real partial-free grouped aggregate;
-- F2/F4 (grouped-map / 1->N) are exercised by g07b_multimodal_features
-  (mapInPandas) and d19's explode respectively.
+- F2 grouped-map ``applyInPandas`` (the per-buffer batch invocation of the
+  transform, README.md:390-392): one pandas DataFrame per group key;
+- F4 Python UDTF (1->N lateral expansion, the manifest ``entries[]``
+  fan-out of README.md:295-303), plus d19's native ``explode``.
 
 These queries intentionally compute SQL-expressible things: the point is
 differential proof that the Arrow UDF path produces bit-identical results to
@@ -105,4 +107,98 @@ def f03_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         _median_price("l_extendedprice").alias("median_price"),
         _n_items("l_extendedprice").alias("n_items"),
+    )
+
+
+def _order_cadence(pdf: pd.DataFrame) -> pd.DataFrame:
+    # One customer's full order history arrives as a single pandas frame
+    # (grouped-map contract). Sort is deterministic via the orderkey
+    # tiebreak; gap arithmetic is integer seconds, so no float wobble.
+    pdf = pdf.sort_values(["o_orderdate", "o_orderkey"]).reset_index(drop=True)
+    gaps = pdf["o_orderdate"].diff().dt.total_seconds()
+    return pd.DataFrame(
+        {
+            "o_custkey": pdf["o_custkey"],
+            "o_orderkey": pdf["o_orderkey"],
+            "order_seq": np.arange(1, len(pdf) + 1, dtype=np.int32),
+            "gap_s": gaps.fillna(-1).astype("int64"),
+        }
+    )
+
+
+@register(
+    "f02_grouped_map",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(row_number() OVER w AS INT) AS order_seq,
+               coalesce(CAST(date_diff('second', lag(o_orderdate) OVER w,
+                                       o_orderdate) AS BIGINT), -1) AS gap_s
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def f02_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: grouped-map ``applyInPandas`` — the reference invokes its user
+    transform once per buffered batch (README.md:390-392); Spark's grouped-map
+    hands each key's rows to Python as one Arrow-backed pandas frame.
+
+    Per-customer order cadence: sequence position and seconds since the
+    previous order (first order = -1). The oracle is the pure-SQL window
+    formulation, proving the imperative per-group code is plan-equivalent.
+
+    Scale: one shuffle on the group key, group state bounded by a single
+    customer's history — safe at 100 TB where any per-key history fits an
+    Arrow batch; no driver collection."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_orderdate")
+        .groupBy("o_custkey")
+        .applyInPandas(
+            _order_cadence,
+            schema="o_custkey bigint, o_orderkey bigint, order_seq int, gap_s bigint",
+        )
+    )
+
+
+@register(
+    "f04_python_udtf",
+    oracle="""
+        SELECT doc_id, CAST(u[2] AS INT) AS pos, u[1] AS token
+        FROM (
+            SELECT doc_id,
+                   unnest(list_zip(string_split(text, ' '),
+                                   generate_series(1, len(string_split(text, ' '))))) AS u
+            FROM documents
+            WHERE doc_id < 50
+        )
+    """,
+)
+def f04_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: Python UDTF (Spark 3.5+/4.x) — one input row fans out to N output
+    rows via LATERAL, the manifest ``entries[]`` explosion pattern
+    (README.md:295-303). Tokenizes each document into (position, token).
+
+    The doc_id filter sits under the lateral join so Catalyst pushes it into
+    the parquet scan; the UDTF only ever sees the 50 selected rows. For pure
+    splitting the native ``posexplode(split(...))`` is preferred (JVM-side);
+    the UDTF surface exists for logic that genuinely needs Python per-row
+    fan-out (tokenizers, samplers)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class _Tokens:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" "), start=1):
+                yield i, tok
+
+    spark.udtf.register("f04_tokens", _Tokens)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("f04_documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM f04_documents d, LATERAL f04_tokens(d.text) t
+        WHERE d.doc_id < 50
+        """
     )
