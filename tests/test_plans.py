@@ -191,3 +191,15 @@ def test_label_centroids_single_aggregate_pass(spark):
     # and final aggregates ("Exchange (N)" appears once in the plan tree;
     # the detail section repeats it as "(N) Exchange")
     assert plan.count("Exchange (") == 1
+
+
+def test_minhash_signatures_are_shuffle_free(spark):
+    """MinHash signatures must be a pure projection (array_min over
+    transform), not an explode+groupBy: at 100 TB the latter shuffles
+    billions of shingle rows through a 64-aggregate hash agg."""
+    from aws_kinesis_spark.operators.dedup import minhash_signatures
+
+    docs = load(spark, SF, "documents")
+    plan = _plan(minhash_signatures(docs), "simple")
+    assert "Exchange" not in plan, "signature stage must not shuffle"
+    assert "Generate" not in plan, "signature stage must not explode shingles"
