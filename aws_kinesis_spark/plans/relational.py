@@ -831,3 +831,42 @@ def d26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+@register(
+    "d27_rolling_time_window",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               count(*) OVER w AS n_90d,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                    AS DOUBLE) AS sum_90d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                     RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def d27_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13 range-frame flavor: per-customer rolling 90-day order count and
+    spend — RANGE BETWEEN over event time (as epoch seconds, identical
+    numeric frame semantics on both engines), the trailing-window analytic
+    the hourly-rollup lake serves (README.md:38 "hourly analytics on every
+    order change").
+
+    Money sums go through DECIMAL(18,2) so accumulation order can't wobble
+    the float result. Scale: one shuffle on o_custkey; frame state per key is
+    bounded by the 90-day row span, independent of total history length."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).alias("n_90d"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_90d"),
+    )
