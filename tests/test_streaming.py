@@ -375,3 +375,29 @@ def test_stateful_buffer_byte_bound(spark, tmp_path):
         # n_bytes in [max_bytes, max_bytes + one max-record overshoot)
         assert max_bytes <= r.n_bytes < max_bytes + 200, r
         assert r.n_records > 1
+
+
+def test_transform_with_state_running_count(spark, tmp_path):
+    """E6 on the Spark 4 transformWithState API: per-user running sequence
+    equals the batch row_number answer. Skips where google.protobuf (required
+    by the TWS driver-side state server) is broken/absent."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from aws_kinesis_spark.streaming.pipeline import event_stream
+    from aws_kinesis_spark.streaming.stateful import run_running_count
+    from aws_kinesis_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    inp = str(tmp_path / "events")
+    ev.repartition(3).write.mode("overwrite").parquet(inp)
+
+    tbl = _uniq("e10")
+    run_running_count(event_stream(spark, inp), str(tmp_path / "ckpt"), tbl)
+    got = spark.table(tbl)
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = ev.select("user_id", "event_id", F.row_number().over(w).alias("seq"))
+    assert got.count() == want.count()
+    assert got.exceptAll(want.selectExpr("user_id", "event_id", "CAST(seq AS BIGINT) seq")).count() == 0
