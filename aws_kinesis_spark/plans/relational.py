@@ -870,3 +870,35 @@ def d27_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_90d"),
     )
+
+
+@register(
+    "d28_relational_division",
+    oracle="""
+        SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_priorities
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(DISTINCT o_orderpriority) =
+               (SELECT count(DISTINCT o_orderpriority) FROM orders)
+    """,
+)
+def d28_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (universal quantification): customers whose
+    orders span EVERY priority level in the data — the 'for all' query shape
+    (served in SQL by HAVING count(DISTINCT) = scalar subquery).
+
+    Plan: one distinct-agg per customer plus a 1-row broadcast of the global
+    distinct count — no per-element anti-join cascade. Scale: the only
+    shuffle is the groupBy on the division key; the divisor side is a scalar."""
+    orders = load(spark, sf_dir, "orders")
+    total = orders.select(
+        F.countDistinct("o_orderpriority").alias("__t")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("n_priorities")
+    )
+    return (
+        per_cust.join(F.broadcast(total))
+        .filter(F.col("n_priorities") == F.col("__t"))
+        .select("o_custkey", "n_priorities")
+    )
