@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 from dataclasses import dataclass
 
@@ -165,3 +166,44 @@ def register_lake_table(spark: SparkSession, name: str, lake_dir: str) -> None:
     541-549): the crawler's job is a view over the partition-discovering
     parquet read (README.md:446 — 'no Glue needed')."""
     spark.read.parquet(os.path.join(lake_dir, "data")).createOrReplaceTempView(name)
+
+
+def compact_lake_partition(
+    spark: SparkSession,
+    lake_dir: str,
+    partition_subdir: str,
+    target_file_bytes: int = 128 << 20,
+) -> tuple[int, int]:
+    """Lake maintenance: bin-pack one hive partition's small files into
+    ~target_file_bytes outputs (the at-rest completion of the reference's
+    buffering rationale — "1 PUT instead of 1,000", README.md:378-380:
+    per-minute micro-batch flushes accumulate small files; compaction
+    restores scan-efficient file sizes without changing a single row).
+
+    Protocol mirrors the manifest commit's write-then-swap (README.md:413-421):
+    rewrite into a temp dir next to the partition, then two atomic renames
+    (old -> trash, tmp -> live) so readers see either the old or the new file
+    set, never a mix. Returns (files_before, files_after).
+
+    Scale: runs per-partition (parallelize across partitions by calling per
+    partition); the rewrite is one coalesce(n) pass with n sized from actual
+    bytes, so no shuffle — file assembly only."""
+    part_dir = os.path.join(lake_dir, partition_subdir)
+    files = _list_parquet_files(part_dir)
+    if not files:
+        return (0, 0)
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(part_dir)
+    tmp = part_dir + ".compact.tmp"
+    trash = part_dir + ".compact.old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(trash, ignore_errors=True)
+    # coalesce, not repartition: pure file assembly, no shuffle
+    df.coalesce(int(n_out)).write.mode("overwrite").option(
+        "compression", "snappy"
+    ).parquet(tmp)
+    os.replace(part_dir, trash)
+    os.replace(tmp, part_dir)
+    shutil.rmtree(trash, ignore_errors=True)
+    return (len(files), len(_list_parquet_files(part_dir)))

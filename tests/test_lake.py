@@ -183,3 +183,27 @@ def test_retry_backoff_then_dlq(spark):
 
     flush_with_dlq(bad_flush, dlq, attempts=2, sleep=lambda _d: None)(df, 7)
     assert seen == {"batch_id": 7, "rows": 3, "err": "sink down"}
+
+
+def test_compaction_binpacks_partition_without_changing_rows(spark, tmp_path):
+    """Small-file compaction: many per-flush files collapse to the bin-packed
+    count; row content is untouched and the swap leaves no temp dirs."""
+    from aws_kinesis_spark.sources.lake import compact_lake_partition
+
+    lake = str(tmp_path / "lake")
+    part = "data/part=a"
+    part_dir = os.path.join(lake, part)
+    ev = load(spark, "/root/testdata/sf0.001", "events").limit(400)
+    # simulate 8 tiny per-flush files
+    ev.repartition(8).write.mode("overwrite").parquet(part_dir)
+    before = spark.read.parquet(part_dir)
+    before_rows = sorted(r.event_id for r in before.select("event_id").collect())
+    n_before, n_after = compact_lake_partition(
+        spark, lake, part, target_file_bytes=1 << 30
+    )
+    assert n_before == 8 and n_after == 1
+    after = spark.read.parquet(part_dir)
+    after_rows = sorted(r.event_id for r in after.select("event_id").collect())
+    assert after_rows == before_rows
+    assert not os.path.exists(part_dir + ".compact.tmp")
+    assert not os.path.exists(part_dir + ".compact.old")
