@@ -178,7 +178,16 @@ def ngram_jaccard_dedup(
     candidate growth depends on shingle frequency — MinHash+LSH is the
     100 TB path; this is the oracle-grade reference implementation."""
     docs = _spread(docs.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n))
-    inv = docs.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__s"))
+    # invert on the shingle HASH, not the string: the self-join shuffles and
+    # compares fixed-width longs. A collision only adds a spurious candidate,
+    # which the exact-Jaccard verify removes — completeness is unaffected
+    # (equal shingles always hash equal).
+    inv = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
+        ).alias("__s"),
+    )
     a, b = inv.alias("a"), inv.alias("b")
     cand = (
         a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
