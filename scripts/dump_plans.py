@@ -1,0 +1,95 @@
+"""Regenerate PLANS.md: the physical-plan evidence for the scale posture.
+
+Each entry prints `explain("formatted")` for one representative query at
+sf0.01 with a note on the plan property that matters at 100 TB (the same
+properties tests/test_plans.py asserts). Run from the repo root:
+
+    python scripts/dump_plans.py > PLANS.md
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.01"
+
+# (query, what the plan must show)
+SHOWCASE = [
+    (
+        "d02_filter_predicate",
+        "Full predicate stack in `PushedFilters`, 5-column `ReadSchema` — the "
+        "scan reads a column slice, not the table.",
+    ),
+    (
+        "d05_join_star",
+        "Three `BroadcastHashJoin`s; the fact table never shuffles — only "
+        "MB-scale dimensions move.",
+    ),
+    (
+        "d08_agg_pricing_summary",
+        "`HashAggregate` below AND above the exchange: map-side partial "
+        "combine, shuffle traffic is O(groups) not O(rows).",
+    ),
+    (
+        "d12_latest_per_key",
+        "One exchange on the key, then sort+window — latest-per-key costs a "
+        "single shuffle.",
+    ),
+    (
+        "d23_correlated_scalar_subquery",
+        "No per-row subquery: Catalyst decorrelates into an aggregate joined "
+        "back onto the outer table.",
+    ),
+    (
+        "g03_knn_bruteforce",
+        "The 5-row query side broadcasts; the corpus is scanned once, never "
+        "cross-joined at shuffle cost.",
+    ),
+    (
+        "g06_quality_filter",
+        "The whole quality predicate stack reaches `PushedFilters` on the "
+        "documents scan.",
+    ),
+]
+
+
+def main() -> None:
+    from aws_kinesis_spark import registry
+    from aws_kinesis_spark.operators.dedup import minhash_signatures
+    from aws_kinesis_spark.session import get_spark
+    from aws_kinesis_spark.tables import load
+
+    spark = get_spark("plan-dump", cpus="8")
+    spark.sparkContext.setLogLevel("ERROR")
+    qmap = registry.queries()
+
+    print("# PLANS.md — physical-plan evidence (auto-generated)")
+    print()
+    print("Regenerate with `python scripts/dump_plans.py > PLANS.md`.")
+    print("Each plan is `explain(\"formatted\")` at sf0.01; the note states the")
+    print("property that makes the operator viable at 100 TB, and")
+    print("`tests/test_plans.py` asserts it in CI.")
+
+    def emit(title: str, note: str, df) -> None:
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(jmode)
+        print(f"\n## {title}\n\n{note}\n\n```\n{plan.rstrip()}\n```")
+
+    for name, note in SHOWCASE:
+        emit(name, note, qmap[name](spark, SF))
+
+    emit(
+        "minhash_signatures (g02 stage 1)",
+        "Zero `Exchange`, zero `Generate`: signatures are pure projections "
+        "(`array_min(transform(...))`), a map-only pass at any scale.",
+        minhash_signatures(load(spark, SF, "documents")),
+    )
+
+
+if __name__ == "__main__":
+    main()
