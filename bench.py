@@ -35,15 +35,21 @@ HEADLINE = [
     "d09_tumbling_hourly_agg",
     "d12_latest_per_key",
     "d14_rollup",
+    "d15_asof_join",
     "d19_array_functions",
     "d20_json_functions",
+    "d23_correlated_scalar_subquery",
+    "d26_sessionization",
+    "d27_rolling_time_window",
     "b04_dedup_by_sequence",
     "c01_envelope_roundtrip",
+    "f01_scalar_pandas_udf",
+    "f03_grouped_agg_udaf",
     "g01_dedup_exact",
     "g02_dedup_minhash_lsh",
     "g03_knn_bruteforce",
     "g04_text_stats",
-    "f03_grouped_agg_udaf",
+    "g05_embedding_neardup",
 ]
 
 
