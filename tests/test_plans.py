@@ -203,3 +203,13 @@ def test_minhash_signatures_are_shuffle_free(spark):
     plan = _plan(minhash_signatures(docs), "simple")
     assert "Exchange" not in plan, "signature stage must not shuffle"
     assert "Generate" not in plan, "signature stage must not explode shingles"
+
+
+def test_embedding_neardup_has_no_cross_join(spark):
+    """Exact all-pairs near-dup must run as the blocked matmul — any
+    BroadcastNestedLoopJoin/CartesianProduct regression is the O(n^2)-rows
+    shape that took 85x longer at sf0.1."""
+    plan = _plan(queries()["g05_embedding_neardup"](spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # the block-pair matmul stage
