@@ -226,3 +226,90 @@ def knn_lsh(
         .filter(F.col("__rn") <= k)
         .select(query_id_col, "neighbor_id", F.round("__cos", 4).alias("cos_sim"))
     )
+
+
+def knn_join(
+    embeddings: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact kNN self-join: EVERY vector's top-k cosine neighbors — the
+    similarity-search shape a training-data pipeline actually runs (pair
+    mining, retrieval eval), not just a handful of probe queries.
+
+    Blocked matmul, two-level top-k: the corpus splits into n_blocks row
+    blocks; each of the B(B+1)/2 unordered block pairs is one applyInPandas
+    group that BLAS-multiplies its two blocks and keeps each row's partial
+    top-k *under the same total order as the final ranking* (cos desc,
+    neighbor id asc — so the global top-k is provably contained in the
+    union of partial top-ks). The final stage is one window over n*B*k
+    candidate rows. Shuffle volume is O(n*B*k), never O(n^2); B sizes a
+    block pair to executor memory."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    bp = [
+        (a * n_blocks + b, a, b)
+        for a in range(n_blocks)
+        for b in range(n_blocks)
+        if a <= b
+    ]
+    bp_df = F.broadcast(spark.createDataFrame(bp, "pair_id INT, blk_a INT, blk_b INT"))
+
+    emb = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("__blk"),
+    )
+    side_a = emb.join(bp_df, emb["__blk"] == F.col("blk_a")).select(
+        "pair_id", "blk_a", "blk_b", F.lit("a").alias("side"), "__id", "__v"
+    )
+    side_b = emb.join(bp_df, emb["__blk"] == F.col("blk_b")).select(
+        "pair_id", "blk_a", "blk_b", F.lit("b").alias("side"), "__id", "__v"
+    )
+
+    def partial_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sort each side by id so a stable argsort on -cos breaks ties in
+        # neighbor-id order — the exact total order of the final window
+        a = pdf[pdf["side"] == "a"].sort_values("__id")
+        b = pdf[pdf["side"] == "b"].sort_values("__id")
+        if not len(a) or not len(b):
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "__cos": []})
+        ids_a = a["__id"].to_numpy()
+        ids_b = b["__id"].to_numpy()
+        ma = np.stack(a["__v"].to_numpy()).astype(np.float64)
+        mb = np.stack(b["__v"].to_numpy()).astype(np.float64)
+        na = np.sqrt((ma * ma).sum(axis=1))
+        nb = np.sqrt((mb * mb).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (ma @ mb.T) / np.outer(na, nb)
+        cos = np.nan_to_num(cos, nan=-np.inf)
+
+        def emit(q_ids, c_ids, mat):
+            m = np.where(q_ids[:, None] == c_ids[None, :], -np.inf, mat)
+            idx = np.argsort(-m, axis=1, kind="stable")[:, :k]
+            keep = np.take_along_axis(m, idx, axis=1)
+            qq = np.repeat(q_ids, idx.shape[1])
+            return qq[keep.ravel() > -np.inf], c_ids[idx].ravel()[keep.ravel() > -np.inf], keep.ravel()[keep.ravel() > -np.inf]
+
+        qa, na_ids, ca = emit(ids_a, ids_b, cos)
+        frames = [pd.DataFrame({"query_id": qa, "neighbor_id": na_ids, "__cos": ca})]
+        if a["blk_a"].iloc[0] != a["blk_b"].iloc[0]:
+            qb, nb_ids, cb = emit(ids_b, ids_a, cos.T)
+            frames.append(pd.DataFrame({"query_id": qb, "neighbor_id": nb_ids, "__cos": cb}))
+        return pd.concat(frames, ignore_index=True)
+
+    candidates = (
+        side_a.unionByName(side_b)
+        .groupBy("pair_id")
+        .applyInPandas(partial_topk, schema="query_id bigint, neighbor_id bigint, __cos double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        candidates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", F.round("__cos", 4).alias("cos_sim"))
+    )

@@ -24,7 +24,7 @@ from aws_kinesis_spark.operators.multimodal import (
     sample_frames,
     to_media_envelope,
 )
-from aws_kinesis_spark.operators.similarity import knn_bruteforce, knn_ivf, knn_lsh
+from aws_kinesis_spark.operators.similarity import knn_bruteforce, knn_ivf, knn_join, knn_lsh
 from aws_kinesis_spark.registry import register
 from aws_kinesis_spark.tables import load
 
@@ -146,6 +146,25 @@ def g03c_knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return knn_ivf(em, queries, k=10)
+
+
+@register(
+    "g03e_knn_join",
+    oracle=f"""
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round({_DUCK_COSINE}, 4) AS cos_sim
+        FROM embeddings a
+        JOIN embeddings b ON b.vec_id <> a.vec_id
+        QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                   ORDER BY {_DUCK_COSINE} DESC, b.vec_id) <= 10
+    """,
+)
+def g03e_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 full form: exact top-10 neighbors for EVERY vector via the blocked
+    matmul kNN self-join (operators/similarity.py:knn_join) — two-level
+    top-k, O(n*B*k) shuffle, no cross join. The oracle is the all-pairs
+    window ranking."""
+    return knn_join(load(spark, sf_dir, "embeddings"), k=10)
 
 
 @register(
