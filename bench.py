@@ -48,6 +48,7 @@ HEADLINE = [
     "g01_dedup_exact",
     "g02_dedup_minhash_lsh",
     "g03_knn_bruteforce",
+    "g03e_knn_join",
     "g04_text_stats",
     "g05_embedding_neardup",
 ]
