@@ -35,6 +35,14 @@ def get_spark(app_name: str = "aws-kinesis-spark", cpus: str | None = None) -> S
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # runtime bloom filters: inject a filter from a selective dim side
+        # into the fact-side scan — at 100 TB this skips fact row groups
+        # before the join shuffle ever forms. (semiJoinReduction stays off:
+        # it duplicates the build-side plan under every eligible join, which
+        # multiplies optimizer time on the self-join-heavy dedup pipelines.)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # MIN/MAX/COUNT over parquet answer from footer statistics
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
@@ -58,6 +66,8 @@ def configure(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     # events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos timestamp —
     # read as long and convert (tables.load truncates ns -> us like DuckDB).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
