@@ -524,3 +524,31 @@ def g03d_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("query_id", F.col("label").alias("pred_label"), "n_votes")
     )
+
+
+@register(
+    "g09_train_split",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+)
+def g09_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~80/10/10) by content-free key
+    hash — the split a training pipeline must reproduce identically on every
+    run and every engine. Bucket = first md5 hex byte of the id; comparing
+    two lowercase hex chars lexicographically IS the numeric bucket compare,
+    so Spark and the SQL oracle agree bit-for-bit with no seed plumbing.
+
+    Scale: a pure projection (no shuffle, no sampling state); the split
+    survives re-partitioning, backfills, and incremental appends because it
+    depends only on the row's own key."""
+    d = load(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id",
+        F.when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test").alias("split"),
+    )
