@@ -359,3 +359,55 @@ def embedding_neardup(
         .groupBy("pair_id")
         .applyInPandas(block_cosine, schema="id_a bigint, id_b bigint, cos_sim double")
     )
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Transitive closure over near-dup pairs: every document that appears in
+    a near-dup pair gets the MIN doc id of its connected component as
+    cluster_id — the canonical-keeper assignment a dedup pipeline applies
+    after pair generation (keep cluster_id, drop the rest).
+
+    Iterative min-label propagation: labels start as own id; each round
+    takes the min over neighbors' labels; converges in diameter(component)
+    rounds (near-dup components are small — pairs and short chains — so
+    this is 1-3 rounds in practice, max_iters is a safety bound). Each
+    round is one join + one aggregate on the edge list; localCheckpoint
+    cuts lineage so plan depth stays constant across iterations. The
+    per-round driver-side `count()` is iteration CONTROL (a scalar), not a
+    data collect."""
+    pairs = minhash_lsh_dedup(docs, text_col, id_col, threshold).select("id_a", "id_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("id_a").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nmin = (
+            edges.join(labels, edges["id_b"] == labels["node"])
+            .groupBy("id_a")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new = (
+            labels.join(nmin, labels["node"] == nmin["id_a"], "left")
+            .select("node", F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "old"), "node")
+            .filter(F.col("lbl") < F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"))

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from aws_kinesis_spark.functions import text as TX
 from aws_kinesis_spark.operators.dedup import (
+    neardup_clusters,
     embedding_neardup,
     exact_dedup,
     minhash_lsh_dedup,
@@ -552,3 +553,34 @@ def g09_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test").alias("split"),
     )
+
+
+@register(
+    "g10_dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_DUCK_SHINGLES},
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+        ),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        reach AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        )
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        FROM reach GROUP BY u
+    """,
+)
+def g10_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 completion: connected components over the near-dup pair graph —
+    each document in any pair mapped to its component's min id (the
+    canonical keeper). Spark side is iterative min-label propagation
+    (operators/dedup.py:neardup_clusters); the oracle is the recursive-CTE
+    transitive closure, proving the distributed loop computes the exact
+    graph answer."""
+    return neardup_clusters(load(spark, sf_dir, "documents"), threshold=0.7)
