@@ -47,6 +47,24 @@ def split_errors(decoded: DataFrame, corrupt_col: str = "_corrupt") -> tuple[Dat
     return ok, bad
 
 
+def purge_batch(lake_dir: str, batch_id: int) -> None:
+    """Make a batch replay idempotent across partition-value changes.
+
+    Partition columns derive from processing time (README.md:130), so a
+    replayed flush in a later hour writes to DIFFERENT subpartitions than the
+    first attempt; dynamic partition overwrite alone would leave the first
+    attempt's files behind — duplicates, violating the reference's
+    "zero duplicates" invariant (README.md:204). Deleting the batch-scoped
+    prefixes first makes replay exact regardless of when it runs. The
+    manifest is rewritten after the data lands, so manifest readers
+    (README.md:429) still only ever see a fully-committed batch.
+    """
+    for sub in ("data", "errors", "raw"):
+        shutil.rmtree(
+            os.path.join(lake_dir, sub, f"batch={batch_id}"), ignore_errors=True
+        )
+
+
 def _list_parquet_files(root: str) -> list[str]:
     out: list[str] = []
     for dirpath, _dirs, files in os.walk(root):
@@ -104,12 +122,15 @@ def run_lake_batch(
     """One buffer flush through the lake path (README.md:266-303):
     decode -> DLQ split -> partitioned snappy parquet -> manifest -> backup.
 
-    Idempotent per batch_id: data lands under data/batch=<id>/ subpartitions
-    and is overwritten on replay (dynamic partition overwrite), so a retried
+    Idempotent per batch_id: the batch-scoped prefixes are purged before the
+    rewrite (see purge_batch — partition values derive from processing time,
+    so replay in a later hour would otherwise strand the first attempt's
+    files), then data lands under data/batch=<id>/ subpartitions. A retried
     flush produces zero duplicates (README.md:204).
     """
     spark = env.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    purge_batch(lake_dir, batch_id)
 
     decoded = decode_envelope(env)
     ok, bad = split_errors(decoded)

@@ -20,6 +20,7 @@ from aws_kinesis_spark.sources.envelope import ENVELOPE_SCHEMA, decode_envelope
 from aws_kinesis_spark.sources.lake import (
     PARTITION_COLS,
     _list_parquet_files,
+    purge_batch,
     split_errors,
     with_partition_cols,
     write_manifest,
@@ -53,12 +54,16 @@ def start_lake_path(
     (README.md:429 "readers consume manifest, never folder"): files first,
     manifest second, keyed on batchId so a replayed batch overwrites
     idempotently instead of duplicating (README.md:204) — Spark's checkpoint
-    WAL provides resume-after-sequence (README.md:305-309).
+    WAL provides resume-after-sequence (README.md:305-309). The batch-scoped
+    prefixes are purged before rewrite (purge_batch): partition values derive
+    from processing time, so a replay in a later hour would otherwise strand
+    the first attempt's files in the earlier hour's subpartitions.
     """
 
     def flush(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        purge_batch(lake_dir, batch_id)
         decoded = decode_envelope(batch_df)
         ok, bad = split_errors(decoded)
         ok = with_partition_cols(ok.drop("data")).withColumn("batch", F.lit(batch_id))

@@ -91,6 +91,39 @@ def test_replay_idempotence(spark, envelope, tmp_path):
     assert back.select("id").distinct().count() == s1.n_ok
 
 
+def test_replay_idempotent_across_hour_boundary(spark, envelope, tmp_path):
+    """Replay in a LATER hour must not strand the first attempt's files
+    (README.md:204 "zero duplicates"). Partition values derive from
+    processing time, so the replayed flush writes different subpartitions;
+    simulate the earlier attempt by planting its files in an hour partition
+    the replay won't touch, then assert the replay purges them."""
+    lake = str(tmp_path / "lake")
+    s1 = run_lake_batch(envelope, lake, batch_id=3)
+
+    # plant "first attempt in a different hour": copy batch=3's real files
+    # into an hour subpartition two hours earlier than anything current
+    import shutil
+
+    batch_root = os.path.join(lake, "data", "batch=3")
+    a_leaf = next(
+        os.path.join(dp) for dp, _d, fs in os.walk(batch_root)
+        if any(f.endswith(".parquet") for f in fs)
+    )
+    stale_leaf = os.path.join(batch_root, "year=1970", "month=1", "day=1", "hour=0")
+    shutil.copytree(a_leaf, stale_leaf)
+    dup_count = spark.read.parquet(batch_root).count()
+    assert dup_count > s1.n_ok  # duplicates present pre-replay
+
+    s2 = run_lake_batch(envelope, lake, batch_id=3)
+    assert s2.n_ok == s1.n_ok
+    assert not os.path.exists(stale_leaf)
+    back = read_via_manifest(spark, lake, 3)
+    assert back.count() == s1.n_ok
+    assert back.select("id").distinct().count() == s1.n_ok
+    # the whole batch prefix holds exactly one copy too (folder readers)
+    assert spark.read.parquet(batch_root).count() == s1.n_ok
+
+
 def test_catalog_registration_and_pruned_query(spark, envelope, tmp_path):
     """A10 + D3: register the lake, run a partition-pruned point query and
     check the plan actually prunes (PartitionFilters reach the scan)."""
