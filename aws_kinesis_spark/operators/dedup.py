@@ -207,25 +207,52 @@ def simhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """64-bit SimHash per document: bit i = sign of the sum over shingles of
-    (+1 if bit i of xxhash64(shingle) else -1). Pure JVM aggregation."""
-    sh = docs.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n).select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__s")
+    (+1 if bit i of xxhash64(shingle) else -1).
+
+    Plan shape: NO explode/groupBy — the same shuffle-free discipline as
+    minhash_signatures. One `aggregate` pass folds a 64-long set-bit-count
+    vector over the in-row shingle-hash array (zip_with adds each hash's
+    bit vector); the signature long is then rebuilt from the counts with a
+    second in-row fold. sum_i = 2*cnt_i - n, so bit i is set iff
+    2*cnt_i > n — identical math to the exploded form, but a pure
+    projection that never leaves the scan stage. At 100 TB this avoids
+    shuffling billions of exploded shingle rows through a 64-column agg."""
+    hashed = docs.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n).select(
+        F.col(id_col),
+        F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)).alias(
+            "__hs"
+        ),
     )
-    h = F.xxhash64("__s")
-    bit_sums = [
-        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
-            f"s{i}"
-        )
-        for i in range(64)
-    ]
-    sums = sh.groupBy(id_col).agg(*bit_sums)
-    sig = F.lit(0).cast("long")
-    for i in range(64):
-        # bit 63 is the sign bit: adding -(2^63) sets it in two's complement
-        sig = sig + F.when(
-            F.col(f"s{i}") > 0, F.lit(2**i if i < 63 else -(2**63)).cast("long")
-        ).otherwise(0)
-    return sums.select(F.col(id_col), sig.alias("simhash"))
+    zero64 = F.array_repeat(F.lit(0).cast("long"), 64)
+    counts = F.aggregate(
+        "__hs",
+        zero64,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long")
+                    for i in range(64)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    n = F.size("__hs")
+    # bit 63 is the sign bit: adding -(2^63) sets it in two's complement
+    weights = F.array(
+        *[F.lit(2**i if i < 63 else -(2**63)).cast("long") for i in range(64)]
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            counts,
+            weights,
+            lambda c, w: F.when(c * 2 > n, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_dedup(

@@ -205,6 +205,18 @@ def test_minhash_signatures_are_shuffle_free(spark):
     assert "Generate" not in plan, "signature stage must not explode shingles"
 
 
+def test_simhash_signatures_are_shuffle_free(spark):
+    """SimHash signatures must be a pure projection (aggregate/zip_with over
+    the in-row shingle-hash array), not an explode+groupBy — same 100 TB
+    discipline as the minhash signature stage."""
+    from aws_kinesis_spark.operators.dedup import simhash_signatures
+
+    docs = load(spark, SF, "documents")
+    plan = _plan(simhash_signatures(docs), "simple")
+    assert "Exchange" not in plan, "signature stage must not shuffle"
+    assert "Generate" not in plan, "signature stage must not explode shingles"
+
+
 def test_embedding_neardup_has_no_cross_join(spark):
     """Exact all-pairs near-dup must run as the blocked matmul — any
     BroadcastNestedLoopJoin/CartesianProduct regression is the O(n^2)-rows
