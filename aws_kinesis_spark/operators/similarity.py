@@ -19,7 +19,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import ArrayType, IntegerType
 
 from aws_kinesis_spark.functions.vectors import cosine
 
@@ -99,15 +99,19 @@ def knn_ivf(
     centroid (one Arrow-batched matmul pass — no shuffle), then search each
     query only inside its nprobe closest cells.
 
-    Scale shape: centroids broadcast to executors inside the UDF closure;
+    Scale shape: centroids broadcast to executors inside the UDF closures;
     the corpus is partition-pruned to probed cells by an equi-join on
-    cluster id (broadcast probe list). nprobe/nlist is the recall dial —
-    recall vs knn_bruteforce is measured in tests/test_ext.py."""
+    cluster id. Probe-cell assignment runs executor-side with the same
+    broadcast-centroid matmul as the corpus assignment — the query table is
+    never collected, so it can be arbitrarily large. nprobe/nlist is the
+    recall dial — recall vs knn_bruteforce is measured in tests/test_ext.py.
+    The only collect is the bounded train_rows centroid-training sample."""
     train = np.array(
         [r[0] for r in corpus.select(vec_col).limit(train_rows).collect()],
         dtype=np.float64,
     )
     cent = _spherical_kmeans(train, nlist=min(nlist, len(train)))
+    n_cells = len(cent)
 
     @F.pandas_udf(IntegerType())
     def nearest_cell(vecs: pd.Series) -> pd.Series:
@@ -119,19 +123,18 @@ def knn_ivf(
         F.col(id_col), F.col(vec_col), nearest_cell(F.col(vec_col)).alias("__cell")
     )
 
-    # queries are few: compute their probe cells driver-side
-    qrows = queries.select(query_id_col, vec_col).collect()
-    probes = []
-    for r in qrows:
-        qv = np.asarray(r[1], dtype=np.float64)
-        qv = qv / max(np.linalg.norm(qv), 1e-12)
-        top = np.argsort(-(cent @ qv))[:nprobe]
-        probes.extend((r[0], int(c)) for c in top)
-    spark = corpus.sparkSession
-    probe_df = spark.createDataFrame(probes, f"{query_id_col} long, __cell int")
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        top = np.argsort(-(x @ cent.T), axis=1)[:, : min(nprobe, n_cells)]
+        return pd.Series([t.tolist() for t in top.astype(np.int32)])
+
     qdf = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
-    ).join(probe_df, query_id_col)
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(probe_cells(F.col(vec_col))).alias("__cell"),
+    )
 
     cand = assigned.join(F.broadcast(qdf), "__cell").filter(
         F.col(id_col) != F.col(query_id_col)
