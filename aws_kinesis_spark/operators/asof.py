@@ -29,6 +29,13 @@ def asof_join(
     sorts last by ``value_cols[0]``.
 
     Returns all left columns plus ``{c}{suffix}`` for each value col.
+
+    The right row's value columns are packed into ONE struct carried by a
+    single ``last(ignorenulls=True)`` — per-column carry-forward would
+    stitch values from DIFFERENT right rows whenever the latest right row
+    holds a NULL in one column (that column would backfill from an older
+    row), diverging from ASOF semantics. The struct itself is non-null for
+    every right row, so a NULL field in the matched row stays NULL.
     """
     by = list(by)
     out_cols = [f"{c}{suffix}" for c in value_cols]
@@ -37,17 +44,19 @@ def asof_join(
         *by,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(o) for c, o in zip(value_cols, out_cols)],
+        F.struct(
+            *[F.col(c).alias(o) for c, o in zip(value_cols, out_cols)]
+        ).alias("__vals"),
     )
     left_cols = left.columns
     l = left.select(
         *by,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(r.schema[o].dataType).alias(o) for o in out_cols],
+        F.lit(None).cast(r.schema["__vals"].dataType).alias("__vals"),
         *[F.col(c) for c in left_cols if c not in by],
     )
-    r = r.select(*by, "__ts", "__side", *out_cols, *[
+    r = r.select(*by, "__ts", "__side", "__vals", *[
         F.lit(None).cast(left.schema[c].dataType).alias(c)
         for c in left_cols
         if c not in by
@@ -58,19 +67,19 @@ def asof_join(
     # among right ties the last by sort order is carried forward.
     w = (
         Window.partitionBy(*by)
-        .orderBy("__ts", "__side", out_cols[0])
+        .orderBy("__ts", "__side", F.col(f"__vals.{out_cols[0]}"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
         *by,
         "__ts",
         "__side",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_cols],
+        F.last("__vals", ignorenulls=True).over(w).alias("__vals"),
         *[c for c in left_cols if c not in by],
     )
     return filled.filter(F.col("__side") == 1).select(
         *by,
         F.col("__ts").alias(left_ts),
         *[c for c in left_cols if c not in by and c != left_ts],
-        *out_cols,
+        *[F.col(f"__vals.{o}").alias(o) for o in out_cols],
     )

@@ -99,3 +99,30 @@ def test_asof_join_matches_naive(spark_session, left, right):
         cands = [(ts, v) for (rk, ts, v) in right if rk == k and ts <= lts]
         want = max(cands)[1] if cands else None
         assert got.get(i) == want, (i, k, lts, got.get(i), want)
+
+
+def test_asof_join_null_field_not_backfilled(spark_session):
+    """D15 regression: when the MATCHED right row carries a NULL value
+    column, that NULL must survive — per-column carry-forward would stitch
+    the NULL field from an older right row, returning a value combination
+    that exists in no right row (the ASOF-semantics divergence flagged in
+    round-2 review)."""
+    import datetime as dt
+
+    from aws_kinesis_spark.operators.asof import asof_join
+
+    base = dt.datetime(2025, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)
+    right = spark_session.createDataFrame(
+        [(1, t(10), 100, "old"), (1, t(20), None, "new")],
+        "k LONG, ts TIMESTAMP, price INT, tag STRING",
+    )
+    left = spark_session.createDataFrame([(1, t(30), 7)], "k LONG, ts TIMESTAMP, lid LONG")
+    out = asof_join(
+        left, right, by=["k"], left_ts="ts", right_ts="ts",
+        value_cols=["price", "tag"], suffix="_r",
+    ).collect()
+    assert len(out) == 1
+    # the t=20 row is the match: tag comes from it AND its NULL price stays
+    assert out[0]["tag_r"] == "new"
+    assert out[0]["price_r"] is None
