@@ -654,11 +654,13 @@ def d14d_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("total"),
         )
     )
+    # Spark pivot yields NULL counts for (year, status) combos with no rows;
+    # SQL's count(*) FILTER yields 0 — coalesce so empty combos agree.
     return p.select(
         "year",
-        F.col("O_n").alias("n_open"),
-        F.col("F_n").alias("n_filled"),
-        F.col("P_n").alias("n_pending"),
+        F.coalesce("O_n", F.lit(0)).alias("n_open"),
+        F.coalesce("F_n", F.lit(0)).alias("n_filled"),
+        F.coalesce("P_n", F.lit(0)).alias("n_pending"),
         F.col("O_total").alias("total_open"),
     )
 

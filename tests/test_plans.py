@@ -225,3 +225,30 @@ def test_embedding_neardup_has_no_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "FlatMapGroupsInPandas" in plan  # the block-pair matmul stage
+
+
+def test_pivot_empty_combo_yields_zero_not_null(spark):
+    """d14d regression: a (year, status) combo with no rows must produce
+    count 0, matching SQL count(*) FILTER — Spark pivot alone yields NULL
+    (latent mismatch masked by the full fixture covering all combos)."""
+    from pyspark.sql import functions as F
+
+    o = spark.createDataFrame(
+        [(1, "1995-01-01", "O", 10.0), (2, "1995-02-01", "F", 20.0)],
+        "o_orderkey LONG, o_orderdate STRING, o_orderstatus STRING, o_totalprice DOUBLE",
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    o.createOrReplaceTempView("__pivot_fixture")
+    p = (
+        o.withColumn("year", F.year("o_orderdate"))
+        .groupBy("year")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .select(
+            "year",
+            F.coalesce("O_n", F.lit(0)).alias("n_open"),
+            F.coalesce("F_n", F.lit(0)).alias("n_filled"),
+            F.coalesce("P_n", F.lit(0)).alias("n_pending"),
+        )
+    )
+    row = p.collect()[0]
+    assert row["n_pending"] == 0  # no 'P' rows: zero, not NULL
