@@ -45,7 +45,9 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
     v = _current_version(rollup_dir)
     if v is None:
         return spark.createDataFrame([], ROLLUP_SCHEMA)
-    return spark.read.parquet(os.path.join(rollup_dir, f"v{v}"))
+    return spark.read.parquet(os.path.join(rollup_dir, f"v{v}")).select(
+        "hour_start", "event_type", "n_events", "sum_value"
+    )
 
 
 def start_continuous_rollup(
@@ -83,7 +85,11 @@ def start_continuous_rollup(
             if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id
         ]
         if prev:
-            current = spark.read.parquet(os.path.join(rollup_dir, f"v{max(prev)}"))
+            # select away the day partition column so the combine schema
+            # stays the logical rollup schema
+            current = spark.read.parquet(
+                os.path.join(rollup_dir, f"v{max(prev)}")
+            ).select("hour_start", "event_type", "n_events", "sum_value")
         else:
             current = spark.createDataFrame([], ROLLUP_SCHEMA)
         combined = (
@@ -95,9 +101,18 @@ def start_continuous_rollup(
             )
         )
         # version = batchId so a replayed batch rewrites its own version
-        # instead of double-counting (README.md:204 zero-duplicates)
+        # instead of double-counting (README.md:204 zero-duplicates).
+        # Partitioned by day: writers parallelize across time buckets
+        # (repartition(1) would serialize every version through one task)
+        # and readers prune to the days they query.
         vdir = os.path.join(rollup_dir, f"v{batch_id}")
-        combined.repartition(1).write.mode("overwrite").parquet(vdir)
+        (
+            combined.withColumn("day", F.to_date("hour_start"))
+            .repartition("day")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(vdir)
+        )
         tmp = os.path.join(rollup_dir, f"._CURRENT.{batch_id}")
         with open(tmp, "w") as fh:
             json.dump({"version": batch_id}, fh)

@@ -46,7 +46,14 @@ def make_buffer_fn(max_records: int, max_bytes: int):
         # flush boundaries are deterministic. Batch size is bounded by the
         # trigger (maxFilesPerTrigger), so this buffers one micro-batch's
         # shard, not the stream.
-        batch = pd.concat(list(pdfs)) if pdfs else pd.DataFrame(columns=["n_bytes"])
+        # materialize first: a generator is always truthy, so `if pdfs` would
+        # pass even when empty and pd.concat([]) raises
+        chunks = list(pdfs)
+        batch = (
+            pd.concat(chunks)
+            if chunks
+            else pd.DataFrame(columns=["sequence_number", "n_bytes"])
+        )
         batch = batch.sort_values("sequence_number") if len(batch) else batch
         for sz in batch["n_bytes"]:
             count += 1
