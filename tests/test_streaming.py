@@ -246,6 +246,67 @@ def test_stream_source_factory(spark, env_input):
         stream_source(spark, kind="tape")
 
 
+def test_kinesis_branch_contract(spark, monkeypatch):
+    """A1/A3 contract: the kind='kinesis' branch must pass every connector
+    option through and cast the connector's raw columns
+    (data/partitionKey/sequenceNumber/approximateArrivalTimestamp) into
+    ENVELOPE_SCHEMA. The connector jar can't ship in this container, so the
+    reader is mocked — but load() returns a REAL DataFrame with the
+    connector's output schema, so the selectExpr cast executes genuinely."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from aws_kinesis_spark.sources.envelope import ENVELOPE_SCHEMA
+    from aws_kinesis_spark.sources.kinesis import stream_source
+
+    raw = spark.createDataFrame(
+        [
+            (
+                bytearray(b"eyJkYXRhIjp7fX0="),
+                "sales-orders-98765",
+                "396279487123456789012345678901",
+                dt.datetime(2025, 1, 1, 12, 0, 27),
+            )
+        ],
+        "data BINARY, partitionKey STRING, sequenceNumber STRING, "
+        "approximateArrivalTimestamp TIMESTAMP",
+    )
+    captured: dict = {"options": {}}
+
+    class FakeReader:
+        def format(self, fmt):
+            captured["format"] = fmt
+            return self
+
+        def option(self, k, v):
+            captured["options"][k] = v
+            return self
+
+        def load(self):
+            return raw
+
+    monkeypatch.setattr(
+        type(spark), "readStream", property(lambda self: FakeReader())
+    )
+    opts = {
+        "streamName": "orders-stream",
+        "region": "us-east-1",
+        "startingPosition": "TRIM_HORIZON",
+        "consumerArn": "arn:aws:kinesis:us-east-1:1:stream/orders/consumer/efo:1",
+    }
+    out = stream_source(spark, kind="kinesis", **opts)
+    assert captured["format"] == "kinesis"
+    assert captured["options"] == opts
+    assert [(f.name, f.dataType) for f in out.schema.fields] == [
+        (f.name, f.dataType) for f in ENVELOPE_SCHEMA.fields
+    ]
+    row = out.collect()[0]
+    # the 30-digit sequence survives the DECIMAL(38,0) cast exactly
+    assert row["sequence_number"] == Decimal("396279487123456789012345678901")
+    assert row["partition_key"] == "sales-orders-98765"
+    assert bytes(row["data"]) == b"eyJkYXRhIjp7fX0="
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """E4 (README.md:48, 156): append-mode windowed agg with a 30 min
     watermark — an event arriving after the watermark passed its window is
