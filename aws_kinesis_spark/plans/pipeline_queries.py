@@ -575,3 +575,44 @@ def a12_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("year").agg(
         F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
     )
+
+
+# --------------------------------------------------------------------------
+# A13: dynamic key-derived partitioning (per-table folders)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "a13_dynamic_table_partitioning",
+    oracle="""
+        SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'orders' ELSE 'returns' END AS tbl,
+               count(*) AS n,
+               count(DISTINCT o_orderkey) AS n_ids
+        FROM orders
+        GROUP BY 1
+    """,
+)
+def a13_dynamic_table_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partitioning (README.md:157, 434 — the
+    ``!{partitionKeyFromLambda:path}`` per-table-folder template): a mixed
+    CDC stream whose composite keys name two tables flushes through the lake
+    with ``dynamic_tables=True``; the re-read lake is grouped by the
+    ``table`` hive partition, so the counts come from the FOLDER layout the
+    dynamic partitioner produced, not from re-deriving the key."""
+    from aws_kinesis_spark.sources.lake import run_lake_batch
+
+    env = synthesize_envelope(load(spark, sf_dir, "orders"))
+    # alternate records between two payload-derived tables
+    mixed = env.withColumn(
+        "partition_key",
+        F.when(
+            F.element_at(F.split("partition_key", "-"), 3).cast("long") % 2 == 0,
+            F.col("partition_key"),
+        ).otherwise(F.regexp_replace("partition_key", "-orders-", "-returns-")),
+    )
+    lake = tempfile.mkdtemp(prefix="kinesis_dynlake_")
+    run_lake_batch(mixed, lake, batch_id=0, raw_backup=False, dynamic_tables=True)
+    back = spark.read.parquet(os.path.join(lake, "data", "batch=0"))
+    return back.groupBy(F.col("table").alias("tbl")).agg(
+        F.count("*").alias("n"), F.countDistinct("id").alias("n_ids")
+    )

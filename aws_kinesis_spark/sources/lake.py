@@ -39,6 +39,15 @@ def with_partition_cols(df: DataFrame, ts_col: str = "processed_at") -> DataFram
     )
 
 
+def table_from_key(key_col: str = "partition_key") -> F.Column:
+    """Record-derived table name from the composite ``schema-table-id``
+    partition key (README.md:75, 225): ``sales-orders-98765`` -> ``orders``.
+    This is the reference's dynamic-partitioning template
+    ``!{partitionKeyFromLambda:path}`` -> per-table folders
+    (README.md:157, 434)."""
+    return F.element_at(F.split(key_col, "-"), 2)
+
+
 def split_errors(decoded: DataFrame, corrupt_col: str = "_corrupt") -> tuple[DataFrame, DataFrame]:
     """DLQ split (README.md:134, 156): parse failures are quarantined with an
     error prefix, never dropped silently — 'zero records lost'."""
@@ -118,9 +127,16 @@ def run_lake_batch(
     lake_dir: str,
     batch_id: int = 0,
     raw_backup: bool = True,
+    dynamic_tables: bool = False,
 ) -> FlushStats:
     """One buffer flush through the lake path (README.md:266-303):
     decode -> DLQ split -> partitioned snappy parquet -> manifest -> backup.
+
+    ``dynamic_tables=True`` enables the reference's dynamic partitioning
+    (README.md:157, 434): the table name derived from each record's
+    composite partition key becomes the leading hive partition, so the lake
+    grows per-table folders (``table=orders/year=…``) and table-scoped reads
+    prune everything else.
 
     Idempotent per batch_id: the batch-scoped prefixes are purged before the
     rewrite (see purge_batch — partition values derive from processing time,
@@ -136,12 +152,16 @@ def run_lake_batch(
     ok, bad = split_errors(decoded)
     # the lake stores decoded columns; the raw payload lives in the backup
     ok = with_partition_cols(ok.drop("data")).withColumn("batch", F.lit(batch_id))
+    part_cols = list(PARTITION_COLS)
+    if dynamic_tables:
+        ok = ok.withColumn("table", table_from_key())
+        part_cols = ["table", *part_cols]
 
     data_dir = os.path.join(lake_dir, "data")
     (
-        ok.repartition(*PARTITION_COLS)
+        ok.repartition(*part_cols)
         .write.mode("overwrite")
-        .partitionBy("batch", *PARTITION_COLS)
+        .partitionBy("batch", *part_cols)
         .option("compression", "snappy")
         .parquet(data_dir)
     )

@@ -240,3 +240,33 @@ def test_compaction_binpacks_partition_without_changing_rows(spark, tmp_path):
     assert after_rows == before_rows
     assert not os.path.exists(part_dir + ".compact.tmp")
     assert not os.path.exists(part_dir + ".compact.old")
+
+
+def test_dynamic_table_partitioning_creates_per_table_folders(spark, envelope, tmp_path):
+    """A13 (README.md:157, 434): dynamic_tables=True must grow per-table
+    hive folders derived from the record's composite key, and a table-scoped
+    read must partition-prune to that folder."""
+    from aws_kinesis_spark.sources.lake import run_lake_batch
+
+    lake = str(tmp_path / "lake")
+    mixed = envelope.withColumn(
+        "partition_key",
+        F.when(
+            F.element_at(F.split("partition_key", "-"), 3).cast("long") % 2 == 0,
+            F.col("partition_key"),
+        ).otherwise(F.regexp_replace("partition_key", "-orders-", "-returns-")),
+    )
+    stats = run_lake_batch(mixed, lake, batch_id=0, raw_backup=False, dynamic_tables=True)
+
+    batch_root = os.path.join(lake, "data", "batch=0")
+    tables = sorted(d for d in os.listdir(batch_root) if d.startswith("table="))
+    assert tables == ["table=orders", "table=returns"]
+    # folder content matches the key-derived split exactly
+    back = spark.read.parquet(batch_root)
+    n_even = back.filter((F.col("id") % 2 == 0) & (F.col("table") == "orders")).count()
+    assert n_even == back.filter(F.col("table") == "orders").count()
+    assert back.count() == stats.n_ok
+    # a table-scoped read partition-prunes (PartitionFilters on `table`)
+    scoped = back.filter(F.col("table") == "returns").select("id")
+    plan = scoped._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "table" in plan
