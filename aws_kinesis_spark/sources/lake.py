@@ -209,6 +209,95 @@ def register_lake_table(spark: SparkSession, name: str, lake_dir: str) -> None:
     spark.read.parquet(os.path.join(lake_dir, "data")).createOrReplaceTempView(name)
 
 
+@dataclass
+class ExpiryStats:
+    """Retention-enforcement accounting: what one expiry sweep removed."""
+
+    n_partitions: int
+    n_files: int
+    n_bytes: int
+    n_manifests_rewritten: int
+
+
+def expire_partitions(
+    lake_dir: str,
+    retention_hours: int,
+    now,  # datetime — injectable so tests pin the clock
+) -> ExpiryStats:
+    """Retention enforcement (README.md:9, 60, 83: records are replayable
+    within the 7-365-day retention window and age out beyond it). Deletes
+    every hour leaf partition (``year=/month=/day=/hour=``) whose WHOLE hour
+    lies before ``now - retention_hours``, then rewrites any manifest that
+    listed expired files so manifest readers (README.md:429) never see a
+    dangling entry. recordCount is reset to -1 (unknown) on rewritten
+    manifests rather than re-scanned.
+
+    Driver-side work is O(partition dirs + manifests), independent of row
+    count — the same listing cost the flush already pays; no Spark job runs.
+    """
+    import datetime as dt
+    import re
+
+    horizon = now - dt.timedelta(hours=retention_hours)
+    data_dir = os.path.join(lake_dir, "data")
+    pat = re.compile(r"year=(\d+)/month=(\d+)/day=(\d+)/hour=(\d+)$")
+    expired_dirs: list[str] = []
+    n_files = n_bytes = 0
+    for dirpath, _dirs, files in os.walk(data_dir):
+        m = pat.search(dirpath.replace(os.sep, "/"))
+        if not m:
+            continue
+        y, mo, d, h = map(int, m.groups())
+        try:
+            part_end = dt.datetime(y, mo, d, h) + dt.timedelta(hours=1)
+        except ValueError:  # planted/garbage partition values: leave alone
+            continue
+        if part_end <= horizon:
+            expired_dirs.append(dirpath)
+            for f in files:
+                if f.endswith(".parquet"):
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(dirpath, f))
+    expired_set = set(expired_dirs)
+    for d in expired_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+        # prune now-empty parents up to (not including) data/
+        parent = os.path.dirname(d)
+        while parent != data_dir and not os.listdir(parent):
+            os.rmdir(parent)
+            parent = os.path.dirname(parent)
+
+    # drop dangling entries from manifests (atomic rewrite, same protocol)
+    n_rewritten = 0
+    manifest_dir = os.path.join(lake_dir, "_manifests")
+    if os.path.isdir(manifest_dir) and expired_set:
+        for name in sorted(os.listdir(manifest_dir)):
+            if not name.startswith("manifest-") or not name.endswith(".json"):
+                continue
+            path = os.path.join(manifest_dir, name)
+            with open(path) as fh:
+                payload = json.load(fh)
+            kept = [
+                e for e in payload["entries"] if os.path.dirname(e["url"]) not in expired_set
+            ]
+            if len(kept) == len(payload["entries"]):
+                continue
+            payload["entries"] = kept
+            payload["recordCount"] = -1
+            payload["totalBytes"] = sum(os.path.getsize(e["url"]) for e in kept)
+            fd, tmp = tempfile.mkstemp(dir=manifest_dir, suffix=".tmp")
+            with os.fdopen(fd, "w") as fh:
+                json.dump(payload, fh, indent=1)
+            os.replace(tmp, path)
+            n_rewritten += 1
+    return ExpiryStats(
+        n_partitions=len(expired_dirs),
+        n_files=n_files,
+        n_bytes=n_bytes,
+        n_manifests_rewritten=n_rewritten,
+    )
+
+
 def compact_lake_partition(
     spark: SparkSession,
     lake_dir: str,

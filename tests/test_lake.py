@@ -270,3 +270,53 @@ def test_dynamic_table_partitioning_creates_per_table_folders(spark, envelope, t
     scoped = back.filter(F.col("table") == "returns").select("id")
     plan = scoped._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "table" in plan
+
+
+def test_retention_expiry_removes_old_partitions_and_heals_manifests(
+    spark, envelope, tmp_path
+):
+    """B7-retention (README.md:9, 60, 83): hour partitions wholly older than
+    the retention horizon are deleted, manifests drop the dangling entries
+    atomically, and in-retention data is untouched."""
+    import datetime as dt
+    import shutil as sh
+
+    from aws_kinesis_spark.sources.lake import expire_partitions
+
+    lake = str(tmp_path / "lake")
+    stats = run_lake_batch(envelope, lake, batch_id=0, raw_backup=False)
+
+    # plant an expired hour leaf holding real parquet + a manifest entry
+    batch_root = os.path.join(lake, "data", "batch=0")
+    live_leaf = next(
+        dp for dp, _d, fs in os.walk(batch_root)
+        if any(f.endswith(".parquet") for f in fs)
+    )
+    old_leaf = os.path.join(batch_root, "year=2020", "month=1", "day=2", "hour=5")
+    sh.copytree(live_leaf, old_leaf)
+    mpath = os.path.join(lake, "_manifests", "manifest-0000000000.json")
+    with open(mpath) as fh:
+        manifest = json.load(fh)
+    planted = [
+        os.path.join(old_leaf, f) for f in os.listdir(old_leaf) if f.endswith(".parquet")
+    ]
+    manifest["entries"] += [{"url": p} for p in planted]
+    with open(mpath, "w") as fh:
+        json.dump(manifest, fh)
+
+    ex = expire_partitions(
+        lake, retention_hours=24 * 365, now=dt.datetime(2021, 6, 1)
+    )
+    assert ex.n_partitions == 1 and ex.n_files == len(planted)
+    assert not os.path.exists(old_leaf)
+    # empty parents pruned up to the batch dir
+    assert not os.path.exists(os.path.join(batch_root, "year=2020"))
+    # manifest healed: only live files remain, and the read works
+    assert ex.n_manifests_rewritten == 1
+    healed = read_manifest(lake, 0)
+    assert all(os.path.exists(e["url"]) for e in healed["entries"])
+    assert read_via_manifest(spark, lake, 0).count() == stats.n_ok
+
+    # a second sweep with everything in retention is a no-op
+    ex2 = expire_partitions(lake, retention_hours=24 * 365, now=dt.datetime(2021, 6, 1))
+    assert ex2.n_partitions == 0 and ex2.n_manifests_rewritten == 0
