@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -23,6 +23,91 @@ def staging_upsert(target: DataFrame, staging: DataFrame, keys: Sequence[str]) -
     """
     kept = target.join(staging.select(*keys), list(keys), "left_anti")
     return kept.unionByName(staging)
+
+
+def merge_into_sql(
+    target_table: str,
+    staging_view: str,
+    keys: Sequence[str],
+    columns: Sequence[str] | None = None,
+    delete_op: tuple[str, str] | None = None,
+) -> str:
+    """The ANSI ``MERGE INTO`` statement for the reference's staging upsert
+    (README.md:573-575; SURVEY.md A7 "MERGE INTO on a v2 table").
+
+    ``columns`` are the target's columns (explicit UPDATE SET / INSERT
+    lists — required when staging carries extra columns like the CDC op);
+    with None both clauses use ``*``. ``delete_op=(col, value)`` adds a
+    WHEN MATCHED AND col = value THEN DELETE clause and guards the insert
+    so unmatched delete markers are ignored (CDC delete routing,
+    README.md:224 metadata.op)."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    guard = f" AND s.{delete_op[0]} <> '{delete_op[1]}'" if delete_op else ""
+    delete = (
+        f"WHEN MATCHED AND s.{delete_op[0]} = '{delete_op[1]}' THEN DELETE\n"
+        if delete_op
+        else ""
+    )
+    if columns:
+        update = "UPDATE SET " + ", ".join(f"t.{c} = s.{c}" for c in columns)
+        insert = (
+            "INSERT ("
+            + ", ".join(columns)
+            + ") VALUES ("
+            + ", ".join(f"s.{c}" for c in columns)
+            + ")"
+        )
+    else:
+        update, insert = "UPDATE SET *", "INSERT *"
+    return (
+        f"MERGE INTO {target_table} t\n"
+        f"USING {staging_view} s\n"
+        f"ON {on}\n"
+        f"{delete}"
+        f"WHEN MATCHED{guard} THEN {update}\n"
+        f"WHEN NOT MATCHED{guard} THEN {insert}"
+    )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_table: str,
+    staging: DataFrame,
+    keys: Sequence[str],
+    delete_op: tuple[str, str] | None = None,
+) -> DataFrame:
+    """A7 MERGE-INTO variant: run the ANSI MERGE when the target's catalog
+    supports it (Delta/Iceberg-style v2 tables); on a v1 catalog (plain
+    parquet tables — this environment) fall back to the semantically
+    identical plan: latest-staging-row-per-key resolved against the target
+    via anti-join + union, deletes dropped.
+
+    Staging is expected to hold at most one row per key (pre-collapse a CDC
+    changelog with apply_cdc) — multiple matches are a MERGE cardinality
+    error on v2 and nondeterministic in any engine.
+
+    Returns the post-merge table state as a DataFrame. The fallback never
+    writes in place (v1 tables can't); callers persist the result — which is
+    exactly the reference's staging-swap discipline. Both paths shuffle only
+    on the key and broadcast the staging side when small."""
+    target = spark.table(target_table)
+    view = f"__staging_{abs(hash((target_table, tuple(keys)))) % 10**8}"
+    staging.createOrReplaceTempView(view)
+    sql = merge_into_sql(target_table, view, keys, target.columns, delete_op)
+    try:
+        spark.sql(sql)
+        return spark.table(target_table)
+    except Exception:
+        # v1 catalog: MERGE INTO unsupported — rewrite to the equivalent
+        # relational plan (README.md:573-575 DELETE-USING + INSERT-SELECT)
+        if delete_op:
+            col, val = delete_op
+            keep = staging.filter(F.col(col) != val).select(*target.columns)
+            # matched deletes remove the target row; unmatched are ignored
+            dropped_keys = staging.filter(F.col(col) == val).select(*keys)
+            merged = staging_upsert(target, keep, keys)
+            return merged.join(dropped_keys, list(keys), "left_anti")
+        return staging_upsert(target, staging.select(*target.columns), keys)
 
 
 def apply_cdc(

@@ -320,3 +320,36 @@ def test_retention_expiry_removes_old_partitions_and_heals_manifests(
     # a second sweep with everything in retention is a no-op
     ex2 = expire_partitions(lake, retention_hours=24 * 365, now=dt.datetime(2021, 6, 1))
     assert ex2.n_partitions == 0 and ex2.n_manifests_rewritten == 0
+
+
+def test_merge_upsert_fallback_matches_merge_semantics(spark, tmp_path):
+    """A7 MERGE INTO variant: on this v1 catalog the ANSI MERGE is
+    unsupported, so merge_upsert must fall back to the equivalent
+    relational plan — matched rows updated, unmatched inserted, matched
+    delete-marked rows removed, unmatched delete markers ignored. The
+    generated MERGE statement itself must parse as legal Spark SQL."""
+    import uuid
+
+    from aws_kinesis_spark.operators.upsert import merge_into_sql, merge_upsert
+
+    tbl = f"merge_target_{uuid.uuid4().hex[:8]}"
+    spark.sql(
+        f"CREATE TABLE {tbl} (id BIGINT, status STRING) USING parquet "
+        f"LOCATION '{tmp_path}/t'"
+    )
+    try:
+        spark.sql(f"INSERT INTO {tbl} VALUES (1,'a'), (2,'b'), (3,'c')")
+        staging = spark.createDataFrame(
+            [(2, "B", "U"), (4, "new", "I"), (3, None, "D"), (9, "x", "D")],
+            "id LONG, status STRING, op STRING",
+        )
+        out = merge_upsert(spark, tbl, staging, ["id"], delete_op=("op", "D"))
+        got = {(r.id, r.status) for r in out.collect()}
+        assert got == {(1, "a"), (2, "B"), (4, "new")}
+
+        sql = merge_into_sql(tbl, "stg", ["id"], ["id", "status"], ("op", "D"))
+        spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+        sql_plain = merge_into_sql(tbl, "stg", ["id"])
+        spark._jsparkSession.sessionState().sqlParser().parsePlan(sql_plain)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
