@@ -161,7 +161,6 @@ def e04_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     window closes with its 2 on-time events (late event dropped), the
     12:00 window with its 2; the 13:00 window stays open at stream end."""
     import datetime as dt
-    import time as _time
 
     schema = (
         "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
@@ -176,19 +175,32 @@ def e04_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _tmp("e04")
     inp = os.path.join(root, "ev")
+
+    # the file source replays files in modification-time order; stamp each
+    # batch's files with explicit, strictly increasing mtimes so the replay
+    # order is deterministic (sleeping between writes flakes on slow I/O)
+    stamped: set[str] = set()
+
+    def stamp(epoch: int) -> None:
+        for f in os.listdir(inp):
+            if f.endswith(".parquet") and f not in stamped:
+                os.utime(os.path.join(inp, f), (epoch, epoch))
+                stamped.add(f)
+
     # watermark becomes operative one batch after it advances, so the late
     # file is two batch boundaries after the 12:30 advancer
     spark.createDataFrame(batch((10, 5), (10, 40), (12, 30)), schema).coalesce(
         1
     ).write.mode("overwrite").parquet(inp)
-    _time.sleep(1.1)
+    stamp(1_700_000_000)
     spark.createDataFrame(batch((12, 45)), schema).coalesce(1).write.mode(
         "append"
     ).parquet(inp)
-    _time.sleep(1.1)
+    stamp(1_700_000_100)
     spark.createDataFrame(batch((10, 15), (13, 30)), schema).coalesce(1).write.mode(
         "append"
     ).parquet(inp)
+    stamp(1_700_000_200)
 
     agg = (
         event_stream(spark, inp, max_files_per_trigger=1)

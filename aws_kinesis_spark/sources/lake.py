@@ -298,6 +298,35 @@ def expire_partitions(
     )
 
 
+def recover_compaction(lake_dir: str, partition_subdir: str) -> str | None:
+    """Heal a compaction interrupted between its two atomic renames.
+
+    Crash states and their recovery (startup / pre-compaction call):
+    - live dir MISSING + ``.compact.old`` present: the crash hit the swap
+      window — rename the old data back into place (zero loss).
+    - live dir present + ``.compact.old`` present: crash after the second
+      rename — the swap completed; drop the trash copy.
+    - ``.compact.tmp`` present in any state: incomplete rewrite — drop it
+      (the live/old dir still holds every row).
+
+    Returns which action was taken ("restored", "cleaned") or None."""
+    part_dir = os.path.join(lake_dir, partition_subdir)
+    tmp = part_dir + ".compact.tmp"
+    trash = part_dir + ".compact.old"
+    action = None
+    if os.path.exists(trash):
+        if not os.path.exists(part_dir):
+            os.replace(trash, part_dir)
+            action = "restored"
+        else:
+            shutil.rmtree(trash, ignore_errors=True)
+            action = "cleaned"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp, ignore_errors=True)
+        action = action or "cleaned"
+    return action
+
+
 def compact_lake_partition(
     spark: SparkSession,
     lake_dir: str,
@@ -313,11 +342,16 @@ def compact_lake_partition(
     Protocol mirrors the manifest commit's write-then-swap (README.md:413-421):
     rewrite into a temp dir next to the partition, then two atomic renames
     (old -> trash, tmp -> live) so readers see either the old or the new file
-    set, never a mix. Returns (files_before, files_after).
+    set, never a mix. A crash between the two renames leaves the partition
+    absent with its data intact in ``.compact.old`` —
+    ``recover_compaction`` (called here on entry) restores it, so the
+    invariant is "every row is always durable, the live dir may lag one
+    recovery call". Returns (files_before, files_after).
 
     Scale: runs per-partition (parallelize across partitions by calling per
     partition); the rewrite is one coalesce(n) pass with n sized from actual
     bytes, so no shuffle — file assembly only."""
+    recover_compaction(lake_dir, partition_subdir)
     part_dir = os.path.join(lake_dir, partition_subdir)
     files = _list_parquet_files(part_dir)
     if not files:

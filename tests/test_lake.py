@@ -353,3 +353,35 @@ def test_merge_upsert_fallback_matches_merge_semantics(spark, tmp_path):
         spark._jsparkSession.sessionState().sqlParser().parsePlan(sql_plain)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_compaction_crash_window_recovers(spark, tmp_path):
+    """A crash between compaction's two renames leaves the live dir absent
+    and the data in .compact.old; recover_compaction (run on entry to the
+    next compaction) must restore it with zero row loss. Crash after the
+    second rename (stray trash/tmp dirs) must clean up."""
+    import shutil as sh
+
+    from aws_kinesis_spark.sources.lake import compact_lake_partition, recover_compaction
+
+    lake = str(tmp_path / "lake")
+    part = "data/part=a"
+    part_dir = os.path.join(lake, part)
+    ev = load(spark, "/root/testdata/sf0.001", "events").limit(100)
+    ev.repartition(4).write.mode("overwrite").parquet(part_dir)
+    rows = sorted(r.event_id for r in spark.read.parquet(part_dir).collect())
+
+    # simulate the crash window: live dir renamed to trash, tmp half-written
+    sh.move(part_dir, part_dir + ".compact.old")
+    os.makedirs(part_dir + ".compact.tmp")
+    assert recover_compaction(lake, part) == "restored"
+    assert sorted(r.event_id for r in spark.read.parquet(part_dir).collect()) == rows
+    assert not os.path.exists(part_dir + ".compact.old")
+    assert not os.path.exists(part_dir + ".compact.tmp")
+
+    # crash after the swap completed: trash copy remains next to live dir
+    sh.copytree(part_dir, part_dir + ".compact.old")
+    n_before, n_after = compact_lake_partition(spark, lake, part, target_file_bytes=1 << 30)
+    assert (n_before, n_after) == (4, 1)
+    assert sorted(r.event_id for r in spark.read.parquet(part_dir).collect()) == rows
+    assert not os.path.exists(part_dir + ".compact.old")
