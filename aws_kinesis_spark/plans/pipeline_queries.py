@@ -616,3 +616,50 @@ def a13_dynamic_table_partitioning(spark: SparkSession, sf_dir: str) -> DataFram
     return back.groupBy(F.col("table").alias("tbl")).agg(
         F.count("*").alias("n"), F.countDistinct("id").alias("n_ids")
     )
+
+
+# --------------------------------------------------------------------------
+# C10: cost accounting (reference cost snapshots, README.md:323-330, 592-599)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "c10_cost_accounting",
+    oracle="""
+        WITH payload AS (
+            SELECT CASE o_orderkey % 3 WHEN 0 THEN 'I' WHEN 1 THEN 'U' ELSE 'D' END AS op,
+                   length('{"data":{"id":' || o_orderkey || ',"status":"' || o_orderstatus
+                          || '"},"metadata":{"op":"'
+                          || (CASE o_orderkey % 3 WHEN 0 THEN 'I' WHEN 1 THEN 'U' ELSE 'D' END)
+                          || '"}}') AS n
+            FROM orders
+        )
+        SELECT op,
+               count(*) AS n_records,
+               sum(n) AS n_bytes,
+               round(count(*)/1e6*14.0 + sum(n)/1073741824.0*0.08, 8) AS ingest_usd,
+               round(sum(n)/1073741824.0*0.04, 8) AS retrieval_usd,
+               round(count(*)/1e6*3.74, 8) AS transform_usd,
+               round(round(count(*)/1e6*14.0 + sum(n)/1073741824.0*0.08, 8)
+                     + round(sum(n)/1073741824.0*0.04, 8)
+                     + round(count(*)/1e6*3.74, 8), 8) AS total_usd
+        FROM payload GROUP BY 1
+    """,
+)
+def c10_cost_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-op-type cost snapshot (README.md:323-330): ingest, retrieval and
+    transform dollars from record counts and decoded payload bytes — the
+    reference's cost table as one aggregation plus a pure cost projection
+    (functions/cost.py with_cost_cols; no extra shuffle)."""
+    from aws_kinesis_spark.functions.cost import with_cost_cols
+
+    env = synthesize_envelope(load(spark, sf_dir, "orders"))
+    decoded = decode_envelope(env)
+    payload_len = F.length(
+        F.try_to_binary(F.col("data").cast("string"), F.lit("base64")).cast("string")
+    )
+    per_op = decoded.groupBy("op").agg(
+        F.count("*").alias("n_records"),
+        F.sum(payload_len).alias("n_bytes"),
+    )
+    return with_cost_cols(per_op)

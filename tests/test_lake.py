@@ -385,3 +385,25 @@ def test_compaction_crash_window_recovers(spark, tmp_path):
     assert (n_before, n_after) == (4, 1)
     assert sorted(r.event_id for r in spark.read.parquet(part_dir).collect()) == rows
     assert not os.path.exists(part_dir + ".compact.old")
+
+
+def test_lake_cost_report_accounts_for_actual_files(spark, envelope, tmp_path):
+    """C10 (README.md:323-330, 592-599): the manifest-driven cost report
+    prices what actually landed — records, bytes, PUT requests, storage."""
+    from aws_kinesis_spark.functions.cost import CostRates, lake_cost_report
+
+    lake = str(tmp_path / "lake")
+    stats = run_lake_batch(envelope, lake, batch_id=0, raw_backup=False)
+    rep = lake_cost_report(spark, lake).collect()
+    assert len(rep) == 1
+    row = rep[0]
+    assert row["batch_id"] == 0
+    assert row["n_records"] == stats.n_ok
+    assert row["n_files"] == stats.n_files
+    assert row["n_bytes"] == stats.bytes_out
+    # spot-check the arithmetic against the rate card
+    r = CostRates()
+    want_put = round(stats.n_files / 1e3 * r.put_per_k_requests, 8)
+    assert abs(row["put_usd"] - want_put) < 1e-12
+    assert row["total_usd"] > 0
+    assert row["total_usd"] >= row["ingest_usd"] + row["storage_usd_month"]
