@@ -35,6 +35,7 @@ def stream_source(
     kind: str = "file",
     path: str | None = None,
     max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
     **kinesis_options: str,
 ) -> DataFrame:
     """Build the envelope stream from the configured source kind.
@@ -49,7 +50,9 @@ def stream_source(
     if kind == "file":
         if path is None:
             raise ValueError("kind='file' requires path=")
-        return envelope_stream(spark, path, max_files_per_trigger)
+        return envelope_stream(
+            spark, path, max_files_per_trigger, max_bytes_per_trigger
+        )
     if kind == "kinesis":
         reader = spark.readStream.format("kinesis")
         for k, v in kinesis_options.items():

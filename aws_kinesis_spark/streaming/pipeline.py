@@ -28,15 +28,23 @@ from aws_kinesis_spark.sources.lake import (
 
 
 def envelope_stream(
-    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream of envelope records (README.md:222-252). Each file
-    plays the role of one producer PutRecords batch; `maxFilesPerTrigger`
-    bounds micro-batch size like the 64 MB buffer hint (README.md:131)."""
+    plays the role of one producer PutRecords batch. Backpressure dials
+    (B5/B9): ``maxFilesPerTrigger`` bounds batch count like the producer's
+    500-record PutRecords cap (README.md:46); ``maxBytesPerTrigger`` is the
+    reference's SizeInMBs buffer bound (README.md:117, 131 — 64 MB) mapped
+    onto the source, so one micro-batch flushes ~one buffer's worth."""
     configure(spark)
     reader = spark.readStream.schema(ENVELOPE_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if max_bytes_per_trigger:
+        reader = reader.option("maxBytesPerTrigger", int(max_bytes_per_trigger))
     return reader.parquet(input_dir)
 
 
@@ -145,9 +153,13 @@ def start_stream_dedup(
 
 
 def event_stream(
-    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Stream of the events fixture (event-time `ts` already a timestamp)."""
+    """Stream of the events fixture (event-time `ts` already a timestamp).
+    Same backpressure dials as envelope_stream (B5/B9)."""
     configure(spark)
     schema = (
         "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
@@ -156,6 +168,8 @@ def event_stream(
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if max_bytes_per_trigger:
+        reader = reader.option("maxBytesPerTrigger", int(max_bytes_per_trigger))
     return reader.parquet(input_dir)
 
 

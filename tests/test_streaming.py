@@ -491,3 +491,33 @@ def test_lake_path_resume_processes_only_new_data(spark, tmp_path):
     assert got.count() == orders.count()
     # exactly-once: every decoded id exactly once across both runs
     assert got.select("id").distinct().count() == orders.count()
+
+
+def test_byte_bound_backpressure_splits_microbatches(spark, tmp_path):
+    """B5/B9 (README.md:117, 131): maxBytesPerTrigger is the SizeInMBs
+    buffer bound — with a bound smaller than the total input, the stream
+    must split into multiple micro-batches, each admitting roughly one
+    bound's worth of input (file granularity)."""
+    from aws_kinesis_spark.streaming.pipeline import event_stream
+
+    inp = str(tmp_path / "ev")
+    ev = load(spark, SF, "events")
+    ev.repartition(6).write.mode("overwrite").parquet(inp)
+    total_rows = ev.count()
+    file_bytes = max(
+        os.path.getsize(os.path.join(inp, f))
+        for f in os.listdir(inp)
+        if f.endswith(".parquet")
+    )
+
+    rec = []
+    q = (
+        event_stream(spark, inp, max_bytes_per_trigger=file_bytes + 1)
+        .writeStream.foreachBatch(lambda df, bid: rec.append(df.count()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert sum(rec) == total_rows  # bound limits rate, never drops records
+    assert len(rec) >= 3, f"byte bound did not split the input: {rec}"
