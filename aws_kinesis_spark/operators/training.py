@@ -1,0 +1,90 @@
+"""Training-data assembly operators (SURVEY.md §2.G extension): the steps
+between a cleaned corpus and a training run — deterministic splits live in
+plans/ext_queries.py (g09); here: stratified sampling and sequence packing.
+
+Both are pure window/projection plans: reproducible on any engine, no
+sampling state, no driver participation — the properties a 100 TB data
+pipeline needs so a backfill or re-run yields byte-identical training data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from aws_kinesis_spark.functions.text import token_count
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    key_col: str,
+    default_fraction: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsample by content-free key hash — the
+    class-rebalancing step of a training mixture (e.g. cap the dominant
+    language at 25% while keeping the tail at 100%).
+
+    A row is kept iff the first md5 hex byte of its key falls below the
+    stratum's threshold (fraction * 256, compared as two lowercase hex
+    chars — the same seedless trick as the g09 split, so any engine
+    reproduces the sample bit-for-bit). Pure projection: no shuffle, no
+    sampling state, stable under repartitioning and incremental appends."""
+
+    h2 = F.substring(F.md5(F.col(key_col).cast("string")), 1, 2)
+
+    def pred(frac: float) -> F.Column:
+        # the threshold is two lowercase hex chars; frac >= 1 must keep
+        # everything (a '100' threshold would break the 2-char compare)
+        if frac >= 1.0:
+            return F.lit(True)
+        return h2 < format(max(0, min(255, round(frac * 256))), "02x")
+
+    expr = None
+    for stratum, frac in fractions.items():
+        branch = (F.col(strata_col) == stratum, pred(frac))
+        expr = F.when(*branch) if expr is None else expr.when(*branch)
+    cond = expr.otherwise(pred(default_fraction)) if expr is not None else pred(
+        default_fraction
+    )
+    return df.filter(cond)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are concatenated in id
+    order within a shard and chunked into fixed token budgets — each doc's
+    bin is the budget-chunk its FIRST token lands in. This is the standard
+    LLM pretraining packing (documents concatenated with separators, split
+    into budget-sized sequences), expressed as one running-sum window.
+
+    Scale shape: one shuffle on the shard key (pmod(id, n_shards)), one sort
+    within shards; no global sort, no driver state. Shard count bounds
+    window-partition size; bins are (shard, bin_id) pairs so packing
+    parallelizes across shards exactly like the training loader reads them.
+    """
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("long")
+    tok = token_count(F.col(text_col)).cast("long")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(F.col(id_col), shard.alias("shard"), tok.alias("n_tokens"))
+        .withColumn("__end", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            "shard",
+            F.floor((F.col("__end") - F.col("n_tokens")) / budget).alias("bin_id"),
+            "n_tokens",
+        )
+    )

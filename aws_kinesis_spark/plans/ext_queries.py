@@ -584,3 +584,50 @@ def g10_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure, proving the distributed loop computes the exact
     graph answer."""
     return neardup_clusters(load(spark, sf_dir, "documents"), threshold=0.7)
+
+
+@register(
+    "g11_sequence_packing",
+    oracle="""
+        SELECT doc_id,
+               doc_id % 8 AS shard,
+               CAST(FLOOR((sum(len(string_split(text, ' ')))
+                               OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING)
+                           - len(string_split(text, ' '))) / 512.0) AS BIGINT)
+                   AS bin_id,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    """,
+)
+def g11_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining (concat docs in id order per shard,
+    chunk into 512-token budgets; each doc's bin = the chunk holding its
+    first token). One shuffle on the shard key, one in-shard sort — the
+    oracle is the identical running-sum window in SQL."""
+    from aws_kinesis_spark.operators.training import pack_sequences
+
+    return pack_sequences(load(spark, sf_dir, "documents"), budget=512, n_shards=8)
+
+
+@register(
+    "g12_stratified_sample",
+    oracle="""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE lang NOT IN ('en', 'zh')
+           OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+              < (CASE lang WHEN 'en' THEN '40' ELSE '80' END)
+    """,
+)
+def g12_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsample (training-mixture rebalancing):
+    cap 'en' at 25% and 'zh' at 50% by key-hash threshold, keep the tail in
+    full. Seedless and engine-reproducible — the oracle is the same
+    predicate in SQL."""
+    from aws_kinesis_spark.operators.training import stratified_sample
+
+    d = load(spark, sf_dir, "documents")
+    return stratified_sample(d, "lang", {"en": 0.25, "zh": 0.5}, "doc_id").select(
+        "doc_id", "lang"
+    )

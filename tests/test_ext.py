@@ -138,3 +138,52 @@ def test_approx_distinct_accuracy(spark):
     assert set(approx) == set(exact)
     for k in exact:
         assert abs(approx[k] - exact[k]) / exact[k] < 0.05, (k, approx[k], exact[k])
+
+
+def test_sequence_packing_bins_are_contiguous_budget_chunks(spark):
+    """g11: within a shard, bin ids start at 0, never skip, and every bin
+    except the last spans >= the budget once its docs are concatenated
+    (concat-then-chunk semantics: a bin closes only when the running token
+    stream crosses the budget boundary)."""
+    from aws_kinesis_spark.operators.training import pack_sequences
+    from aws_kinesis_spark.tables import load
+
+    packed = pack_sequences(
+        load(spark, "/root/testdata/sf0.01", "documents"), budget=512, n_shards=4
+    )
+    rows = packed.orderBy("shard", "doc_id").collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, docs in by_shard.items():
+        bins = [d.bin_id for d in docs]
+        assert bins[0] == 0
+        assert all(b2 - b1 in (0, 1) or b2 > b1 for b1, b2 in zip(bins, bins[1:]))
+        assert bins == sorted(bins), f"shard {shard} bins not monotone"
+        # stream position of each doc's start == cumsum of previous tokens
+        cum = 0
+        for d in docs:
+            assert d.bin_id == cum // 512
+            cum += d.n_tokens
+
+
+def test_stratified_sample_respects_fractions(spark):
+    """g12: the kept fraction per stratum tracks the requested fraction
+    (binomial tolerance at fixture size), and the sample is deterministic."""
+    from aws_kinesis_spark.operators.training import stratified_sample
+    from aws_kinesis_spark.tables import load
+
+    d = load(spark, "/root/testdata/sf0.01", "documents")
+    frac = {"en": 0.25, "zh": 0.5}
+    s = stratified_sample(d, "lang", frac, "doc_id")
+    totals = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {r.lang: r.n for r in s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, f in frac.items():
+        got = kept.get(lang, 0) / totals[lang]
+        assert abs(got - f) < 0.15, (lang, got, f)
+    for lang in set(totals) - set(frac):
+        assert kept.get(lang, 0) == totals[lang]  # default fraction 1.0 keeps all
+    # deterministic: the same call yields the same ids
+    ids1 = {r.doc_id for r in s.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in stratified_sample(d, "lang", frac, "doc_id").select("doc_id").collect()}
+    assert ids1 == ids2
