@@ -521,3 +521,42 @@ def test_byte_bound_backpressure_splits_microbatches(spark, tmp_path):
     q.awaitTermination(300)
     assert sum(rec) == total_rows  # bound limits rate, never drops records
     assert len(rec) >= 3, f"byte bound did not split the input: {rec}"
+
+
+def test_polling_consumer_picks_up_new_data_live(spark, tmp_path):
+    """A2 (README.md:116, 242-254): a continuously-polling consumer
+    (processingTime trigger) must pick up records that arrive AFTER the
+    query starts — the GetRecords-every-second loop, not a drain-and-stop
+    availableNow pass. Lag observability (B12) comes from the same
+    progress stream."""
+    import time
+
+    from aws_kinesis_spark.sources.envelope import synthesize_envelope
+
+    inp = str(tmp_path / "input")
+    orders = load(spark, SF, "orders").limit(120)
+    synthesize_envelope(orders, epoch=0).coalesce(1).write.mode("overwrite").parquet(inp)
+
+    tbl = _uniq("poll")
+    alerts = (
+        envelope_stream(spark, inp)
+        .writeStream.format("memory")
+        .queryName(tbl)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while spark.table(tbl).count() < 120 and time.time() < deadline:
+            time.sleep(0.5)
+        assert spark.table(tbl).count() == 120
+        # records produced while the consumer is live
+        synthesize_envelope(orders, epoch=1).coalesce(1).write.mode("append").parquet(inp)
+        while spark.table(tbl).count() < 240 and time.time() < deadline:
+            time.sleep(0.5)
+        assert spark.table(tbl).count() == 240, "poller missed mid-run records"
+        assert alerts.lastProgress is not None  # B12: lag/throughput observable
+    finally:
+        alerts.stop()
