@@ -53,6 +53,12 @@ SHOWCASE = [
         "The whole quality predicate stack reaches `PushedFilters` on the "
         "documents scan.",
     ),
+    (
+        "g11_sequence_packing",
+        "One exchange on the shard key, then an in-shard sort + running-sum "
+        "window — pretraining sequence packing is a single-shuffle plan with "
+        "no global sort.",
+    ),
 ]
 
 
@@ -88,6 +94,17 @@ def main() -> None:
         "Zero `Exchange`, zero `Generate`: signatures are pure projections "
         "(`array_min(transform(...))`), a map-only pass at any scale.",
         minhash_signatures(load(spark, SF, "documents")),
+    )
+
+    from aws_kinesis_spark.operators.dedup import simhash_signatures
+
+    emit(
+        "simhash_signatures (g02c stage 1)",
+        "Zero `Exchange`, zero `Generate`: the 64-bit signature folds a "
+        "bit-count vector over the in-row shingle-hash array "
+        "(`aggregate`/`zip_with`) — same map-only discipline as minhash, "
+        "replacing the former explode + 64-column hash aggregate.",
+        simhash_signatures(load(spark, SF, "documents")),
     )
 
 
