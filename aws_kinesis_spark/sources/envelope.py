@@ -86,18 +86,50 @@ def synthesize_envelope(orders: DataFrame, epoch: int = 0, status_col: str = "o_
     )
 
 
-def decode_envelope(env: DataFrame, corrupt_col: str = "_corrupt") -> DataFrame:
+def infer_payload_schema(env: DataFrame, sample_rows: int = 256) -> T.StructType:
+    """Crawler-style dynamic schema inference (SURVEY.md §1.5; the Glue
+    crawler inferring the lake schema from observed data, README.md:163,
+    545-549): decode a bounded sample of payloads and infer the JSON shape.
+
+    The sample is ``limit(sample_rows)`` — bounded regardless of stream
+    size, exactly like a crawler sampling objects. Use the result as
+    ``decode_envelope(..., payload_schema=...)`` so NEW payload fields that
+    producers start emitting become queryable without a code change."""
+    spark = env.sparkSession
+    decoded = (
+        env.select(
+            F.try_to_binary(F.col("data").cast("string"), F.lit("base64"))
+            .cast("string")
+            .alias("j")
+        )
+        .filter(F.col("j").isNotNull())
+        .limit(sample_rows)
+    )
+    return spark.read.json(decoded.rdd.map(lambda r: r[0])).schema
+
+
+def decode_envelope(
+    env: DataFrame,
+    corrupt_col: str = "_corrupt",
+    payload_schema: T.StructType | None = None,
+    keep_payload: bool = False,
+) -> DataFrame:
     """The transform stage (README.md:139-148): base64-decode, JSON-parse into
     the nested struct, flatten, and append ``processed_at`` (README.md:145).
 
     Parse failures yield NULL payloads; callers route them to the DLQ branch
     (README.md:156) via ``col(corrupt_col)`` — never dropped silently.
+
+    ``payload_schema`` overrides the stable CDC schema (pass the result of
+    ``infer_payload_schema`` for evolved payloads); ``keep_payload=True``
+    appends the full parsed struct as a ``payload`` column so fields beyond
+    the flattened envelope stay queryable (schema evolution, SURVEY §1.5).
     """
     # try_to_binary returns NULL on malformed base64 (unbase64 would throw),
     # which is what routes bad records to the DLQ instead of failing the batch.
     parsed = F.from_json(
         F.try_to_binary(F.col("data").cast("string"), F.lit("base64")).cast("string"),
-        CDC_PAYLOAD_SCHEMA,
+        payload_schema or CDC_PAYLOAD_SCHEMA,
     )
     return env.select(
         F.col("data"),
@@ -115,4 +147,5 @@ def decode_envelope(env: DataFrame, corrupt_col: str = "_corrupt") -> DataFrame:
         F.current_timestamp().alias("processed_at"),
         (F.col("payload").isNull() | F.col("payload.data.id").isNull()).alias(corrupt_col),
         F.col("data"),  # raw envelope payload, kept for the DLQ/backup branch
+        *([F.col("payload")] if keep_payload else []),
     )

@@ -407,3 +407,60 @@ def test_lake_cost_report_accounts_for_actual_files(spark, envelope, tmp_path):
     assert abs(row["put_usd"] - want_put) < 1e-12
     assert row["total_usd"] > 0
     assert row["total_usd"] >= row["ingest_usd"] + row["storage_usd_month"]
+
+
+def test_dynamic_schema_inference_and_evolution(spark, tmp_path):
+    """SURVEY §1.5 (README.md:163, 545-549): schemas are observed, not
+    declared. A producer that starts emitting a new payload field must
+    become queryable via crawler-style inference — and the lake must merge
+    old and new batch schemas on read with NULL backfill, never an error."""
+    from aws_kinesis_spark.sources.envelope import (
+        decode_envelope,
+        infer_payload_schema,
+    )
+
+    orders = load(spark, SF, "orders").limit(50)
+    env0 = synthesize_envelope(orders)
+    # evolved producer: metadata gains a `source` field
+    payload = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("o_orderkey").alias("id"), F.col("o_orderstatus").alias("status")
+            ).alias("data"),
+            F.struct(F.lit("U").alias("op"), F.lit("dms").alias("source")).alias(
+                "metadata"
+            ),
+        )
+    )
+    env1 = orders.select(
+        F.base64(payload.cast("binary")).cast("binary").alias("data"),
+        F.concat_ws("-", F.lit("sales"), F.lit("orders"), F.col("o_orderkey")).alias(
+            "partition_key"
+        ),
+        F.lit("100000000000000000000000000001").cast("decimal(38,0)").alias(
+            "sequence_number"
+        ),
+        F.col("o_orderdate").alias("arrival_ts"),
+    )
+
+    # inference over the mixed stream sees the union shape
+    sch = infer_payload_schema(env0.unionByName(env1))
+    meta_fields = {f.name for f in sch["metadata"].dataType.fields}
+    assert {"op", "source"} <= meta_fields
+
+    # new field queryable under the inferred schema; old batches read as NULL
+    dec1 = decode_envelope(env1, payload_schema=sch, keep_payload=True)
+    assert dec1.filter(F.col("payload.metadata.source") == "dms").count() == 50
+    dec0 = decode_envelope(env0, payload_schema=sch, keep_payload=True)
+    assert dec0.filter(F.col("payload.metadata.source").isNull()).count() == 50
+
+    # lake-side evolution: differing batch schemas merge on read
+    root = str(tmp_path / "data")
+    dec0.select("id", "status", "op").write.parquet(os.path.join(root, "batch=0"))
+    dec1.select(
+        "id", "status", "op", F.col("payload.metadata.source").alias("source")
+    ).write.parquet(os.path.join(root, "batch=1"))
+    back = spark.read.option("mergeSchema", "true").parquet(root)
+    assert "source" in back.columns
+    assert back.filter(F.col("source").isNull()).count() == 50
+    assert back.count() == 100
