@@ -152,6 +152,86 @@ def start_stream_dedup(
     )
 
 
+def start_warehouse_upsert(
+    env_stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """The warehouse half of the reference lifecycle (README.md:162-166,
+    562-575): each micro-batch of the CDC stream is collapsed to its latest
+    op per key (apply_cdc), then keyed-merged into a versioned table —
+    upserts replace, deletes drop, untouched keys survive. Zero-duplicate
+    semantics come from the anti-join + union merge; restart idempotency
+    from version=batchId (a replayed batch rewrites its own version, it
+    never re-merges on top of itself — the state it merges against is
+    always the newest version OLDER than the batch).
+
+    State layout mirrors streaming/rollup.py: versioned dirs + an atomic
+    `_CURRENT` pointer, so readers always see one complete version. Scale:
+    the merge shuffles on the key only; the batch side broadcasts when
+    small (Catalyst auto); the table rewrite is O(table) per batch — at
+    warehouse scale swap the writer stage for MERGE INTO on a v2 catalog
+    (operators/upsert.py:merge_upsert runs that path when available).
+    """
+    import json as _json
+
+    from aws_kinesis_spark.operators.upsert import apply_cdc, staging_upsert
+
+    os.makedirs(table_dir, exist_ok=True)
+    schema = "id LONG, status STRING, sequence_number DECIMAL(38,0)"
+
+    def flush(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        decoded = decode_envelope(batch_df).filter(~F.col("_corrupt"))
+        latest = apply_cdc(decoded, ["id"], "sequence_number").select(
+            "id", "status", "sequence_number"
+        )
+        deletes = (
+            apply_cdc(decoded, ["id"], "sequence_number", delete_op="__none__")
+            .filter(F.col("op") == "D")
+            .select("id")
+        )
+        prev = [
+            int(d[1:])
+            for d in os.listdir(table_dir)
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id
+        ]
+        if prev:
+            current = spark.read.parquet(os.path.join(table_dir, f"v{max(prev)}"))
+        else:
+            current = spark.createDataFrame([], schema)
+        merged = staging_upsert(current, latest, ["id"]).join(
+            deletes, ["id"], "left_anti"
+        )
+        vdir = os.path.join(table_dir, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(vdir)
+        tmp = os.path.join(table_dir, f"._CURRENT.{batch_id}")
+        with open(tmp, "w") as fh:
+            _json.dump({"version": batch_id}, fh)
+        os.replace(tmp, os.path.join(table_dir, "_CURRENT"))
+
+    return (
+        env_stream.writeStream.foreachBatch(flush)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_warehouse_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Read the current committed warehouse-table version."""
+    import json as _json
+
+    ptr = os.path.join(table_dir, "_CURRENT")
+    if not os.path.exists(ptr):
+        return spark.createDataFrame(
+            [], "id LONG, status STRING, sequence_number DECIMAL(38,0)"
+        )
+    with open(ptr) as fh:
+        v = _json.load(fh)["version"]
+    return spark.read.parquet(os.path.join(table_dir, f"v{v}"))
+
+
 def event_stream(
     spark: SparkSession,
     input_dir: str,

@@ -560,3 +560,59 @@ def test_polling_consumer_picks_up_new_data_live(spark, tmp_path):
         assert alerts.lastProgress is not None  # B12: lag/throughput observable
     finally:
         alerts.stop()
+
+
+def test_warehouse_upsert_stream_matches_batch_cdc(spark, tmp_path):
+    """A7/O4 streaming form (README.md:562-575): the CDC stream merged
+    micro-batch by micro-batch into the versioned warehouse table must end
+    at exactly the state of a single batch CDC-apply over the full
+    changelog — zero duplicates, deletes dropped, latest status per key."""
+    import time
+
+    from aws_kinesis_spark.operators.upsert import apply_cdc
+    from aws_kinesis_spark.streaming.pipeline import (
+        read_warehouse_table,
+        start_warehouse_upsert,
+    )
+
+    inp = str(tmp_path / "input")
+    orders = load(spark, SF, "orders").limit(300)
+    e0 = synthesize_envelope(orders, epoch=0)
+    e1 = synthesize_envelope(orders, epoch=1)  # same keys, higher sequence
+    e0.coalesce(1).write.mode("overwrite").parquet(inp)
+    time.sleep(1.1)
+    e1.coalesce(1).write.mode("append").parquet(inp)
+
+    table = str(tmp_path / "warehouse")
+    q = start_warehouse_upsert(
+        envelope_stream(spark, inp, max_files_per_trigger=1),
+        table,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.id, r.status, str(r.sequence_number))
+        for r in read_warehouse_table(spark, table).collect()
+    }
+    from aws_kinesis_spark.sources.envelope import decode_envelope
+
+    full = decode_envelope(e0.unionByName(e1)).filter(~F.col("_corrupt"))
+    want = {
+        (r.id, r.status, str(r.sequence_number))
+        for r in apply_cdc(full, ["id"], "sequence_number")
+        .select("id", "status", "sequence_number")
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    # replay idempotency: re-running from the same checkpoint changes nothing
+    q2 = start_warehouse_upsert(
+        envelope_stream(spark, inp), table, str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        (r.id, r.status, str(r.sequence_number))
+        for r in read_warehouse_table(spark, table).collect()
+    }
+    assert got2 == got
