@@ -42,3 +42,23 @@ def test_driver_window_covers_every_family():
         assert got >= minimum, f"family {prefix}: {got} < {minimum}"
     # window curation must not drop any registered query entirely
     assert set(q) == set(registry.REGISTRY)
+
+
+def test_sql_cli_runs_and_prints_json(capsys):
+    """§3.3 interactive surface: the CLI registers views, runs SQL, prints
+    one JSON line per row."""
+    import json
+
+    from aws_kinesis_spark.__main__ import main
+
+    rc = main(
+        [
+            "SELECT r_regionkey AS k, r_name AS name FROM region ORDER BY 1",
+            "--sf",
+            "/root/testdata/sf0.001",
+        ]
+    )
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 5
+    assert lines[0]["k"] == 0 and "name" in lines[0]
