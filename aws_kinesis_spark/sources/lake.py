@@ -298,6 +298,33 @@ def expire_partitions(
     )
 
 
+def compact_lake(
+    spark: SparkSession,
+    lake_dir: str,
+    target_file_bytes: int = 128 << 20,
+    min_files: int = 2,
+) -> list[tuple[str, int, int]]:
+    """Whole-lake maintenance pass: discover every hour leaf partition and
+    bin-pack those holding >= min_files files. Returns
+    [(partition_subdir, files_before, files_after), ...].
+
+    Partitions are independent — on a cluster, run the per-partition calls
+    from a thread pool or one-job-per-partition scheduler; the loop here is
+    the single-node form. Skips leaves mid-compaction recovery handles."""
+    data_dir = os.path.join(lake_dir, "data")
+    compacted: list[tuple[str, int, int]] = []
+    for dirpath, dirs, files in os.walk(data_dir):
+        if dirs:
+            continue  # only leaf partitions hold data files
+        n_parquet = sum(1 for f in files if f.endswith(".parquet"))
+        if n_parquet < min_files:
+            continue
+        sub = os.path.relpath(dirpath, lake_dir)
+        before, after = compact_lake_partition(spark, lake_dir, sub, target_file_bytes)
+        compacted.append((sub, before, after))
+    return compacted
+
+
 def recover_compaction(lake_dir: str, partition_subdir: str) -> str | None:
     """Heal a compaction interrupted between its two atomic renames.
 

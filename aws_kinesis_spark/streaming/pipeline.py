@@ -218,18 +218,23 @@ def start_warehouse_upsert(
     )
 
 
-def read_warehouse_table(spark: SparkSession, table_dir: str) -> DataFrame:
-    """Read the current committed warehouse-table version."""
+def read_warehouse_table(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the warehouse table — the current committed version, or a past
+    one (time travel: versions are retained per batch, the audit-trail
+    "every PUT is versioned" behavior of README.md:437)."""
     import json as _json
 
-    ptr = os.path.join(table_dir, "_CURRENT")
-    if not os.path.exists(ptr):
-        return spark.createDataFrame(
-            [], "id LONG, status STRING, sequence_number DECIMAL(38,0)"
-        )
-    with open(ptr) as fh:
-        v = _json.load(fh)["version"]
-    return spark.read.parquet(os.path.join(table_dir, f"v{v}"))
+    if version is None:
+        ptr = os.path.join(table_dir, "_CURRENT")
+        if not os.path.exists(ptr):
+            return spark.createDataFrame(
+                [], "id LONG, status STRING, sequence_number DECIMAL(38,0)"
+            )
+        with open(ptr) as fh:
+            version = _json.load(fh)["version"]
+    return spark.read.parquet(os.path.join(table_dir, f"v{version}"))
 
 
 def event_stream(

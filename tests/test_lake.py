@@ -464,3 +464,26 @@ def test_dynamic_schema_inference_and_evolution(spark, tmp_path):
     assert "source" in back.columns
     assert back.filter(F.col("source").isNull()).count() == 50
     assert back.count() == 100
+
+
+def test_whole_lake_compaction_sweeps_every_partition(spark, envelope, tmp_path):
+    """Whole-lake compaction: every hour leaf with multiple small files is
+    bin-packed; row content across the lake is untouched."""
+    from aws_kinesis_spark.sources.lake import compact_lake
+
+    lake = str(tmp_path / "lake")
+    # many small files per partition: write the flush twice as appends
+    env_small = envelope.limit(600)
+    part_dir = os.path.join(lake, "data", "batch=0")
+    from aws_kinesis_spark.sources.envelope import decode_envelope
+
+    dec = decode_envelope(env_small).drop("data", "_corrupt")
+    for _ in range(3):
+        dec.repartition(4).write.mode("append").parquet(part_dir)
+    before = spark.read.parquet(part_dir).count()
+
+    done = compact_lake(spark, lake, target_file_bytes=1 << 30)
+    assert len(done) == 1
+    sub, n_before, n_after = done[0]
+    assert n_before == 12 and n_after == 1
+    assert spark.read.parquet(part_dir).count() == before
