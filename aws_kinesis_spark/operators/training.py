@@ -14,7 +14,7 @@ from collections.abc import Mapping
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from aws_kinesis_spark.functions.text import token_count
+from aws_kinesis_spark.functions.text import shingles, token_count
 
 
 def stratified_sample(
@@ -87,4 +87,52 @@ def pack_sequences(
             F.floor((F.col("__end") - F.col("n_tokens")) / budget).alias("bin_id"),
             "n_tokens",
         )
+    )
+
+
+def decontaminate(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: score every training document by the
+    fraction of its token n-grams that also occur anywhere in the eval/
+    benchmark corpus, and flag docs at or above ``threshold`` for removal.
+    This is the standard pre-training hygiene step (strip eval-set leakage
+    from the training mix) expressed as a broadcast inverted-index probe.
+
+    Scale shape: the eval side of the join is the BENCHMARK set — tiny
+    (thousands of docs) next to a 100 TB train corpus — so its distinct
+    gram set is broadcast and the train side streams through a map-side
+    hash probe with no shuffle of eval data. The only shuffle is the
+    per-doc re-aggregation of exploded grams, which partial-aggregates
+    map-side to at most one row per (doc, partition) before exchanging.
+
+    Output: (id, n_grams, n_shared, contamination, contaminated) — docs
+    with fewer than ``n`` tokens carry no n-grams and are excluded (they
+    cannot leak an n-gram). Deterministic: no hashing approximations; the
+    score is the exact distinct-gram overlap fraction.
+    """
+    train_sh = (
+        train_docs.select(F.col(id_col), shingles(F.col(text_col), n).alias("__s"))
+        .filter(F.size("__s") >= 1)
+    )
+    eval_grams = (
+        eval_docs.select(F.explode(shingles(F.col(text_col), n)).alias("__g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    exploded = train_sh.select(
+        id_col, F.size("__s").alias("__n"), F.explode("__s").alias("__g")
+    )
+    joined = exploded.join(F.broadcast(eval_grams), "__g", "left")
+    frac = F.count("__hit") / F.max("__n")
+    return joined.groupBy(id_col).agg(
+        F.max("__n").alias("n_grams"),
+        F.count("__hit").alias("n_shared"),
+        F.round(frac, 4).alias("contamination"),
+        (frac >= threshold).alias("contaminated"),
     )

@@ -812,14 +812,15 @@ def d26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigns ids in ONE window pass (single shuffle on user_id, reused by
     both window functions and carried into the final aggregation), then a
     per-session rollup — the batch twin of the streaming session window
-    (e03). Gap math on epoch microseconds so sub-second timestamps compare
-    exactly."""
+    (e03). Gap math as a timestamp-difference interval so it binds for both
+    TIMESTAMP and TIMESTAMP_NTZ source columns (parquet timestamp[us]
+    without tz infers NTZ) at exact microsecond precision."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     new_sess = (
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")),
             1,
         ).otherwise(0)
     )
