@@ -229,7 +229,11 @@ def g04_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-inlines projected columns (CollapseProject), so keeping each leaf
     # expression small matters more than naming intermediates.
     toks = TX.tokens("text")
-    hits = {lang: TX.stopword_hits("text", lang) for lang in sorted(TX.STOPWORDS)}
+    # Token-array filter(isin) form, NOT the regexp_count rewrite: measured at
+    # sf0.1 the five lookaround-alternation regex passes over full text cost
+    # 3.5 s vs ~0.9 s for split-once-then-filter (round-3 regression bdf09a4,
+    # reverted here after re-benchmarking both forms).
+    hits = {lang: TX.stopword_hits("text", lang, toks) for lang in sorted(TX.STOPWORDS)}
     # Tie-break priority mirrors the oracle CASE: zh > fr > es > en > de.
     pred = (
         F.when(
