@@ -61,13 +61,20 @@ def _noop_write(df) -> None:
 
 # Timed measurements take the best of N runs: the plans are deterministic,
 # so run-to-run spread is host noise (CPU steal on a shared VM measured at
-# 4-10x on identical plans), and min-of-N is the standard estimator for the
-# machine-independent cost. N is small to keep driver wall-clock bounded.
-RUNS = 2
+# 4-10x on identical plans — an identical stage timed [0.68, 0.80, 7.15] s
+# back-to-back), and min-of-N is the standard estimator for the
+# machine-independent cost. N=3 so a single multi-second stall can't
+# contaminate the min; per-query {min,max} spread is reported so a reader
+# can separate noise from real regression.
+RUNS = 3
+
+SPREAD: dict[str, dict[str, float]] = {}
 
 
-def _best_of(f) -> float:
-    return min(f() for _ in range(RUNS))
+def _best_of(name: str, f) -> float:
+    times = [f() for _ in range(RUNS)]
+    SPREAD[name] = {"min": round(min(times), 4), "max": round(max(times), 4)}
+    return min(times)
 
 
 def bench_query(spark, name: str, fn) -> float:
@@ -76,7 +83,7 @@ def bench_query(spark, name: str, fn) -> float:
         _noop_write(fn(spark, SF_DIR))
         return time.perf_counter() - t0
 
-    return _best_of(one)
+    return _best_of(name, one)
 
 
 def bench_lake_microbatch(spark, tmp: str) -> float:
@@ -176,8 +183,10 @@ def main() -> None:
             continue
         try:
             _noop_write(qmap[name](spark, warm_sf))
-        except Exception:
-            pass  # warmup is best-effort; the timed run surfaces real errors
+        except Exception as exc:  # noqa: BLE001
+            # Warmup is best-effort (the timed run surfaces real errors),
+            # but a failure here usually predicts one there — say so.
+            print(f"bench: warmup failed for {name}: {exc!r}", file=sys.stderr)
 
     for name in HEADLINE:
         if name not in qmap:
@@ -194,10 +203,10 @@ def main() -> None:
             .parquet(os.path.join(tmp, "warm"))
         )
         results["lake_microbatch"] = round(
-            _best_of(lambda: bench_lake_microbatch(spark, tmp)), 4
+            _best_of("lake_microbatch", lambda: bench_lake_microbatch(spark, tmp)), 4
         )
         results["point_query"] = round(
-            _best_of(lambda: bench_point_query(spark, tmp)), 4
+            _best_of("point_query", lambda: bench_point_query(spark, tmp)), 4
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -213,6 +222,7 @@ def main() -> None:
                 "sf": SF_DIR,
                 "runs_per_query": RUNS,
                 "agg": "min",
+                "spread": SPREAD,
             }
         )
     )
