@@ -118,10 +118,20 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct positional n-gram shingles (token n-grams). Shingling keeps
     word order information that bag-of-words Jaccard loses — on small
     vocabularies set-Jaccard saturates while shingle-Jaccard stays
-    discriminative."""
+    discriminative.
+
+    Documents with fewer than n tokens carry no n-grams and yield an empty
+    array. The guard is load-bearing, not cosmetic: without it
+    sequence(1, size-n+1) produces a DESCENDING index list for short docs
+    (sequence(1, 0) = [1, 0]) and element_at throws
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT on index 0 — and short docs are
+    guaranteed in any real pre-training corpus. The conditional branch is
+    evaluated lazily per row, so guarded rows never touch the sequence."""
     t = tokens(text)
     idx = F.sequence(F.lit(1), F.size(t) - F.lit(n - 1))
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(t, i + j) for j in range(n)]
     )
-    return F.array_distinct(F.transform(idx, gram))
+    return F.when(
+        F.size(t) >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))

@@ -43,7 +43,9 @@ def quantize_embeddings(
     return emb.select(
         F.col(id_col),
         scale.alias("scale"),
-        F.transform(codes, lambda c: c.cast("int")).alias("codes"),
+        # ByteType: codes provably land in [-127, 127], and storing int8
+        # (not int32) is the whole point of the 4x-smaller claim.
+        F.transform(codes, lambda c: c.cast("byte")).alias("codes"),
     )
 
 

@@ -635,3 +635,109 @@ def g12_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(d, "lang", {"en": 0.25, "zh": 0.5}, "doc_id").select(
         "doc_id", "lang"
     )
+
+
+@register(
+    "g13_decontaminate",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                     for i in range(1, len(w) - 1)]) AS s
+               FROM toks),
+        eg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 17 = 0),
+        ex AS (SELECT doc_id, len(s) AS n_grams, unnest(s) AS g
+               FROM sh WHERE doc_id % 17 <> 0 AND len(s) >= 1)
+        SELECT ex.doc_id,
+               max(ex.n_grams) AS n_grams,
+               count(eg.g) AS n_shared,
+               round(count(eg.g)::DOUBLE / max(ex.n_grams), 4) AS contamination,
+               count(eg.g)::DOUBLE / max(ex.n_grams) >= 0.2 AS contaminated
+        FROM ex LEFT JOIN eg ON ex.g = eg.g
+        GROUP BY ex.doc_id
+    """,
+)
+def g13_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (pre-training hygiene): every 17th doc
+    plays the held-out benchmark; each remaining training doc is scored by
+    the exact fraction of its distinct 3-gram shingles that appear anywhere
+    in the benchmark set. Spark side is a broadcast inverted-index probe
+    (operators/training.py:decontaminate) — the eval gram set is the small
+    side at any corpus scale; the oracle recomputes the same exact overlap
+    in SQL."""
+    from aws_kinesis_spark.operators.training import decontaminate
+
+    d = load(spark, sf_dir, "documents")
+    return decontaminate(
+        d.filter(F.col("doc_id") % 17 != 0),
+        d.filter(F.col("doc_id") % 17 == 0),
+        n=3,
+        threshold=0.2,
+    )
+
+
+@register(
+    "g14_quantize_embeddings",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id,
+                   list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) / 127.0
+                       AS scale
+            FROM embeddings
+        )
+        SELECT e.vec_id,
+               round(q.scale, 6) AS scale,
+               array_to_string(
+                   [CAST(floor(CAST(x AS DOUBLE)
+                               / (CASE WHEN q.scale = 0 THEN 1.0 ELSE q.scale END)
+                               + 0.5) AS BIGINT)
+                    for x in e.embedding], ',') AS codes
+        FROM embeddings e JOIN q USING (vec_id)
+    """,
+)
+def g14_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization of the embedding store (4x smaller ANN
+    candidates). Codes are serialized to a comma string in BOTH engines so
+    the differential compares exact integer codes without array-vs-list
+    canonicalization hazards; the stored operator output keeps typed
+    array<byte> codes (operators/embedding.py)."""
+    from aws_kinesis_spark.operators.embedding import quantize_embeddings
+
+    q = quantize_embeddings(load(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.concat_ws(",", F.col("codes").cast("array<string>")).alias("codes"),
+    )
+
+
+@register(
+    "g14b_quantization_error",
+    oracle="""
+        WITH v AS (SELECT vec_id,
+                          [CAST(x AS DOUBLE) for x in embedding] AS xs
+                   FROM embeddings),
+        s AS (SELECT vec_id, xs,
+                     list_max([abs(x) for x in xs]) / 127.0 AS scale
+              FROM v),
+        e AS (SELECT vec_id, xs, scale,
+                     [floor(x / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END)
+                            + 0.5) * scale - x
+                      for x in xs] AS err
+              FROM s)
+        SELECT vec_id,
+               len(xs) AS n_dims,
+               round(scale, 8) AS scale,
+               round(list_max([abs(x) for x in err]), 8) AS max_abs_err,
+               round(list_sum([x * x for x in err]) / len(xs), 10) AS mse
+        FROM e
+    """,
+)
+def g14b_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction-error report for the int8 quantizer: measured
+    max|err| and MSE per vector (the bound is scale/2 per element; this is
+    the actual). Lets a pipeline gate quantization on a measured error
+    budget."""
+    from aws_kinesis_spark.operators.embedding import quantization_error
+
+    return quantization_error(load(spark, sf_dir, "embeddings"))

@@ -187,3 +187,87 @@ def test_stratified_sample_respects_fractions(spark):
     ids1 = {r.doc_id for r in s.select("doc_id").collect()}
     ids2 = {r.doc_id for r in stratified_sample(d, "lang", frac, "doc_id").select("doc_id").collect()}
     assert ids1 == ids2
+
+
+def test_decontaminate_short_docs_dont_crash_and_are_excluded(spark):
+    """Docs with fewer than n tokens carry no n-grams: they must be EXCLUDED
+    from the report, not crash the job (round-3 defect: unguarded
+    sequence(1, size-n+1) produced a descending index list and element_at
+    threw INVALID_ARRAY_INDEX_IN_ELEMENT_AT on any short doc — guaranteed
+    to occur in a real pre-training corpus)."""
+    from aws_kinesis_spark.operators.training import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "a b"), (2, "w x y z"), (3, "p q r s t"), (4, "")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, "w x y z q")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in decontaminate(train, ev, n=3).collect()}
+    assert 1 not in rows and 4 not in rows  # short/empty: excluded, no crash
+    # doc 2 grams {w x y, x y z} both appear in eval grams {w x y, x y z, y z q}
+    assert rows[2]["n_grams"] == 2 and rows[2]["n_shared"] == 2
+    assert rows[2]["contamination"] == 1.0 and rows[2]["contaminated"]
+    assert rows[3]["n_shared"] == 0 and not rows[3]["contaminated"]
+
+
+def test_decontaminate_short_eval_docs_dont_crash(spark):
+    """Short docs on the EVAL side must also be guarded."""
+    from aws_kinesis_spark.operators.training import decontaminate
+
+    train = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    ev = spark.createDataFrame([(100, "x"), (101, "y z")], "doc_id long, text string")
+    rows = decontaminate(train, ev).collect()
+    assert len(rows) == 1 and rows[0]["n_shared"] == 0
+
+
+def test_decontaminate_empty_eval_set(spark):
+    """Empty benchmark set: every training doc scores 0, nothing flagged."""
+    from aws_kinesis_spark.operators.training import decontaminate
+
+    train = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    ev = spark.createDataFrame([], "doc_id long, text string")
+    rows = decontaminate(train, ev).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_shared"] == 0 and rows[0]["contamination"] == 0.0
+    assert not rows[0]["contaminated"]
+
+
+def test_decontaminate_threshold_boundary_is_inclusive(spark):
+    """contamination == threshold must flag the doc (>=, not >)."""
+    from aws_kinesis_spark.operators.training import decontaminate
+
+    # doc grams {w x y, x y q}; eval grams {w x y}: contamination exactly 0.5
+    train = spark.createDataFrame([(1, "w x y q")], "doc_id long, text string")
+    ev = spark.createDataFrame([(100, "w x y")], "doc_id long, text string")
+    row = decontaminate(train, ev, n=3, threshold=0.5).collect()[0]
+    assert row["contamination"] == 0.5 and row["contaminated"]
+
+
+def test_quantize_roundtrip_edges(spark):
+    """Int8 quantization: zero vectors, negatives at the scale boundary,
+    byte-typed codes, and the scale/2 reconstruction bound."""
+    from pyspark.sql.types import ByteType
+
+    from aws_kinesis_spark.operators.embedding import (
+        quantization_error,
+        quantize_embeddings,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [-1.0, 0.5, 1.0]), (3, [0.003, -0.001, 0.002])],
+        "vec_id long, embedding array<float>",
+    )
+    q = quantize_embeddings(emb)
+    assert q.schema["codes"].dataType.elementType == ByteType()
+    rows = {r["vec_id"]: r for r in q.collect()}
+    assert rows[1]["scale"] == 0.0 and rows[1]["codes"] == [0, 0, 0]
+    # scale = 1/127; round-half-up keeps the negative boundary at -127
+    assert rows[2]["codes"] == [-127, 64, 127]
+    assert all(-127 <= c <= 127 for r in rows.values() for c in r["codes"])
+
+    err = {r["vec_id"]: r for r in quantization_error(emb).collect()}
+    assert err[1]["max_abs_err"] == 0.0 and err[1]["mse"] == 0.0
+    for r in err.values():
+        if r["scale"] > 0:
+            # half-up rounding bound: |err| <= scale/2 (+ fp slack)
+            assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
