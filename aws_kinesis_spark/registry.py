@@ -40,54 +40,68 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # The driver's correctness harness checks the FIRST 50 queries() entries only.
 # This window is curated so every SURVEY.md §2 operator family (A/B/C/D/E/F/G)
-# gets hard driver-verified rows each round.  Queries listed after the window
-# are variants whose operator is already witnessed by a window query
-# (e.g. D4-limit by d11 sort+topN, D12-latest-per-key by o04 CDC LWW,
-# C8-hashing by g01's md5 groupBy, B3-sequence by d13's row_number); all 85
-# still run in the local differential suite (tests/test_differential.py).
+# gets hard driver-verified rows each round — and it ROTATES per round so the
+# hard-checked set converges on all 92 registered queries across rounds.
+#
+# Rotation policy: each round, slots whose operator is already witnessed by
+# another in-window query are swapped for queries that have never had a
+# driver row.  A slot may rotate out only if a named in-window witness covers
+# its operator.  Round-4 rotation (12 swapped; witness in parens):
+#   out: d01 (any projection, e.g. d03/g06), d02 (d03 pruned filter + g06
+#        pushdown), d13 (d26/d27 window functions), d14 (d14d pivot = D14
+#        family), d16 (c07 concat keys + g04 string exprs), d17 (d03 time
+#        pruning + d27 rolling time window), d18 (g14 floor/abs/division),
+#        d19 (g14 transform/array_max + g02b shingle arrays), d20 (c01
+#        from_json/to_json roundtrip), b01 (b02/b04 keyed shuffles + b05
+#        bucketed co-location), g03 (g03e = same exact cosine top-k over
+#        EVERY vector), g09 (g12 = same md5-hex-threshold split mechanism)
+#   in:  d14d, d26, d27, b05, c10, a13, g02b, g03e, g11, g12, g13, g14
+# Queries outside the window still run in the local differential suite
+# (tests/test_differential.py) every CI pass; prior-round driver rows for
+# rotated-out queries remain in CORRECTNESS_r{1..3}.json.
 DRIVER_WINDOW: list[str] = [
-    # D — relational core (17; d04→d11, d09→e01, d10→g01/d07, d12→o04)
-    "d01_projection",
-    "d02_filter_predicate",
+    # D — relational core (11)
     "d03_time_pruned_filter",
     "d05_join_star",
     "d06_join_semi_anti",
     "d07_set_ops",
     "d08_agg_pricing_summary",
     "d11_sort_topn",
-    "d13_window_functions",
-    "d14_rollup",
+    "d14d_pivot",
     "d15_asof_join",
-    "d16_string_functions",
-    "d17_datetime_functions",
-    "d18_math_functions",
-    "d19_array_functions",
-    "d20_json_functions",
     "d21_conditional_null",
-    # C — record transforms (3; c06→d17, c08→g01)
+    "d26_sessionization",
+    "d27_rolling_time_window",
+    # C — record transforms (4; c06→d17-family witnesses, c08→g01)
     "c01_envelope_roundtrip",
     "c07_composite_key",
     "c09_orc_roundtrip",
-    # B — streaming-core batch analogues (4; b03→d13, b05→d05)
-    "b01_keyed_partition_order",
+    "c10_cost_accounting",
+    # B — streaming-core batch analogues (4; b03→d26/d27 row_number)
     "b02_salted_aggregation",
     "b04_dedup_by_sequence",
+    "b05_bucketed_join",
     "b07_replay_from_offset",
-    # A — sources/sinks (4)
+    # A — sources/sinks (5)
     "a07_staging_upsert",
     "a10_catalog_partition_discovery",
     "a12_lake_roundtrip",
+    "a13_dynamic_table_partitioning",
     "o04_cdc_apply",
-    # G — LLM-data-pipeline operators (9)
+    # G — LLM-data-pipeline operators (13)
     "g01_dedup_exact",
     "g02_dedup_minhash_lsh",
-    "g03_knn_bruteforce",
+    "g02b_dedup_ngram_jaccard",
+    "g03e_knn_join",
     "g04_text_stats",
     "g05_embedding_neardup",
     "g06_quality_filter",
     "g07_multimodal_meta",
-    "g09_train_split",
     "g10_dedup_clusters",
+    "g11_sequence_packing",
+    "g12_stratified_sample",
+    "g13_decontaminate",
+    "g14_quantize_embeddings",
     # E — streaming semantics, batch-equivalent oracle form (9)
     "e01_stream_tumbling_hourly",
     "e02_stream_sliding_window",

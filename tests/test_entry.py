@@ -35,13 +35,24 @@ def test_driver_window_covers_every_family():
     assert all(n in o for n in window), [n for n in window if n not in o]
     # every operator family lands inside the hard-signal window
     for prefix, minimum in [
-        ("d", 17), ("c", 3), ("b", 4), ("a", 3), ("o", 1),
-        ("g", 9), ("e", 9), ("f", 4),
+        ("d", 11), ("c", 4), ("b", 4), ("a", 4), ("o", 1),
+        ("g", 13), ("e", 9), ("f", 4),
     ]:
         got = sum(1 for n in window if n.startswith(prefix))
         assert got >= minimum, f"family {prefix}: {got} < {minimum}"
     # window curation must not drop any registered query entirely
     assert set(q) == set(registry.REGISTRY)
+    # round-4 rotation: the window must include queries that had no driver
+    # row in rounds 1-3, so hard coverage converges on all entries over time
+    rotated_in = {
+        "d14d_pivot", "d26_sessionization", "d27_rolling_time_window",
+        "b05_bucketed_join", "c10_cost_accounting",
+        "a13_dynamic_table_partitioning", "g02b_dedup_ngram_jaccard",
+        "g03e_knn_join", "g11_sequence_packing", "g12_stratified_sample",
+        "g13_decontaminate", "g14_quantize_embeddings",
+    }
+    assert rotated_in <= set(window)
+    assert len(rotated_in) >= 8
 
 
 def test_sql_cli_runs_and_prints_json(capsys):
