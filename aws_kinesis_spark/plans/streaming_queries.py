@@ -30,6 +30,46 @@ def _tmp(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=f"kinesis_{prefix}_")
 
 
+_EVENT_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def _events_with_flush_sentinel(
+    spark: SparkSession, sf_dir: str, root: str
+) -> tuple[str, int]:
+    """Write the events fixture plus a far-future '__flush' sentinel event
+    in a strictly LATER file-source batch (explicit mtimes, same technique
+    as e04's golden trace).
+
+    This is what lets e01-e03 run in APPEND output mode — the scale-safe
+    form where the watermark closes each window exactly once — yet still
+    emit EVERY real window over a finite fixture: the sentinel advances the
+    watermark a year past the data, closing all real windows; its own
+    window stays open forever and is therefore never emitted. Returns
+    (input_dir, n_fixture_files) so the caller can set maxFilesPerTrigger
+    = n_fixture_files, putting the sentinel in its own micro-batch (the
+    watermark used to emit batch N's windows is the one computed from data
+    through batch N-1)."""
+    import datetime as dt
+
+    inp = os.path.join(root, "events")
+    ev = load(spark, sf_dir, "events")
+    ev.repartition(3).write.mode("overwrite").parquet(inp)
+    fixture = {f for f in os.listdir(inp) if f.endswith(".parquet")}
+    for f in fixture:
+        os.utime(os.path.join(inp, f), (1_700_000_000, 1_700_000_000))
+    sentinel_ts = ev.agg(F.max("ts")).first()[0] + dt.timedelta(days=365)
+    spark.createDataFrame(
+        [(-1, sentinel_ts, -1, "__flush", 0.0, "{}")], _EVENT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(inp)
+    for f in os.listdir(inp):
+        if f.endswith(".parquet") and f not in fixture:
+            os.utime(os.path.join(inp, f), (1_700_000_100, 1_700_000_100))
+    return inp, len(fixture)
+
+
 @register(
     "e01_stream_tumbling_hourly",
     oracle="""
@@ -44,17 +84,22 @@ def _tmp(prefix: str) -> str:
 def e01_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window streaming aggregation (README.md:131, 130): the events
     fixture replayed through micro-batches produces exactly the batch
-    hourly rollup."""
+    hourly rollup — in APPEND mode: each window is emitted once when the
+    watermark closes it (the flush sentinel closes the trailing windows)."""
     root = _tmp("e01")
-    inp = os.path.join(root, "events")
-    load(spark, sf_dir, "events").repartition(3).write.mode("overwrite").parquet(inp)
+    inp, nfiles = _events_with_flush_sentinel(spark, sf_dir, root)
     tbl = f"e01_{uuid.uuid4().hex[:8]}"
     q = start_windowed_agg(
-        event_stream(spark, inp), os.path.join(root, "ckpt"), tbl, window_duration="1 hour"
+        event_stream(spark, inp, max_files_per_trigger=nfiles),
+        os.path.join(root, "ckpt"),
+        tbl,
+        window_duration="1 hour",
     )
     q.awaitTermination(300)
-    return spark.table(tbl).select(
-        F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value"
+    return (
+        spark.table(tbl)
+        .filter(F.col("event_type") != "__flush")
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value")
     )
 
 
@@ -75,13 +120,16 @@ def e02_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window streaming aggregation (SURVEY.md E2; the reference's
     1-min enhanced metrics over a continuous stream, README.md:64): 2 h
     windows sliding by 1 h — every event lands in exactly two windows, which
-    is what the oracle's unnest of the two candidate starts replicates."""
+    is what the oracle's unnest of the two candidate starts replicates.
+    Append mode: the flush sentinel closes every real window; the
+    sentinel's own two windows stay open and never emit, but its groupBy
+    key is shared with real events (no event_type in the key), so its two
+    far-future window rows can never collide with a real window anyway."""
     root = _tmp("e02")
-    inp = os.path.join(root, "events")
-    load(spark, sf_dir, "events").repartition(3).write.mode("overwrite").parquet(inp)
+    inp, nfiles = _events_with_flush_sentinel(spark, sf_dir, root)
     tbl = f"e02_{uuid.uuid4().hex[:8]}"
     q = start_windowed_agg(
-        event_stream(spark, inp),
+        event_stream(spark, inp, max_files_per_trigger=nfiles),
         os.path.join(root, "ckpt"),
         tbl,
         window_duration="2 hours",
@@ -123,24 +171,29 @@ def e03_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionization): 30 min inactivity gap per user. The oracle is the
     classic gaps-and-islands rewrite — a new session starts exactly when the
     gap >= 30 min, and session_end = last event + gap, matching Spark's
-    half-open session_window semantics."""
+    half-open session_window semantics. Append mode: the watermark (pushed
+    by the flush sentinel, whose user_id=-1 session stays open and never
+    emits) closes every real session exactly once."""
     root = _tmp("e03")
-    inp = os.path.join(root, "events")
-    load(spark, sf_dir, "events").repartition(3).write.mode("overwrite").parquet(inp)
+    inp, nfiles = _events_with_flush_sentinel(spark, sf_dir, root)
     tbl = f"e03_{uuid.uuid4().hex[:8]}"
     q = start_windowed_agg(
-        event_stream(spark, inp),
+        event_stream(spark, inp, max_files_per_trigger=nfiles),
         os.path.join(root, "ckpt"),
         tbl,
         session_gap="30 minutes",
     )
     q.awaitTermination(300)
-    return spark.table(tbl).select(
-        "user_id",
-        F.col("w.start").alias("session_start"),
-        F.col("w.end").alias("session_end"),
-        "n_events",
-        "sum_value",
+    return (
+        spark.table(tbl)
+        .filter(F.col("user_id") != -1)
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
     )
 
 

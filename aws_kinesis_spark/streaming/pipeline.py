@@ -266,11 +266,20 @@ def start_windowed_agg(
     slide: str | None = None,
     session_gap: str | None = None,
     watermark: str = "1 hour",
+    output_mode: str = "append",
 ) -> StreamingQuery:
     """Tumbling / sliding / session windowed aggregation (SURVEY.md E1-E3)
-    with a watermark bounding state (E4). Complete output mode so
-    availableNow emits every window in tests; on a live stream this would be
-    append mode with the watermark closing windows."""
+    with a watermark bounding state (E4).
+
+    Default output mode is APPEND — the scale-safe posture: each window is
+    emitted exactly once when the watermark closes it, and state is evicted,
+    so a long-running stream holds only open windows. Complete mode
+    (re-emitting every window each trigger) re-materializes the entire
+    aggregate per trigger — at 100x it is a full-result rewrite every
+    micro-batch; callers may still request it for drain-style tests that
+    need open windows too. The e01-e03 registry queries run append mode
+    with a flush sentinel (plans/streaming_queries.py) so the differential
+    proves append emission matches the batch answer."""
     ev = events.withWatermark("ts", watermark)
     if session_gap is not None:
         win = F.session_window("ts", session_gap)
@@ -283,7 +292,7 @@ def start_windowed_agg(
     return (
         agg.writeStream.format("memory")
         .queryName(sink_table)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -112,7 +112,9 @@ def test_stream_tumbling_matches_batch(spark, tmp_path):
     ev.repartition(3).write.mode("overwrite").parquet(inp)
 
     tbl = _uniq("tumble")
-    q = start_windowed_agg(event_stream(spark, inp), str(tmp_path / "ckpt"), tbl)
+    q = start_windowed_agg(
+        event_stream(spark, inp), str(tmp_path / "ckpt"), tbl, output_mode="complete"
+    )
     q.awaitTermination(120)
 
     got = (
@@ -139,6 +141,7 @@ def test_stream_session_window_matches_batch(spark, tmp_path):
         str(tmp_path / "ckpt"),
         tbl,
         session_gap="30 minutes",
+        output_mode="complete",
     )
     q.awaitTermination(120)
     got = spark.table(tbl).select(
