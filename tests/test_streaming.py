@@ -619,3 +619,55 @@ def test_warehouse_upsert_stream_matches_batch_cdc(spark, tmp_path):
         for r in read_warehouse_table(spark, table).collect()
     }
     assert got2 == got
+
+
+def test_stateful_buffer_dual_bound_size_or_count(spark, tmp_path):
+    """B5/B9 joint bound (README.md:117, 131 — the '64 MB OR 60 s/1000
+    records' dual trigger): with BOTH bounds active in one stream, a shard
+    fed large payloads must close its flushes on the BYTE bound before the
+    record bound, while a shard fed small payloads must close on the RECORD
+    bound before the byte bound — both outcomes in the same query."""
+    import datetime as dt
+    import decimal
+
+    from aws_kinesis_spark.sources.envelope import ENVELOPE_SCHEMA, SEQ_BASE
+    from aws_kinesis_spark.streaming.stateful import start_buffer_accounting
+
+    t0 = dt.datetime(2025, 11, 7, 12, 0, 0)
+    rows = []
+    for i in range(40):
+        # shard 0 (key-0): 500-byte payloads => bytes hit 2000 at 4 records
+        rows.append(
+            (b"x" * 500, "key-0", decimal.Decimal(SEQ_BASE) + 2 * i, t0)
+        )
+        # shard 1 (key-1): 10-byte payloads => count hits 10 at 100 bytes
+        rows.append(
+            (b"y" * 10, "key-1", decimal.Decimal(SEQ_BASE) + 2 * i + 1, t0)
+        )
+    spark.createDataFrame(rows, ENVELOPE_SCHEMA).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "input"))
+
+    tbl = _uniq("e06d")
+    q = start_buffer_accounting(
+        envelope_stream(spark, str(tmp_path / "input")),
+        str(tmp_path / "ckpt"),
+        tbl,
+        n_shards=4,
+        max_records=10,
+        max_bytes=2000,
+    )
+    q.awaitTermination(300)
+    by_shard = {}
+    for r in spark.table(tbl).collect():
+        by_shard.setdefault(r.shard, []).append(r)
+
+    big, small = by_shard[0], by_shard[1]
+    # byte-bound-first shard: every flush closed by bytes, under the count
+    assert len(big) == 10  # 40 records / 4 per flush
+    for r in big:
+        assert r.n_bytes >= 2000 and r.n_records == 4 < 10, r
+    # record-bound-first shard: every flush closed by count, under the bytes
+    assert len(small) == 4  # 40 records / 10 per flush
+    for r in small:
+        assert r.n_records == 10 and r.n_bytes == 100 < 2000, r
