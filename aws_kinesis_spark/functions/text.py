@@ -108,6 +108,43 @@ def quality_score(text: Column | str, toks: Column | None = None) -> Column:
     )
 
 
+def top_ngram_share(text: Column | str, n: int = 2, toks: Column | None = None) -> Column:
+    """Share of the most frequent token n-gram among all n-grams — the
+    Gopher-style repetition signal (docs dominated by one repeated phrase
+    are low-quality machine text).
+
+    Plan shape: a pure in-row fold, NO explode+groupBy. The n-gram array is
+    sorted, then one `aggregate` pass tracks the longest run of equal
+    neighbors (max run length in a sorted array == max count). The SQL
+    oracle computes the same number with unnest+GROUP BY — the engine-side
+    fold is what keeps a 100 TB corpus scan shuffle-free while the oracle
+    shuffles. Docs with fewer than n tokens score 0.0."""
+    t = toks if toks is not None else tokens(text)
+    n_grams = F.size(t) - F.lit(n - 1)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, i + j) for j in range(n)]
+    )
+    grams = F.array_sort(F.transform(F.sequence(F.lit(1), n_grams), gram))
+    run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(  # noqa: E731
+        F.lit(1)
+    )
+    folded = F.aggregate(
+        grams,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return F.when(
+        n_grams >= 1, F.round(folded.cast("double") / n_grams, 4)
+    ).otherwise(F.lit(0.0))
+
+
 def fingerprint(text: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token set (the classic near-dup content signature)."""

@@ -90,6 +90,31 @@ def pack_sequences(
     )
 
 
+def training_order(
+    docs: DataFrame,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch training order WITHOUT a global sort: the
+    order key is md5(epoch:id); its first hex byte is the bucket, and rank
+    is a row_number window per bucket. Global order = (bucket, rank) — the
+    loader reads buckets in hex order — but the engine only ever sorts 256
+    independent partitions, so shuffling a 100 TB corpus for each epoch is
+    256 bounded sorts instead of one global one.
+
+    Seedless and engine-reproducible (same md5 trick as the g09 split):
+    re-running any epoch, on any engine, yields the identical order, and
+    different epochs decorrelate because the epoch is folded into the
+    hash."""
+    h = F.md5(F.concat_ws(":", F.lit(str(epoch)), F.col(id_col).cast("string")))
+    w = Window.partitionBy("bucket").orderBy("__h", id_col)
+    return (
+        docs.select(F.col(id_col), h.alias("__h"), F.substring(h, 1, 2).alias("bucket"))
+        .withColumn("rank_in_bucket", F.row_number().over(w))
+        .select(id_col, "bucket", "rank_in_bucket")
+    )
+
+
 def decontaminate(
     train_docs: DataFrame,
     eval_docs: DataFrame,

@@ -741,3 +741,116 @@ def g14b_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_kinesis_spark.operators.embedding import quantization_error
 
     return quantization_error(load(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "g15_repetition_filter",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        b AS (SELECT doc_id, len(w) - 1 AS n,
+                     unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+              FROM t WHERE len(w) >= 2),
+        bc AS (SELECT doc_id, g, any_value(n) AS n, count(*) AS c
+               FROM b GROUP BY doc_id, g),
+        b2 AS (SELECT doc_id, round(max(c)::DOUBLE / any_value(n), 4) AS top2
+               FROM bc GROUP BY doc_id),
+        r AS (SELECT doc_id, len(w) - 2 AS n,
+                     unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in range(1, len(w) - 1)]) AS g
+              FROM t WHERE len(w) >= 3),
+        rc AS (SELECT doc_id, g, any_value(n) AS n, count(*) AS c
+               FROM r GROUP BY doc_id, g),
+        r3 AS (SELECT doc_id, round(max(c)::DOUBLE / any_value(n), 4) AS top3
+               FROM rc GROUP BY doc_id)
+        SELECT t.doc_id,
+               round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 4)
+                   AS dup_token_fraction,
+               coalesce(b2.top2, 0.0) AS top_bigram_share,
+               coalesce(r3.top3, 0.0) AS top_trigram_share,
+               (coalesce(b2.top2, 0.0) >= 0.2
+                OR 1.0 - len(list_distinct(w))::DOUBLE / len(w) >= 0.9)
+                   AS repetitive
+        FROM t LEFT JOIN b2 USING (doc_id) LEFT JOIN r3 USING (doc_id)
+    """,
+)
+def g15_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-token fraction and
+    the share of the single most frequent 2-/3-gram, with the standard
+    top-2-gram >= 0.2 repetition flag. Spark computes the shares as in-row
+    sorted-array folds (functions/text.py:top_ngram_share) — a pure
+    projection, zero shuffles at any corpus size — while the oracle derives
+    the same numbers via unnest + GROUP BY."""
+    d = load(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    dup = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4
+    )
+    top2 = TX.top_ngram_share("text", 2, toks)
+    top3 = TX.top_ngram_share("text", 3, toks)
+    return d.select(
+        "doc_id",
+        dup.alias("dup_token_fraction"),
+        top2.alias("top_bigram_share"),
+        top3.alias("top_trigram_share"),
+        ((top2 >= 0.2) | (dup >= 0.9)).alias("repetitive"),
+    )
+
+
+# Identical ERE subset in Java regex and RE2 (no lookaround, no backrefs),
+# so the Spark expressions and the DuckDB oracle scrub identically.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_LONGNUM_RE = "[0-9]{6,}"
+
+
+@register(
+    "g16_pii_scrub",
+    oracle=f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(text, '{_LONGNUM_RE}')) AS n_long_numbers,
+               md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{_LONGNUM_RE}', '<NUM>', 'g')) AS scrubbed_md5
+        FROM documents
+    """,
+)
+def g16_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (pre-training hygiene): count and redact email
+    addresses and long digit runs (account/phone-number shaped). Pure JVM
+    regexp expressions — one codegen'd scan pass at any corpus size. The
+    scrubbed text is compared by md5 so the differential proves the exact
+    redacted bytes, not just the counts; the edge cases (emails present)
+    are pinned by a synthetic unit test since the fixture corpus is
+    PII-free."""
+    d = load(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _LONGNUM_RE, "<NUM>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_LONGNUM_RE)).alias("n_long_numbers"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+@register(
+    "g17_training_order",
+    oracle="""
+        SELECT doc_id,
+               substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+               row_number() OVER (
+                   PARTITION BY substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                   ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rank_in_bucket
+        FROM documents
+    """,
+)
+def g17_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-1 training order: global order = (bucket, rank)
+    where bucket is the first md5 hex byte of (epoch:id) — 256 bounded
+    per-bucket sorts instead of one global sort
+    (operators/training.py:training_order). Seedless: any engine
+    reproduces the identical order."""
+    from aws_kinesis_spark.operators.training import training_order
+
+    return training_order(load(spark, sf_dir, "documents"), epoch=1)

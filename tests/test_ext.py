@@ -271,3 +271,56 @@ def test_quantize_roundtrip_edges(spark):
         if r["scale"] > 0:
             # half-up rounding bound: |err| <= scale/2 (+ fp slack)
             assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
+
+
+def test_top_ngram_share_edges(spark):
+    """Repetition signal: exact share on a crafted doc, 0.0 for docs shorter
+    than the gram size."""
+    from aws_kinesis_spark.functions.text import top_ngram_share
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x"), (3, "")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", top_ngram_share("text", 2).alias("s")).collect()
+    }
+    # "a b a b a b": bigrams [a b, b a, a b, b a, a b] -> top share 3/5
+    assert got[1] == 0.6
+    assert got[2] == 0.0 and got[3] == 0.0
+
+
+def test_pii_scrub_redacts_emails_and_numbers(spark):
+    """The fixture corpus is PII-free, so the differential only proves the
+    zero case — this pins the actual redaction on synthetic PII."""
+    from aws_kinesis_spark.plans.ext_queries import _EMAIL_RE, _LONGNUM_RE
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@example.co.uk and card 4111111111111 end")],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_LONGNUM_RE)).alias("n_long"),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _LONGNUM_RE, "<NUM>"
+        ).alias("scrubbed"),
+    ).collect()[0]
+    assert out["n_emails"] == 1 and out["n_long"] == 1
+    assert out["scrubbed"] == "mail <EMAIL> and card <NUM> end"
+
+
+def test_training_order_is_deterministic_and_epoch_decorrelated(spark):
+    """Same epoch twice -> identical order; different epochs -> different
+    order (the hash folds the epoch in); every (bucket, rank) is unique."""
+    from aws_kinesis_spark.operators.training import training_order
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    e1a = training_order(docs, epoch=1).collect()
+    e1b = training_order(docs, epoch=1).collect()
+    assert sorted(map(tuple, e1a)) == sorted(map(tuple, e1b))
+    order1 = [r["doc_id"] for r in sorted(e1a, key=lambda r: (r["bucket"], r["rank_in_bucket"]))]
+    e2 = training_order(docs, epoch=2).collect()
+    order2 = [r["doc_id"] for r in sorted(e2, key=lambda r: (r["bucket"], r["rank_in_bucket"]))]
+    assert order1 != order2
+    assert len({(r["bucket"], r["rank_in_bucket"]) for r in e1a}) == len(e1a)
