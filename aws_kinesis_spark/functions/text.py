@@ -121,10 +121,7 @@ def top_ngram_share(text: Column | str, n: int = 2, toks: Column | None = None) 
     shuffles. Docs with fewer than n tokens score 0.0."""
     t = toks if toks is not None else tokens(text)
     n_grams = F.size(t) - F.lit(n - 1)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(t, i + j) for j in range(n)]
-    )
-    grams = F.array_sort(F.transform(F.sequence(F.lit(1), n_grams), gram))
+    grams = F.array_sort(_gram_array(t, n))
     run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(  # noqa: E731
         F.lit(1)
     )
@@ -158,17 +155,31 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     discriminative.
 
     Documents with fewer than n tokens carry no n-grams and yield an empty
-    array. The guard is load-bearing, not cosmetic: without it
-    sequence(1, size-n+1) produces a DESCENDING index list for short docs
-    (sequence(1, 0) = [1, 0]) and element_at throws
-    INVALID_ARRAY_INDEX_IN_ELEMENT_AT on index 0 — and short docs are
-    guaranteed in any real pre-training corpus. The conditional branch is
-    evaluated lazily per row, so guarded rows never touch the sequence."""
+    array. The guard is load-bearing, not cosmetic: short docs are
+    guaranteed in any real pre-training corpus, and the unguarded form
+    (sequence over a negative range) throws on them. The conditional branch
+    is evaluated lazily per row, so guarded rows never touch the slices.
+
+    Cost shape: built from n aligned slice()s folded with zip_with, NOT a
+    transform(sequence, i -> element_at(tokens, i+j)) — the lambda form
+    embeds the tokenizing split() subtree inside the per-ELEMENT lambda,
+    and interpreted higher-order functions do no subexpression elimination,
+    so split ran n times per gram (~170 times per doc; measured as the
+    dominant cost of every shingle consumer at sf0.1). The slice form
+    evaluates split once per slice per ROW."""
     t = tokens(text)
-    idx = F.sequence(F.lit(1), F.size(t) - F.lit(n - 1))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(t, i + j) for j in range(n)]
+    return F.when(F.size(t) >= n, F.array_distinct(_gram_array(t, n))).otherwise(
+        F.array().cast("array<string>")
     )
-    return F.when(
-        F.size(t) >= n, F.array_distinct(F.transform(idx, gram))
-    ).otherwise(F.array().cast("array<string>"))
+
+
+def _gram_array(t: Column, n: int) -> Column:
+    """Positional (non-distinct) n-grams of token array `t` via n aligned
+    slices folded with zip_with. Only valid under a size(t) >= n guard."""
+    m = F.size(t) - F.lit(n - 1)
+    grams = F.slice(t, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(t, 1 + j, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return grams

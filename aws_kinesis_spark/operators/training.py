@@ -141,8 +141,14 @@ def decontaminate(
     cannot leak an n-gram). Deterministic: no hashing approximations; the
     score is the exact distinct-gram overlap fraction.
     """
+    from aws_kinesis_spark.operators.dedup import _spread
+
+    # same input-parallelism guard as the dedup pipelines (SCALE.md §4b):
+    # a small dense parquet gives the scan ONE partition, serializing the
+    # shingle+explode work; measured 6x end-to-end at sf0.1
     train_sh = (
-        train_docs.select(F.col(id_col), shingles(F.col(text_col), n).alias("__s"))
+        _spread(train_docs)
+        .select(F.col(id_col), shingles(F.col(text_col), n).alias("__s"))
         .filter(F.size("__s") >= 1)
     )
     eval_grams = (

@@ -51,6 +51,8 @@ HEADLINE = [
     "g03e_knn_join",
     "g04_text_stats",
     "g05_embedding_neardup",
+    "g13_decontaminate",
+    "g15_repetition_filter",
 ]
 
 

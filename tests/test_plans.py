@@ -252,3 +252,13 @@ def test_pivot_empty_combo_yields_zero_not_null(spark):
     )
     row = p.collect()[0]
     assert row["n_pending"] == 0  # no 'P' rows: zero, not NULL
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """G13: the benchmark gram set must be the broadcast side — at 100 TB
+    the train corpus can never shuffle for this join — and the per-doc
+    re-aggregation must partial-aggregate map-side."""
+    plan = _plan(queries()["g13_decontaminate"](spark, SF), "formatted")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
