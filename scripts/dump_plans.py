@@ -54,6 +54,19 @@ SHOWCASE = [
         "documents scan.",
     ),
     (
+        "g13_decontaminate",
+        "The benchmark gram set is the `BroadcastExchange` side; the train "
+        "corpus streams through a map-side hash probe and partial-aggregates "
+        "before its only exchange — a 100 TB train table never shuffles for "
+        "the eval join.",
+    ),
+    (
+        "g17_training_order",
+        "Per-epoch training order with NO global sort: one exchange on the "
+        "256-value md5 bucket, then bounded in-bucket sorts for the "
+        "row_number window.",
+    ),
+    (
         "g11_sequence_packing",
         "One exchange on the shard key, then an in-shard sort + running-sum "
         "window — pretraining sequence packing is a single-shuffle plan with "
@@ -91,8 +104,9 @@ def main() -> None:
 
     emit(
         "minhash_signatures (g02 stage 1)",
-        "Zero `Exchange`, zero `Generate`: signatures are pure projections "
-        "(`array_min(transform(...))`), a map-only pass at any scale.",
+        "Zero `Exchange`, zero `Generate`: shingle hashes are a JVM "
+        "projection and the 64 minima are one `ArrowEvalPython` (vectorized "
+        "numpy) projection — still a map-only pass at any scale.",
         minhash_signatures(load(spark, SF, "documents")),
     )
 
