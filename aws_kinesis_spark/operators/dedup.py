@@ -260,49 +260,42 @@ def simhash_signatures(
     (+1 if bit i of xxhash64(shingle) else -1).
 
     Plan shape: NO explode/groupBy — the same shuffle-free discipline as
-    minhash_signatures. One `aggregate` pass folds a 64-long set-bit-count
-    vector over the in-row shingle-hash array (zip_with adds each hash's
-    bit vector); the signature long is then rebuilt from the counts with a
-    second in-row fold. sum_i = 2*cnt_i - n, so bit i is set iff
-    2*cnt_i > n — identical math to the exploded form, but a pure
+    minhash_signatures. Shingle hashes are a JVM projection; the 64
+    per-bit majority votes are ONE Arrow-batched numpy pass (bit-matrix +
+    minimum-width reduceat, exactly the minhash vectorization): the
+    previous all-expression fold (zip_with over a 64-long vector per
+    shingle) ran ~64 interpreted ops per shingle outside whole-stage
+    codegen. bit i of the signature is set iff 2*cnt_i > n (sign of the
+    +1/-1 sum) — identical math to the exploded form, but a pure
     projection that never leaves the scan stage. At 100 TB this avoids
     shuffling billions of exploded shingle rows through a 64-column agg."""
+
+    @F.pandas_udf("long")
+    def simhash_from_hashes(hs: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
+        arrs = [np.asarray(x, dtype=np.int64).view(np.uint64) for x in hs]
+        lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))
+        out = np.zeros(len(arrs), dtype=np.uint64)
+        nonempty = lens > 0
+        if nonempty.any():
+            flat = np.concatenate([x for x in arrs if len(x)])
+            bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+            offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+            counts = np.add.reduceat(bits.astype(np.int64), offsets, axis=0)
+            majority = (2 * counts) > lens[nonempty][:, None]
+            out[nonempty] = (majority.astype(np.uint64) << shifts[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+        return pd.Series(out.view(np.int64))
+
     hashed = docs.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n).select(
         F.col(id_col),
         F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)).alias(
             "__hs"
         ),
     )
-    zero64 = F.array_repeat(F.lit(0).cast("long"), 64)
-    counts = F.aggregate(
-        "__hs",
-        zero64,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long")
-                    for i in range(64)
-                ]
-            ),
-            lambda a, b: a + b,
-        ),
-    )
-    n = F.size("__hs")
-    # bit 63 is the sign bit: adding -(2^63) sets it in two's complement
-    weights = F.array(
-        *[F.lit(2**i if i < 63 else -(2**63)).cast("long") for i in range(64)]
-    )
-    sig = F.aggregate(
-        F.zip_with(
-            counts,
-            weights,
-            lambda c, w: F.when(c * 2 > n, w).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return hashed.select(F.col(id_col), sig.alias("simhash"))
+    return hashed.select(F.col(id_col), simhash_from_hashes("__hs").alias("simhash"))
 
 
 def simhash_dedup(
