@@ -26,9 +26,17 @@ def _spread(docs: DataFrame) -> DataFrame:
     rows), so Spark gives the scan ONE partition and every downstream
     explode/hash/shingle runs single-threaded. One cheap row shuffle spreads
     the corpus across the cluster before the heavy per-doc work (measured 3x
-    end-to-end at sf0.1; at 100 TB the input is already many splits and this
-    becomes a no-op-cost guard)."""
-    return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    end-to-end at sf0.1).
+
+    CONDITIONAL: a corpus that already scans as >= half the cluster's
+    parallelism is returned untouched — repartition() is a full shuffle of
+    every row, and at 100 TB the input is already thousands of splits, so
+    the unconditional form would have paid a corpus-wide shuffle for
+    nothing. The partition count comes from plan metadata (no job runs)."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() >= max(2, target // 2):
+        return docs
+    return docs.repartition(target)
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -43,6 +51,80 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 _M64 = (1 << 64) - 1
+
+# Upper bound on shingle hashes processed per numpy kernel invocation inside
+# the signature pandas UDFs. The kernels build an O(chunk x 64) transient
+# (minhash: uint64 affine values; simhash: int64 bit counts) — unchunked,
+# an Arrow batch of long documents (10k rows x 5k shingles) would transiently
+# allocate tens of GB and OOM the worker. 2^19 hashes caps the transient at
+# ~256 MB while keeping the vectorization win; a single pathological doc
+# larger than the chunk is processed alone (the transient is then bounded by
+# that one doc, which is irreducible).
+_CHUNK_SHINGLES = 1 << 19
+
+
+def _doc_chunks(arrs: list, lens, chunk: int | None = None):
+    """Segment a batch of per-doc hash arrays into chunks of at most
+    `chunk` (default _CHUNK_SHINGLES) total hashes, aligned to doc
+    boundaries. Yields (row_slice, flat_hashes, reduceat_offsets,
+    nonempty_mask) — offsets index flat_hashes per NONEMPTY doc in the
+    slice."""
+    cap = chunk if chunk is not None else _CHUNK_SHINGLES
+    start, n = 0, len(arrs)
+    while start < n:
+        end, tot = start, 0
+        while end < n and (tot == 0 or tot + int(lens[end]) <= cap):
+            tot += int(lens[end])
+            end += 1
+        seglens = lens[start:end]
+        nonempty = seglens > 0
+        flat = (
+            np.concatenate([x for x in arrs[start:end] if len(x)])
+            if nonempty.any()
+            else np.empty(0, dtype=np.uint64)
+        )
+        offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        if len(offsets) > 1:
+            np.cumsum(seglens[nonempty][:-1], out=offsets[1:])
+        yield slice(start, end), flat, offsets, nonempty
+        start = end
+
+
+def _minhash_kernel(
+    hs, a_co: list[int], b_co: list[int], num_hashes: int, chunk: int | None = None
+) -> pd.Series:
+    """One Arrow batch of shingle-hash arrays -> per-doc minhash arrays.
+    `chunk` overrides _CHUNK_SHINGLES (tests verify chunked == unchunked)."""
+    A = np.array(a_co, dtype=np.uint64)[:, None]
+    B = np.array(b_co, dtype=np.uint64)[:, None]
+    arrs = [np.asarray(x, dtype=np.int64).view(np.uint64) for x in hs]
+    lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))
+    out = np.full((len(arrs), num_hashes), _M64, dtype=np.uint64)
+    for rows, flat, offsets, nonempty in _doc_chunks(arrs, lens, chunk):
+        if not len(flat):
+            continue
+        vals = A * flat[None, :] + B  # uint64 wraparound == mod 2^64
+        mins = np.minimum.reduceat(vals, offsets, axis=1)  # (k, n_nonempty)
+        out[rows][nonempty] = mins.T  # out[slice] is a view: writes through
+    return pd.Series(list(out.view(np.int64)))
+
+
+def _simhash_kernel(hs, chunk: int | None = None) -> pd.Series:
+    """One Arrow batch of shingle-hash arrays -> per-doc 64-bit simhash."""
+    shifts = np.arange(64, dtype=np.uint64)
+    arrs = [np.asarray(x, dtype=np.int64).view(np.uint64) for x in hs]
+    lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))
+    out = np.zeros(len(arrs), dtype=np.uint64)
+    for rows, flat, offsets, nonempty in _doc_chunks(arrs, lens, chunk):
+        if not len(flat):
+            continue
+        bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+        counts = np.add.reduceat(bits.astype(np.int64), offsets, axis=0)
+        majority = (2 * counts) > lens[rows][nonempty][:, None]
+        out[rows][nonempty] = (majority.astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+    return pd.Series(out.view(np.int64))
 
 
 def _minhash_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
@@ -101,23 +183,7 @@ def minhash_signatures(
 
     @F.pandas_udf("array<long>")
     def minhash_mins(hs: pd.Series) -> pd.Series:
-        A = np.array(a_co, dtype=np.uint64)[:, None]
-        B = np.array(b_co, dtype=np.uint64)[:, None]
-        arrs = [np.asarray(x, dtype=np.int64).view(np.uint64) for x in hs]
-        lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))
-        if not len(arrs) or lens.sum() == 0:
-            sentinel = np.full(num_hashes, _M64, dtype=np.uint64).view(np.int64)
-            return pd.Series([sentinel.copy() for _ in arrs])
-        flat = np.concatenate([x for x in arrs if len(x)])
-        vals = A * flat[None, :] + B  # uint64 wraparound == mod 2^64
-        nonempty = lens > 0
-        offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
-        np.cumsum(lens[nonempty][:-1], out=offsets[1:])
-        mins = np.minimum.reduceat(vals, offsets, axis=1)  # (num_hashes, n_nonempty)
-        out = np.full((len(arrs), num_hashes), _M64, dtype=np.uint64)
-        out[nonempty] = mins.T
-        signed = out.view(np.int64)
-        return pd.Series(list(signed))
+        return _minhash_kernel(hs, a_co, b_co, num_hashes)
 
     hashed = docs.select(
         F.col(id_col),
@@ -272,22 +338,7 @@ def simhash_signatures(
 
     @F.pandas_udf("long")
     def simhash_from_hashes(hs: pd.Series) -> pd.Series:
-        shifts = np.arange(64, dtype=np.uint64)
-        arrs = [np.asarray(x, dtype=np.int64).view(np.uint64) for x in hs]
-        lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))
-        out = np.zeros(len(arrs), dtype=np.uint64)
-        nonempty = lens > 0
-        if nonempty.any():
-            flat = np.concatenate([x for x in arrs if len(x)])
-            bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
-            offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
-            np.cumsum(lens[nonempty][:-1], out=offsets[1:])
-            counts = np.add.reduceat(bits.astype(np.int64), offsets, axis=0)
-            majority = (2 * counts) > lens[nonempty][:, None]
-            out[nonempty] = (majority.astype(np.uint64) << shifts[None, :]).sum(
-                axis=1, dtype=np.uint64
-            )
-        return pd.Series(out.view(np.int64))
+        return _simhash_kernel(hs)
 
     hashed = docs.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n).select(
         F.col(id_col),

@@ -132,9 +132,12 @@ def decontaminate(
     Scale shape: the eval side of the join is the BENCHMARK set — tiny
     (thousands of docs) next to a 100 TB train corpus — so its distinct
     gram set is broadcast and the train side streams through a map-side
-    hash probe with no shuffle of eval data. The only shuffle is the
-    per-doc re-aggregation of exploded grams, which partial-aggregates
-    map-side to at most one row per (doc, partition) before exchanging.
+    hash probe with no shuffle of eval data. The train path's only
+    unconditional shuffle is the per-doc re-aggregation of exploded grams,
+    which partial-aggregates map-side to at most one row per
+    (doc, partition) before exchanging. (_spread may add one round-robin
+    exchange, but only when the input scans as fewer partitions than half
+    the cluster's parallelism — never on a real many-split corpus.)
 
     Output: (id, n_grams, n_shared, contamination, contaminated) — docs
     with fewer than ``n`` tokens carry no n-grams and are excluded (they
@@ -145,7 +148,8 @@ def decontaminate(
 
     # same input-parallelism guard as the dedup pipelines (SCALE.md §4b):
     # a small dense parquet gives the scan ONE partition, serializing the
-    # shingle+explode work; measured 6x end-to-end at sf0.1
+    # shingle+explode work; measured 6x end-to-end at sf0.1. No-op (no
+    # exchange) when the input already scans wide.
     train_sh = (
         _spread(train_docs)
         .select(F.col(id_col), shingles(F.col(text_col), n).alias("__s"))

@@ -224,10 +224,6 @@ def g04_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4: token counting (whitespace + BPE-ish regex), stopword language
     ID, composite quality score — all JVM-side expressions."""
     d = load(spark, sf_dir, "documents")
-    # Per-language hit counts are single regexp_count calls (JVM-side, tiny
-    # codegen footprint); the CASE chain and quality combine them. Catalyst
-    # re-inlines projected columns (CollapseProject), so keeping each leaf
-    # expression small matters more than naming intermediates.
     toks = TX.tokens("text")
     # Token-array filter(isin) form, NOT the regexp_count rewrite: measured at
     # sf0.1 the five lookaround-alternation regex passes over full text cost
@@ -782,17 +778,18 @@ def g15_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same numbers via unnest + GROUP BY."""
     d = load(spark, sf_dir, "documents")
     toks = TX.tokens("text")
-    dup = F.round(
-        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4
-    )
+    # flag on the UNROUNDED fraction (matching the oracle); round only the
+    # reported column — comparing the rounded value against the threshold
+    # would flip the flag for docs landing within 5e-5 of it
+    dup_raw = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
     top2 = TX.top_ngram_share("text", 2, toks)
     top3 = TX.top_ngram_share("text", 3, toks)
     return d.select(
         "doc_id",
-        dup.alias("dup_token_fraction"),
+        F.round(dup_raw, 4).alias("dup_token_fraction"),
         top2.alias("top_bigram_share"),
         top3.alias("top_trigram_share"),
-        ((top2 >= 0.2) | (dup >= 0.9)).alias("repetitive"),
+        ((top2 >= 0.2) | (dup_raw >= 0.9)).alias("repetitive"),
     )
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from aws_kinesis_spark.registry import register
 from aws_kinesis_spark.sources.envelope import synthesize_envelope
 from aws_kinesis_spark.streaming.pipeline import (
+    EVENTS_SCHEMA,
     envelope_stream,
     event_stream,
     start_lake_path,
@@ -28,12 +29,6 @@ from aws_kinesis_spark.tables import load
 
 def _tmp(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=f"kinesis_{prefix}_")
-
-
-_EVENT_SCHEMA = (
-    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
-    "value DOUBLE, props STRING"
-)
 
 
 def _events_with_flush_sentinel(
@@ -62,7 +57,7 @@ def _events_with_flush_sentinel(
         os.utime(os.path.join(inp, f), (1_700_000_000, 1_700_000_000))
     sentinel_ts = ev.agg(F.max("ts")).first()[0] + dt.timedelta(days=365)
     spark.createDataFrame(
-        [(-1, sentinel_ts, -1, "__flush", 0.0, "{}")], _EVENT_SCHEMA
+        [(-1, sentinel_ts, -1, "__flush", 0.0, "{}")], EVENTS_SCHEMA
     ).coalesce(1).write.mode("append").parquet(inp)
     for f in os.listdir(inp):
         if f.endswith(".parquet") and f not in fixture:
@@ -215,10 +210,7 @@ def e04_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     12:00 window with its 2; the 13:00 window stays open at stream end."""
     import datetime as dt
 
-    schema = (
-        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
-        "value DOUBLE, props STRING"
-    )
+    schema = EVENTS_SCHEMA
 
     def batch(*hm):
         return [

@@ -237,6 +237,16 @@ def read_warehouse_table(
     return spark.read.parquet(os.path.join(table_dir, f"v{version}"))
 
 
+# DDL schema of the events fixture — the single definition shared by the
+# stream reader and every test/query that writes synthetic event batches
+# (a sentinel written with a diverging schema would read back as nulls and
+# silently stall the watermark).
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
 def event_stream(
     spark: SparkSession,
     input_dir: str,
@@ -246,11 +256,7 @@ def event_stream(
     """Stream of the events fixture (event-time `ts` already a timestamp).
     Same backpressure dials as envelope_stream (B5/B9)."""
     configure(spark)
-    schema = (
-        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
-        "value DOUBLE, props STRING"
-    )
-    reader = spark.readStream.schema(schema)
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if max_bytes_per_trigger:

@@ -57,8 +57,10 @@ SHOWCASE = [
         "g13_decontaminate",
         "The benchmark gram set is the `BroadcastExchange` side; the train "
         "corpus streams through a map-side hash probe and partial-aggregates "
-        "before its only exchange — a 100 TB train table never shuffles for "
-        "the eval join.",
+        "before its per-doc exchange — a 100 TB train table never shuffles "
+        "for the eval join. (The round-robin exchange below the scan is the "
+        "small-input parallelism guard; it disappears when the input scans "
+        "as many splits.)",
     ),
     (
         "g17_training_order",

@@ -324,3 +324,33 @@ def test_training_order_is_deterministic_and_epoch_decorrelated(spark):
     order2 = [r["doc_id"] for r in sorted(e2, key=lambda r: (r["bucket"], r["rank_in_bucket"]))]
     assert order1 != order2
     assert len({(r["bucket"], r["rank_in_bucket"]) for r in e1a}) == len(e1a)
+
+
+def test_signature_kernels_chunking_is_invisible():
+    """The bounded-transient chunking inside the minhash/simhash numpy
+    kernels must not change results: tiny chunk (forcing many doc-aligned
+    segments, including a doc bigger than the chunk) == one big chunk."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_kinesis_spark.operators.dedup import (
+        _minhash_coeffs,
+        _minhash_kernel,
+        _simhash_kernel,
+    )
+
+    rng = [
+        [11, -3, 2**62, -(2**61), 17, 5, 9],   # longer than chunk=3
+        [],                                     # empty doc
+        [42],
+        [7, 7, 7, 1],
+        [],
+        [2**63 - 1, -(2**63), 0],
+    ]
+    hs = pd.Series([np.array(x, dtype=np.int64) for x in rng])
+    a_co, b_co = _minhash_coeffs(8)
+    small = _minhash_kernel(hs, a_co, b_co, 8, chunk=3)
+    big = _minhash_kernel(hs, a_co, b_co, 8, chunk=1 << 30)
+    for s, b in zip(small, big):
+        assert list(s) == list(b)
+    assert list(_simhash_kernel(hs, chunk=3)) == list(_simhash_kernel(hs, chunk=1 << 30))
