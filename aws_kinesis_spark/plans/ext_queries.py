@@ -851,3 +851,33 @@ def g17_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_kinesis_spark.operators.training import training_order
 
     return training_order(load(spark, sf_dir, "documents"), epoch=1)
+
+
+@register(
+    "g18_token_topk",
+    oracle="""
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 100
+    """,
+)
+def g18_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: exact global top-100 tokens. One shuffle with
+    map-side partial aggregation; the top-k is a TakeOrderedAndProject, no
+    global sort (operators/sketch.py)."""
+    from aws_kinesis_spark.operators.sketch import token_topk_exact
+
+    return token_topk_exact(load(spark, sf_dir, "documents"), k=100)
+
+
+@register("g18b_token_topk_sketch")  # rows-only: sketch bounds checked in tests
+def g18b_token_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via per-partition SpaceSaving summaries — the
+    bounded-memory scale path: O(partitions x capacity) rows shuffle
+    regardless of vocabulary size. Equality with the exact top-k on the
+    fixture (vocab << capacity) is asserted in tests/test_ext.py."""
+    from aws_kinesis_spark.operators.sketch import token_topk_spacesaving
+
+    return token_topk_spacesaving(load(spark, sf_dir, "documents"), k=100)

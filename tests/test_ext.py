@@ -354,3 +354,37 @@ def test_signature_kernels_chunking_is_invisible():
     for s, b in zip(small, big):
         assert list(s) == list(b)
     assert list(_simhash_kernel(hs, chunk=3)) == list(_simhash_kernel(hs, chunk=1 << 30))
+
+
+def test_spacesaving_topk_matches_exact_within_capacity(spark):
+    """With the fixture vocabulary far under the counter capacity, the
+    SpaceSaving path must reproduce the exact top-k with zero error."""
+    from aws_kinesis_spark.operators.sketch import (
+        token_topk_exact,
+        token_topk_spacesaving,
+    )
+
+    docs = load(spark, SF, "documents")
+    exact = [(r["token"], r["n"]) for r in token_topk_exact(docs, k=50).collect()]
+    sketch = [
+        (r["token"], r["n_est"], r["err"])
+        for r in token_topk_spacesaving(docs, k=50).collect()
+    ]
+    assert [(t, n, 0) for t, n in exact] == sketch
+
+
+def test_spacesaving_eviction_bounds_are_honest(spark):
+    """Past capacity, every reported n_est must upper-bound the true count
+    and n_est - err must lower-bound it (the SpaceSaving guarantee)."""
+    from aws_kinesis_spark.operators.sketch import token_topk_spacesaving
+
+    rows = [(i, f"tok{i % 40}") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    got = {
+        r["token"]: (r["n_est"], r["err"])
+        for r in token_topk_spacesaving(docs, k=40, capacity=8).collect()
+    }
+    true = {f"tok{j}": 10 for j in range(40)}
+    for tok, (est, err) in got.items():
+        assert est >= true[tok]
+        assert est - err <= true[tok]
