@@ -663,3 +663,40 @@ def c10_cost_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(payload_len).alias("n_bytes"),
     )
     return with_cost_cols(per_op)
+
+
+@register(
+    "a01_kinesis_sim_source",
+    oracle="""
+        SELECT i AS id,
+               CASE i % 3 WHEN 0 THEN 'O' WHEN 1 THEN 'F' ELSE 'P' END AS status,
+               CASE i % 3 WHEN 0 THEN 'I' WHEN 1 THEN 'U' ELSE 'D' END AS op,
+               'sales-orders-' || i AS partition_key,
+               CAST(CAST('100000000000000000000000000000' AS DECIMAL(38,0)) + i
+                    AS VARCHAR) AS sequence_number
+        FROM (SELECT unnest(range(0, 2000)) AS i)
+    """,
+)
+def a01_kinesis_sim_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 as a REAL Spark source: the kinesis_sim Python DataSource V2
+    (sources/kinesis_sim.py) reads one InputPartition per shard — the
+    stream's own parallelism model — and the rows decode through the same
+    decode_envelope stage as production. The oracle regenerates the
+    deterministic stream with a SQL range()."""
+    from aws_kinesis_spark.sources import kinesis_sim
+    from aws_kinesis_spark.sources.envelope import decode_envelope
+
+    kinesis_sim.register(spark)
+    env = (
+        spark.read.format("kinesis_sim")
+        .option("shards", 4)
+        .option("recordsPerShard", 500)
+        .load()
+    )
+    return decode_envelope(env).select(
+        "id",
+        "status",
+        "op",
+        "partition_key",
+        F.col("sequence_number").cast("string").alias("sequence_number"),
+    )

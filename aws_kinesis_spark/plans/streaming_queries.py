@@ -454,3 +454,76 @@ def e08_stream_lake_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(lake, "data")).select(
         "id", "status", "op", "partition_key"
     )
+
+
+@register(
+    "e10_stream_stream_join",
+    oracle="""
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id,
+               round(p.value, 4) AS purchase_value
+        FROM events c
+        JOIN events p
+          ON c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.user_id = c.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def e10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join (SURVEY.md §2.E extension; the attribution
+    join: each click joined to the same user's purchases within 30 min).
+    Both sides are real file streams with event-time watermarks and a time
+    -interval join condition, so the state store holds only a bounded
+    30-minute-plus-watermark window per side — the scale-safe
+    stream-stream shape. Inner-join emission is match-driven (not
+    watermark-gated), so the availableNow drain produces exactly the
+    batch join; the oracle is that batch join."""
+    root = _tmp("e10")
+    inp = os.path.join(root, "events")
+    load(spark, sf_dir, "events").repartition(3).write.mode("overwrite").parquet(inp)
+
+    clicks = (
+        event_stream(spark, inp)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        event_stream(spark, inp)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+    )
+    tbl = f"e10_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(tbl)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(tbl)

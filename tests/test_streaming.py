@@ -671,3 +671,31 @@ def test_stateful_buffer_dual_bound_size_or_count(spark, tmp_path):
     assert len(small) == 4  # 40 records / 10 per flush
     for r in small:
         assert r.n_records == 10 and r.n_bytes == 100 < 2000, r
+
+
+def test_kinesis_sim_datasource_shards_and_ordering(spark):
+    """A1: the kinesis_sim Python DataSource must expose one input
+    partition per shard and keep sequence numbers ordered within a shard
+    (the stream's per-shard ordering contract)."""
+    from aws_kinesis_spark.sources import kinesis_sim
+
+    kinesis_sim.register(spark)
+    df = (
+        spark.read.format("kinesis_sim")
+        .option("shards", 3)
+        .option("recordsPerShard", 20)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    rows = df.withColumn("part", F.spark_partition_id()).collect()
+    assert len(rows) == 60
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["part"], []).append(r["sequence_number"])
+    assert len(by_part) == 3
+    for seqs in by_part.values():
+        assert seqs == sorted(seqs)  # per-shard ordering, never reordered
+    # sequence numbers are 30-digit decimals, exact (no context rounding)
+    all_seqs = sorted(str(s) for r in rows for s in [r["sequence_number"]])
+    assert len(set(all_seqs)) == 60
+    assert all_seqs[0].endswith("0") and len(all_seqs[0]) == 30
