@@ -126,3 +126,61 @@ def test_asof_join_null_field_not_backfilled(spark_session):
     # the t=20 row is the match: tag comes from it AND its NULL price stays
     assert out[0]["tag_r"] == "new"
     assert out[0]["price_r"] is None
+
+
+_hash_arrays = st.lists(
+    st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=12),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batch=_hash_arrays)
+def test_minhash_kernel_equals_python_reference(batch):
+    """The vectorized minhash kernel == a direct per-doc Python computation
+    of min((a*x + b) mod 2^64) for arbitrary hash arrays (incl. empties),
+    at any chunking."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_kinesis_spark.operators.dedup import _minhash_coeffs, _minhash_kernel
+
+    k = 6
+    a_co, b_co = _minhash_coeffs(k)
+    hs = pd.Series([np.array(x, dtype=np.int64) for x in batch])
+    got = _minhash_kernel(hs, a_co, b_co, k, chunk=5)
+    M = (1 << 64) - 1
+    for doc, out in zip(batch, got):
+        want = []
+        for a, b in zip(a_co, b_co):
+            if doc:
+                m = min((a * (x & M) + b) & M for x in doc)
+            else:
+                m = M
+            want.append(m - (1 << 64) if m >= (1 << 63) else m)  # as int64
+        assert list(out) == want
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batch=_hash_arrays)
+def test_simhash_kernel_equals_python_reference(batch):
+    """The vectorized simhash kernel == the per-doc majority-vote
+    definition: bit i set iff strictly more than half the shingle hashes
+    have bit i set."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_kinesis_spark.operators.dedup import _simhash_kernel
+
+    hs = pd.Series([np.array(x, dtype=np.int64) for x in batch])
+    got = _simhash_kernel(hs, chunk=4)
+    for doc, out in zip(batch, got):
+        sig = 0
+        n = len(doc)
+        for i in range(64):
+            cnt = sum((x >> i) & 1 for x in doc)
+            if 2 * cnt > n and n > 0:
+                sig |= 1 << i
+        want = sig - (1 << 64) if sig >= (1 << 63) else sig
+        assert int(out) == want
