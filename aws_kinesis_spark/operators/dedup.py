@@ -179,17 +179,28 @@ def minhash_signatures(
     stage. At 100 TB this is the difference between a map-only pass and
     shuffling billions of exploded shingle rows through a 64-aggregate
     hash agg."""
+    sets = docs.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+    return _signatures_from_shingle_sets(sets, id_col, num_hashes)
+
+
+def _signatures_from_shingle_sets(
+    sets: DataFrame, id_col: str = "doc_id", num_hashes: int = 64
+) -> DataFrame:
+    """Signatures from a precomputed (id, __sh shingle-array) frame — lets
+    the LSH pipeline compute/checkpoint the shingle sets ONCE and reuse
+    them for both signatures and the exact-Jaccard verify stage instead of
+    shingling the corpus twice."""
     a_co, b_co = _minhash_coeffs(num_hashes)
 
     @F.pandas_udf("array<long>")
     def minhash_mins(hs: pd.Series) -> pd.Series:
         return _minhash_kernel(hs, a_co, b_co, num_hashes)
 
-    hashed = docs.select(
+    hashed = sets.select(
         F.col(id_col),
-        F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)).alias(
-            "__hs"
-        ),
+        F.transform("__sh", lambda s: F.xxhash64(s)).alias("__hs"),
     )
     sig = hashed.select(F.col(id_col), minhash_mins("__hs").alias("__sig"))
     return sig.select(
@@ -236,17 +247,23 @@ def lsh_candidate_pairs(
     )
 
 
-def _exact_jaccard_on_pairs(
-    pairs: DataFrame, docs: DataFrame, text_col: str, id_col: str, shingle_n: int
+def _checkpointed_shingle_sets(
+    docs: DataFrame, text_col: str, id_col: str, shingle_n: int
 ) -> DataFrame:
-    """Join shingle sets onto candidate pairs and compute exact Jaccard.
-
-    The shingle-set table is referenced twice (once per pair side); cutting
-    its lineage keeps the optimizer from re-analyzing the doc-scan plan per
-    side and computes the shingling once."""
-    sets = docs.select(
+    """(id, __sh) with lineage cut: the set table is referenced by multiple
+    join sides / pipeline stages, and checkpointing both computes the
+    shingling once and keeps the optimizer from re-analyzing the doc-scan
+    plan per reference."""
+    return docs.select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")
     ).localCheckpoint(eager=True)
+
+
+def _exact_jaccard_on_pairs(
+    pairs: DataFrame, sets: DataFrame, id_col: str
+) -> DataFrame:
+    """Join precomputed (id, __sh) shingle sets onto candidate pairs and
+    compute exact Jaccard."""
     inter = F.col("__inter").cast("double")
     union = F.size("__sha") + F.size("__shb") - F.col("__inter")
     return (
@@ -272,11 +289,16 @@ def minhash_lsh_dedup(
     shingle -> minhash -> band -> bucket-join -> verify: candidates from LSH
     (high recall at the threshold by the banding S-curve), then exact
     shingle-Jaccard filters false positives, so the output equals the exact
-    all-pairs answer with probability ~1 while never materializing n^2."""
+    all-pairs answer with probability ~1 while never materializing n^2.
+
+    The checkpointed shingle-set table is computed ONCE and feeds both the
+    signature stage and the verify stage — previously each stage shingled
+    the corpus independently (two full scans of the heavy per-doc work)."""
     docs = _spread(docs.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n))
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    sets = _checkpointed_shingle_sets(docs, text_col, id_col, shingle_n)
+    sigs = _signatures_from_shingle_sets(sets, id_col, num_hashes)
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    verified = _exact_jaccard_on_pairs(cand, docs, text_col, id_col, shingle_n)
+    verified = _exact_jaccard_on_pairs(cand, sets, id_col)
     return verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
@@ -294,15 +316,14 @@ def ngram_jaccard_dedup(
     candidate growth depends on shingle frequency — MinHash+LSH is the
     100 TB path; this is the oracle-grade reference implementation."""
     docs = _spread(docs.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n))
+    sets = _checkpointed_shingle_sets(docs, text_col, id_col, shingle_n)
     # invert on the shingle HASH, not the string: the self-join shuffles and
     # compares fixed-width longs. A collision only adds a spurious candidate,
     # which the exact-Jaccard verify removes — completeness is unaffected
     # (equal shingles always hash equal).
-    inv = docs.select(
+    inv = sets.select(
         F.col(id_col),
-        F.explode(
-            F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
-        ).alias("__s"),
+        F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__s"),
     )
     a, b = inv.alias("a"), inv.alias("b")
     cand = (
@@ -310,7 +331,7 @@ def ngram_jaccard_dedup(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    verified = _exact_jaccard_on_pairs(cand, docs, text_col, id_col, shingle_n)
+    verified = _exact_jaccard_on_pairs(cand, sets, id_col)
     return verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
