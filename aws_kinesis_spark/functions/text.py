@@ -8,6 +8,7 @@ never crosses into Python.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -140,6 +141,44 @@ def top_ngram_share(text: Column | str, n: int = 2, toks: Column | None = None) 
     return F.when(
         n_grams >= 1, F.round(folded.cast("double") / n_grams, 4)
     ).otherwise(F.lit(0.0))
+
+
+def ngram_shares_udf(ns: tuple[int, ...] = (2, 3)):
+    """Arrow-batched variant of top_ngram_share computing several gram
+    sizes in one pass: returns array<double> of the top-n-gram share for
+    each n in `ns` (rounded to 4, 0.0 for docs shorter than n).
+
+    Measured ~3x faster than the expression form at sf0.1 when several
+    gram sizes are scored per doc: the sorted-array `aggregate` fold is
+    interpreted per element outside whole-stage codegen, while this runs
+    one Counter pass per (doc, n) at C speed. Both forms are kept — the
+    expression form composes into pure-JVM plans (g04-style single-score
+    paths); this one is for multi-score scans like g15."""
+    import collections
+
+    @F.pandas_udf("array<double>")
+    def shares(toks: pd.Series) -> pd.Series:
+        out = []
+        for t in toks:
+            row = []
+            lt = list(t)
+            for n in ns:
+                m = len(lt) - n + 1
+                if m < 1:
+                    row.append(0.0)
+                    continue
+                counts = collections.Counter(
+                    tuple(lt[i : i + n]) for i in range(m)
+                )
+                c = counts.most_common(1)[0][1]
+                # integer HALF_UP to 4 decimals: Python's round() is
+                # banker's and diverges from Spark/DuckDB at .xxxx5
+                # boundaries (e.g. c/m = k/32)
+                row.append(((c * 20000 + m) // (2 * m)) / 10000.0)
+            out.append(row)
+        return pd.Series(out)
+
+    return shares
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -782,8 +782,11 @@ def g15_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reported column — comparing the rounded value against the threshold
     # would flip the flag for docs landing within 5e-5 of it
     dup_raw = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
-    top2 = TX.top_ngram_share("text", 2, toks)
-    top3 = TX.top_ngram_share("text", 3, toks)
+    # both gram sizes in one Arrow pass (~3x the interpreted fold form when
+    # scoring several sizes; see functions/text.py:ngram_shares_udf)
+    shares = TX.ngram_shares_udf((2, 3))(toks)
+    top2 = F.element_at(shares, 1)
+    top3 = F.element_at(shares, 2)
     return d.select(
         "doc_id",
         F.round(dup_raw, 4).alias("dup_token_fraction"),
