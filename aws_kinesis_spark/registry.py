@@ -56,6 +56,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        bucketed co-location), g03 (g03e = same exact cosine top-k over
 #        EVERY vector), g09 (g12 = same md5-hex-threshold split mechanism)
 #   in:  d14d, d26, d27, b05, c10, a13, g02b, g03e, g11, g12, g13, g14
+# Round-5 swap-in candidates (oracle-backed, still no driver row after r4):
+#   d04, d08b, d09, d10, d10c, d12, d14b, d14c, d15b, d22, d23, d24, d28,
+#   b02b, b03, c06, c08, g03d, g04b, g04c, g04d, g08, g15, g16, g17, g18,
+#   a01, e10 — swap against r4 window slots whose operator they witness.
 # Queries outside the window still run in the local differential suite
 # (tests/test_differential.py) every CI pass; prior-round driver rows for
 # rotated-out queries remain in CORRECTNESS_r{1..3}.json.
