@@ -553,3 +553,38 @@ def neardup_clusters(
         if changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
+def dedup_keepers(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """The dedup END DECISION: for every document, its near-dup cluster and
+    whether it is the cluster's keeper — keeper = highest quality_score in
+    the cluster (ties by smallest id), singletons keep themselves. This is
+    the step a pipeline actually applies ("drop 40% of the corpus, keep
+    the best copy of each"), composing neardup_clusters (G10) with the G4
+    quality score.
+
+    Scale shape: clusters come from the LSH pipeline (never all-pairs);
+    the decision itself is one left join of the (tiny) clustered-doc table
+    onto the corpus plus one window over cluster_id — cluster partitions
+    are near-dup groups (pairs/short chains), so the window never sees a
+    skewed partition."""
+    from pyspark.sql import Window
+
+    from aws_kinesis_spark.functions.text import quality_score
+
+    clusters = neardup_clusters(docs, text_col, id_col, threshold)
+    scored = docs.select(
+        F.col(id_col), quality_score(F.col(text_col)).alias("quality")
+    )
+    full = scored.join(clusters, id_col, "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col(id_col))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc(id_col))
+    return full.withColumn(
+        "keep", F.row_number().over(w) == 1
+    ).select(id_col, "cluster_id", "quality", "keep")

@@ -884,3 +884,58 @@ def g18b_token_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_kinesis_spark.operators.sketch import token_topk_spacesaving
 
     return token_topk_spacesaving(load(spark, sf_dir, "documents"), k=100)
+
+
+@register(
+    "g19_dedup_keepers",
+    oracle=f"""
+        WITH RECURSIVE {_DUCK_SHINGLES},
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+        ),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        reach AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        clusters AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+                     FROM reach GROUP BY u),
+        q AS (
+            SELECT doc_id,
+                   round(0.3 * least(1.0, len(w) / 100.0)
+                         + 0.3 * (len(list_distinct(w))::DOUBLE / len(w))
+                         + 0.2 * least(1.0,
+                               (len(list_filter(w, x -> x IN
+                                    ('the','a','of','and','to','in','is','it')))::DOUBLE
+                                / len(w)) * 5.0)
+                         + 0.2 * (1.0 - length(regexp_replace(lower(text),
+                                     '[a-z0-9 ]', '', 'g'))::DOUBLE / length(text)),
+                         4) AS quality
+            FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+        )
+        SELECT q.doc_id,
+               coalesce(c.cluster_id, q.doc_id) AS cluster_id,
+               q.quality,
+               row_number() OVER (
+                   PARTITION BY coalesce(c.cluster_id, q.doc_id)
+                   ORDER BY q.quality DESC, q.doc_id
+               ) = 1 AS keep
+        FROM q LEFT JOIN clusters c USING (doc_id)
+    """,
+)
+def g19_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup END DECISION (G2/G10/G4 composed): every document mapped
+    to its near-dup cluster with the highest-quality copy flagged as
+    keeper, singletons keeping themselves — the row-level verdict a
+    pipeline actually applies to the corpus. Spark side is
+    operators/dedup.py:dedup_keepers (LSH clusters + one left join + one
+    window); the oracle recomputes clusters by recursive CTE and quality
+    by the g04 formula."""
+    from aws_kinesis_spark.operators.dedup import dedup_keepers
+
+    return dedup_keepers(load(spark, sf_dir, "documents"), threshold=0.7)

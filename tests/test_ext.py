@@ -388,3 +388,23 @@ def test_spacesaving_eviction_bounds_are_honest(spark):
     for tok, (est, err) in got.items():
         assert est >= true[tok]
         assert est - err <= true[tok]
+
+
+def test_dedup_keepers_one_keeper_per_cluster(spark):
+    """g19: exactly one keeper per cluster, the keeper has the cluster's
+    max quality, and singletons keep themselves."""
+    from aws_kinesis_spark.operators.dedup import dedup_keepers
+
+    out = dedup_keepers(load(spark, SF, "documents"), threshold=0.7).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert sum(len(v) for v in by_cluster.values()) == 500  # every doc decided
+    multi = 0
+    for rows in by_cluster.values():
+        keepers = [r for r in rows if r["keep"]]
+        assert len(keepers) == 1
+        assert keepers[0]["quality"] == max(r["quality"] for r in rows)
+        if len(rows) > 1:
+            multi += 1
+    assert multi > 0  # the fixture does contain near-dup clusters
