@@ -700,3 +700,26 @@ def a01_kinesis_sim_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partition_key",
         F.col("sequence_number").cast("string").alias("sequence_number"),
     )
+
+
+@register(
+    "c12_jsonl_roundtrip",
+    oracle="""
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def c12_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 companion for the training-data interchange format: the documents
+    corpus written as JSON Lines and read back with an explicit schema must
+    round-trip byte-exactly (unicode text included). JSONL is how LLM
+    corpora actually move between pipelines; the explicit read schema keeps
+    the scan one pass (no inference job) and is the 100 TB posture."""
+    import os
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.mkdtemp(prefix="kinesis_c12_"), "docs_jsonl")
+    d.repartition(4).write.mode("overwrite").json(out)
+    return spark.read.schema(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).json(out)
