@@ -161,7 +161,9 @@ def ngram_shares_udf(ns: tuple[int, ...] = (2, 3)):
         out = []
         for t in toks:
             row = []
-            lt = list(t)
+            # NULL text => NULL token array => None here; score 0.0 like
+            # the expression form's when/otherwise null path
+            lt = list(t) if t is not None else []
             for n in ns:
                 m = len(lt) - n + 1
                 if m < 1:

@@ -51,14 +51,27 @@ def token_topk_spacesaving(
 ) -> DataFrame:
     """Approximate top-k tokens via per-partition SpaceSaving summaries.
 
-    Returns (token, n_est, err) — n_est is an upper bound on the true
-    count, err the summed overestimation bound; n_est - err is a lower
-    bound. Exact whenever each partition's distinct-token count stays
-    within ``capacity`` (asserted against the exact top-k in tests on the
-    fixture vocabulary)."""
+    Returns (token, n_est, err) — n_est upper-bounds the true GLOBAL
+    count, err the summed overestimation; n_est - err lower-bounds it.
+    The distributed merge is bound-preserving: a token ABSENT from a
+    partition's summary may still have occurred up to that partition's
+    minimum-counter value ("floor") there, so the merge adds every absent
+    partition's floor to both n_est and err (floor is 0 for partitions
+    that never filled). Exact whenever each partition's distinct-token
+    count stays within ``capacity`` (asserted against the exact top-k in
+    tests).
+
+    Eviction is a lazy-deletion heap (counts only grow, so a stale heap
+    entry always surfaces before the live one) — O(log capacity) amortized
+    instead of an O(capacity) min-scan per evicted newcomer."""
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import heapq
+
+        from pyspark import TaskContext
+
         counts: dict[str, tuple[int, int]] = {}  # token -> (count, overestimate)
+        heap: list[tuple[int, str]] = []  # (count-at-push, token), lazily stale
         for pdf in batches:
             for tok, c in (
                 pdf[text_col].str.split(" ").explode().value_counts().items()
@@ -67,25 +80,51 @@ def token_topk_spacesaving(
                 if tok in counts:
                     cur, err = counts[tok]
                     counts[tok] = (cur + c, err)
+                    heapq.heappush(heap, (cur + c, tok))
                 elif len(counts) < capacity:
                     counts[tok] = (c, 0)
+                    heapq.heappush(heap, (c, tok))
                 else:
-                    # SpaceSaving eviction: replace the minimum counter; the
-                    # newcomer inherits its count as the overestimation bound
-                    victim = min(counts, key=lambda t: counts[t][0])
-                    vcount, _ = counts.pop(victim)
+                    # SpaceSaving eviction: replace the minimum live counter;
+                    # the newcomer inherits its count as overestimation
+                    while True:
+                        vcount, victim = heapq.heappop(heap)
+                        if counts.get(victim, (None,))[0] == vcount:
+                            break  # live entry; stale ones discard silently
+                    counts.pop(victim)
                     counts[tok] = (vcount + c, vcount)
+                    heapq.heappush(heap, (vcount + c, tok))
+        floor = (
+            min(c for c, _ in counts.values())
+            if len(counts) >= capacity
+            else 0
+        )
+        pid = TaskContext.get().partitionId()
         yield pd.DataFrame(
-            [(t, c, e) for t, (c, e) in counts.items()],
-            columns=["token", "n_est", "err"],
+            [(pid, t, c, e, floor) for t, (c, e) in counts.items()],
+            columns=["part_id", "token", "n_est", "err", "floor"],
         )
 
     summaries = docs.select(text_col).mapInPandas(
-        summarize, schema="token STRING, n_est LONG, err LONG"
+        summarize,
+        schema="part_id INT, token STRING, n_est LONG, err LONG, floor LONG",
     )
+    total_floor = summaries.select("part_id", "floor").distinct().agg(
+        F.coalesce(F.sum("floor"), F.lit(0)).alias("total_floor")
+    )
+    per_token = summaries.groupBy("token").agg(
+        F.sum("n_est").alias("s_est"),
+        F.sum("err").alias("s_err"),
+        F.sum("floor").alias("s_floor_present"),
+    )
+    absent = F.col("total_floor") - F.col("s_floor_present")
     return (
-        summaries.groupBy("token")
-        .agg(F.sum("n_est").alias("n_est"), F.sum("err").alias("err"))
+        per_token.crossJoin(F.broadcast(total_floor))
+        .select(
+            "token",
+            (F.col("s_est") + absent).alias("n_est"),
+            (F.col("s_err") + absent).alias("err"),
+        )
         .orderBy(F.desc("n_est"), F.asc("token"))
         .limit(k)
     )

@@ -408,3 +408,46 @@ def test_dedup_keepers_one_keeper_per_cluster(spark):
         if len(rows) > 1:
             multi += 1
     assert multi > 0  # the fixture does contain near-dup clusters
+
+
+def test_spacesaving_merge_preserves_bounds_across_partitions(spark):
+    """The distributed merge must stay a global upper/lower bound even when
+    a token is evicted from (or never enters) SOME partitions' summaries:
+    absent partitions contribute their floor to n_est and err."""
+    from aws_kinesis_spark.operators.sketch import token_topk_spacesaving
+
+    # partition 0: heavy tok0..tok7 plus noise that forces eviction;
+    # partition 1: the same tokens at different weights, also overflowing
+    rows = []
+    for i in range(300):
+        rows.append((i, f"tok{i % 8}"))          # heavy hitters, both parts
+    for i in range(300, 380):
+        rows.append((i, f"rare{i}"))             # eviction pressure
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(2)
+    true_counts = {}
+    for _, t in rows:
+        true_counts[t] = true_counts.get(t, 0) + 1
+    got = {
+        r["token"]: (r["n_est"], r["err"])
+        for r in token_topk_spacesaving(docs, k=200, capacity=16).collect()
+    }
+    assert got, "sketch returned nothing"
+    for tok, (est, err) in got.items():
+        assert est >= true_counts.get(tok, 0), (tok, est, true_counts.get(tok))
+        assert est - err <= true_counts.get(tok, 0), (tok, est, err)
+    # the genuinely heavy tokens must survive the sketch
+    for j in range(8):
+        assert f"tok{j}" in got
+
+
+def test_ngram_shares_udf_null_text(spark):
+    """NULL text must score 0.0, not crash the Arrow batch."""
+    from aws_kinesis_spark.functions.text import ngram_shares_udf, tokens
+
+    df = spark.createDataFrame([(1, None), (2, "a b a b")], "doc_id long, text string")
+    rows = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", ngram_shares_udf((2,))(tokens("text")).alias("s")).collect()
+    }
+    assert rows[1] == [0.0]
+    assert rows[2] == [0.6667]
