@@ -588,3 +588,59 @@ def dedup_keepers(
     return full.withColumn(
         "keep", F.row_number().over(w) == 1
     ).select(id_col, "cluster_id", "quality", "keep")
+
+
+def incremental_minhash_dedup(
+    all_docs: DataFrame,
+    is_new,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental near-dup detection: find every near-dup pair with at
+    least one side in the NEW batch (``is_new`` column predicate) — the
+    shape a daily-crawl ingest actually runs against a standing corpus.
+
+    Scale shape: the standing corpus's banded signature table is the
+    persistent index; per increment, only the NEW batch is shingled and
+    signed, and candidates come from an equi-join of the new batch's band
+    buckets against the full banded table — never a re-pairing of the
+    corpus with itself. The exact-Jaccard verify touches candidate pairs
+    only. At 100 TB the banded index is written once and each increment's
+    cost is proportional to the increment, not the corpus."""
+    docs = _spread(
+        all_docs.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n)
+    )
+    sets = _checkpointed_shingle_sets(docs, text_col, id_col, shingle_n)
+    sigs = _signatures_from_shingle_sets(sets, id_col, num_hashes)
+
+    r = num_hashes // bands
+    band_arr = F.array(
+        *[F.xxhash64(*[f"h{b * r + j}" for j in range(r)]) for b in range(bands)]
+    )
+    flagged = sigs.join(docs.select(id_col, is_new.alias("__new")), id_col)
+    stacked = flagged.select(
+        id_col, "__new", F.posexplode(band_arr).alias("band", "bh")
+    ).localCheckpoint(eager=True)
+    new_side = stacked.filter(F.col("__new")).alias("n")
+    all_side = stacked.alias("m")
+    cand = (
+        new_side.join(
+            all_side,
+            (F.col("n.band") == F.col("m.band"))
+            & (F.col("n.bh") == F.col("m.bh"))
+            & (F.col(f"n.{id_col}") != F.col(f"m.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"m.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"n.{id_col}"), F.col(f"m.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )
+    verified = _exact_jaccard_on_pairs(cand, sets, id_col)
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )

@@ -939,3 +939,31 @@ def g19_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_kinesis_spark.operators.dedup import dedup_keepers
 
     return dedup_keepers(load(spark, sf_dir, "documents"), threshold=0.7)
+
+
+@register(
+    "g20_incremental_dedup",
+    oracle=f"""
+        WITH {_DUCK_SHINGLES}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s))::DOUBLE
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+                   AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+          AND len(list_intersect(a.s, b.s))::DOUBLE
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+    """,
+)
+def g20_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: every 10th doc plays the new crawl batch;
+    pairs with at least one new side are found by banding the NEW batch
+    against the full banded index — per-increment cost proportional to the
+    increment, never a corpus self-re-pairing
+    (operators/dedup.py:incremental_minhash_dedup). Oracle: exact all-pairs
+    Jaccard restricted to pairs touching the new batch."""
+    from aws_kinesis_spark.operators.dedup import incremental_minhash_dedup
+
+    return incremental_minhash_dedup(
+        load(spark, sf_dir, "documents"), F.col("doc_id") % 10 == 0, threshold=0.7
+    )
