@@ -723,3 +723,31 @@ def c12_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
     ).json(out)
+
+
+@register(
+    "c13_csv_roundtrip",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               round(o_totalprice, 4) AS o_totalprice, o_orderdate
+        FROM orders
+    """,
+)
+def c13_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 companion #2: the classic lake-input format. Orders written as
+    headered CSV and read back with an explicit schema (one pass, no
+    inference job) must round-trip exactly — timestamps included."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 4).alias("o_totalprice"), "o_orderdate",
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="kinesis_c13_"), "orders_csv")
+    o.repartition(4).write.mode("overwrite").option("header", True).csv(out)
+    return (
+        spark.read.schema(
+            "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+            "o_totalprice DOUBLE, o_orderdate TIMESTAMP"
+        )
+        .option("header", True)
+        .csv(out)
+    )
