@@ -29,7 +29,12 @@ import datetime as dt
 import decimal
 import json
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from aws_kinesis_spark.sources.envelope import SEQ_BASE
 
@@ -43,9 +48,37 @@ class _ShardPartition(InputPartition):
         self.shard_id = shard_id
 
 
+def _record(rid: int, slot: int):
+    """The deterministic envelope record for global id `rid` at per-shard
+    slot `slot` — shared by the batch reader, the streaming reader, and its
+    replay path so all three emit identical bytes."""
+    payload = json.dumps(
+        {
+            "data": {"id": rid, "status": _STATUS[rid % 3]},
+            "metadata": {"op": _OPS[rid % 3]},
+        },
+        separators=(",", ":"),
+    )
+    return (
+        base64.b64encode(payload.encode()),
+        f"sales-orders-{rid}",
+        # construct from exact int: Decimal ARITHMETIC honors the context
+        # precision (default 28 digits) and silently rounds a 30-digit sum;
+        # construction is always exact
+        decimal.Decimal(int(SEQ_BASE) + rid),
+        _EPOCH + dt.timedelta(seconds=slot),
+    )
+
+
 class KinesisSimDataSource(DataSource):
     """spark.read.format("kinesis_sim").option("shards", 4)
-    .option("recordsPerShard", 1000).load()"""
+    .option("recordsPerShard", 1000).load() — also registers a STREAMING
+    reader (spark.readStream.format("kinesis_sim")...) that models the
+    polling consumer: each micro-batch is one bounded GetRecords poll per
+    shard, offsets are per-shard consumed counts checkpointed by the
+    engine (resume-exactly-after, README.md:305-309), and recovery replays
+    any offset range deterministically (the retention-window replay,
+    README.md:81-83)."""
 
     @classmethod
     def name(cls) -> str:
@@ -64,6 +97,52 @@ class KinesisSimDataSource(DataSource):
             records_per_shard=int(self.options.get("recordsPerShard", 1000)),
         )
 
+    def simpleStreamReader(self, schema) -> "KinesisSimStreamReader":
+        return KinesisSimStreamReader(
+            n_shards=int(self.options.get("shards", 4)),
+            records_per_shard=int(self.options.get("recordsPerShard", 1000)),
+            poll_records=int(self.options.get("pollRecords", 100)),
+        )
+
+
+class KinesisSimStreamReader(SimpleDataSourceStreamReader):
+    """Polling-consumer semantics (SURVEY.md A2): offset = {shard_id:
+    consumed_count}; each read() advances every shard by at most
+    poll_records (the GetRecords limit), and readBetweenOffsets()
+    regenerates any committed range bit-identically for recovery."""
+
+    def __init__(self, n_shards: int, records_per_shard: int, poll_records: int):
+        self.n_shards = n_shards
+        self.records_per_shard = records_per_shard
+        self.poll_records = poll_records
+
+    def initialOffset(self) -> dict:
+        # TRIM_HORIZON: start at the oldest retained record of every shard
+        return {str(s): 0 for s in range(self.n_shards)}
+
+    def _rows(self, start: dict, end: dict):
+        for s in range(self.n_shards):
+            lo, hi = int(start[str(s)]), int(end[str(s)])
+            for i in range(lo, hi):
+                yield _record(s * self.records_per_shard + i, i)
+
+    def read(self, start: dict):
+        end = {
+            str(s): min(int(start[str(s)]) + self.poll_records, self.records_per_shard)
+            for s in range(self.n_shards)
+        }
+        # a LIST, not a generator: the engine caches the poll result for
+        # replay (pickle), and a poll is a bounded batch by construction
+        return list(self._rows(start, end)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start, end)
+
+    def commit(self, end: dict) -> None:
+        # source-side checkpointing is the engine's job; the simulated
+        # stream retains everything (no trim on commit)
+        pass
+
 
 class KinesisSimReader(DataSourceReader):
     def __init__(self, n_shards: int, records_per_shard: int):
@@ -76,23 +155,7 @@ class KinesisSimReader(DataSourceReader):
     def read(self, partition: _ShardPartition):
         m = self.records_per_shard
         for i in range(m):
-            rid = partition.shard_id * m + i
-            payload = json.dumps(
-                {
-                    "data": {"id": rid, "status": _STATUS[rid % 3]},
-                    "metadata": {"op": _OPS[rid % 3]},
-                },
-                separators=(",", ":"),
-            )
-            yield (
-                base64.b64encode(payload.encode()),
-                f"sales-orders-{rid}",
-                # construct from exact int: Decimal ARITHMETIC honors the
-                # context precision (default 28 digits) and silently rounds
-                # a 30-digit sum; construction is always exact
-                decimal.Decimal(int(SEQ_BASE) + rid),
-                _EPOCH + dt.timedelta(seconds=i),
-            )
+            yield _record(partition.shard_id * m + i, i)
 
 
 def register(spark) -> None:

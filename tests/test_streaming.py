@@ -699,3 +699,44 @@ def test_kinesis_sim_datasource_shards_and_ordering(spark):
     all_seqs = sorted(str(s) for r in rows for s in [r["sequence_number"]])
     assert len(set(all_seqs)) == 60
     assert all_seqs[0].endswith("0") and len(all_seqs[0]) == 30
+
+
+def test_kinesis_sim_streaming_polls_with_offsets(spark, tmp_path):
+    """A2 as a REAL custom streaming source: the kinesis_sim stream reader
+    polls each shard in pollRecords-bounded micro-batches with
+    engine-checkpointed offsets; the drain must deliver every record
+    exactly once, in per-shard sequence order, through multiple polls."""
+    import time as _time
+
+    from aws_kinesis_spark.sources import kinesis_sim
+
+    kinesis_sim.register(spark)
+    stream = (
+        spark.readStream.format("kinesis_sim")
+        .option("shards", 2)
+        .option("recordsPerShard", 30)
+        .option("pollRecords", 10)
+        .load()
+    )
+    tbl = _uniq("ksim")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(tbl)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline and spark.table(tbl).count() < 60:
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.table(tbl).collect()
+    assert len(rows) == 60  # exactly once: no loss, no duplicates
+    seqs = sorted(int(str(r["sequence_number"])[-6:]) for r in rows)
+    assert seqs == sorted(range(0, 30)) + sorted(range(30, 60))
+    # multiple polls actually happened (30 records / 10 per poll per shard)
+    progress = q.recentProgress
+    assert len([p for p in progress if p["numInputRows"] > 0]) >= 2
