@@ -59,7 +59,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Round-5 swap-in candidates (oracle-backed, still no driver row after r4):
 #   d04, d08b, d09, d10, d10c, d12, d14b, d14c, d15b, d22, d23, d24, d28,
 #   b02b, b03, c06, c08, g03d, g04b, g04c, g04d, g08, g15, g16, g17, g18,
-#   a01, e10 — swap against r4 window slots whose operator they witness.
+#   g19, g20, a01, c12, c13, e10 — swap against r4 window slots whose
+#   operator they witness.
 # Queries outside the window still run in the local differential suite
 # (tests/test_differential.py) every CI pass; prior-round driver rows for
 # rotated-out queries remain in CORRECTNESS_r{1..3}.json.
