@@ -527,3 +527,90 @@ def e10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(tbl)
+
+
+@register(
+    "e11_stream_stream_outer_join",
+    oracle="""
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id,
+               round(p.value, 4) AS purchase_value
+        FROM events c
+        LEFT JOIN events p
+          ON p.event_type = 'purchase'
+         AND p.user_id = c.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click'
+    """,
+)
+def e11_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: unlike e10's inner form, the
+    null-extended rows (clicks with no purchase in the window) can only be
+    emitted when the WATERMARK proves no future match can arrive — the
+    genuinely stateful outer-join semantics. Far-future sentinel events on
+    BOTH streams (the join watermark is the min of the two sides) push the
+    watermark past every real click so all outer rows flush; the
+    sentinels' own rows are filtered out. Oracle is the batch left join."""
+    import datetime as dt
+
+    root = _tmp("e11")
+    inp = os.path.join(root, "events")
+    ev = load(spark, sf_dir, "events")
+    ev.repartition(3).write.mode("overwrite").parquet(inp)
+    fixture = {f for f in os.listdir(inp) if f.endswith(".parquet")}
+    for f in fixture:
+        os.utime(os.path.join(inp, f), (1_700_000_000, 1_700_000_000))
+    far = ev.agg(F.max("ts")).first()[0] + dt.timedelta(days=365)
+    spark.createDataFrame(
+        [(-1, far, -1, "click", 0.0, "{}"), (-2, far, -1, "purchase", 0.0, "{}")],
+        EVENTS_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(inp)
+    for f in os.listdir(inp):
+        if f.endswith(".parquet") and f not in fixture:
+            os.utime(os.path.join(inp, f), (1_700_000_100, 1_700_000_100))
+
+    clicks = (
+        event_stream(spark, inp, max_files_per_trigger=len(fixture))
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        event_stream(spark, inp, max_files_per_trigger=len(fixture))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+    )
+    tbl = f"e11_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(tbl)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(tbl).filter(F.col("user_id") != -1)
