@@ -636,7 +636,7 @@ def a13_dynamic_table_partitioning(spark: SparkSession, sf_dir: str) -> DataFram
         )
         SELECT op,
                count(*) AS n_records,
-               sum(n) AS n_bytes,
+               CAST(sum(n) AS BIGINT) AS n_bytes,
                round(count(*)/1e6*14.0 + sum(n)/1073741824.0*0.08, 8) AS ingest_usd,
                round(sum(n)/1073741824.0*0.04, 8) AS retrieval_usd,
                round(count(*)/1e6*3.74, 8) AS transform_usd,

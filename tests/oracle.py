@@ -66,3 +66,14 @@ def assert_frames_match(spark_df, oracle_df, name: str) -> None:
                 raise AssertionError(
                     f"{name}: value mismatch col={col} row={i}: spark={x!r} oracle={y!r}"
                 )
+            if str(x) != str(y):
+                # Numerically equal but string forms differ (e.g. DuckDB
+                # HUGEINT -> 412345.0 vs Spark LongType 412345).  The driver's
+                # order-insensitive hash is computed over STRING forms, so this
+                # passes locally but fails the driver.  Fix the oracle with an
+                # explicit CAST so both engines agree on the type.
+                raise AssertionError(
+                    f"{name}: driver-hash repr mismatch col={col} row={i}: "
+                    f"spark={x!r} vs oracle={y!r} — numerically equal but "
+                    f"str() differs; CAST the oracle column to match Spark"
+                )
