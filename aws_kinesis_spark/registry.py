@@ -56,67 +56,82 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        bucketed co-location), g03 (g03e = same exact cosine top-k over
 #        EVERY vector), g09 (g12 = same md5-hex-threshold split mechanism)
 #   in:  d14d, d26, d27, b05, c10, a13, g02b, g03e, g11, g12, g13, g14
-# Round-5 swap-in candidates (oracle-backed, still no driver row after r4):
-#   d04, d08b, d09, d10, d10c, d12, d14b, d14c, d15b, d22, d23, d24, d28,
-#   b02b, b03, c06, c08, g03d, g04b, g04c, g04d, g08, g15, g16, g17, g18,
-#   g19, g20, a01, c12, c13, e10 — swap against r4 window slots whose
-#   operator they witness.
+# Round-5 rotation (19 swapped — every oracle-backed query that had never
+# had a driver row goes in; witness for each rotated-out slot in parens):
+#   out: d03 (a10 partition pruning + g06 pushdown-locked filter), d05 (b05
+#        bucketed equi-join + e07 stream-static join), d11 (g18 exact global
+#        top-k = agg+sort+limit), d21 (g06/g16 conditional + null handling),
+#        c07 (g04b concat+hash composite fingerprint + b04 sequence keys),
+#        c09 (c12/c13 = same C9 format-roundtrip family), b07 (a01
+#        kinesis_sim replay-from-offset IS the mechanism b07 models), a07
+#        (o04 keyed upsert/LWW), a12 (a13 dynamic lake write + e08 stream
+#        lake path), e01 (e09 tumbling rollup + e04 late-data windowed agg),
+#        e02 (d27 rolling window semantics + e09), e05 (b04 exactly-once
+#        dedup + e06 stateful streaming), g02b (g02 + g20 banded-index
+#        joins), g03e (g03d = same blocked-BLAS cosine top-k kernel), g04
+#        (g04b/c/d text-analysis family), g05 (g03d cosine + g20 near-dup),
+#        g07 (g07c/g07d same multimodal UDF plumbing), g10 (g19 keepers =
+#        clusters + quality + window), g14 (g14b re-reads the same codes)
+#   in:  a01, c12, c13, e10, e11, g03d, g04b, g04c, g04d, g07c, g07d, g08,
+#        g14b, g15, g16, g17, g18, g19, g20
+# After r5 the only never-driver-checked queries are the 5 rows-only ones
+# (g02c, g03b, g03c, g07b, g18b) — round-6 rotation candidates.
 # Queries outside the window still run in the local differential suite
 # (tests/test_differential.py) every CI pass; prior-round driver rows for
-# rotated-out queries remain in CORRECTNESS_r{1..3}.json.
+# rotated-out queries remain in CORRECTNESS_r{1..4}.json.
 DRIVER_WINDOW: list[str] = [
-    # D — relational core (11)
-    "d03_time_pruned_filter",
-    "d05_join_star",
+    # D — relational core (7)
     "d06_join_semi_anti",
     "d07_set_ops",
     "d08_agg_pricing_summary",
-    "d11_sort_topn",
     "d14d_pivot",
     "d15_asof_join",
-    "d21_conditional_null",
     "d26_sessionization",
     "d27_rolling_time_window",
-    # C — record transforms (4; c06→d17-family witnesses, c08→g01)
+    # C — record transforms (4)
     "c01_envelope_roundtrip",
-    "c07_composite_key",
-    "c09_orc_roundtrip",
     "c10_cost_accounting",
-    # B — streaming-core batch analogues (4; b03→d26/d27 row_number)
+    "c12_jsonl_roundtrip",
+    "c13_csv_roundtrip",
+    # B — streaming-core batch analogues (3)
     "b02_salted_aggregation",
     "b04_dedup_by_sequence",
     "b05_bucketed_join",
-    "b07_replay_from_offset",
-    # A — sources/sinks (5)
-    "a07_staging_upsert",
+    # A — sources/sinks (4)
+    "a01_kinesis_sim_source",
     "a10_catalog_partition_discovery",
-    "a12_lake_roundtrip",
     "a13_dynamic_table_partitioning",
     "o04_cdc_apply",
-    # G — LLM-data-pipeline operators (13)
+    # G — LLM-data-pipeline operators (20)
     "g01_dedup_exact",
     "g02_dedup_minhash_lsh",
-    "g02b_dedup_ngram_jaccard",
-    "g03e_knn_join",
-    "g04_text_stats",
-    "g05_embedding_neardup",
+    "g03d_knn_classify",
+    "g04b_fingerprint",
+    "g04c_rolling_fingerprint",
+    "g04d_tfidf_top_terms",
     "g06_quality_filter",
-    "g07_multimodal_meta",
-    "g10_dedup_clusters",
+    "g07c_multimodal_resize",
+    "g07d_multimodal_frame_sample",
+    "g08_label_centroids",
     "g11_sequence_packing",
     "g12_stratified_sample",
     "g13_decontaminate",
-    "g14_quantize_embeddings",
-    # E — streaming semantics, batch-equivalent oracle form (9)
-    "e01_stream_tumbling_hourly",
-    "e02_stream_sliding_window",
+    "g14b_quantization_error",
+    "g15_repetition_filter",
+    "g16_pii_scrub",
+    "g17_training_order",
+    "g18_token_topk",
+    "g19_dedup_keepers",
+    "g20_incremental_dedup",
+    # E — streaming semantics, batch-equivalent oracle form (8)
     "e03_stream_session_window",
     "e04_stream_late_data",
-    "e05_stream_dedup",
     "e06_stream_stateful_buffer",
     "e07_stream_static_join",
     "e08_stream_lake_path",
     "e09_continuous_rollup",
+    "e10_stream_stream_join",
+    "e11_stream_stream_outer_join",
     # F — UDF/UDAF/UDTF surface (4)
     "f01_scalar_pandas_udf",
     "f02_grouped_map",
