@@ -614,3 +614,96 @@ def e11_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(tbl).filter(F.col("user_id") != -1)
+
+
+@register(
+    "e12_stream_stream_join_kinesis_source",
+    oracle="""
+        WITH recs AS (
+            SELECT i AS id,
+                   TIMESTAMP '2025-11-07 12:00:00'
+                       + (i % 500) * INTERVAL 1 SECOND AS ts
+            FROM (SELECT unnest(range(0, 2000)) AS i)
+        ),
+        clicks AS (SELECT id, id % 50 AS user_id, ts FROM recs WHERE id % 3 = 0),
+        purchases AS (SELECT id, id % 50 AS user_id, ts FROM recs WHERE id % 3 = 1)
+        SELECT c.id AS click_id,
+               p.id AS purchase_id,
+               c.user_id,
+               p.ts AS purchase_ts
+        FROM clicks c
+        JOIN purchases p
+          ON p.user_id = c.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 SECOND
+    """,
+)
+def e12_stream_stream_join_kinesis_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM join fed by the kinesis_sim STREAMING source — the
+    composition a real pipeline runs (README.md:30-32: two independent
+    consumers over one stream): two readStream.format("kinesis_sim")
+    instances poll the same simulated stream with per-shard offsets
+    (sources/kinesis_sim.py), each side decodes the envelope through the
+    production decode stage, and the attribution join (clicks to the same
+    user's purchases within 30 s of event time) runs with watermarks
+    bounding both state stores.
+
+    The drain uses processAllAvailable over a processingTime trigger —
+    Python streaming sources do not support Trigger.AvailableNow (the
+    engine logs a single-batch fallback), so the finite stream is drained
+    by successive bounded polls, exactly as the infinite production stream
+    would be. Inner-join emission is match-driven, so the drained result
+    equals the batch join; the oracle regenerates the deterministic stream
+    with a SQL range()."""
+    from aws_kinesis_spark.sources import kinesis_sim
+    from aws_kinesis_spark.sources.envelope import decode_envelope
+
+    kinesis_sim.register(spark)
+    root = _tmp("e12")
+
+    def side(op: str, id_alias: str, ts_alias: str):
+        raw = (
+            spark.readStream.format("kinesis_sim")
+            .option("shards", 4)
+            .option("recordsPerShard", 500)
+            .option("pollRecords", 200)
+            .load()
+        )
+        return (
+            decode_envelope(raw)
+            .filter(F.col("op") == op)
+            .select(
+                F.col("id").alias(id_alias),
+                (F.col("id") % 50).alias(f"{id_alias}_user"),
+                F.col("arrival_ts").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "10 minutes")
+        )
+
+    clicks = side("I", "click_id", "click_ts")
+    purchases = side("U", "purchase_id", "purchase_ts")
+    joined = clicks.join(
+        purchases,
+        (F.col("click_id_user") == F.col("purchase_id_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 SECONDS")),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("click_id_user").alias("user_id"),
+        "purchase_ts",
+    )
+    tbl = f"e12_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(tbl)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(tbl)

@@ -131,9 +131,11 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
             str(s): min(int(start[str(s)]) + self.poll_records, self.records_per_shard)
             for s in range(self.n_shards)
         }
-        # a LIST, not a generator: the engine caches the poll result for
-        # replay (pickle), and a poll is a bounded batch by construction
-        return list(self._rows(start, end)), end
+        # an ITERATOR per the SimpleDataSourceStreamReader contract: on an
+        # empty poll (end == start, stream exhausted) the engine probes
+        # next(it)/StopIteration to verify the offset legitimately did not
+        # advance — a list here fails that probe with TypeError
+        return iter(list(self._rows(start, end))), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return self._rows(start, end)

@@ -740,3 +740,169 @@ def test_kinesis_sim_streaming_polls_with_offsets(spark, tmp_path):
     # multiple polls actually happened (30 records / 10 per poll per shard)
     progress = q.recentProgress
     assert len([p for p in progress if p["numInputRows"] > 0]) >= 2
+
+
+def test_kinesis_sim_crash_recovery_exactly_once(spark, tmp_path):
+    """B6/A2 crash path: a foreachBatch sink crashes AFTER writing batch 1
+    but BEFORE the engine commits its offset.  On restart the engine must
+    replay exactly that batch through readBetweenOffsets (the uncommitted
+    range), and the idempotent per-batch overwrite must leave every record
+    exactly once — no loss from the crash, no dup from the replay."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from aws_kinesis_spark.sources import kinesis_sim
+
+    kinesis_sim.register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = tmp_path / "out"
+    flag = tmp_path / "crashed"
+
+    def stream():
+        return (
+            spark.readStream.format("kinesis_sim")
+            .option("shards", 2)
+            .option("recordsPerShard", 50)
+            .option("pollRecords", 20)
+            .load()
+        )
+
+    def write_batch(df, batch_id):
+        # idempotent sink: a replayed batch overwrites its own directory
+        df.write.mode("overwrite").parquet(str(out / f"batch={batch_id}"))
+        if batch_id >= 1 and not flag.exists():
+            flag.touch()
+            raise RuntimeError("injected crash: batch written, offset uncommitted")
+
+    q = (
+        stream()
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    with pytest.raises(StreamingQueryException):
+        q.processAllAvailable()
+        q.awaitTermination(60)
+    assert flag.exists()  # the injected crash actually fired
+
+    q2 = (
+        stream()
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = spark.read.parquet(str(out / "batch=*"))
+    seqs = sorted(int(str(r["sequence_number"])[-6:]) for r in got.collect())
+    assert seqs == list(range(100))  # exactly once across the forced restart
+
+
+def test_kinesis_sim_stream_stream_join_kill_resume(spark, tmp_path):
+    """E10 x A2 composition (VERDICT r4 #4): a stream-stream join fed by
+    two kinesis_sim streaming sources is stopped mid-drain and resumed
+    from its checkpoint; the final joined output must equal the batch join
+    of the full stream exactly once — join state and both sources' offsets
+    all recover from the checkpoint."""
+    import time
+
+    from aws_kinesis_spark.sources import kinesis_sim
+    from aws_kinesis_spark.sources.envelope import decode_envelope
+
+    kinesis_sim.register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = tmp_path / "out"
+    OPTS = {"shards": 2, "recordsPerShard": 120, "pollRecords": 30}
+
+    def decoded(reader):
+        df = reader.format("kinesis_sim")
+        for k, v in OPTS.items():
+            df = df.option(k, v)
+        return decode_envelope(df.load())
+
+    def join_sides(clicks, purchases, wm=False):
+        c = (
+            clicks.filter(F.col("op") == "I")
+            .select(
+                F.col("id").alias("click_id"),
+                (F.col("id") % 10).alias("c_user"),
+                F.col("arrival_ts").alias("click_ts"),
+            )
+        )
+        p = (
+            purchases.filter(F.col("op") == "U")
+            .select(
+                F.col("id").alias("purchase_id"),
+                (F.col("id") % 10).alias("p_user"),
+                F.col("arrival_ts").alias("purchase_ts"),
+            )
+        )
+        if wm:
+            c = c.withWatermark("click_ts", "10 minutes")
+            p = p.withWatermark("purchase_ts", "10 minutes")
+        return c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 20 SECONDS")
+            ),
+            "inner",
+        ).select("click_id", "purchase_id")
+
+    def start():
+        joined = join_sides(decoded(spark.readStream), decoded(spark.readStream), wm=True)
+        return (
+            joined.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("overwrite").parquet(
+                    str(out / f"batch={bid}")
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    # phase 1: stop mid-drain, after >=1 committed batch but before the end
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        lp = q.lastProgress
+        if lp and lp["batchId"] >= 1:
+            break
+        time.sleep(0.2)
+    q.stop()
+    import ast
+
+    ends = [
+        int(v)
+        # Python-source offsets render as a dict repr, not strict JSON
+        for s in (q.lastProgress["sources"] if q.lastProgress else [])
+        for v in ast.literal_eval(s["endOffset"]).values()
+    ]
+    assert ends and any(e < OPTS["recordsPerShard"] for e in ends), (
+        f"stream already fully drained before the kill: {ends}"
+    )
+
+    # phase 2: resume from the same checkpoint and drain to completion
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.read.parquet(str(out / "batch=*")).collect()
+    }
+    expected_df = join_sides(decoded(spark.read), decoded(spark.read))
+    expected = {(r["click_id"], r["purchase_id"]) for r in expected_df.collect()}
+    assert got == expected
+    # exactly once: no batch emitted the same joined row twice
+    n_rows = spark.read.parquet(str(out / "batch=*")).count()
+    assert n_rows == len(expected)
