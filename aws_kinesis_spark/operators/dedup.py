@@ -32,9 +32,19 @@ def _spread(docs: DataFrame) -> DataFrame:
     parallelism is returned untouched — repartition() is a full shuffle of
     every row, and at 100 TB the input is already thousands of splits, so
     the unconditional form would have paid a corpus-wide shuffle for
-    nothing. The partition count comes from plan metadata (no job runs)."""
+    nothing. The at-scale exit checks the file index first (driver
+    metadata, no plan-to-RDD conversion); only a small-file-count input
+    pays the one-off getNumPartitions conversion to decide precisely."""
     target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() >= max(2, target // 2):
+    enough = max(2, target // 2)
+    try:
+        # file count lower-bounds the split count, so >= enough files means
+        # the scan is already parallel — the 100 TB fast path, zero cost
+        if len(docs.inputFiles()) >= enough:
+            return docs
+    except Exception:
+        pass  # non-file source: decide from the RDD below
+    if docs.rdd.getNumPartitions() >= enough:
         return docs
     return docs.repartition(target)
 

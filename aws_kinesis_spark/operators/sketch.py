@@ -29,6 +29,63 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class SpaceSaving:
+    """Single-partition SpaceSaving summary (Metwally et al., ICDT 2005)
+    with a lazy-deletion min-heap and bounded memory.
+
+    ``counts`` maps token -> (count, overestimate); the heap holds
+    (count-at-push, token) entries that go stale when a counter grows.
+    Counts only increase, so a stale entry always pops before the live one
+    and is discarded. To keep memory O(capacity) on arbitrarily long
+    partitions, the heap is rebuilt from the live counters whenever it
+    exceeds 4x capacity — amortized O(1) per update since at least
+    3*capacity pushes must happen between rebuilds."""
+
+    def __init__(self, capacity: int):
+        self.capacity = capacity
+        self.counts: dict[str, tuple[int, int]] = {}
+        self._heap: list[tuple[int, str]] = []
+
+    def _push(self, count: int, tok: str) -> None:
+        import heapq
+
+        heapq.heappush(self._heap, (count, tok))
+        if len(self._heap) > 4 * self.capacity:
+            self._heap = [(c, t) for t, (c, _) in self.counts.items()]
+            heapq.heapify(self._heap)
+
+    def update(self, tok: str, c: int = 1) -> None:
+        import heapq
+
+        if tok in self.counts:
+            cur, err = self.counts[tok]
+            self.counts[tok] = (cur + c, err)
+            self._push(cur + c, tok)
+        elif len(self.counts) < self.capacity:
+            self.counts[tok] = (c, 0)
+            self._push(c, tok)
+        else:
+            # SpaceSaving eviction: replace the minimum live counter; the
+            # newcomer inherits its count as overestimation
+            while True:
+                vcount, victim = heapq.heappop(self._heap)
+                if self.counts.get(victim, (None,))[0] == vcount:
+                    break  # live entry; stale ones discard silently
+            self.counts.pop(victim)
+            self.counts[tok] = (vcount + c, vcount)
+            self._push(vcount + c, tok)
+
+    def floor(self) -> int:
+        """Minimum counter value — the per-partition bound on how often a
+        token ABSENT from this summary may still have occurred."""
+        if len(self.counts) < self.capacity:
+            return 0
+        return min(c for c, _ in self.counts.values())
+
+    def heap_size(self) -> int:
+        return len(self._heap)
+
+
 def token_topk_exact(
     docs: DataFrame, k: int = 100, text_col: str = "text"
 ) -> DataFrame:
@@ -63,45 +120,24 @@ def token_topk_spacesaving(
 
     Eviction is a lazy-deletion heap (counts only grow, so a stale heap
     entry always surfaces before the live one) — O(log capacity) amortized
-    instead of an O(capacity) min-scan per evicted newcomer."""
+    instead of an O(capacity) min-scan per evicted newcomer. The heap is
+    compacted (rebuilt from the live counters) whenever stale entries
+    outnumber live ones 3:1, so per-partition memory stays O(capacity)
+    regardless of how many updates a long partition streams through."""
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import heapq
-
         from pyspark import TaskContext
 
-        counts: dict[str, tuple[int, int]] = {}  # token -> (count, overestimate)
-        heap: list[tuple[int, str]] = []  # (count-at-push, token), lazily stale
+        ss = SpaceSaving(capacity)
         for pdf in batches:
             for tok, c in (
                 pdf[text_col].str.split(" ").explode().value_counts().items()
             ):
-                c = int(c)
-                if tok in counts:
-                    cur, err = counts[tok]
-                    counts[tok] = (cur + c, err)
-                    heapq.heappush(heap, (cur + c, tok))
-                elif len(counts) < capacity:
-                    counts[tok] = (c, 0)
-                    heapq.heappush(heap, (c, tok))
-                else:
-                    # SpaceSaving eviction: replace the minimum live counter;
-                    # the newcomer inherits its count as overestimation
-                    while True:
-                        vcount, victim = heapq.heappop(heap)
-                        if counts.get(victim, (None,))[0] == vcount:
-                            break  # live entry; stale ones discard silently
-                    counts.pop(victim)
-                    counts[tok] = (vcount + c, vcount)
-                    heapq.heappush(heap, (vcount + c, tok))
-        floor = (
-            min(c for c, _ in counts.values())
-            if len(counts) >= capacity
-            else 0
-        )
+                ss.update(tok, int(c))
         pid = TaskContext.get().partitionId()
+        floor = ss.floor()
         yield pd.DataFrame(
-            [(pid, t, c, e, floor) for t, (c, e) in counts.items()],
+            [(pid, t, c, e, floor) for t, (c, e) in ss.counts.items()],
             columns=["part_id", "token", "n_est", "err", "floor"],
         )
 

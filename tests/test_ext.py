@@ -451,3 +451,94 @@ def test_ngram_shares_udf_null_text(spark):
     }
     assert rows[1] == [0.0]
     assert rows[2] == [0.6667]
+
+
+def test_spacesaving_heap_memory_stays_bounded():
+    """The lazy-deletion heap must not grow with total updates: after any
+    update the heap holds at most 4x capacity entries (compaction rebuilds
+    it from the live counters), while the counters dict never exceeds
+    capacity — O(capacity) memory on arbitrarily long partitions."""
+    from aws_kinesis_spark.operators.sketch import SpaceSaving
+
+    ss = SpaceSaving(capacity=8)
+    true = {}
+    # 60k updates over a rotating vocabulary far larger than capacity,
+    # with one heavy hitter that keeps its counter forever growing
+    for i in range(20000):
+        for tok in ("BIG", f"mid{i % 40}", f"rare{i}"):
+            ss.update(tok)
+            true[tok] = true.get(tok, 0) + 1
+            assert ss.heap_size() <= 4 * ss.capacity
+            assert len(ss.counts) <= ss.capacity
+    est, err = ss.counts["BIG"]
+    assert est >= true["BIG"]
+    assert est - err <= true["BIG"]
+
+
+def test_spacesaving_skewed_partition_floor_path(spark):
+    """One partition holds far more distinct tokens than capacity PLUS a
+    heavy hitter; the other partition never sees the heavy hitter. The
+    absent partition's floor must widen (not break) the global bounds, and
+    the heavy hitter must survive with a certain lower bound."""
+    from aws_kinesis_spark.operators.sketch import token_topk_spacesaving
+
+    rows_a = [(i, "BIG") for i in range(500)] + [
+        (1000 + i, f"rare{i}") for i in range(200)
+    ]
+    # partition B also overflows its summary (distinct >> capacity) while
+    # never seeing BIG, so B's floor is nonzero and must widen BIG's bounds
+    rows_b = [(2000 + i, f"common{i % 5}") for i in range(100)] + [
+        (3000 + i, f"bnoise{i}") for i in range(200)
+    ]
+    schema = "doc_id long, text string"
+    sc = spark.sparkContext
+    # RDD union preserves the two single-partition sides exactly, so the
+    # heavy hitter is provably absent from partition B's summary
+    rdd = sc.parallelize(rows_a, 1).union(sc.parallelize(rows_b, 1))
+    docs = spark.createDataFrame(rdd, schema)
+    assert docs.rdd.getNumPartitions() == 2
+    true = {}
+    for _, t in rows_a + rows_b:
+        true[t] = true.get(t, 0) + 1
+    got = {
+        r["token"]: (r["n_est"], r["err"])
+        for r in token_topk_spacesaving(docs, k=300, capacity=16).collect()
+    }
+    for tok, (est, err) in got.items():
+        assert est >= true.get(tok, 0), (tok, est, true.get(tok))
+        assert est - err <= true.get(tok, 0), (tok, est, err)
+    # the skewed partition overflowed (>16 distinct), so its floor is
+    # nonzero and every merged counter carries widened error
+    big_est, big_err = got["BIG"]
+    assert big_est - big_err <= 500 <= big_est
+    assert big_err > 0  # floor path actually exercised
+    # heavy hitter's lower bound stays meaningful: it provably occurred
+    assert big_est - big_err > 0
+
+
+def test_lsh_fixture_margin_no_pairs_in_weak_recall_band(spark):
+    """ADVICE r4: LSH banding at r=4/b=16 has ~0.988 recall exactly AT
+    jaccard=0.7, so a fixture pair sitting just above the threshold could
+    in principle be missed by the candidate stage (deterministically,
+    since the permutations are seeded — see _minhash_coeffs). This test
+    pins the fixture margin: the sf0.01 documents table has NO pair with
+    exact jaccard in [0.60, 0.85), so every true pair the g02/g19/g20
+    differentials must find sits where banding recall is ~1-1e-6, and the
+    exact-oracle comparison is structurally stable."""
+    from aws_kinesis_spark.operators.dedup import (
+        _checkpointed_shingle_sets,
+        _spread,
+    )
+
+    docs = load(spark, SF, "documents")
+    docs = _spread(docs.filter(F.size(F.split(F.col("text"), " ")) >= 3))
+    sets = _checkpointed_shingle_sets(docs, "text", "doc_id", 3)
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter / (F.size("sa") + F.size("sb") - inter)
+    weak = pairs.select(jac.alias("j")).filter(
+        (F.col("j") >= 0.60) & (F.col("j") < 0.85)
+    )
+    assert weak.count() == 0
