@@ -703,6 +703,57 @@ def a01_kinesis_sim_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a03_efo_push_consumer",
+    oracle="""
+        SELECT i AS id,
+               CASE i % 3 WHEN 0 THEN 'I' WHEN 1 THEN 'U' ELSE 'D' END AS op,
+               'sales-orders-' || i AS partition_key
+        FROM (SELECT unnest(range(0, 1200)) AS i)
+    """,
+)
+def a03_efo_push_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (enhanced fan-out) as a STREAMING drain: the kinesis_sim source in
+    consumerMode=efo delivers one complete arrival burst per micro-batch
+    with NO per-poll record bound — the SubscribeToShard push model
+    (README.md:109-111), vs the polling consumer's GetRecords-bounded
+    batches (a01/A2). Per-consumer isolation (each EFO subscriber holds its
+    own offsets and receives the full stream) is asserted in
+    tests/test_streaming.py."""
+    import tempfile
+
+    from aws_kinesis_spark.sources import kinesis_sim
+    from aws_kinesis_spark.sources.envelope import decode_envelope
+
+    kinesis_sim.register(spark)
+    raw = (
+        spark.readStream.format("kinesis_sim")
+        .option("shards", 3)
+        .option("recordsPerShard", 400)
+        .option("consumerMode", "efo")
+        .option("arrivalSets", 4)
+        .load()
+    )
+    import uuid as _uuid
+
+    tbl = f"a03_{_uuid.uuid4().hex[:8]}"
+    q = (
+        decode_envelope(raw)
+        .select("id", "op", "partition_key")
+        .writeStream.format("memory")
+        .queryName(tbl)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kinesis_a03_"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(tbl)
+
+
+@register(
     "c12_jsonl_roundtrip",
     oracle="""
         SELECT doc_id, text, lang, source, n_chars FROM documents

@@ -102,19 +102,44 @@ class KinesisSimDataSource(DataSource):
             n_shards=int(self.options.get("shards", 4)),
             records_per_shard=int(self.options.get("recordsPerShard", 1000)),
             poll_records=int(self.options.get("pollRecords", 100)),
+            consumer_mode=str(self.options.get("consumerMode", "polling")),
+            arrival_sets=int(self.options.get("arrivalSets", 5)),
         )
 
 
 class KinesisSimStreamReader(SimpleDataSourceStreamReader):
-    """Polling-consumer semantics (SURVEY.md A2): offset = {shard_id:
-    consumed_count}; each read() advances every shard by at most
-    poll_records (the GetRecords limit), and readBetweenOffsets()
-    regenerates any committed range bit-identically for recovery."""
+    """Consumer semantics (SURVEY.md A2/A3): offset = {shard_id:
+    consumed_count}; readBetweenOffsets() regenerates any committed range
+    bit-identically for recovery. Two modes:
 
-    def __init__(self, n_shards: int, records_per_shard: int, poll_records: int):
+    - ``polling`` (A2, the shared-throughput GetRecords consumer): each
+      read() advances every shard by at most poll_records — the GetRecords
+      limit bounds every micro-batch, however much data is waiting.
+    - ``efo`` (A3, enhanced fan-out / SubscribeToShard push): records
+      arrive in ``arrival_sets`` bursts per shard and each read() delivers
+      ONE complete burst with NO per-poll bound — the push model where the
+      subscriber receives everything the moment it arrives (the reference's
+      ~70 ms vs polling latency distinction, README.md:109-111). Every EFO
+      consumer has its own subscription: two streaming queries over the
+      same stream each hold independent offsets and both receive the full
+      stream (dedicated-throughput isolation, asserted in tests)."""
+
+    def __init__(
+        self,
+        n_shards: int,
+        records_per_shard: int,
+        poll_records: int,
+        consumer_mode: str = "polling",
+        arrival_sets: int = 5,
+    ):
+        if consumer_mode not in ("polling", "efo"):
+            raise ValueError(f"unknown consumerMode: {consumer_mode!r}")
         self.n_shards = n_shards
         self.records_per_shard = records_per_shard
         self.poll_records = poll_records
+        self.consumer_mode = consumer_mode
+        # ceil: the last arrival set may be short
+        self.arrival_set_size = -(-records_per_shard // max(1, arrival_sets))
 
     def initialOffset(self) -> dict:
         # TRIM_HORIZON: start at the oldest retained record of every shard
@@ -126,9 +151,16 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
             for i in range(lo, hi):
                 yield _record(s * self.records_per_shard + i, i)
 
+    def _next_offset(self, cur: int) -> int:
+        if self.consumer_mode == "efo":
+            # push: deliver the whole next arrival burst, no poll bound
+            step = self.arrival_set_size
+            return min((cur // step + 1) * step, self.records_per_shard)
+        return min(cur + self.poll_records, self.records_per_shard)
+
     def read(self, start: dict):
         end = {
-            str(s): min(int(start[str(s)]) + self.poll_records, self.records_per_shard)
+            str(s): self._next_offset(int(start[str(s)]))
             for s in range(self.n_shards)
         }
         # an ITERATOR per the SimpleDataSourceStreamReader contract: on an

@@ -906,3 +906,84 @@ def test_kinesis_sim_stream_stream_join_kill_resume(spark, tmp_path):
     # exactly once: no batch emitted the same joined row twice
     n_rows = spark.read.parquet(str(out / "batch=*")).count()
     assert n_rows == len(expected)
+
+
+def test_kinesis_sim_efo_push_vs_polling_batches(spark, tmp_path):
+    """A3 semantics: the EFO consumer delivers one complete arrival burst
+    per micro-batch with NO per-poll bound, so it drains 120 records/shard
+    in exactly 3 non-empty batches (arrivalSets=3) even though each burst
+    (40) exceeds the polling consumer's pollRecords=10 — while the polling
+    consumer needs >= 12 bounded polls for the same stream."""
+    from aws_kinesis_spark.sources import kinesis_sim
+
+    kinesis_sim.register(spark)
+
+    def drain(mode_opts, name):
+        s = spark.readStream.format("kinesis_sim").option("shards", 2).option(
+            "recordsPerShard", 120
+        )
+        for k, v in mode_opts.items():
+            s = s.option(k, v)
+        tbl = _uniq(name)
+        q = (
+            s.load()
+            .writeStream.format("memory")
+            .queryName(tbl)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / name))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            nonempty = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        finally:
+            q.stop()
+        return spark.table(tbl).count(), len(nonempty)
+
+    n_efo, batches_efo = drain({"consumerMode": "efo", "arrivalSets": 3}, "efo")
+    n_poll, batches_poll = drain({"pollRecords": 10}, "poll")
+    assert n_efo == n_poll == 240  # both consumers see the full stream
+    assert batches_efo == 3  # one micro-batch per arrival burst, unbounded size
+    assert batches_poll >= 12  # GetRecords bound forces many small polls
+
+
+def test_kinesis_sim_efo_two_consumers_isolated(spark, tmp_path):
+    """A3 isolation: two EFO subscriptions over the SAME stream run as
+    independent queries with independent checkpoints; each receives the
+    complete stream exactly once — one consumer's progress never affects
+    the other's offsets (dedicated throughput, README.md:109-111)."""
+    from aws_kinesis_spark.sources import kinesis_sim
+
+    kinesis_sim.register(spark)
+
+    def consumer(name):
+        tbl = _uniq(name)
+        q = (
+            spark.readStream.format("kinesis_sim")
+            .option("shards", 2)
+            .option("recordsPerShard", 50)
+            .option("consumerMode", "efo")
+            .option("arrivalSets", 5)
+            .load()
+            .writeStream.format("memory")
+            .queryName(tbl)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / name))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        return q, tbl
+
+    qa, ta = consumer("efo_a")
+    qb, tb = consumer("efo_b")
+    try:
+        qa.processAllAvailable()
+        qb.processAllAvailable()
+    finally:
+        qa.stop()
+        qb.stop()
+    seqs_a = sorted(str(r["sequence_number"]) for r in spark.table(ta).collect())
+    seqs_b = sorted(str(r["sequence_number"]) for r in spark.table(tb).collect())
+    assert len(seqs_a) == len(seqs_b) == 100
+    assert seqs_a == seqs_b  # both got the identical full stream, no dups
