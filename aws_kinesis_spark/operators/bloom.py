@@ -1,0 +1,141 @@
+"""Bloom-filter membership pruning for exactly-once / first-seen dedup at scale
+(SURVEY.md §2.B4 scale path; reference README.md:51's "have I seen this key"
+question at 100 TB).
+
+The exact B4 plan (anti-join the new batch against all history) shuffles the
+full history keyset every run.  At 100 TB of history that shuffle dominates —
+but the *answer* for most batch keys is "definitely new", which a Bloom filter
+decides with zero shuffle:
+
+1. build: one bitmap per scan partition via ``mapInPandas`` (numpy, vectorized
+   double hashing), OR-ed on the driver.  The collect is bounded by
+   ``num_partitions × num_bits/8`` bytes and **independent of row count** —
+   the same aggregate-to-driver shape Spark's own runtime bloom join filter
+   uses (InjectRuntimeFilter).
+2. probe: the batch tests membership through a broadcast of the bitmap
+   (Arrow-batched pandas UDF).  Keys the filter rejects are *definitely*
+   unseen (no false negatives) and skip the join entirely.
+3. verify: only the might-contain fraction (false-positive rate ~
+   ``(1-e^{-kn/m})^k``, ~1% at the default sizing for 1e6 keys) anti-joins
+   history — an exact check, so the operator's output is EXACT, the sketch
+   only prunes.
+
+Keys are int64 (hash composite keys JVM-side with ``F.xxhash64`` first; a
+rare xxhash collision only mis-routes a key into the verify join, never into
+the output, because verification compares the real columns).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_C1 = np.uint64(0x9E3779B97F4A7C15)
+_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(x: np.ndarray, seed: np.uint64) -> np.ndarray:
+    """splitmix64 finalizer: int64 keys -> well-spread uint64 (vectorized)."""
+    with np.errstate(over="ignore"):
+        x = x.astype(np.uint64) + seed
+        x = (x ^ (x >> np.uint64(30))) * _C2
+        x = (x ^ (x >> np.uint64(27))) * _C3
+        return x ^ (x >> np.uint64(31))
+
+
+def _positions(keys: np.ndarray, num_bits: int, num_hashes: int) -> np.ndarray:
+    """(len(keys), num_hashes) bit positions via double hashing
+    h_i = h1 + i*h2 (Kirsch-Mitzenmacher: k independent-enough probes from
+    two hashes, the standard Bloom construction)."""
+    h1 = _mix64(keys, _C1)
+    h2 = _mix64(keys, _C2) | np.uint64(1)
+    i = np.arange(num_hashes, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(num_bits)).astype(
+            np.int64
+        )
+
+
+def build_bloom(
+    df: DataFrame, key_col: str, num_bits: int = 1 << 23, num_hashes: int = 5
+) -> np.ndarray:
+    """Build a Bloom bitmap (uint8 array of num_bits/8 bytes) over an int64
+    key column.  One bitmap per partition executor-side, OR-ed on the driver;
+    driver traffic = partitions × num_bits/8 bytes regardless of row count."""
+    if num_bits % 8:
+        raise ValueError("num_bits must be a multiple of 8")
+    nbytes = num_bits // 8
+    schema = T.StructType([T.StructField("bitmap", T.BinaryType())])
+
+    def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitmap = np.zeros(nbytes, dtype=np.uint8)
+        saw = False
+        for b in batches:
+            keys = b[key_col].to_numpy(dtype=np.int64, na_value=0)
+            if not len(keys):
+                continue
+            saw = True
+            pos = _positions(keys, num_bits, num_hashes).ravel()
+            np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        if saw:
+            yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
+
+    parts = df.select(key_col).mapInPandas(per_partition, schema=schema).collect()
+    out = np.zeros(nbytes, dtype=np.uint8)
+    for row in parts:
+        out |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    return out
+
+
+def might_contain(
+    df: DataFrame, key_col: str, bitmap: np.ndarray, num_hashes: int = 5
+) -> Column:
+    """Boolean column: True iff the Bloom filter *might* contain the key.
+    False is definitive (no false negatives).  The bitmap rides to executors
+    as a Spark broadcast variable; the probe is one Arrow-batched kernel."""
+    num_bits = len(bitmap) * 8
+    bc = df.sparkSession.sparkContext.broadcast(bitmap)
+
+    @F.pandas_udf(T.BooleanType())
+    def probe(keys: pd.Series) -> pd.Series:
+        bm = bc.value
+        k = keys.to_numpy(dtype=np.int64, na_value=0)
+        if not len(k):
+            return pd.Series([], dtype=bool)
+        pos = _positions(k, num_bits, num_hashes)
+        bits = (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return pd.Series(bits.all(axis=1))
+
+    return probe(F.col(key_col))
+
+
+def first_seen(
+    batch: DataFrame,
+    history: DataFrame,
+    key_cols: list[str],
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """EXACT first-seen keys of ``batch`` w.r.t. ``history``, Bloom-pruned:
+    rows whose key the filter rejects skip the anti-join (the bulk, for a
+    mostly-new batch); only might-contain candidates pay the exact verify.
+    Returns the batch rows whose key never appears in history."""
+    hkey = F.xxhash64(*key_cols).alias("__bloom_key")
+    bitmap = build_bloom(history.select(hkey).distinct(), "__bloom_key", num_bits, num_hashes)
+
+    keyed = batch.withColumn("__bloom_key", F.xxhash64(*key_cols))
+    keyed = keyed.withColumn(
+        "__might", might_contain(keyed, "__bloom_key", bitmap, num_hashes)
+    )
+    definite_new = keyed.filter(~F.col("__might"))
+    candidates = keyed.filter(F.col("__might"))
+    verified_new = candidates.join(
+        history.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+    )
+    return definite_new.unionByName(verified_new).drop("__bloom_key", "__might")

@@ -171,3 +171,48 @@ def decontaminate(
         F.round(frac, 4).alias("contamination"),
         (frac >= threshold).alias("contaminated"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """RAG-style token-window chunking: split each document into
+    ``chunk_tokens``-token chunks whose starts step by ``chunk_tokens -
+    overlap``, so consecutive chunks share ``overlap`` tokens of context.
+
+    Semantics (deterministic, engine-independent):
+      - tokens = whitespace split, empties dropped; 0-token docs emit nothing
+      - chunk c starts at token s = 1 + c*(chunk_tokens - overlap), 1-based
+      - a start past the first is emitted only if it contributes at least one
+        NEW token (s <= n_tokens - overlap) — no fully-redundant tail chunk
+      - the last chunk may be shorter than chunk_tokens
+
+    Pure JVM column ops (split/sequence/explode/slice/array_join): chunking
+    happens inside the scan stage with zero shuffle and no Python — at 100 TB
+    this is a map-only pass whose output partitioning follows the input, so a
+    downstream embed/index stage starts from co-located chunks.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    t = docs.select(F.col(id_col), toks.alias("__t")).filter(F.size("__t") > 0)
+    n = F.size("__t")
+    starts = t.select(
+        id_col,
+        "__t",
+        F.explode(F.sequence(F.lit(1), n, F.lit(step))).alias("__s"),
+    ).filter((F.col("__s") == 1) | (F.col("__s") <= F.size("__t") - overlap))
+    s = F.col("__s")
+    n = F.size("__t")
+    chunk_len = F.least(F.lit(chunk_tokens), n - s + 1)
+    return starts.select(
+        id_col,
+        ((s - 1) / step).cast("bigint").alias("chunk_id"),
+        F.array_join(F.slice(F.col("__t"), s, chunk_len), " ").alias("chunk_text"),
+        chunk_len.cast("bigint").alias("n_tokens"),
+    )

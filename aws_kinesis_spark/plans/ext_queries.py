@@ -967,3 +967,34 @@ def g20_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_dedup(
         load(spark, sf_dir, "documents"), F.col("doc_id") % 10 == 0, threshold=0.7
     )
+
+
+@register(
+    "g21_doc_chunking",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+            FROM documents
+        ), starts AS (
+            SELECT doc_id, t, unnest(generate_series(1, len(t), 24)) AS s
+            FROM toks WHERE len(t) > 0
+        )
+        SELECT doc_id,
+               CAST((s - 1) / 24 AS BIGINT) AS chunk_id,
+               array_to_string(t[s : least(s + 31, len(t))], ' ') AS chunk_text,
+               CAST(least(s + 31, len(t)) - s + 1 AS BIGINT) AS n_tokens
+        FROM starts
+        WHERE s = 1 OR s <= len(t) - 8
+    """,
+)
+def g21_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunking: 32-token windows stepping by 24 (8-token overlap),
+    no fully-redundant tail chunk (operators/training.py:chunk_documents).
+    The step between a cleaned corpus and an embed/index stage; map-only,
+    zero shuffle, zero Python."""
+    from aws_kinesis_spark.operators.training import chunk_documents
+
+    return chunk_documents(
+        load(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )

@@ -219,6 +219,42 @@ def b04_dedup_by_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.unionByName(ev).dropDuplicates(["event_id"])
 
 
+@register(
+    "b04b_bloom_first_seen",
+    oracle="""
+        WITH hist AS (
+            SELECT DISTINCT user_id, event_type FROM events
+            WHERE ts < TIMESTAMP '2024-01-03'
+        )
+        SELECT b.user_id, b.event_type,
+               min(b.ts) AS first_ts, count(*) AS n_events
+        FROM events b
+        ANTI JOIN hist h
+          ON b.user_id = h.user_id AND b.event_type = h.event_type
+        WHERE b.ts >= TIMESTAMP '2024-01-03'
+        GROUP BY b.user_id, b.event_type
+    """,
+)
+def b04b_bloom_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 scale path (README.md:51's "seen before?" at 100 TB of history):
+    never-before-seen (user, action) pairs in today's batch, decided by a
+    broadcast Bloom filter over history keys instead of shuffling the full
+    history keyset — filter-rejected keys (the bulk of a mostly-new batch)
+    skip the anti-join entirely; only the ~1% might-contain fraction pays
+    the exact verify, so the output is EXACT (oracle is the plain anti-join).
+    """
+    from aws_kinesis_spark.operators.bloom import first_seen
+
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-03").cast("timestamp")
+    history = ev.filter(F.col("ts") < cutoff)
+    batch = ev.filter(F.col("ts") >= cutoff)
+    new_rows = first_seen(batch, history, ["user_id", "event_type"])
+    return new_rows.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"), F.count("*").alias("n_events")
+    )
+
+
 # --------------------------------------------------------------------------
 # A7 / O4: upserts;  D15: as-of join
 # --------------------------------------------------------------------------

@@ -75,8 +75,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #   in:  a01, c12, c13, e10, e11, g03d, g04b, g04c, g04d, g07c, g07d, g08,
 #        g14b, g15, g16, g17, g18, g19, g20
 # After r5 the only never-driver-checked queries are the 5 rows-only ones
-# (g02c, g03b, g03c, g07b, g18b) plus e12 and a03 (added this round,
-# oracle-backed) — round-6 rotation candidates.
+# (g02c, g03b, g03c, g07b, g18b) plus the oracle-backed queries added this
+# round — a03, e12, b04b, g21 — round-6 rotation candidates.
 # Queries outside the window still run in the local differential suite
 # (tests/test_differential.py) every CI pass; prior-round driver rows for
 # rotated-out queries remain in CORRECTNESS_r{1..4}.json.

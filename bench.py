@@ -53,6 +53,8 @@ HEADLINE = [
     "g05_embedding_neardup",
     "g13_decontaminate",
     "g15_repetition_filter",
+    "g19_dedup_keepers",
+    "g20_incremental_dedup",
 ]
 
 

@@ -542,3 +542,86 @@ def test_lsh_fixture_margin_no_pairs_in_weak_recall_band(spark):
         (F.col("j") >= 0.60) & (F.col("j") < 0.85)
     )
     assert weak.count() == 0
+
+
+def test_bloom_no_false_negatives_and_low_fp_rate(spark):
+    """Bloom membership: every inserted key tests positive (no false
+    negatives — the property the exactness of first_seen rests on), and the
+    false-positive rate on disjoint keys stays near the design point."""
+    import numpy as np
+
+    from aws_kinesis_spark.operators.bloom import build_bloom, might_contain
+
+    inserted = spark.range(0, 20_000).withColumnRenamed("id", "k")
+    bitmap = build_bloom(inserted, "k", num_bits=1 << 20, num_hashes=5)
+    assert bitmap.nbytes == (1 << 20) // 8  # driver traffic independent of rows
+
+    back = inserted.withColumn("hit", might_contain(inserted, "k", bitmap))
+    assert back.filter(~F.col("hit")).count() == 0  # no false negatives
+
+    fresh = spark.range(1_000_000, 1_020_000).withColumnRenamed("id", "k")
+    fp = fresh.withColumn("hit", might_contain(fresh, "k", bitmap))
+    rate = fp.filter(F.col("hit")).count() / 20_000
+    # k=5, n=20k, m=1M bits -> theoretical ~ (1-e^{-kn/m})^5 ~ 7e-6; allow slack
+    assert rate < 0.01, rate
+
+
+def test_bloom_first_seen_exact_vs_anti_join(spark):
+    """first_seen output is EXACT: identical row set to the plain anti-join,
+    and the bloom prunes (some definite-new rows never reach the join)."""
+    from aws_kinesis_spark.operators.bloom import first_seen
+    from aws_kinesis_spark.tables import load
+
+    ev = load(spark, SF, "events")
+    cutoff = F.lit("2024-01-03").cast("timestamp")
+    hist, batch = ev.filter(F.col("ts") < cutoff), ev.filter(F.col("ts") >= cutoff)
+    cols = ev.columns
+    got = first_seen(batch, hist, ["user_id", "event_type"]).select(*cols)
+    want = batch.join(
+        hist.select("user_id", "event_type").distinct(),
+        on=["user_id", "event_type"],
+        how="left_anti",
+    ).select(*cols)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_chunking_invariants(spark):
+    """g21 chunking: chunks tile the token stream with exactly `overlap`
+    shared tokens between consecutive chunks; stripping each chunk's overlap
+    prefix reconstructs the document's tokens exactly; no chunk is empty or
+    longer than chunk_tokens; 0-token docs emit nothing."""
+    from aws_kinesis_spark.operators.training import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(100))),  # multiple full chunks
+            (2, " ".join(f"t{i}" for i in range(33))),  # tail chunk with new token
+            (3, " ".join(f"t{i}" for i in range(25))),  # redundant tail suppressed
+            (4, "one two"),  # single short chunk
+            (5, "   "),  # 0 tokens -> no chunks
+            (6, "solo"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=32, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 5 not in by_doc
+    assert [r.chunk_id for r in by_doc[3]] == [0]  # start 25 > 25-8 suppressed
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        assert [r.chunk_id for r in rows] == list(range(len(rows)))
+        toks = []
+        for i, r in enumerate(rows):
+            ctoks = r.chunk_text.split(" ")
+            assert 1 <= r.n_tokens <= 32 and len(ctoks) == r.n_tokens
+            if i == 0:
+                toks.extend(ctoks)
+            else:
+                assert ctoks[:8] == toks[-8:]  # exact overlap
+                toks.extend(ctoks[8:])
+        orig = [t for t in docs.where(F.col("doc_id") == doc_id).head().text.split() if t]
+        assert toks == orig  # lossless tiling
