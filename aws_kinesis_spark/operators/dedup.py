@@ -549,17 +549,19 @@ def neardup_clusters(
             .groupBy("id_a")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # carry the old label through the update so convergence is a filter
+        # over the just-materialized checkpoint — not another join+shuffle
         new = (
             labels.join(nmin, labels["node"] == nmin["id_a"], "left")
-            .select("node", F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .select(
+                "node",
+                F.col("lbl").alias("old"),
+                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.join(labels.withColumnRenamed("lbl", "old"), "node")
-            .filter(F.col("lbl") < F.col("old"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("lbl") < F.col("old")).count()
+        labels = new.select("node", "lbl")
         if changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"))
@@ -578,11 +580,15 @@ def dedup_keepers(
     the best copy of each"), composing neardup_clusters (G10) with the G4
     quality score.
 
-    Scale shape: clusters come from the LSH pipeline (never all-pairs);
-    the decision itself is one left join of the (tiny) clustered-doc table
-    onto the corpus plus one window over cluster_id — cluster partitions
-    are near-dup groups (pairs/short chains), so the window never sees a
-    skewed partition."""
+    Scale shape: clusters come from the LSH pipeline (never all-pairs),
+    and ONLY clustered documents are shuffled through the ranking window —
+    singletons (the bulk of the corpus) short-circuit to keep=true,
+    cluster_id=own id.  Whenever the cluster table fits the broadcast
+    threshold (near-dups are a small fraction of a typical corpus) AQE
+    turns both the anti-join and the inner join into broadcasts and the
+    corpus is never shuffled at all; either way the window's shuffle volume
+    is O(near-dup docs), not O(corpus) — the previous plan shuffled every
+    row through the window."""
     from pyspark.sql import Window
 
     from aws_kinesis_spark.functions.text import quality_score
@@ -591,13 +597,19 @@ def dedup_keepers(
     scored = docs.select(
         F.col(id_col), quality_score(F.col(text_col)).alias("quality")
     )
-    full = scored.join(clusters, id_col, "left").withColumn(
-        "cluster_id", F.coalesce("cluster_id", F.col(id_col))
+    singletons = scored.join(clusters, id_col, "left_anti").select(
+        id_col,
+        F.col(id_col).alias("cluster_id"),
+        "quality",
+        F.lit(True).alias("keep"),
     )
     w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc(id_col))
-    return full.withColumn(
-        "keep", F.row_number().over(w) == 1
-    ).select(id_col, "cluster_id", "quality", "keep")
+    clustered = (
+        scored.join(clusters, id_col)
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select(id_col, "cluster_id", "quality", "keep")
+    )
+    return singletons.unionByName(clustered)
 
 
 def incremental_minhash_dedup(

@@ -262,3 +262,31 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_chunking_is_map_only(spark):
+    """G21: chunking must stay inside the scan stage — no Exchange anywhere
+    in the plan (at 100 TB any shuffle here would move the whole corpus),
+    and no Python evaluation (pure JVM split/sequence/explode/slice)."""
+    plan = _plan(queries()["g21_doc_chunking"](spark, SF), "formatted")
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bloom_probe_prunes_before_join(spark):
+    """B4b: the bloom probe must reach the batch BEFORE any join — the
+    definite-new branch's only join input is the already-filtered candidate
+    fraction. Assert the anti-join exists and the probe filter feeds it."""
+    from aws_kinesis_spark.operators.bloom import first_seen
+    from aws_kinesis_spark.tables import load
+
+    ev = load(spark, SF, "events")
+    cutoff = F.lit("2024-01-03").cast("timestamp")
+    out = first_seen(
+        ev.filter(F.col("ts") >= cutoff),
+        ev.filter(F.col("ts") < cutoff),
+        ["user_id", "event_type"],
+    )
+    plan = _plan(out, "formatted")
+    assert "LeftAnti" in plan  # exact verify survives
+    assert "pythonUDF" in plan or "ArrowEvalPython" in plan  # the probe kernel
