@@ -739,6 +739,43 @@ def a01_kinesis_sim_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a01b_kinesis_reshard",
+    oracle="""
+        SELECT i AS id,
+               CASE i % 3 WHEN 0 THEN 'O' WHEN 1 THEN 'F' ELSE 'P' END AS status,
+               'sales-orders-' || i AS partition_key,
+               CAST(CAST('100000000000000000000000000000' AS DECIMAL(38,0)) + i
+                    AS VARCHAR) AS sequence_number
+        FROM (SELECT unnest(range(0, 2000)) AS i)
+    """,
+)
+def a01b_kinesis_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 across a reshard (README.md:36 "4 shards auto-scaled", 74): the
+    stream was split mid-retention (splitAtRecord), so the batch scan reads
+    closed parents plus both children of each — and decodes the IDENTICAL
+    record set as the unsplit stream (sources/kinesis_sim.py:_Topology;
+    resharding moves shard placement, never data). Oracle: the same range()
+    regeneration as a01."""
+    from aws_kinesis_spark.sources import kinesis_sim
+    from aws_kinesis_spark.sources.envelope import decode_envelope
+
+    kinesis_sim.register(spark)
+    env = (
+        spark.read.format("kinesis_sim")
+        .option("shards", 4)
+        .option("recordsPerShard", 500)
+        .option("splitAtRecord", 200)
+        .load()
+    )
+    return decode_envelope(env).select(
+        "id",
+        "status",
+        "partition_key",
+        F.col("sequence_number").cast("string").alias("sequence_number"),
+    )
+
+
+@register(
     "a03_efo_push_consumer",
     oracle="""
         SELECT i AS id,

@@ -20,6 +20,12 @@ The record stream is fully deterministic (shard s, slot i):
 
 so a DuckDB ``range()`` oracle reproduces the decoded table exactly — the
 simulated source is differential-testable like every other operator.
+
+Resharding: ``splitAtRecord=K`` closes every parent shard after K records
+and hash-splits its remainder onto two child shards (README.md:36 "4 shards
+auto-scaled", 74 "auto-scales shards in 30 s"). The record set is unchanged;
+the streaming reader enforces Kinesis's parent-before-child drain order per
+lineage (see _Topology).
 """
 
 from __future__ import annotations
@@ -46,6 +52,56 @@ _EPOCH = dt.datetime(2025, 11, 7, 12, 0, 0)
 class _ShardPartition(InputPartition):
     def __init__(self, shard_id: int):
         self.shard_id = shard_id
+
+
+class _Topology:
+    """Shard layout, optionally after one SplitShard reshard event
+    (README.md:36 "4 shards auto-scaled", 74 "auto-scales shards in 30 s").
+
+    Without a split: shards 0..S-1, each holding slots 0..M-1.  With
+    ``split_at=K`` (0 < K < M): every parent shard s is CLOSED after its
+    first K records, and its remaining slots i in [K, M) land on two child
+    shards S+2s (even parity) and S+2s+1 (odd parity) — the hash-range
+    halving of a real SplitShard.  Global record ids are unchanged
+    (rid = s*M + i), so the record SET is identical with or without the
+    reshard; only shard placement moves — which is exactly Kinesis's
+    contract (resharding never loses, duplicates, or reorders records
+    within a key's shard lineage)."""
+
+    def __init__(self, n_shards: int, records_per_shard: int, split_at: int = 0):
+        if split_at and not 0 < split_at < records_per_shard:
+            raise ValueError("splitAtRecord must be in (0, recordsPerShard)")
+        self.S, self.M, self.K = n_shards, records_per_shard, split_at
+
+    def shard_ids(self) -> list[int]:
+        if not self.K:
+            return list(range(self.S))
+        return list(range(self.S)) + [self.S + c for c in range(2 * self.S)]
+
+    def parent_of(self, sid: int) -> int | None:
+        """The parent a child must wait for; None for original shards."""
+        return (sid - self.S) // 2 if self.K and sid >= self.S else None
+
+    def _child_first_slot(self, sid: int) -> int:
+        b = (sid - self.S) % 2
+        return self.K if self.K % 2 == b else self.K + 1
+
+    def shard_len(self, sid: int) -> int:
+        if not self.K:
+            return self.M
+        if sid < self.S:  # closed parent
+            return self.K
+        i0 = self._child_first_slot(sid)
+        return 0 if i0 >= self.M else (self.M - i0 + 1) // 2
+
+    def record_at(self, sid: int, j: int) -> tuple[int, int]:
+        """(global id, original slot) of the j-th record of shard `sid`."""
+        if not self.K or sid < self.S:
+            parent, slot = sid, j
+        else:
+            parent = self.parent_of(sid)
+            slot = self._child_first_slot(sid) + 2 * j
+        return parent * self.M + slot, slot
 
 
 def _record(rid: int, slot: int):
@@ -95,6 +151,7 @@ class KinesisSimDataSource(DataSource):
         return KinesisSimReader(
             n_shards=int(self.options.get("shards", 4)),
             records_per_shard=int(self.options.get("recordsPerShard", 1000)),
+            split_at=int(self.options.get("splitAtRecord", 0)),
         )
 
     def simpleStreamReader(self, schema) -> "KinesisSimStreamReader":
@@ -104,6 +161,7 @@ class KinesisSimDataSource(DataSource):
             poll_records=int(self.options.get("pollRecords", 100)),
             consumer_mode=str(self.options.get("consumerMode", "polling")),
             arrival_sets=int(self.options.get("arrivalSets", 5)),
+            split_at=int(self.options.get("splitAtRecord", 0)),
         )
 
 
@@ -131,37 +189,44 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
         poll_records: int,
         consumer_mode: str = "polling",
         arrival_sets: int = 5,
+        split_at: int = 0,
     ):
         if consumer_mode not in ("polling", "efo"):
             raise ValueError(f"unknown consumerMode: {consumer_mode!r}")
-        self.n_shards = n_shards
-        self.records_per_shard = records_per_shard
+        self.topo = _Topology(n_shards, records_per_shard, split_at)
         self.poll_records = poll_records
         self.consumer_mode = consumer_mode
-        # ceil: the last arrival set may be short
-        self.arrival_set_size = -(-records_per_shard // max(1, arrival_sets))
+        self.arrival_sets = max(1, arrival_sets)
 
     def initialOffset(self) -> dict:
         # TRIM_HORIZON: start at the oldest retained record of every shard
-        return {str(s): 0 for s in range(self.n_shards)}
+        # (child shards appear at offset 0, gated behind their parent)
+        return {str(s): 0 for s in self.topo.shard_ids()}
 
     def _rows(self, start: dict, end: dict):
-        for s in range(self.n_shards):
-            lo, hi = int(start[str(s)]), int(end[str(s)])
-            for i in range(lo, hi):
-                yield _record(s * self.records_per_shard + i, i)
+        for s in self.topo.shard_ids():
+            lo, hi = int(start.get(str(s), 0)), int(end.get(str(s), 0))
+            for j in range(lo, hi):
+                yield _record(*self.topo.record_at(s, j))
 
-    def _next_offset(self, cur: int) -> int:
+    def _next_offset(self, sid: int, cur: int, start: dict) -> int:
+        parent = self.topo.parent_of(sid)
+        if parent is not None and int(start[str(parent)]) < self.topo.shard_len(parent):
+            # Kinesis reshard contract: a child shard may not be consumed
+            # until its closed parent is fully drained — this preserves
+            # per-key ordering across the shard lineage
+            return cur
+        n = self.topo.shard_len(sid)
         if self.consumer_mode == "efo":
             # push: deliver the whole next arrival burst, no poll bound
-            step = self.arrival_set_size
-            return min((cur // step + 1) * step, self.records_per_shard)
-        return min(cur + self.poll_records, self.records_per_shard)
+            step = -(-n // self.arrival_sets) if n else 1
+            return min((cur // step + 1) * step, n)
+        return min(cur + self.poll_records, n)
 
     def read(self, start: dict):
         end = {
-            str(s): self._next_offset(int(start[str(s)]))
-            for s in range(self.n_shards)
+            str(s): self._next_offset(s, int(start.get(str(s), 0)), start)
+            for s in self.topo.shard_ids()
         }
         # an ITERATOR per the SimpleDataSourceStreamReader contract: on an
         # empty poll (end == start, stream exhausted) the engine probes
@@ -179,17 +244,18 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
 
 
 class KinesisSimReader(DataSourceReader):
-    def __init__(self, n_shards: int, records_per_shard: int):
-        self.n_shards = n_shards
-        self.records_per_shard = records_per_shard
+    def __init__(self, n_shards: int, records_per_shard: int, split_at: int = 0):
+        self.topo = _Topology(n_shards, records_per_shard, split_at)
 
     def partitions(self):
-        return [_ShardPartition(s) for s in range(self.n_shards)]
+        # one InputPartition per shard, closed parents AND children — a
+        # batch scan reads the whole retained stream across the reshard
+        return [_ShardPartition(s) for s in self.topo.shard_ids()]
 
     def read(self, partition: _ShardPartition):
-        m = self.records_per_shard
-        for i in range(m):
-            yield _record(partition.shard_id * m + i, i)
+        s = partition.shard_id
+        for j in range(self.topo.shard_len(s)):
+            yield _record(*self.topo.record_at(s, j))
 
 
 def register(spark) -> None:

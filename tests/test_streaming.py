@@ -987,3 +987,135 @@ def test_kinesis_sim_efo_two_consumers_isolated(spark, tmp_path):
     seqs_b = sorted(str(r["sequence_number"]) for r in spark.table(tb).collect())
     assert len(seqs_a) == len(seqs_b) == 100
     assert seqs_a == seqs_b  # both got the identical full stream, no dups
+
+
+def test_kinesis_sim_reshard_batch_reads_full_lineage(spark):
+    """A1 reshard (README.md:36, 74): a batch scan over a stream that was
+    split mid-retention reads closed parents AND child shards — one input
+    partition per shard of the lineage — and the decoded record set is
+    IDENTICAL to the unsplit stream (resharding moves placement, never
+    data)."""
+    from aws_kinesis_spark.sources import kinesis_sim
+
+    kinesis_sim.register(spark)
+
+    def rows(**opts):
+        df = spark.read.format("kinesis_sim")
+        for k, v in opts.items():
+            df = df.option(k, v)
+        return df.load()
+
+    split = rows(shards=3, recordsPerShard=20, splitAtRecord=8)
+    flat = rows(shards=3, recordsPerShard=20)
+    assert split.rdd.getNumPartitions() == 3 + 6  # parents + 2 children each
+    a = sorted(str(r["sequence_number"]) for r in split.collect())
+    b = sorted(str(r["sequence_number"]) for r in flat.collect())
+    assert a == b and len(a) == 60
+    # per-shard ordering still holds on every lineage member
+    by_part = {}
+    for r in split.withColumn("part", F.spark_partition_id()).collect():
+        by_part.setdefault(r["part"], []).append(r["sequence_number"])
+    for seqs in by_part.values():
+        assert seqs == sorted(seqs)
+
+
+def test_kinesis_sim_reshard_parent_drains_before_children(spark, tmp_path):
+    """A2 reshard consumer contract: child shards must not deliver a single
+    record until their closed parent is fully drained (per-key ordering
+    across the shard lineage), and the full drain is exactly-once."""
+    import time as _time
+
+    from aws_kinesis_spark.sources import kinesis_sim
+
+    kinesis_sim.register(spark)
+    S, M, K = 2, 24, 12
+    stream = (
+        spark.readStream.format("kinesis_sim")
+        .option("shards", S)
+        .option("recordsPerShard", M)
+        .option("splitAtRecord", K)
+        .option("pollRecords", 5)
+        .load()
+    )
+    batches: list[tuple[int, list[int]]] = []
+
+    def record(df, batch_id):
+        rids = [int(str(r["sequence_number"])[-6:]) for r in df.collect()]
+        if rids:
+            batches.append((batch_id, rids))
+
+    q = (
+        stream.writeStream.foreachBatch(record)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline and sum(len(r) for _, r in batches) < S * M:
+            q.processAllAvailable()
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    all_rids = sorted(r for _, rids in batches for r in rids)
+    assert all_rids == list(range(S * M))  # exactly once
+    for s in range(S):  # strict gate per lineage
+        parent_batches = [b for b, rids in batches for r in rids
+                          if r // M == s and r % M < K]
+        child_batches = [b for b, rids in batches for r in rids
+                         if r // M == s and r % M >= K]
+        assert parent_batches and child_batches
+        assert max(parent_batches) < min(child_batches)
+
+
+def test_kinesis_sim_reshard_crash_recovery(spark, tmp_path):
+    """B6 x reshard: a crash-and-restart that lands NEAR the split boundary
+    must recover from checkpointed lineage offsets — no loss, no dup, and
+    the parent-before-child gate holds across the restart."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from aws_kinesis_spark.sources import kinesis_sim
+
+    kinesis_sim.register(spark)
+    ckpt, out, flag = str(tmp_path / "ckpt"), tmp_path / "out", tmp_path / "crashed"
+
+    def stream():
+        return (
+            spark.readStream.format("kinesis_sim")
+            .option("shards", 2)
+            .option("recordsPerShard", 50)
+            .option("splitAtRecord", 30)
+            .option("pollRecords", 20)
+            .load()
+        )
+
+    def write_batch(df, batch_id):
+        df.write.mode("overwrite").parquet(str(out / f"batch={batch_id}"))
+        if batch_id >= 1 and not flag.exists():
+            flag.touch()
+            raise RuntimeError("injected crash near the split boundary")
+
+    q = (
+        stream().writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    with pytest.raises(StreamingQueryException):
+        q.processAllAvailable()
+        q.awaitTermination(60)
+    assert flag.exists()
+
+    q2 = (
+        stream().writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = spark.read.parquet(str(out / "batch=*"))
+    seqs = sorted(int(str(r["sequence_number"])[-6:]) for r in got.collect())
+    assert seqs == list(range(100))
