@@ -22,10 +22,11 @@ so a DuckDB ``range()`` oracle reproduces the decoded table exactly — the
 simulated source is differential-testable like every other operator.
 
 Resharding: ``splitAtRecord=K`` closes every parent shard after K records
-and hash-splits its remainder onto two child shards (README.md:36 "4 shards
-auto-scaled", 74 "auto-scales shards in 30 s"). The record set is unchanged;
-the streaming reader enforces Kinesis's parent-before-child drain order per
-lineage (see _Topology).
+and hash-splits its remainder onto two child shards; ``mergeAtRecord=K``
+closes adjacent parent pairs and unions their remainders onto one child
+(README.md:36 "4 shards auto-scaled", 74 "auto-scales shards in 30 s"). The
+record set is unchanged either way; the streaming reader enforces Kinesis's
+parent(s)-before-child drain order per lineage (see _Topology).
 """
 
 from __future__ import annotations
@@ -55,52 +56,82 @@ class _ShardPartition(InputPartition):
 
 
 class _Topology:
-    """Shard layout, optionally after one SplitShard reshard event
-    (README.md:36 "4 shards auto-scaled", 74 "auto-scales shards in 30 s").
+    """Shard layout, optionally after ONE reshard event — a SplitShard scale-up
+    or a MergeShards scale-down (README.md:36 "4 shards auto-scaled", 74
+    "auto-scales shards in 30 s").
 
-    Without a split: shards 0..S-1, each holding slots 0..M-1.  With
+    Without a reshard: shards 0..S-1, each holding slots 0..M-1.
+
     ``split_at=K`` (0 < K < M): every parent shard s is CLOSED after its
     first K records, and its remaining slots i in [K, M) land on two child
     shards S+2s (even parity) and S+2s+1 (odd parity) — the hash-range
-    halving of a real SplitShard.  Global record ids are unchanged
-    (rid = s*M + i), so the record SET is identical with or without the
-    reshard; only shard placement moves — which is exactly Kinesis's
-    contract (resharding never loses, duplicates, or reorders records
-    within a key's shard lineage)."""
+    halving of a real SplitShard.
 
-    def __init__(self, n_shards: int, records_per_shard: int, split_at: int = 0):
-        if split_at and not 0 < split_at < records_per_shard:
-            raise ValueError("splitAtRecord must be in (0, recordsPerShard)")
-        self.S, self.M, self.K = n_shards, records_per_shard, split_at
+    ``merge_at=K`` (0 < K < M, S even): adjacent parent pairs (2p, 2p+1)
+    are CLOSED after K records each; their remainders land interleaved
+    (arrival order: by slot, then parent) on ONE child shard S+p — the
+    hash-range union of a real MergeShards.  A merge child has TWO parents
+    and must wait for both.
+
+    Global record ids are unchanged either way (rid = parent*M + slot), so
+    the record SET is identical with or without the reshard; only shard
+    placement moves — exactly Kinesis's contract (resharding never loses,
+    duplicates, or reorders records within a key's shard lineage)."""
+
+    def __init__(
+        self,
+        n_shards: int,
+        records_per_shard: int,
+        split_at: int = 0,
+        merge_at: int = 0,
+    ):
+        if split_at and merge_at:
+            raise ValueError("splitAtRecord and mergeAtRecord are exclusive")
+        for k, name in ((split_at, "splitAtRecord"), (merge_at, "mergeAtRecord")):
+            if k and not 0 < k < records_per_shard:
+                raise ValueError(f"{name} must be in (0, recordsPerShard)")
+        if merge_at and n_shards % 2:
+            raise ValueError("mergeAtRecord needs an even shard count")
+        self.S, self.M = n_shards, records_per_shard
+        self.K = split_at or merge_at
+        self.mode = "split" if split_at else ("merge" if merge_at else None)
 
     def shard_ids(self) -> list[int]:
-        if not self.K:
-            return list(range(self.S))
-        return list(range(self.S)) + [self.S + c for c in range(2 * self.S)]
+        n_children = {"split": 2 * self.S, "merge": self.S // 2, None: 0}[self.mode]
+        return list(range(self.S + n_children))
 
-    def parent_of(self, sid: int) -> int | None:
-        """The parent a child must wait for; None for original shards."""
-        return (sid - self.S) // 2 if self.K and sid >= self.S else None
+    def parents_of(self, sid: int) -> tuple[int, ...]:
+        """The closed parent(s) a child must fully drain first; () for
+        original shards."""
+        if sid < self.S or not self.mode:
+            return ()
+        c = sid - self.S
+        return (c // 2,) if self.mode == "split" else (2 * c, 2 * c + 1)
 
-    def _child_first_slot(self, sid: int) -> int:
+    def _split_first_slot(self, sid: int) -> int:
         b = (sid - self.S) % 2
         return self.K if self.K % 2 == b else self.K + 1
 
     def shard_len(self, sid: int) -> int:
-        if not self.K:
+        if not self.mode:
             return self.M
         if sid < self.S:  # closed parent
             return self.K
-        i0 = self._child_first_slot(sid)
+        if self.mode == "merge":
+            return 2 * (self.M - self.K)
+        i0 = self._split_first_slot(sid)
         return 0 if i0 >= self.M else (self.M - i0 + 1) // 2
 
     def record_at(self, sid: int, j: int) -> tuple[int, int]:
         """(global id, original slot) of the j-th record of shard `sid`."""
-        if not self.K or sid < self.S:
+        if sid < self.S or not self.mode:
             parent, slot = sid, j
+        elif self.mode == "merge":
+            parent = self.parents_of(sid)[j % 2]
+            slot = self.K + j // 2
         else:
-            parent = self.parent_of(sid)
-            slot = self._child_first_slot(sid) + 2 * j
+            parent = self.parents_of(sid)[0]
+            slot = self._split_first_slot(sid) + 2 * j
         return parent * self.M + slot, slot
 
 
@@ -152,6 +183,7 @@ class KinesisSimDataSource(DataSource):
             n_shards=int(self.options.get("shards", 4)),
             records_per_shard=int(self.options.get("recordsPerShard", 1000)),
             split_at=int(self.options.get("splitAtRecord", 0)),
+            merge_at=int(self.options.get("mergeAtRecord", 0)),
         )
 
     def simpleStreamReader(self, schema) -> "KinesisSimStreamReader":
@@ -162,6 +194,7 @@ class KinesisSimDataSource(DataSource):
             consumer_mode=str(self.options.get("consumerMode", "polling")),
             arrival_sets=int(self.options.get("arrivalSets", 5)),
             split_at=int(self.options.get("splitAtRecord", 0)),
+            merge_at=int(self.options.get("mergeAtRecord", 0)),
         )
 
 
@@ -190,10 +223,11 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
         consumer_mode: str = "polling",
         arrival_sets: int = 5,
         split_at: int = 0,
+        merge_at: int = 0,
     ):
         if consumer_mode not in ("polling", "efo"):
             raise ValueError(f"unknown consumerMode: {consumer_mode!r}")
-        self.topo = _Topology(n_shards, records_per_shard, split_at)
+        self.topo = _Topology(n_shards, records_per_shard, split_at, merge_at)
         self.poll_records = poll_records
         self.consumer_mode = consumer_mode
         self.arrival_sets = max(1, arrival_sets)
@@ -210,12 +244,12 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
                 yield _record(*self.topo.record_at(s, j))
 
     def _next_offset(self, sid: int, cur: int, start: dict) -> int:
-        parent = self.topo.parent_of(sid)
-        if parent is not None and int(start[str(parent)]) < self.topo.shard_len(parent):
-            # Kinesis reshard contract: a child shard may not be consumed
-            # until its closed parent is fully drained — this preserves
-            # per-key ordering across the shard lineage
-            return cur
+        for parent in self.topo.parents_of(sid):
+            if int(start[str(parent)]) < self.topo.shard_len(parent):
+                # Kinesis reshard contract: a child shard may not be consumed
+                # until its closed parent(s) are fully drained — this
+                # preserves per-key ordering across the shard lineage
+                return cur
         n = self.topo.shard_len(sid)
         if self.consumer_mode == "efo":
             # push: deliver the whole next arrival burst, no poll bound
@@ -244,8 +278,14 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
 
 
 class KinesisSimReader(DataSourceReader):
-    def __init__(self, n_shards: int, records_per_shard: int, split_at: int = 0):
-        self.topo = _Topology(n_shards, records_per_shard, split_at)
+    def __init__(
+        self,
+        n_shards: int,
+        records_per_shard: int,
+        split_at: int = 0,
+        merge_at: int = 0,
+    ):
+        self.topo = _Topology(n_shards, records_per_shard, split_at, merge_at)
 
     def partitions(self):
         # one InputPartition per shard, closed parents AND children — a

@@ -1119,3 +1119,59 @@ def test_kinesis_sim_reshard_crash_recovery(spark, tmp_path):
     got = spark.read.parquet(str(out / "batch=*"))
     seqs = sorted(int(str(r["sequence_number"])[-6:]) for r in got.collect())
     assert seqs == list(range(100))
+
+
+def test_kinesis_sim_merge_shards_lineage(spark, tmp_path):
+    """A1/A2 MergeShards (scale-down): adjacent parents close and their
+    remainders land on one child; the batch set equals the unmerged stream,
+    and the child delivers nothing until BOTH parents are drained."""
+    import time as _time
+
+    from aws_kinesis_spark.sources import kinesis_sim
+
+    kinesis_sim.register(spark)
+    S, M, K = 2, 20, 8
+    batch = (
+        spark.read.format("kinesis_sim")
+        .option("shards", S).option("recordsPerShard", M)
+        .option("mergeAtRecord", K).load()
+    )
+    assert batch.rdd.getNumPartitions() == S + S // 2
+    flat = (
+        spark.read.format("kinesis_sim")
+        .option("shards", S).option("recordsPerShard", M).load()
+    )
+    assert sorted(str(r["sequence_number"]) for r in batch.collect()) == sorted(
+        str(r["sequence_number"]) for r in flat.collect()
+    )
+
+    stream = (
+        spark.readStream.format("kinesis_sim")
+        .option("shards", S).option("recordsPerShard", M)
+        .option("mergeAtRecord", K).option("pollRecords", 3).load()
+    )
+    batches: list[tuple[int, list[int]]] = []
+
+    def record(df, batch_id):
+        rids = [int(str(r["sequence_number"])[-6:]) for r in df.collect()]
+        if rids:
+            batches.append((batch_id, rids))
+
+    q = (
+        stream.writeStream.foreachBatch(record)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline and sum(len(r) for _, r in batches) < S * M:
+            q.processAllAvailable()
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    all_rids = sorted(r for _, rids in batches for r in rids)
+    assert all_rids == list(range(S * M))  # exactly once
+    parent_batches = [b for b, rids in batches for r in rids if r % M < K]
+    child_batches = [b for b, rids in batches for r in rids if r % M >= K]
+    assert max(parent_batches) < min(child_batches)  # both parents first
