@@ -200,7 +200,13 @@ def chunk_documents(
         raise ValueError("need 0 <= overlap < chunk_tokens")
     step = chunk_tokens - overlap
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
-    t = docs.select(F.col(id_col), toks.alias("__t")).filter(F.size("__t") > 0)
+    # 0-token pre-filter on trim(), not size(__t): a size() predicate gets
+    # pushed below the projection with the tokenizer expression inlined, so
+    # the split+filter HOF would run TWICE per row (seen in the plan dump);
+    # trim() is equivalent for "has at least one token" and nearly free
+    t = docs.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), toks.alias("__t")
+    )
     n = F.size("__t")
     starts = t.select(
         id_col,

@@ -74,6 +74,19 @@ SHOWCASE = [
         "window — pretraining sequence packing is a single-shuffle plan with "
         "no global sort.",
     ),
+    (
+        "g21_doc_chunking",
+        "Zero `Exchange`, zero Python: token-window chunking is "
+        "split/sequence/explode/slice inside the scan stage — a map-only "
+        "pass whose output partitioning follows the input.",
+    ),
+    (
+        "b04b_bloom_first_seen",
+        "The bloom probe (`ArrowEvalPython` over the broadcast bitmap) "
+        "filters the batch BEFORE the `LeftAnti` verify join — "
+        "definitely-new keys never reach the join, so the history-sized "
+        "shuffle shrinks to the might-contain fraction.",
+    ),
 ]
 
 
