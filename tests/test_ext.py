@@ -625,3 +625,55 @@ def test_chunking_invariants(spark):
                 toks.extend(ctoks[8:])
         orig = [t for t in docs.where(F.col("doc_id") == doc_id).head().text.split() if t]
         assert toks == orig  # lossless tiling
+
+
+def _uf_components(pairs):
+    """Reference union-find: node -> component minimum."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_star_matches_union_find(spark):
+    """g10 scale path: alternating large-star/small-star components equal a
+    union-find reference on seeded random graphs (multi-component, dense
+    and sparse, duplicate and reversed edges)."""
+    import random
+
+    from aws_kinesis_spark.operators.dedup import connected_components
+
+    for seed, n, m in [(1, 40, 30), (2, 200, 150), (3, 120, 400)]:
+        rng = random.Random(seed)
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+        labels, rounds = connected_components(df)
+        got = {r["node"]: r["cluster_id"] for r in labels.collect()}
+        want = _uf_components(pairs)
+        assert got == want, (seed, rounds)
+
+
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    """The case naive min-label propagation cannot survive at scale: a
+    256-link chain (templated near-dup crawl pages) must resolve in
+    O(log n) rounds, not O(diameter)."""
+    from aws_kinesis_spark.operators.dedup import connected_components
+
+    n = 257
+    chain = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(chain, "id_a bigint, id_b bigint")
+    labels, rounds = connected_components(df)
+    got = {r["node"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 14, rounds  # ~2*log2(257)+slack, far below 256
