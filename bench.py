@@ -55,6 +55,8 @@ HEADLINE = [
     "g15_repetition_filter",
     "g19_dedup_keepers",
     "g20_incremental_dedup",
+    "g21_doc_chunking",
+    "b04b_bloom_first_seen",
 ]
 
 

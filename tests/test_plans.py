@@ -290,3 +290,61 @@ def test_bloom_probe_prunes_before_join(spark):
     plan = _plan(out, "formatted")
     assert "LeftAnti" in plan  # exact verify survives
     assert "pythonUDF" in plan or "ArrowEvalPython" in plan  # the probe kernel
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Scale evidence for the skew posture (SCALE.md §0): a join where one
+    key holds ~half the rows must be handled by AQE's skew-join splitting
+    (OptimizeSkewedJoin), not by a straggler task. Asserted on the final
+    adaptive plan: the sort-merge join is marked skew=true after execution."""
+    # payload must be incompressible (xxhash64) AND survive pruning (the
+    # final agg takes max(payload)): a pruned or constant-valued skew
+    # partition lz4-compresses to nothing and AQE sees no skew in the map
+    # output stats
+    left = spark.range(0, 400_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.xxhash64("id").alias("payload"),
+    )
+    # unique right keys: the join fans nothing out, the LEFT partition
+    # holding key 7 (~200k rows) is the straggler AQE must split
+    right = spark.range(0, 50_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("r_payload")
+    )
+    prev = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+        ),
+    }
+    try:
+        # shrink the thresholds so the fixture-size skew triggers the same
+        # OptimizeSkewedJoin rule a TB-scale hot key would
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # collect() on THIS Dataset finalizes ITS adaptive plan (a write
+        # sink would run a separate QueryExecution whose final plan we
+        # couldn't inspect); the global agg keeps the driver result tiny
+        # and imposes no output partitioning, so the skew split is legal
+        out = (
+            left.join(right, "k")
+            .groupBy()
+            .agg(F.count("*").alias("n"), F.max("payload").alias("mx"))
+        )
+        assert out.collect()[0]["n"] == 225_000
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
