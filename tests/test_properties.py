@@ -184,3 +184,75 @@ def test_simhash_kernel_equals_python_reference(batch):
                 sig |= 1 << i
         want = sig - (1 << 64) if sig >= (1 << 63) else sig
         assert int(out) == want
+
+
+# --- bloom filter kernel (pure numpy, no Spark) ----------------------------
+
+_keys = st.lists(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=500
+)
+
+
+@settings(max_examples=100, deadline=None, suppress_health_check=list(HealthCheck))
+@given(keys=_keys, nbits_pow=st.integers(min_value=10, max_value=20))
+def test_bloom_kernel_never_false_negative(keys, nbits_pow):
+    """B4b soundness: for ANY key set and ANY bitmap size, every inserted
+    key must probe positive — first_seen's exactness rests on this."""
+    import numpy as np
+
+    from aws_kinesis_spark.operators.bloom import _positions
+
+    num_bits, k = 1 << nbits_pow, 5
+    arr = np.array(keys, dtype=np.int64)
+    bitmap = np.zeros(num_bits // 8, dtype=np.uint8)
+    pos = _positions(arr, num_bits, k).ravel()
+    np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    probe = _positions(arr, num_bits, k)
+    bits = (bitmap[probe >> 3] >> (probe & 7).astype(np.uint8)) & 1
+    assert bool(bits.all())
+
+
+# --- doc chunking vs a direct python reference -----------------------------
+
+
+def _chunk_reference(text: str, chunk: int, overlap: int):
+    toks = [t for t in __import__("re").split(r"\s+", text) if t]
+    if not toks:
+        return []
+    step = chunk - overlap
+    out = []
+    for cid, s in enumerate(range(0, len(toks), step)):
+        if s > 0 and s > len(toks) - overlap - 1:
+            continue  # fully-redundant tail
+        piece = toks[s : s + chunk]
+        out.append((cid, " ".join(piece), len(piece)))
+    return out
+
+
+_texts = st.lists(
+    st.text(alphabet="ab x\t", min_size=0, max_size=120), min_size=1, max_size=8
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_texts, chunk=st.integers(4, 12), overlap=st.integers(0, 3))
+def test_chunking_matches_reference(spark_session, texts, chunk, overlap):
+    """g21 semantics hold for arbitrary whitespace soup and any
+    (chunk, overlap) dials, not just the fixture defaults."""
+    from aws_kinesis_spark.operators.training import chunk_documents
+
+    docs = spark_session.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in chunk_documents(
+            docs, chunk_tokens=chunk, overlap=overlap
+        ).collect()
+    }
+    want = {
+        (i, cid): (txt, n)
+        for i, text in enumerate(texts)
+        for cid, txt, n in _chunk_reference(text, chunk, overlap)
+    }
+    assert got == want
