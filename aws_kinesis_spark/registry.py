@@ -41,7 +41,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # The driver's correctness harness checks the FIRST 50 queries() entries only.
 # This window is curated so every SURVEY.md §2 operator family (A/B/C/D/E/F/G)
 # gets hard driver-verified rows each round — and it ROTATES per round so the
-# hard-checked set converges on all 92 registered queries across rounds.
+# hard-checked set converges on all registered queries across rounds (size
+# pinned by tests/test_entry.py::test_registry_counts_pinned, currently 109).
 #
 # Rotation policy: each round, slots whose operator is already witnessed by
 # another in-window query are swapped for queries that have never had a
