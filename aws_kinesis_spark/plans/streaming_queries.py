@@ -707,3 +707,63 @@ def e12_stream_stream_join_kinesis_source(spark: SparkSession, sf_dir: str) -> D
     finally:
         q.stop()
     return spark.table(tbl)
+
+
+@register(
+    "e13_stream_reshard_drain",
+    oracle="""
+        SELECT CAST(i % 3 AS VARCHAR) AS op_bucket,
+               count(*) AS n,
+               CAST(min(i) AS BIGINT) AS min_id,
+               CAST(max(i) AS BIGINT) AS max_id
+        FROM (SELECT unnest(range(0, 1200)) AS i)
+        GROUP BY i % 3
+    """,
+)
+def e13_stream_reshard_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 x resharding through the FULL streaming stack: the simulated
+    stream is split mid-retention (splitAtRecord — README.md:36's shard
+    auto-scaling), so the polling consumer must drain closed parents, hold
+    every child at offset 0 until its parent lineage is exhausted, then
+    drain the children — all under engine-checkpointed per-shard offsets
+    (sources/kinesis_sim.py:_Topology). The drained aggregate proves
+    exactly-once across the reshard: every record id 0..1199 appears once,
+    per op bucket, or the counts/min/max cannot match the range() oracle."""
+    from aws_kinesis_spark.sources import kinesis_sim
+    from aws_kinesis_spark.sources.envelope import decode_envelope
+
+    kinesis_sim.register(spark)
+    root = _tmp("e13")
+    raw = (
+        spark.readStream.format("kinesis_sim")
+        .option("shards", 3)
+        .option("recordsPerShard", 400)
+        .option("splitAtRecord", 150)
+        .option("pollRecords", 100)
+        .load()
+    )
+    decoded = decode_envelope(raw).select(
+        "id", (F.col("id") % 3).cast("string").alias("op_bucket")
+    )
+    tbl = f"e13_{uuid.uuid4().hex[:8]}"
+    q = (
+        decoded.writeStream.format("memory")
+        .queryName(tbl)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(tbl)
+        .groupBy("op_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+    )

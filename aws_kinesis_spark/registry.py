@@ -77,7 +77,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        g14b, g15, g16, g17, g18, g19, g20
 # After r5 the only never-driver-checked queries are the 5 rows-only ones
 # (g02c, g03b, g03c, g07b, g18b) plus the oracle-backed queries added this
-# round — a03, e12, b04b, g21, a01b (reshard) — round-6 rotation candidates.
+# round — a03, e12, e13, b04b, g21, a01b (reshard) — round-6 rotation candidates.
 # Queries outside the window still run in the local differential suite
 # (tests/test_differential.py) every CI pass; prior-round driver rows for
 # rotated-out queries remain in CORRECTNESS_r{1..4}.json.
