@@ -126,8 +126,11 @@ def first_seen(
     rows whose key the filter rejects skip the anti-join (the bulk, for a
     mostly-new batch); only might-contain candidates pay the exact verify.
     Returns the batch rows whose key never appears in history."""
+    # no distinct(): Bloom insertion is idempotent, so duplicate history
+    # keys set the same bits — a distinct here would re-introduce the full
+    # history-keyset shuffle this operator exists to avoid
     hkey = F.xxhash64(*key_cols).alias("__bloom_key")
-    bitmap = build_bloom(history.select(hkey).distinct(), "__bloom_key", num_bits, num_hashes)
+    bitmap = build_bloom(history.select(hkey), "__bloom_key", num_bits, num_hashes)
 
     keyed = batch.withColumn("__bloom_key", F.xxhash64(*key_cols))
     keyed = keyed.withColumn(

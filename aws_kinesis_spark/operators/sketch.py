@@ -21,6 +21,7 @@ Two shapes:
 
 from __future__ import annotations
 
+import heapq
 from collections.abc import Iterator
 
 import pandas as pd
@@ -47,7 +48,6 @@ class SpaceSaving:
         self._heap: list[tuple[int, str]] = []
 
     def _push(self, count: int, tok: str) -> None:
-        import heapq
 
         heapq.heappush(self._heap, (count, tok))
         if len(self._heap) > 4 * self.capacity:
@@ -55,7 +55,6 @@ class SpaceSaving:
             heapq.heapify(self._heap)
 
     def update(self, tok: str, c: int = 1) -> None:
-        import heapq
 
         if tok in self.counts:
             cur, err = self.counts[tok]

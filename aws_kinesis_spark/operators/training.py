@@ -200,11 +200,14 @@ def chunk_documents(
         raise ValueError("need 0 <= overlap < chunk_tokens")
     step = chunk_tokens - overlap
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
-    # 0-token pre-filter on trim(), not size(__t): a size() predicate gets
-    # pushed below the projection with the tokenizer expression inlined, so
-    # the split+filter HOF would run TWICE per row (seen in the plan dump);
-    # trim() is equivalent for "has at least one token" and nearly free
-    t = docs.filter(F.trim(F.col(text_col)) != "").select(
+    # 0-token pre-filter on rlike('\S'), not size(__t): a size() predicate
+    # gets pushed below the projection with the tokenizer expression
+    # inlined, so the split+filter HOF would run TWICE per row (seen in the
+    # plan dump). "contains a non-whitespace char" is exactly "has at least
+    # one token" for EVERY whitespace class — trim() was tried first and
+    # crashed on tab/newline-only docs (it strips ASCII spaces only, so a
+    # 0-token row reached sequence(1, 0, step), which throws).
+    t = docs.filter(F.col(text_col).rlike(r"\S")).select(
         F.col(id_col), toks.alias("__t")
     )
     n = F.size("__t")

@@ -42,7 +42,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # This window is curated so every SURVEY.md §2 operator family (A/B/C/D/E/F/G)
 # gets hard driver-verified rows each round — and it ROTATES per round so the
 # hard-checked set converges on all registered queries across rounds (size
-# pinned by tests/test_entry.py::test_registry_counts_pinned, currently 109).
+# pinned by tests/test_entry.py::test_registry_counts_pinned).
 #
 # Rotation policy: each round, slots whose operator is already witnessed by
 # another in-window query are swapped for queries that have never had a
@@ -75,8 +75,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        clusters + quality + window), g14 (g14b re-reads the same codes)
 #   in:  a01, c12, c13, e10, e11, g03d, g04b, g04c, g04d, g07c, g07d, g08,
 #        g14b, g15, g16, g17, g18, g19, g20
-# After r5 the only never-driver-checked queries are the 5 rows-only ones
-# (g02c, g03b, g03c, g07b, g18b) plus the oracle-backed queries added this
+# After r5 the only never-driver-checked queries are the no-oracle ones that
+# have never been in-window (g02c, g03b, g03c, g07b, g18b — d10b, also
+# rows-only, has r1-r2 driver rows) plus the oracle-backed queries added this
 # round — a03, e12, e13, b04b, g21, a01b (reshard) — round-6 rotation candidates.
 # Queries outside the window still run in the local differential suite
 # (tests/test_differential.py) every CI pass; prior-round driver rows for

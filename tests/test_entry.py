@@ -44,7 +44,7 @@ def test_driver_window_covers_every_family():
     assert set(q) == set(registry.REGISTRY)
     # round-5 rotation: every oracle-backed query that had no driver row
     # through r4 is now in the window, so hard coverage converges on all
-    # entries; only the 5 rows-only queries remain for round 6
+    # entries; the never-in-window rows-only queries remain for round 6
     rotated_in = {
         "a01_kinesis_sim_source", "c12_jsonl_roundtrip", "c13_csv_roundtrip",
         "e10_stream_stream_join", "e11_stream_stream_outer_join",

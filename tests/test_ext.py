@@ -601,6 +601,7 @@ def test_chunking_invariants(spark):
             (3, " ".join(f"t{i}" for i in range(25))),  # redundant tail suppressed
             (4, "one two"),  # single short chunk
             (5, "   "),  # 0 tokens -> no chunks
+            (7, " \t\n "),  # tab/newline-only: 0 tokens, must not crash
             (6, "solo"),
         ],
         "doc_id bigint, text string",
@@ -609,7 +610,7 @@ def test_chunking_invariants(spark):
     by_doc = {}
     for r in out:
         by_doc.setdefault(r.doc_id, []).append(r)
-    assert 5 not in by_doc
+    assert 5 not in by_doc and 7 not in by_doc
     assert [r.chunk_id for r in by_doc[3]] == [0]  # start 25 > 25-8 suppressed
     for doc_id, rows in by_doc.items():
         rows.sort(key=lambda r: r.chunk_id)
