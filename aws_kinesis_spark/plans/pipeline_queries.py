@@ -875,3 +875,42 @@ def c13_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("header", True)
         .csv(out)
     )
+
+
+@register(
+    "a05_manifest_time_travel",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               count(*) AS n,
+               count(DISTINCT o_orderkey) AS n_ids
+        FROM orders WHERE o_orderkey % 3 = 0
+        GROUP BY o_orderstatus
+    """,
+)
+def a05_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 manifest commit as TIME TRAVEL (README.md:291-303, 429, 453-455:
+    'COPY reads the manifest, never the folder'): two producer batches land
+    in the lake, each with its own atomic manifest; reading strictly
+    through batch 0's manifest yields EXACTLY batch 0's records — the
+    later commit is invisible, which is the snapshot-isolation property an
+    external warehouse load relies on. Oracle: batch 0's record subset."""
+    from aws_kinesis_spark.sources.lake import read_via_manifest, run_lake_batch
+
+    o = load(spark, sf_dir, "orders")
+    lake = os.path.join(tempfile.mkdtemp(prefix="kinesis_tt_"), "lake")
+    run_lake_batch(
+        synthesize_envelope(o.filter(F.col("o_orderkey") % 3 == 0)),
+        lake,
+        batch_id=0,
+        raw_backup=False,
+    )
+    run_lake_batch(
+        synthesize_envelope(o.filter(F.col("o_orderkey") % 3 != 0)),
+        lake,
+        batch_id=1,
+        raw_backup=False,
+    )
+    snapshot = read_via_manifest(spark, lake, batch_id=0)
+    return snapshot.groupBy(F.col("status")).agg(
+        F.count("*").alias("n"), F.count_distinct("id").alias("n_ids")
+    )
