@@ -130,3 +130,30 @@ def apply_cdc(
         .drop("__rn")
         .filter(F.col(op_col) != delete_op)
     )
+
+
+def scd2_history(
+    cdc: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 from the same CDC changelog
+    apply_cdc collapses to type 1: every non-delete event opens a version
+    valid from its own sequence number until the key's NEXT event (any op —
+    an update supersedes, a delete closes); the open-ended version is the
+    current one. Deletes emit no row of their own, they only terminate the
+    prior version via the lead().
+
+    Same scale shape as apply_cdc: one shuffle on the key, one ordered
+    window pass, linear in events. Columns added: __valid_from, __valid_to
+    (NULL = still open), __is_current."""
+    w = Window.partitionBy(*keys).orderBy(F.asc(seq_col))
+    nxt = F.lead(seq_col).over(w)
+    return (
+        cdc.withColumn("__valid_from", F.col(seq_col))
+        .withColumn("__valid_to", nxt)
+        .withColumn("__is_current", nxt.isNull())
+        .filter(F.col(op_col) != delete_op)
+    )

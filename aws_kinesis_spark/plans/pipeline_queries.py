@@ -914,3 +914,73 @@ def a05_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot.groupBy(F.col("status")).agg(
         F.count("*").alias("n"), F.count_distinct("id").alias("n_ids")
     )
+
+
+@register(
+    "o05_scd2_history",
+    oracle="""
+        WITH cdc AS (
+            SELECT o_orderkey AS id, o_orderstatus AS status,
+                   CASE o_orderkey % 3 WHEN 0 THEN 'I' WHEN 1 THEN 'U' ELSE 'D' END AS op,
+                   CAST(CAST('100000000000000000000000000000' AS DECIMAL(38,0))
+                        + o_orderkey AS DECIMAL(38,0)) AS seq
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'U2', 'U',
+                   CAST(CAST('100000000000000000000000000000' AS DECIMAL(38,0))
+                        + 1000000000 + o_orderkey AS DECIMAL(38,0))
+            FROM orders WHERE o_orderkey % 5 = 0
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, 'D',
+                   CAST(CAST('100000000000000000000000000000' AS DECIMAL(38,0))
+                        + 2000000000 + o_orderkey AS DECIMAL(38,0))
+            FROM orders WHERE o_orderkey % 10 = 0
+        ),
+        versioned AS (
+            SELECT id, status, op,
+                   CAST(seq AS VARCHAR) AS valid_from,
+                   CAST(lead(seq) OVER (PARTITION BY id ORDER BY seq) AS VARCHAR)
+                       AS valid_to,
+                   lead(seq) OVER (PARTITION BY id ORDER BY seq) IS NULL AS is_current
+            FROM cdc
+        )
+        SELECT id, status, valid_from, valid_to, is_current
+        FROM versioned WHERE op <> 'D'
+    """,
+)
+def o05_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 from the CDC log (the warehouse-history complement of
+    o04's type-1 LWW; README.md:167-168, 573-575): three producer epochs —
+    initial ops, an update wave, a delete wave — become versioned dimension
+    rows with [valid_from, valid_to) sequence intervals; a delete closes
+    the prior version without opening one; the open-ended version is
+    current (operators/upsert.py:scd2_history — one key shuffle, one
+    ordered window, linear in events)."""
+    from aws_kinesis_spark.operators.upsert import scd2_history
+
+    o = load(spark, sf_dir, "orders")
+    epoch0 = decode_envelope(synthesize_envelope(o, epoch=0))
+    epoch1 = decode_envelope(
+        synthesize_envelope(
+            o.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+                "o_orderstatus", F.lit("U2")
+            ),
+            epoch=1,
+        )
+    ).withColumn("op", F.lit("U"))
+    epoch2 = decode_envelope(
+        synthesize_envelope(o.filter(F.col("o_orderkey") % 10 == 0), epoch=2)
+    ).withColumn("op", F.lit("D"))
+    cdc = (
+        epoch0.unionByName(epoch1)
+        .unionByName(epoch2)
+        .select("id", "status", "op", "sequence_number")
+    )
+    hist = scd2_history(cdc, ["id"], "sequence_number")
+    return hist.select(
+        "id",
+        "status",
+        F.col("__valid_from").cast("string").alias("valid_from"),
+        F.col("__valid_to").cast("string").alias("valid_to"),
+        F.col("__is_current").alias("is_current"),
+    )
