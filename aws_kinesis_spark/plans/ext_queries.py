@@ -998,3 +998,34 @@ def g21_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         load(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
     )
+
+
+@register(
+    "g22_corpus_stats",
+    oracle="""
+        SELECT lang, source,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+               round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+               count(DISTINCT text) AS n_unique_texts
+        FROM documents
+        GROUP BY lang, source
+    """,
+)
+def g22_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset datasheet / data card: per (lang, source) document counts,
+    token volume, length distribution, and exact-duplicate rate — the
+    summary a training-mixture decision starts from. One partial-agg
+    shuffle on the (tiny) group key; the percentile is the exact form
+    (low-cardinality groups — the 100 TB path swaps in approx_percentile's
+    mergeable t-digest, see d10b)."""
+    d = load(spark, sf_dir, "documents")
+    toks = TX.token_count(F.col("text"))
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).cast("bigint").alias("total_tokens"),
+        F.round(F.avg(toks), 4).alias("avg_tokens"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+        F.countDistinct("text").alias("n_unique_texts"),
+    )
