@@ -1029,3 +1029,57 @@ def g22_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
         F.countDistinct("text").alias("n_unique_texts"),
     )
+
+
+@register(
+    "g23_leakage_safe_split",
+    oracle=f"""
+        WITH RECURSIVE {_DUCK_SHINGLES},
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+        ),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        reach AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        clusters AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+                     FROM reach GROUP BY u),
+        keyed AS (
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN clusters c USING (doc_id)
+        )
+        SELECT doc_id, cluster_id,
+               CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'cc'
+                         THEN 'train'
+                    WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6'
+                         THEN 'val'
+                    ELSE 'test' END AS split
+        FROM keyed
+    """,
+)
+def g23_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the g09 content-free hash split
+    keyed on the NEAR-DUP CLUSTER id instead of the document id, so two
+    near-duplicate documents can never straddle a split boundary (the
+    classic eval-contamination leak a per-doc split permits). Composition:
+    alternating-star clusters (g10) + the deterministic md5-bucket split
+    (g09); singletons key on their own id. Scale: the cluster table is the
+    only extra cost over g09 — the split itself stays a pure projection."""
+    docs = load(spark, sf_dir, "documents")
+    clusters = neardup_clusters(docs, threshold=0.7)
+    keyed = docs.select("doc_id").join(clusters, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col("doc_id"))
+    )
+    h2 = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 2)
+    return keyed.select(
+        "doc_id",
+        "cluster_id",
+        F.when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test").alias("split"),
+    )

@@ -678,3 +678,19 @@ def test_connected_components_chain_converges_in_log_rounds(spark):
     got = {r["node"]: r["cluster_id"] for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
     assert rounds <= 14, rounds  # ~2*log2(257)+slack, far below 256
+
+
+def test_leakage_safe_split_no_pair_straddles(spark):
+    """g23: every near-dup pair must land in the SAME split — the property
+    the per-doc g09 split cannot guarantee and this operator exists for."""
+    from aws_kinesis_spark.registry import queries
+
+    split = {r.doc_id: r.split for r in queries()["g23_leakage_safe_split"](spark, SF).collect()}
+    pairs = minhash_lsh_dedup(load(spark, SF, "documents"), threshold=0.7).collect()
+    assert pairs
+    for p in pairs:
+        assert split[p.id_a] == split[p.id_b], (p.id_a, p.id_b)
+    # and the split is still roughly 80/10/10 over the corpus
+    from collections import Counter
+    c = Counter(split.values())
+    assert 0.6 < c["train"] / len(split) < 0.95
