@@ -1083,3 +1083,50 @@ def g23_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test").alias("split"),
     )
+
+
+@register(
+    "g24_temperature_mixture",
+    oracle="""
+        WITH counts AS (
+            SELECT lang, count(*) AS n_l,
+                   min(count(*)) OVER () AS n_min
+            FROM documents GROUP BY lang
+        ),
+        rates AS (
+            SELECT lang, n_l,
+                   least(1.0, sqrt(CAST(n_min AS DOUBLE) / CAST(n_l AS DOUBLE)))
+                       AS keep_f
+            FROM counts
+        )
+        SELECT d.doc_id, d.lang, round(r.keep_f, 6) AS keep_f
+        FROM documents d JOIN rates r USING (lang)
+        WHERE CAST((d.doc_id * 2654435761) % 1000000 AS DOUBLE) / 1000000.0
+              < r.keep_f
+    """,
+)
+def g24_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based training mixture (T=2 ~ alpha=0.5, the standard
+    multilingual rebalance): per-language keep rate sqrt(n_min/n_l) —
+    the rarest language keeps 100%, head languages downsample toward their
+    square root — with the rates derived FROM THE DATA in the same plan
+    (one tiny agg + broadcast join back; no collect, no seed). Sampling is
+    a deterministic integer-hash variate (Knuth multiplicative), so every
+    engine and every rerun keeps the identical row set. Complements g12,
+    where the fractions are caller-specified."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_l"))
+    n_min = counts.agg(F.min("n_l").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            F.sqrt(F.col("n_min").cast("double") / F.col("n_l").cast("double")),
+        ).alias("keep_f"),
+    )
+    variate = ((F.col("doc_id") * F.lit(2654435761)) % 1000000).cast("double") / 1000000.0
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(variate < F.col("keep_f"))
+        .select("doc_id", "lang", F.round("keep_f", 6).alias("keep_f"))
+    )
