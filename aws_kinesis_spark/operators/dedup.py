@@ -701,3 +701,73 @@ def incremental_minhash_dedup(
     return verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
+
+
+def span_dup_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Exact duplicated-SPAN detection (the substring-level complement of
+    whole-document dedup, after Lee et al.'s "Deduplicating Training Data
+    Makes Language Models Better": verbatim k-token spans repeated across
+    documents are memorization fuel even when the documents as a whole are
+    distinct). Every k-token window is fingerprinted with the same
+    polynomial rolling hash as functions g04c; a span hash seen in >= 2
+    distinct documents is duplicated, and each document reports how much of
+    it is made of duplicated spans: (n_spans, n_dup_spans, dup_fraction).
+
+    A true suffix-array pass is superlinear shuffle at 100 TB; k-gram
+    fingerprinting is the standard distributed approximation — it finds
+    every duplicated run of >= k tokens exactly (a run of L >= k dup tokens
+    contains L-k+1 dup windows) and never pairs documents at all.
+
+    Scale shape: fingerprints are computed inside the scan stage (pure JVM
+    expression fold, no Python), per-doc window lists are deduplicated
+    BEFORE the explode (array_distinct bounds the explode to unique spans),
+    and the only shuffles are (a) the span-hash groupBy counting distinct
+    docs (map-side partials) and (b) the hash-equi join back — both on the
+    span hash, whose cardinality AQE coalesces. No document text ever
+    shuffles; only 8-byte hashes."""
+    mod = F.lit(2147483647).cast("long")
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")  # noqa: E731
+    hashes = F.transform(F.split(F.col(text_col), " "), tok_hash)
+    # The when() guard makes the expression TOTAL: Catalyst's
+    # InferFiltersFromGenerate clones the span expression into an inferred
+    # size()>0 predicate evaluated on EVERY row — without the guard a
+    # sub-k-token row turns sequence() descending and slice() hits start=0
+    # there, even though such rows are filtered before the explode.
+    spans = F.when(
+        F.size("__th") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__th") - k + 1),
+            lambda i: F.aggregate(
+                F.slice(F.col("__th"), i, k),
+                F.lit(0).cast("long"),
+                lambda a, h: (a * 131 + h) % mod,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    per_doc = (
+        _spread(docs.filter(F.size(F.split(F.col(text_col), " ")) >= k))
+        .withColumn("__th", hashes)
+        .select(id_col, F.array_distinct(spans).alias("__spans"))
+        .select(id_col, F.explode("__spans").alias("__span"))
+        .localCheckpoint(eager=True)  # spans feed both the count and the join
+    )
+    counts = per_doc.groupBy("__span").agg(
+        F.count("*").alias("__nd")  # per-doc spans are pre-distinct
+    )
+    return (
+        per_doc.join(counts, "__span")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("__nd") >= 2).cast("long")).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 4),
+        )
+    )

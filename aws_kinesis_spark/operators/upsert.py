@@ -132,6 +132,41 @@ def apply_cdc(
     )
 
 
+def net_changes(
+    cdc: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    from_seq,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Net effect of the CDC log since a consumer cursor (README.md:305-309:
+    consumers checkpoint a sequence number and resume strictly after it).
+    The last event per key at-or-after ``from_seq`` decides that key's ONE
+    net operation for the increment: a delete marker becomes ``DELETE``,
+    anything else an ``UPSERT`` carrying the final values. Keys untouched
+    in the window emit nothing — downstream applies a bounded changeset
+    instead of re-reading the whole log (apply_cdc's full collapse).
+
+    Scale: the cursor predicate is a pushed-down range filter on the scan
+    (sequence-sorted lake files prune whole splits), then one key shuffle
+    over the increment only — cost proportional to the delta, never the
+    retained log."""
+    window_events = cdc.filter(F.col(seq_col) >= F.lit(from_seq))
+    w = Window.partitionBy(*keys).orderBy(F.desc(seq_col))
+    return (
+        window_events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn(
+            "__net_op",
+            F.when(F.col(op_col) == delete_op, F.lit("DELETE")).otherwise(
+                F.lit("UPSERT")
+            ),
+        )
+    )
+
+
 def scd2_history(
     cdc: DataFrame,
     keys: Sequence[str],

@@ -18,6 +18,7 @@ from aws_kinesis_spark.operators.dedup import (
     minhash_lsh_dedup,
     ngram_jaccard_dedup,
     simhash_dedup,
+    span_dup_stats,
 )
 from aws_kinesis_spark.operators.multimodal import (
     extract_features,
@@ -1129,4 +1130,49 @@ def g24_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(F.broadcast(rates), "lang")
         .filter(variate < F.col("keep_f"))
         .select("doc_id", "lang", F.round("keep_f", 6).alias("keep_f"))
+    )
+
+
+@register(
+    "g25_span_dedup",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_transform(string_split(text, ' '),
+                       t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT))
+                       AS hs
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 8
+        ),
+        spans AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(hs) - 8 + 2),
+                       i -> list_reduce(
+                                list_prepend(0::BIGINT, list_slice(hs, i, i + 7)),
+                                (a, b) -> (a * 131 + b) % 2147483647))) AS sp
+            FROM toks
+        ),
+        ex AS (SELECT doc_id, unnest(sp) AS h FROM spans),
+        counts AS (SELECT h, count(*) AS nd FROM ex GROUP BY h)
+        SELECT e.doc_id,
+               count(*) AS n_spans,
+               CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_spans,
+               CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS dup_fraction
+        FROM ex e JOIN counts c ON e.h = c.h
+        GROUP BY e.doc_id
+    """,
+)
+def g25_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2+: exact duplicated-SPAN statistics — verbatim 8-token runs shared
+    across documents (substring-level dedup after Lee et al. 2022, the
+    memorization-risk measure whole-doc dedup misses). Pure-JVM rolling
+    k-gram fingerprints; shuffles carry 8-byte span hashes only, never
+    text (operators/dedup.py:span_dup_stats). NOTE: dup_fraction is the
+    raw IEEE double quotient on both engines — rounding it would create
+    half-even/half-up ties at small integer denominators (1/32 = .03125)."""
+    d = load(spark, sf_dir, "documents")
+    return span_dup_stats(d, "text", "doc_id", k=8).withColumn(
+        "dup_fraction", F.col("n_dup_spans") / F.col("n_spans")
     )

@@ -984,3 +984,71 @@ def o05_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__valid_to").cast("string").alias("valid_to"),
         F.col("__is_current").alias("is_current"),
     )
+
+
+@register(
+    "o06_cdc_net_changes",
+    oracle="""
+        WITH cdc AS (
+            SELECT o_orderkey AS id, 'U2' AS status, 'U' AS op,
+                   CAST(CAST('100000000000000000000000000000' AS DECIMAL(38,0))
+                        + 1000000000 + o_orderkey AS DECIMAL(38,0)) AS seq
+            FROM orders WHERE o_orderkey % 5 = 0
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, 'D',
+                   CAST(CAST('100000000000000000000000000000' AS DECIMAL(38,0))
+                        + 2000000000 + o_orderkey AS DECIMAL(38,0))
+            FROM orders WHERE o_orderkey % 10 = 0
+        ),
+        latest AS (
+            SELECT id, status, op,
+                   row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+            FROM cdc
+        )
+        SELECT id,
+               CASE WHEN op = 'D' THEN 'DELETE' ELSE 'UPSERT' END AS net_op,
+               CASE WHEN op = 'D' THEN NULL ELSE status END AS status
+        FROM latest WHERE rn = 1
+    """,
+)
+def o06_cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC consumption (README.md:305-309: consumers checkpoint
+    a sequence number and resume strictly after it): the NET changeset
+    since a cursor — one DELETE/UPSERT row per key touched after the
+    checkpoint, nothing for untouched keys. The full 3-epoch log is
+    synthesized (same producer as o04/o05) but the consumer's cursor sits
+    after epoch 0, so only the update and delete waves contribute; the
+    oracle builds the post-cursor slice directly, proving the cursor
+    filter is exactly a log truncation (operators/upsert.py:net_changes —
+    pushed range predicate, then one key shuffle over the delta only)."""
+    from decimal import Decimal
+
+    from aws_kinesis_spark.operators.upsert import net_changes
+
+    o = load(spark, sf_dir, "orders")
+    epoch0 = decode_envelope(synthesize_envelope(o, epoch=0))
+    epoch1 = decode_envelope(
+        synthesize_envelope(
+            o.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+                "o_orderstatus", F.lit("U2")
+            ),
+            epoch=1,
+        )
+    ).withColumn("op", F.lit("U"))
+    epoch2 = decode_envelope(
+        synthesize_envelope(o.filter(F.col("o_orderkey") % 10 == 0), epoch=2)
+    ).withColumn("op", F.lit("D"))
+    cdc = (
+        epoch0.unionByName(epoch1)
+        .unionByName(epoch2)
+        .select("id", "status", "op", "sequence_number")
+    )
+    cursor = Decimal("100000000000000000000000000000") + Decimal(1_000_000_000)
+    net = net_changes(cdc, ["id"], "sequence_number", cursor)
+    return net.select(
+        "id",
+        F.col("__net_op").alias("net_op"),
+        F.when(F.col("__net_op") == "DELETE", F.lit(None)).otherwise(
+            F.col("status")
+        ).alias("status"),
+    )

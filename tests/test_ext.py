@@ -694,3 +694,60 @@ def test_leakage_safe_split_no_pair_straddles(spark):
     from collections import Counter
     c = Counter(split.values())
     assert 0.6 < c["train"] / len(split) < 0.95
+
+
+def test_span_dup_stats_semantics(spark):
+    """g25: a doc sharing a verbatim 8-token run with another doc reports
+    exactly the contained dup windows; unique docs report zero; docs
+    shorter than k are excluded; identical docs are 100% duplicated."""
+    from aws_kinesis_spark.operators.dedup import span_dup_stats
+
+    shared = "a b c d e f g h i j"  # 10 tokens -> 3 windows of 8
+    rows = [
+        (1, shared + " unique1 tail1 tok1 tok2 tok3 tok4"),
+        (2, "lead1 lead2 " + shared),  # shares all 3 of doc 1's windows? no:
+        # doc2's windows covering the shared run are offset by the lead
+        # tokens, but the run itself contains 10-8+1 = 3 identical windows
+        # present in BOTH docs (window content depends only on tokens).
+        (3, "q r s t u v w x y z aa bb"),  # all-unique tokens
+        (4, "too short"),  # < 8 tokens: excluded
+        (5, "dup dup2 dup3 dup4 dup5 dup6 dup7 dup8"),  # == doc 6
+        (6, "dup dup2 dup3 dup4 dup5 dup6 dup7 dup8"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in span_dup_stats(docs, k=8).collect()}
+    assert 4 not in got
+    assert got[3].n_dup_spans == 0 and got[3].dup_fraction == 0.0
+    # docs 1 and 2: the shared 10-token run contributes its 3 windows to each
+    assert got[1].n_dup_spans == 3 and got[2].n_dup_spans == 3
+    assert got[1].n_spans == 16 - 8 + 1 and got[2].n_spans == 12 - 8 + 1
+    # identical docs: every window duplicated
+    assert got[5].n_spans == 1 and got[5].dup_fraction == 1.0
+    assert got[6].dup_fraction == 1.0
+
+
+def test_net_changes_semantics(spark):
+    """o06: cursor truncates the log; last op per key decides DELETE vs
+    UPSERT with final values; untouched keys emit nothing."""
+    from aws_kinesis_spark.operators.upsert import net_changes
+
+    rows = [
+        # key 1: only before the cursor -> absent from the changeset
+        (1, "old", "I", 10),
+        # key 2: updated after cursor -> UPSERT with the final value
+        (2, "v1", "I", 11),
+        (2, "v2", "U", 101),
+        (2, "v3", "U", 150),
+        # key 3: inserted then deleted after cursor -> DELETE
+        (3, "x", "I", 120),
+        (3, "x", "D", 130),
+        # key 4: deleted then re-inserted after cursor -> UPSERT
+        (4, "back", "D", 110),
+        (4, "fresh", "I", 140),
+    ]
+    cdc = spark.createDataFrame(rows, ["id", "status", "op", "seq"])
+    got = {r.id: r for r in net_changes(cdc, ["id"], "seq", 100).collect()}
+    assert set(got) == {2, 3, 4}
+    assert got[2]["__net_op"] == "UPSERT" and got[2].status == "v3"
+    assert got[3]["__net_op"] == "DELETE"
+    assert got[4]["__net_op"] == "UPSERT" and got[4].status == "fresh"
