@@ -87,6 +87,13 @@ SHOWCASE = [
         "definitely-new keys never reach the join, so the history-sized "
         "shuffle shrinks to the might-contain fraction.",
     ),
+    (
+        "g25_span_dedup",
+        "Span fingerprints fold inside the scan stage (pure JVM, no "
+        "Python); `array_distinct` bounds the explode, and both the span "
+        "groupBy and the join back exchange only (span_hash, doc_id) "
+        "pairs — document text never crosses an `Exchange`.",
+    ),
 ]
 
 
