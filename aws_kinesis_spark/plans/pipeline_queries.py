@@ -1052,3 +1052,80 @@ def o06_cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("status")
         ).alias("status"),
     )
+
+
+@register(
+    "d28_interval_overlap_join",
+    oracle="""
+        WITH act AS (
+            SELECT user_id, min(ts) AS act_start, max(ts) AS act_end
+            FROM events GROUP BY user_id, date_trunc('day', ts)
+        ),
+        inc AS (
+            SELECT date_trunc('hour', ts) AS inc_start,
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR AS inc_end,
+                   count(*) AS n_errors
+            FROM events WHERE event_type = 'error'
+            GROUP BY date_trunc('hour', ts) HAVING count(*) >= 5
+        )
+        SELECT a.user_id,
+               CAST(a.act_start AS VARCHAR) AS act_start,
+               CAST(a.act_end AS VARCHAR) AS act_end,
+               CAST(i.inc_start AS VARCHAR) AS inc_start,
+               i.n_errors
+        FROM act a JOIN inc i
+          ON a.act_start <= i.inc_end AND i.inc_start <= a.act_end
+    """,
+)
+def d28_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D15 third flavor: interval x interval OVERLAP join with NO equi key —
+    per-user daily activity intervals joined to global error-storm windows
+    they overlap. d15 is as-of (point vs point), d15b is point-in-range;
+    this is the [a,b] x [c,d] case both leave open.
+
+    Scale shape: a bare overlap predicate is a nested-loop/cartesian plan.
+    Instead both interval sets are CHUNKED onto a fixed hour grid — each
+    interval explodes to the hour bins it covers — and the join becomes a
+    hash equi-join on the bin: any overlapping pair shares at least one
+    covered bin, the exact predicate then filters, distinct removes the
+    multi-bin double-hits. Bin width is the tuning dial (set it near the
+    typical interval length so explode factors stay small); the join stays
+    shuffle-hash/SMJ at any scale, and either side broadcasts when small
+    enough. Activity intervals span <= 1 day (24 bins worst case), incident
+    windows exactly 1 hour (2 bins, closed-interval edge)."""
+    ev = load(spark, sf_dir, "events")
+    width = 3600  # seconds: the chunk grid
+    act = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("__d")).agg(
+        F.min("ts").alias("act_start"), F.max("ts").alias("act_end")
+    )
+    inc = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("inc_start"))
+        .agg(F.count("*").alias("n_errors"))
+        .filter(F.col("n_errors") >= 5)
+        .withColumn("inc_end", F.col("inc_start") + F.expr("INTERVAL 1 HOUR"))
+    )
+    bin_of = lambda c: (F.unix_timestamp(c) / width).cast("long")  # noqa: E731
+    act_b = act.withColumn(
+        "bin",
+        F.explode(F.sequence(bin_of("act_start"), bin_of("act_end"))),
+    )
+    inc_b = inc.withColumn(
+        "bin",
+        F.explode(F.sequence(bin_of("inc_start"), bin_of("inc_end"))),
+    )
+    return (
+        act_b.join(inc_b, "bin")
+        .filter(
+            (F.col("act_start") <= F.col("inc_end"))
+            & (F.col("inc_start") <= F.col("act_end"))
+        )
+        .select(
+            "user_id",
+            F.col("act_start").cast("string").alias("act_start"),
+            F.col("act_end").cast("string").alias("act_end"),
+            F.col("inc_start").cast("string").alias("inc_start"),
+            "n_errors",
+        )
+        .distinct()
+    )
