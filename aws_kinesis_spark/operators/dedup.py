@@ -513,7 +513,9 @@ def embedding_neardup(
     )
 
 
-def connected_components(pairs: DataFrame, max_iters: int = 30) -> tuple[DataFrame, int]:
+def connected_components(
+    pairs: DataFrame, max_iters: int = 30, driver_collect_max: int = 1 << 20
+) -> tuple[DataFrame, int]:
     """Min-label connected components over an undirected pair list
     (columns id_a, id_b) by the ALTERNATING-STAR algorithm (Kiveris,
     Lattanzi, Mirrokni, Rastogi, Vassilvitskii: "Connected Components in
@@ -532,13 +534,48 @@ def connected_components(pairs: DataFrame, max_iters: int = 30) -> tuple[DataFra
     count+hash convergence probe is iteration control (two scalars).
 
     Returns (labels, rounds): labels has one row per node that appears in
-    `pairs` with columns (node, cluster_id = component minimum)."""
+    `pairs` with columns (node, cluster_id = component minimum).
+
+    BOUNDED driver fast path: a deduped edge list of <= driver_collect_max
+    rows (default 2^20 — two longs/row, ~16 MB) is collected and solved
+    with union-find in milliseconds. The distributed loop's per-round cost
+    is 3-4 whole jobs (two window shuffles, a distinct, a checkpoint, a
+    convergence probe); on a near-dup graph measured at sf0.1 (256 edges)
+    those fixed costs were ~4.5 s of pure scheduling for microseconds of
+    actual work — same rationale as the IVF bounded training collect. The
+    threshold is an explicit dial; above it (a 100 TB crawl's billions of
+    pairs) the O(log n)-round alternating-star path runs unchanged."""
     # directed larger -> smaller pointers; the fixed point is a star per
     # component, centered at its minimum
     fwd = pairs.select(
         F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
     ).filter(F.col("u") != F.col("v"))
     cur = fwd.distinct().localCheckpoint(eager=True)
+    if cur.count() <= driver_collect_max:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        nodes = set()
+        for r in cur.collect():
+            a, b = r["u"], r["v"]
+            nodes.add(a)
+            nodes.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # root = component minimum: union always points larger -> smaller
+        rows = [(n, find(n)) for n in sorted(nodes)]
+        labels = pairs.sparkSession.createDataFrame(
+            rows, "node bigint, cluster_id bigint"
+        )
+        return labels, 1
     sig_prev = None
     rounds = 0
     for rounds in range(1, max_iters + 1):

@@ -659,10 +659,13 @@ def test_connected_components_star_matches_union_find(spark):
         pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
         pairs = [(a, b) for a, b in pairs if a != b]
         df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
-        labels, rounds = connected_components(df)
-        got = {r["node"]: r["cluster_id"] for r in labels.collect()}
         want = _uf_components(pairs)
-        assert got == want, (seed, rounds)
+        # force the distributed alternating-star path AND the default
+        # (bounded driver union-find) path; both must match the reference
+        for cap in (0, 1 << 20):
+            labels, rounds = connected_components(df, driver_collect_max=cap)
+            got = {r["node"]: r["cluster_id"] for r in labels.collect()}
+            assert got == want, (seed, cap, rounds)
 
 
 def test_connected_components_chain_converges_in_log_rounds(spark):
@@ -674,7 +677,9 @@ def test_connected_components_chain_converges_in_log_rounds(spark):
     n = 257
     chain = [(i, i + 1) for i in range(n - 1)]
     df = spark.createDataFrame(chain, "id_a bigint, id_b bigint")
-    labels, rounds = connected_components(df)
+    # driver_collect_max=0 forces the distributed path (the log-round claim
+    # is about that path; the default would solve this on the driver)
+    labels, rounds = connected_components(df, driver_collect_max=0)
     got = {r["node"]: r["cluster_id"] for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
     assert rounds <= 14, rounds  # ~2*log2(257)+slack, far below 256
