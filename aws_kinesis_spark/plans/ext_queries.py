@@ -1176,3 +1176,42 @@ def g25_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dup_stats(d, "text", "doc_id", k=8).withColumn(
         "dup_fraction", F.col("n_dup_spans") / F.col("n_spans")
     )
+
+
+@register(
+    "g26_unigram_logprob",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        ),
+        freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq)
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               round(avg(ln(c / (SELECT n FROM tot))), 4) AS avg_logprob
+        FROM tok JOIN freq USING (t)
+        GROUP BY doc_id
+    """,
+)
+def g26_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4/G6+: corpus-derived unigram language-model scoring — each
+    document's mean token log-probability under the corpus's OWN unigram
+    distribution (the degenerate-but-standard KenLM-style quality signal:
+    gibberish and rare-token spam score low, fluent text scores near the
+    corpus mode). The model is built IN-PLAN: one token-frequency
+    aggregate, its total folded in as a broadcast scalar, then a
+    frequency join back onto the token stream.
+
+    Scale shape: two shuffles total (token groupBy with map-side partials;
+    per-doc re-aggregation), and the freq table broadcasts whenever the
+    vocabulary fits (~MBs for real corpora) — the corpus token stream is
+    never shuffled for the join. No collect, no driver-side model."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    freq = tok.groupBy("t").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("n"))
+    scored = tok.join(F.broadcast(freq), "t").crossJoin(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias("avg_logprob"),
+    )

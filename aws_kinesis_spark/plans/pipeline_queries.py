@@ -1129,3 +1129,48 @@ def d28_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "a14_lake_compaction",
+    oracle="""
+        SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+               count(*) AS n_events,
+               CAST(sum(event_id) AS BIGINT) AS id_sum,
+               min(event_id) AS id_min,
+               max(event_id) AS id_max
+        FROM events GROUP BY 1
+    """,
+)
+def a14_lake_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake maintenance round-trip (README.md:378-380 — "1 PUT instead of
+    1,000" at rest): the events table lands as a day-partitioned lake with
+    MANY small files per leaf (one per micro-batch flush), compact_lake
+    bin-packs every leaf through its crash-safe two-rename swap, and the
+    result is read back FROM THE COMPACTED FILES and aggregated per day.
+    Parity with the oracle (count + id sum/min/max per day against the
+    original table) proves the rewrite changed file layout and nothing
+    else. File-count collapse and crash-window recovery are pinned in
+    tests/test_lake.py; this query gives the content-preservation
+    invariant a driver row."""
+    from aws_kinesis_spark.sources.lake import compact_lake
+
+    ev = load(spark, sf_dir, "events")
+    lake = tempfile.mkdtemp(prefix="kinesis_compact_")
+    data = os.path.join(lake, "data")
+    (
+        ev.withColumn("day", F.date_trunc("day", "ts").cast("date"))
+        .repartition(8)  # force ~8 small files per day leaf
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(data)
+    )
+    compacted = compact_lake(spark, lake, min_files=2)
+    assert compacted, "every day leaf should have had small files"
+    back = spark.read.parquet(data)
+    return back.groupBy(F.col("day").cast("string").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_id").alias("id_sum"),
+        F.min("event_id").alias("id_min"),
+        F.max("event_id").alias("id_max"),
+    )

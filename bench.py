@@ -56,6 +56,8 @@ HEADLINE = [
     "g19_dedup_keepers",
     "g20_incremental_dedup",
     "g21_doc_chunking",
+    "g25_span_dedup",
+    "d28_interval_overlap_join",
     "b04b_bloom_first_seen",
 ]
 
