@@ -256,3 +256,41 @@ def test_chunking_matches_reference(spark_session, texts, chunk, overlap):
         for cid, txt, n in _chunk_reference(text, chunk, overlap)
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=24).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_span_dup_stats_matches_naive(spark_session, docs):
+    """g25: span dedup over random small-vocab docs equals a naive Python
+    k-gram reference (which docs are excluded, per-doc span counts, and
+    which spans count as duplicated)."""
+    from aws_kinesis_spark.operators.dedup import span_dup_stats
+
+    k = 3
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark_session.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans)
+        for r in span_dup_stats(df, k=k).collect()
+    }
+    # naive reference: token-tuple spans (hash-free — a hash collision in
+    # the 31-bit rolling space would make Spark OVER-count dups; vocab and
+    # sizes here keep collision probability ~0)
+    spans = {
+        i: {tuple(t.split(" ")[j : j + k]) for j in range(len(t.split(" ")) - k + 1)}
+        for i, t in rows
+        if len(t.split(" ")) >= k
+    }
+    from collections import Counter
+
+    freq = Counter(s for ss in spans.values() for s in ss)
+    want = {
+        i: (len(ss), sum(1 for s in ss if freq[s] >= 2)) for i, ss in spans.items()
+    }
+    assert got == want
