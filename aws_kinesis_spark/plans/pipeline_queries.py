@@ -1055,7 +1055,7 @@ def o06_cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "d28_interval_overlap_join",
+    "d29_interval_overlap_join",
     oracle="""
         WITH act AS (
             SELECT user_id, min(ts) AS act_start, max(ts) AS act_end
@@ -1077,7 +1077,7 @@ def o06_cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON a.act_start <= i.inc_end AND i.inc_start <= a.act_end
     """,
 )
-def d28_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d29_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D15 third flavor: interval x interval OVERLAP join with NO equi key —
     per-user daily activity intervals joined to global error-storm windows
     they overlap. d15 is as-of (point vs point), d15b is point-in-range;

@@ -905,3 +905,37 @@ def d28_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_priorities") == F.col("__t"))
         .select("o_custkey", "n_priorities")
     )
+
+
+@register(
+    "d30_recursive_hierarchy",
+    oracle="""
+        WITH RECURSIVE walk AS (
+            SELECT o_orderkey AS k, o_orderkey AS cur, 0 AS depth FROM orders
+            UNION ALL
+            SELECT k, cur // 10, depth + 1 FROM walk WHERE cur >= 10
+        )
+        SELECT k AS o_orderkey, cur AS root_digit, depth
+        FROM walk WHERE cur < 10
+    """,
+)
+def d30_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative/hierarchical SQL (the query family Athena/Redshift serve
+    with WITH RECURSIVE): every order key walks its decimal-digit parent
+    chain (parent = key DIV 10) to its root digit, carrying the depth —
+    the BOM-explosion / org-chart traversal shape, run through Spark 4's
+    native recursive CTE (UnionLoop) so Catalyst owns the iteration
+    instead of a driver-side loop. Rounds are bounded by log10(max key)
+    (~6 at sf1), each one map-only — no shuffle in the recursive step; the
+    same SQL text (modulo the integer-division spelling) runs on DuckDB."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__d30_orders")
+    return spark.sql("""
+        WITH RECURSIVE walk AS (
+            SELECT o_orderkey AS k, o_orderkey AS cur, 0 AS depth
+            FROM __d30_orders
+            UNION ALL
+            SELECT k, cur DIV 10, depth + 1 FROM walk WHERE cur >= 10
+        )
+        SELECT k AS o_orderkey, cur AS root_digit, depth
+        FROM walk WHERE cur < 10
+    """)

@@ -57,7 +57,7 @@ HEADLINE = [
     "g20_incremental_dedup",
     "g21_doc_chunking",
     "g25_span_dedup",
-    "d28_interval_overlap_join",
+    "d29_interval_overlap_join",
     "b04b_bloom_first_seen",
 ]
 
