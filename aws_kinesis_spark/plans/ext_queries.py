@@ -1210,7 +1210,10 @@ def g26_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
     freq = tok.groupBy("t").agg(F.count("*").alias("c"))
     total = freq.agg(F.sum("c").cast("double").alias("n"))
-    scored = tok.join(F.broadcast(freq), "t").crossJoin(F.broadcast(total))
+    # freq broadcast is left to AQE: a real corpus vocabulary is MBs and
+    # broadcasts, but forcing it would OOM the driver on a pathological
+    # vocab (every token unique); the scalar total is always broadcast.
+    scored = tok.join(freq, "t").crossJoin(F.broadcast(total))
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias("avg_logprob"),
