@@ -760,37 +760,58 @@ def span_dup_stats(
     every duplicated run of >= k tokens exactly (a run of L >= k dup tokens
     contains L-k+1 dup windows) and never pairs documents at all.
 
-    Scale shape: fingerprints are computed inside the scan stage (pure JVM
-    expression fold, no Python), per-doc window lists are deduplicated
-    BEFORE the explode (array_distinct bounds the explode to unique spans),
-    and the only shuffles are (a) the span-hash groupBy counting distinct
-    docs (map-side partials) and (b) the hash-equi join back — both on the
-    span hash, whose cardinality AQE coalesces. No document text ever
-    shuffles; only 8-byte hashes."""
-    mod = F.lit(2147483647).cast("long")
-    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")  # noqa: E731
-    hashes = F.transform(F.split(F.col(text_col), " "), tok_hash)
-    # The when() guard makes the expression TOTAL: Catalyst's
-    # InferFiltersFromGenerate clones the span expression into an inferred
-    # size()>0 predicate evaluated on EVERY row — without the guard a
-    # sub-k-token row turns sequence() descending and slice() hits start=0
-    # there, even though such rows are filtered before the explode.
-    spans = F.when(
-        F.size("__th") >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size("__th") - k + 1),
-            lambda i: F.aggregate(
-                F.slice(F.col("__th"), i, k),
-                F.lit(0).cast("long"),
-                lambda a, h: (a * 131 + h) % mod,
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    Scale shape: fingerprints come from ONE Arrow-batched numpy kernel in
+    the scan stage (the expression form — an O(n·k) slice-fold per doc —
+    hit Spark's interpreted-HOF path and measured 26.8 s at sf0.1; the
+    kernel is ~1.4 s, same engineering as the minhash kernel). Per-doc
+    windows are deduplicated inside the kernel (np.unique bounds the
+    emitted rows to unique spans), and the only shuffles are (a) the
+    span-hash groupBy counting distinct docs (map-side partials) and
+    (b) the hash-equi join back — both on the span hash, whose cardinality
+    AQE coalesces. No document text ever shuffles; only 8-byte hashes."""
+    P = 2147483647
+
+    def batches(it):
+        import hashlib
+
+        cache: dict = {}  # token -> hash; zipfian vocab makes this hit-heavy
+
+        def tok_hash(t: str) -> int:
+            h = cache.get(t)
+            if h is None:
+                # identical to conv(substring(md5(t),1,8),16,10) and the
+                # DuckDB oracle's CAST(concat('0x',substr(md5(t),1,8)))
+                h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+                cache[t] = h
+            return h
+
+        empty = np.array([], dtype=np.int64)
+        for pdf in it:
+            ids, spans = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = text.split(" ")
+                n = len(toks)
+                if n < k:
+                    continue
+                hs = np.fromiter((tok_hash(t) for t in toks), np.int64, count=n)
+                w = n - k + 1
+                acc = np.zeros(w, dtype=np.int64)
+                for j in range(k):  # vectorized across windows: k vector ops
+                    acc = (acc * 131 + hs[j : j + w]) % P
+                u = np.unique(acc)
+                ids.append(np.full(len(u), did, dtype=np.int64))
+                spans.append(u)
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(ids) if ids else empty,
+                    "__span": np.concatenate(spans) if spans else empty,
+                }
+            )
+
     per_doc = (
         _spread(docs.filter(F.size(F.split(F.col(text_col), " ")) >= k))
-        .withColumn("__th", hashes)
-        .select(id_col, F.array_distinct(spans).alias("__spans"))
-        .select(id_col, F.explode("__spans").alias("__span"))
+        .select(id_col, text_col)
+        .mapInPandas(batches, schema=f"{id_col} bigint, __span bigint")
         .localCheckpoint(eager=True)  # spans feed both the count and the join
     )
     counts = per_doc.groupBy("__span").agg(
