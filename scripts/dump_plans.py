@@ -89,10 +89,24 @@ SHOWCASE = [
     ),
     (
         "g25_span_dedup",
-        "Span fingerprints fold inside the scan stage (pure JVM, no "
-        "Python); `array_distinct` bounds the explode, and both the span "
-        "groupBy and the join back exchange only (span_hash, doc_id) "
-        "pairs — document text never crosses an `Exchange`.",
+        "Span fingerprints come from one Arrow-batched numpy kernel "
+        "(`MapInPandas`) in the scan stage — windows deduplicated in the "
+        "kernel — so the span groupBy and the join back exchange only "
+        "(span_hash, doc_id) pairs; document text never crosses an "
+        "`Exchange`.",
+    ),
+    (
+        "d29_interval_overlap_join",
+        "The no-equi-key overlap theta-join runs as a hash equi-join on "
+        "the hour-grid bin (`BroadcastHashJoin`/SMJ, never "
+        "`CartesianProduct`/`BroadcastNestedLoopJoin`) with the exact "
+        "overlap predicate as the join residual.",
+    ),
+    (
+        "d30_recursive_hierarchy",
+        "Spark 4 native recursive CTE: a `UnionLoop` node owns the "
+        "iteration; the recursive step is map-only (filter + project on "
+        "the previous iteration), no shuffle per round.",
     ),
 ]
 
