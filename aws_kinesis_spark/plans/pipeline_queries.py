@@ -1174,3 +1174,45 @@ def a14_lake_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("id_min"),
         F.max("event_id").alias("id_max"),
     )
+
+
+@register(
+    "a15_schema_evolution",
+    oracle="""
+        SELECT o_orderkey AS id, o_orderstatus AS status, 0 AS epoch,
+               NULL AS channel
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, 1,
+               CASE o_orderkey % 2 WHEN 0 THEN 'web' ELSE 'store' END
+        FROM orders WHERE o_orderkey % 4 = 0
+    """,
+)
+def a15_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Producer schema evolution through the lake (README.md's Glue-crawler
+    role: downstream SQL keeps working when the CDC payload grows a field,
+    SURVEY §1.5): epoch-0 flushes land WITHOUT the ``channel`` column,
+    epoch-1 flushes carry it; a mergeSchema read unifies the file set and
+    backfills the missing column with NULL — no rewrite of the old files,
+    which at 100 TB is the difference between a metadata operation and a
+    full-corpus migration. (Field-level payload inference for the same
+    problem inside the JSON envelope: sources/envelope.py:
+    infer_payload_schema.)"""
+    o = load(spark, sf_dir, "orders")
+    lake = tempfile.mkdtemp(prefix="kinesis_evolve_")
+    v0 = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(0).alias("epoch"),
+    )
+    v1 = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(1).alias("epoch"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("web"))
+        .otherwise(F.lit("store"))
+        .alias("channel"),
+    )
+    v0.write.mode("append").parquet(lake)
+    v1.write.mode("append").parquet(lake)
+    return spark.read.option("mergeSchema", "true").parquet(lake)
