@@ -348,3 +348,20 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_interval_overlap_join_is_equi_join(spark):
+    """d29: the no-equi-key overlap join must run as a hash join on the
+    hour-grid bin — a BroadcastNestedLoopJoin/CartesianProduct regression
+    is the O(n*m) shape the chunking exists to prevent."""
+    plan = _plan(queries()["d29_interval_overlap_join"](spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # the bin equi-join survives optimization
+
+
+def test_recursive_hierarchy_uses_union_loop(spark):
+    """d30: the recursion must be Catalyst's native UnionLoop (one plan,
+    bounded rounds), not a driver-side iteration."""
+    plan = _plan(queries()["d30_recursive_hierarchy"](spark, SF), "simple")
+    assert "UnionLoop" in plan
