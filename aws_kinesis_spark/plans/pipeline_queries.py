@@ -1216,3 +1216,52 @@ def a15_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     v0.write.mode("append").parquet(lake)
     v1.write.mode("append").parquet(lake)
     return spark.read.option("mergeSchema", "true").parquet(lake)
+
+
+@register(
+    "a16_retention_expiry",
+    oracle="""
+        SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+               count(*) AS n_events,
+               CAST(sum(event_id) AS BIGINT) AS id_sum
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-21 00:00:00'
+        GROUP BY 1
+    """,
+)
+def a16_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention enforcement round-trip (README.md:9, 60, 83: records age
+    out beyond the configured retention window): the events table lands as
+    an hour-partitioned lake, expire_partitions removes every hour leaf
+    wholly before now - retention (pure directory metadata work — no Spark
+    job, no row scan), and the surviving lake is read back and aggregated
+    per day. Parity against the oracle's timestamp cutoff proves partition
+    expiry == the WHERE clause: exactly the rows at-or-after the horizon
+    survive. The clock is injected (now = 2024-01-31, retention 10 days ->
+    horizon 2024-01-21) so every engine and rerun sees the same horizon."""
+    import datetime as dt
+
+    from aws_kinesis_spark.sources.lake import expire_partitions
+
+    ev = load(spark, sf_dir, "events")
+    lake = tempfile.mkdtemp(prefix="kinesis_expiry_")
+    (
+        ev.withColumn("year", F.year("ts"))
+        .withColumn("month", F.month("ts"))
+        .withColumn("day", F.dayofmonth("ts"))
+        .withColumn("hour", F.hour("ts"))
+        .repartition("day", "hour")
+        .write.mode("overwrite")
+        .partitionBy("year", "month", "day", "hour")
+        .parquet(os.path.join(lake, "data"))
+    )
+    stats = expire_partitions(
+        lake, retention_hours=10 * 24, now=dt.datetime(2024, 1, 31)
+    )
+    assert stats.n_partitions > 0, "the 20-day-old head of the lake must expire"
+    back = spark.read.parquet(os.path.join(lake, "data"))
+    return back.groupBy(
+        F.to_date(F.format_string("%d-%02d-%02d", "year", "month", "day"))
+        .cast("string")
+        .alias("day")
+    ).agg(F.count("*").alias("n_events"), F.sum("event_id").alias("id_sum"))

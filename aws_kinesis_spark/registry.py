@@ -78,8 +78,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # After r5 the only never-driver-checked queries are the no-oracle ones that
 # have never been in-window (g02c, g03b, g03c, g07b, g18b — d10b, also
 # rows-only, has r1-r2 driver rows) plus the oracle-backed queries added this
-# round — a03, a05, a14, a15, o05, o06, e12, e13, b04b, d29, d30, g21, g22,
-# g23, g24, g25, g26, a01b (reshard) — round-6 rotation candidates.
+# round — a03, a05, a14, a15, a16, o05, o06, e12, e13, b04b, d29, d30, g21,
+# g22, g23, g24, g25, g26, a01b (reshard) — round-6 rotation candidates.
 # Queries outside the window still run in the local differential suite
 # (tests/test_differential.py) every CI pass; prior-round driver rows for
 # rotated-out queries remain in CORRECTNESS_r{1..4}.json.
