@@ -1120,6 +1120,11 @@ def d29_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("act_start") <= F.col("inc_end"))
             & (F.col("inc_start") <= F.col("act_end"))
         )
+        # dedupe the multi-bin double-hits BEFORE the string casts: the
+        # distinct shuffles 8-byte timestamps/longs, not 26-char strings,
+        # and the casts then run once per surviving row
+        .select("user_id", "act_start", "act_end", "inc_start", "n_errors")
+        .distinct()
         .select(
             "user_id",
             F.col("act_start").cast("string").alias("act_start"),
@@ -1127,7 +1132,6 @@ def d29_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("inc_start").cast("string").alias("inc_start"),
             "n_errors",
         )
-        .distinct()
     )
 
 
