@@ -75,50 +75,66 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        clusters + quality + window), g14 (g14b re-reads the same codes)
 #   in:  a01, c12, c13, e10, e11, g03d, g04b, g04c, g04d, g07c, g07d, g08,
 #        g14b, g15, g16, g17, g18, g19, g20
-# After r5 the only never-driver-checked queries are the no-oracle ones that
-# have never been in-window (g02c, g03b, g03c, g07b, g18b — d10b, also
-# rows-only, has r1-r2 driver rows) plus the oracle-backed queries added this
-# round — a03, a05, a14, a15, a16, o05, o06, e12, e13, b04b, d29, d30, g21,
-# g22, g23, g24, g25, g26, a01b (reshard) — round-6 rotation candidates.
-# Queries outside the window still run in the local differential suite
-# (tests/test_differential.py) every CI pass; prior-round driver rows for
-# rotated-out queries remain in CORRECTNESS_r{1..4}.json.
+# Round-6 rotation (19 swapped — every oracle-backed query that had never
+# had a driver row goes in; witness for each rotated-out slot in parens):
+#   out: d08 (g22 partial-agg corpus stats + e09 continuous rollup), d15
+#        (d29 = same custom temporal-join family, union/bin not cross-join),
+#        d26 (e03 stream session window = identical session semantics), d27
+#        (g19/g04d row_number windows + e09 time-windowed rollup), c01
+#        (c12 = same envelope codec roundtrip family), c13 (c12 C9 format
+#        roundtrip), b04 (b04b Bloom-pruned EXACT first-seen = same B4
+#        exactly-once mechanism with an exact verify join), b05 (e07
+#        stream-static equi-join + d29 equi-join core), a01 (a01b = same
+#        kinesis_sim source PLUS shard split/merge lineage; a03 EFO variant),
+#        a10 (a13 dynamic partition write + a16 partition-level retention),
+#        o04 (o05 SCD2 + o06 net-changes = same CDC decode/collapse family),
+#        g01 (g19 keepers includes exact-dup keeper selection; g25 span
+#        dedup), g02 (g20 incremental dedup = same banded MinHash index),
+#        g04b (g04c = same token-hash fingerprint family), g06 (g15/g16
+#        quality-filter family, pushdown-locked), g07d (g07c same Arrow
+#        multimodal plumbing; g21 covers the 1->N mapInPandas shape), g11
+#        (g21 chunking + g17 training order = training-prep family), g12
+#        (g24 temperature mixture = same hash-threshold sampling mechanism),
+#        e10 (e12 stream-stream join over the sim source; e11 outer stays)
+#   in:  a01b, a03, a05, a14, a15, a16, b04b, d29, d30, e12, e13, o05, o06,
+#        g21, g22, g23, g24, g25, g26
+# After r6 every oracle-backed query has had a driver window slot; the only
+# never-in-window queries are the rows-only ones (g02c, g03b, g03c, g07b,
+# g18b — d10b has r1-r2 driver rows) — round-7 candidates for rows-only
+# driver slots. Queries outside the window still run in the local
+# differential suite (tests/test_differential.py) every CI pass;
+# prior-round driver rows for rotated-out queries remain in
+# CORRECTNESS_r{1..5}.json.
 DRIVER_WINDOW: list[str] = [
-    # D — relational core (7)
+    # D — relational core (5)
     "d06_join_semi_anti",
     "d07_set_ops",
-    "d08_agg_pricing_summary",
     "d14d_pivot",
-    "d15_asof_join",
-    "d26_sessionization",
-    "d27_rolling_time_window",
-    # C — record transforms (4)
-    "c01_envelope_roundtrip",
+    "d29_interval_overlap_join",
+    "d30_recursive_hierarchy",
+    # C — record transforms (2)
     "c10_cost_accounting",
     "c12_jsonl_roundtrip",
-    "c13_csv_roundtrip",
-    # B — streaming-core batch analogues (3)
+    # B — streaming-core batch analogues (2)
     "b02_salted_aggregation",
-    "b04_dedup_by_sequence",
-    "b05_bucketed_join",
-    # A — sources/sinks (4)
-    "a01_kinesis_sim_source",
-    "a10_catalog_partition_discovery",
+    "b04b_bloom_first_seen",
+    # A — sources/sinks/lake maintenance (7)
+    "a01b_kinesis_reshard",
+    "a03_efo_push_consumer",
+    "a05_manifest_time_travel",
     "a13_dynamic_table_partitioning",
-    "o04_cdc_apply",
-    # G — LLM-data-pipeline operators (20)
-    "g01_dedup_exact",
-    "g02_dedup_minhash_lsh",
+    "a14_lake_compaction",
+    "a15_schema_evolution",
+    "a16_retention_expiry",
+    # O — CDC family (2)
+    "o05_scd2_history",
+    "o06_cdc_net_changes",
+    # G — LLM-data-pipeline operators (19)
     "g03d_knn_classify",
-    "g04b_fingerprint",
     "g04c_rolling_fingerprint",
     "g04d_tfidf_top_terms",
-    "g06_quality_filter",
     "g07c_multimodal_resize",
-    "g07d_multimodal_frame_sample",
     "g08_label_centroids",
-    "g11_sequence_packing",
-    "g12_stratified_sample",
     "g13_decontaminate",
     "g14b_quantization_error",
     "g15_repetition_filter",
@@ -127,15 +143,22 @@ DRIVER_WINDOW: list[str] = [
     "g18_token_topk",
     "g19_dedup_keepers",
     "g20_incremental_dedup",
-    # E — streaming semantics, batch-equivalent oracle form (8)
+    "g21_doc_chunking",
+    "g22_corpus_stats",
+    "g23_leakage_safe_split",
+    "g24_temperature_mixture",
+    "g25_span_dedup",
+    "g26_unigram_logprob",
+    # E — streaming semantics, batch-equivalent oracle form (9)
     "e03_stream_session_window",
     "e04_stream_late_data",
     "e06_stream_stateful_buffer",
     "e07_stream_static_join",
     "e08_stream_lake_path",
     "e09_continuous_rollup",
-    "e10_stream_stream_join",
     "e11_stream_stream_outer_join",
+    "e12_stream_stream_join_kinesis_source",
+    "e13_stream_reshard_drain",
     # F — UDF/UDAF/UDTF surface (4)
     "f01_scalar_pandas_udf",
     "f02_grouped_map",

@@ -35,28 +35,30 @@ def test_driver_window_covers_every_family():
     assert all(n in o for n in window), [n for n in window if n not in o]
     # every operator family lands inside the hard-signal window
     for prefix, minimum in [
-        ("d", 7), ("c", 4), ("b", 3), ("a", 3), ("o", 1),
-        ("g", 13), ("e", 8), ("f", 4),
+        ("d", 5), ("c", 2), ("b", 2), ("a", 7), ("o", 2),
+        ("g", 19), ("e", 9), ("f", 4),
     ]:
         got = sum(1 for n in window if n.startswith(prefix))
         assert got >= minimum, f"family {prefix}: {got} < {minimum}"
     # window curation must not drop any registered query entirely
     assert set(q) == set(registry.REGISTRY)
-    # round-5 rotation: every oracle-backed query that had no driver row
-    # through r4 is now in the window, so hard coverage converges on all
-    # entries; the never-in-window rows-only queries remain for round 6
+    # round-6 rotation: the 19 oracle-backed round-5 additions get their
+    # first driver rows; after this window every oracle-backed query has
+    # had a hard driver-hash row, and only the rows-only sketch/ANN
+    # queries remain never-in-window (round-7 rows-only slot candidates)
     rotated_in = {
-        "a01_kinesis_sim_source", "c12_jsonl_roundtrip", "c13_csv_roundtrip",
-        "e10_stream_stream_join", "e11_stream_stream_outer_join",
-        "g03d_knn_classify", "g04b_fingerprint", "g04c_rolling_fingerprint",
-        "g04d_tfidf_top_terms", "g07c_multimodal_resize",
-        "g07d_multimodal_frame_sample", "g08_label_centroids",
-        "g14b_quantization_error", "g15_repetition_filter", "g16_pii_scrub",
-        "g17_training_order", "g18_token_topk", "g19_dedup_keepers",
-        "g20_incremental_dedup",
+        "a01b_kinesis_reshard", "a03_efo_push_consumer",
+        "a05_manifest_time_travel", "a14_lake_compaction",
+        "a15_schema_evolution", "a16_retention_expiry",
+        "b04b_bloom_first_seen", "d29_interval_overlap_join",
+        "d30_recursive_hierarchy", "e12_stream_stream_join_kinesis_source",
+        "e13_stream_reshard_drain", "o05_scd2_history",
+        "o06_cdc_net_changes", "g21_doc_chunking", "g22_corpus_stats",
+        "g23_leakage_safe_split", "g24_temperature_mixture",
+        "g25_span_dedup", "g26_unigram_logprob",
     }
     assert rotated_in <= set(window)
-    assert len(rotated_in) >= 10
+    assert len(rotated_in) == 19
 
 
 def test_registry_counts_pinned():
