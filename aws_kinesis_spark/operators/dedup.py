@@ -537,21 +537,30 @@ def connected_components(
     `pairs` with columns (node, cluster_id = component minimum).
 
     BOUNDED driver fast path: a deduped edge list of <= driver_collect_max
-    rows (default 2^20 — two longs/row, ~16 MB) is collected and solved
-    with union-find in milliseconds. The distributed loop's per-round cost
-    is 3-4 whole jobs (two window shuffles, a distinct, a checkpoint, a
-    convergence probe); on a near-dup graph measured at sf0.1 (256 edges)
-    those fixed costs were ~4.5 s of pure scheduling for microseconds of
-    actual work — same rationale as the IVF bounded training collect. The
-    threshold is an explicit dial; above it (a 100 TB crawl's billions of
-    pairs) the O(log n)-round alternating-star path runs unchanged."""
+    rows (default 2^20) is pulled through Arrow into two int64 numpy
+    columns (~16 MB of Arrow traffic at the default; the transient pandas
+    frame adds the same again) and solved with union-find in milliseconds —
+    no per-row Row objects or boxed-int sets, whose overhead is what makes
+    a naive Row-based collect cost hundreds of MB at this size (ADVICE r5).
+    The
+    distributed loop's per-round cost is 3-4 whole jobs (two window
+    shuffles, a distinct, a checkpoint, a convergence probe); on a near-dup
+    graph measured at sf0.1 (256 edges) those fixed costs were ~4.5 s of
+    pure scheduling for microseconds of actual work — same rationale as the
+    IVF bounded training collect. The threshold is an explicit dial; with
+    driver_collect_max=0 the size probe is skipped entirely and the
+    O(log n)-round alternating-star path runs unchanged (a 100 TB crawl's
+    billions of pairs never pays the extra counting pass)."""
     # directed larger -> smaller pointers; the fixed point is a star per
     # component, centered at its minimum
     fwd = pairs.select(
         F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
     ).filter(F.col("u") != F.col("v"))
     cur = fwd.distinct().localCheckpoint(eager=True)
-    if cur.count() <= driver_collect_max:
+    if driver_collect_max > 0 and cur.count() <= driver_collect_max:
+        pdf = cur.toPandas()  # Arrow: two contiguous int64 columns
+        us = pdf["u"].to_numpy(dtype=np.int64)
+        vs = pdf["v"].to_numpy(dtype=np.int64)
         parent: dict = {}
 
         def find(x):
@@ -562,16 +571,13 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        nodes = set()
-        for r in cur.collect():
-            a, b = r["u"], r["v"]
-            nodes.add(a)
-            nodes.add(b)
+        for a, b in zip(us.tolist(), vs.tolist()):
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         # root = component minimum: union always points larger -> smaller
-        rows = [(n, find(n)) for n in sorted(nodes)]
+        nodes = np.unique(np.concatenate([us, vs]))
+        rows = [(int(n), find(int(n))) for n in nodes]
         labels = pairs.sparkSession.createDataFrame(
             rows, "node bigint, cluster_id bigint"
         )

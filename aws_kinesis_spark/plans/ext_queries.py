@@ -408,15 +408,20 @@ def g07d_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g04d_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4: TF-IDF with smoothed idf (ln((N+1)/(df+1))+1, the scikit-style
     smoothing), top-5 terms per document. Pure relational formulation —
-    explode -> two aggregations -> broadcast-joinable df table -> window
-    top-k — rather than MLlib HashingTF, so it composes with the rest of
-    the SQL surface and the df table stays reusable/broadcastable at scale."""
+    explode -> two aggregations -> df-table join (strategy chosen by AQE)
+    -> window top-k — rather than MLlib HashingTF, so it composes with the
+    rest of the SQL surface and the df table stays reusable at scale."""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     n_docs = d.count()
-    scored = tf.join(F.broadcast(df), "term").select(
+    # join strategy for the df table is LEFT TO AQE (same posture as g26's
+    # unigram frequency join): at sf scale it picks broadcast from runtime
+    # stats; a web-scale vocabulary (1e8+ terms) exceeds any driver and AQE
+    # falls back to a shuffled hash join — forcing F.broadcast here would
+    # OOM the driver on exactly that input (VERDICT r5 #2).
+    scored = tf.join(df, "term").select(
         "doc_id",
         "term",
         F.round(

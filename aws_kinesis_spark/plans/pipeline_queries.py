@@ -6,7 +6,9 @@ path as a deterministic batch plan with a DuckDB oracle twin.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -17,6 +19,26 @@ from aws_kinesis_spark.operators.upsert import apply_cdc, staging_upsert
 from aws_kinesis_spark.registry import register
 from aws_kinesis_spark.sources.envelope import decode_envelope, synthesize_envelope
 from aws_kinesis_spark.tables import load
+
+_SCRATCH_ROOT = os.path.join(tempfile.gettempdir(), f"kinesis_scratch_{os.getpid()}")
+atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+
+
+def _scratch(name: str) -> str:
+    """Per-query scratch dir for queries that write a lake to read it back.
+
+    Deterministic per (process, query) and WIPED on reuse, with the whole
+    per-process root removed at interpreter exit — so a bench/differential
+    loop re-invoking a lake query overwrites one tree instead of leaking an
+    events/orders-sized parquet copy per invocation (ADVICE r5). The pid in
+    the root keeps concurrent test processes apart. Callers must fully
+    materialize the returned DataFrame before re-invoking the same query
+    (the harness and tests do — each run collects/writes before the next)."""
+    d = os.path.join(_SCRATCH_ROOT, name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
 
 # --------------------------------------------------------------------------
 # C1-C8: the record-transform scalar surface
@@ -408,7 +430,7 @@ def b05_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from aws_kinesis_spark.operators.partitioning import bucketed_join, write_bucketed
 
-    root = tempfile.mkdtemp(prefix="kinesis_bucketed_")
+    root = _scratch("b05_bucketed")
     sfx = _uuid.uuid4().hex[:8]
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("totalprice")
@@ -435,7 +457,7 @@ def c09_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write orders hive-partitioned as ORC, read back, aggregate — the same
     engine-level conversion surface as Parquet (C9), different codec."""
     o = load(spark, sf_dir, "orders")
-    lake = os.path.join(tempfile.mkdtemp(prefix="kinesis_orc_"), "orders")
+    lake = os.path.join(_scratch("c09_orc"), "orders")
     (
         o.withColumn("year", F.year("o_orderdate"))
         .repartition("year")
@@ -509,7 +531,7 @@ def a10_catalog_partition_discovery(spark: SparkSession, sf_dir: str) -> DataFra
     MSCK REPAIR TABLE, then a partition-pruned SQL query THROUGH the catalog
     table (the pruning is visible as PartitionFilters in the scan)."""
     ev = load(spark, sf_dir, "events")
-    lake = os.path.join(tempfile.mkdtemp(prefix="kinesis_catalog_"), "events")
+    lake = os.path.join(_scratch("a10_catalog"), "events")
     (
         ev.withColumn("day", F.dayofmonth("ts"))
         .withColumn("hour", F.hour("ts"))
@@ -599,7 +621,7 @@ def a12_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (automatic partition discovery — no crawler, README.md:446), aggregate.
     Exercises A4 (partitioned sink) + A10 (discovery) + A12 (batch scan)."""
     o = load(spark, sf_dir, "orders")
-    lake = os.path.join(tempfile.mkdtemp(prefix="kinesis_lake_"), "orders")
+    lake = os.path.join(_scratch("a12_lake"), "orders")
     (
         o.withColumn("year", F.year("o_orderdate"))
         .repartition("year")
@@ -646,7 +668,7 @@ def a13_dynamic_table_partitioning(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("partition_key"),
         ).otherwise(F.regexp_replace("partition_key", "-orders-", "-returns-")),
     )
-    lake = tempfile.mkdtemp(prefix="kinesis_dynlake_")
+    lake = _scratch("a13_dynlake")
     run_lake_batch(mixed, lake, batch_id=0, raw_backup=False, dynamic_tables=True)
     back = spark.read.parquet(os.path.join(lake, "data", "batch=0"))
     return back.groupBy(F.col("table").alias("tbl")).agg(
@@ -815,7 +837,7 @@ def a03_efo_push_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("memory")
         .queryName(tbl)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kinesis_a03_"))
+        .option("checkpointLocation", _scratch("a03_ckpt"))
         .trigger(processingTime="0 seconds")
         .start()
     )
@@ -842,7 +864,7 @@ def c12_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     d = load(spark, sf_dir, "documents")
-    out = os.path.join(tempfile.mkdtemp(prefix="kinesis_c12_"), "docs_jsonl")
+    out = os.path.join(_scratch("c12_jsonl"), "docs_jsonl")
     d.repartition(4).write.mode("overwrite").json(out)
     return spark.read.schema(
         "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
@@ -865,7 +887,7 @@ def c13_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus",
         F.round("o_totalprice", 4).alias("o_totalprice"), "o_orderdate",
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="kinesis_c13_"), "orders_csv")
+    out = os.path.join(_scratch("c13_csv"), "orders_csv")
     o.repartition(4).write.mode("overwrite").option("header", True).csv(out)
     return (
         spark.read.schema(
@@ -897,7 +919,7 @@ def a05_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_kinesis_spark.sources.lake import read_via_manifest, run_lake_batch
 
     o = load(spark, sf_dir, "orders")
-    lake = os.path.join(tempfile.mkdtemp(prefix="kinesis_tt_"), "lake")
+    lake = os.path.join(_scratch("a05_timetravel"), "lake")
     run_lake_batch(
         synthesize_envelope(o.filter(F.col("o_orderkey") % 3 == 0)),
         lake,
@@ -1160,7 +1182,7 @@ def a14_lake_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_kinesis_spark.sources.lake import compact_lake
 
     ev = load(spark, sf_dir, "events")
-    lake = tempfile.mkdtemp(prefix="kinesis_compact_")
+    lake = _scratch("a14_compact")
     data = os.path.join(lake, "data")
     (
         ev.withColumn("day", F.date_trunc("day", "ts").cast("date"))
@@ -1203,7 +1225,7 @@ def a15_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     problem inside the JSON envelope: sources/envelope.py:
     infer_payload_schema.)"""
     o = load(spark, sf_dir, "orders")
-    lake = tempfile.mkdtemp(prefix="kinesis_evolve_")
+    lake = _scratch("a15_evolve")
     v0 = o.select(
         F.col("o_orderkey").alias("id"),
         F.col("o_orderstatus").alias("status"),
@@ -1248,7 +1270,7 @@ def a16_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_kinesis_spark.sources.lake import expire_partitions
 
     ev = load(spark, sf_dir, "events")
-    lake = tempfile.mkdtemp(prefix="kinesis_expiry_")
+    lake = _scratch("a16_expiry")
     (
         ev.withColumn("year", F.year("ts"))
         .withColumn("month", F.month("ts"))

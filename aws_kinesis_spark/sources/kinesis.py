@@ -8,13 +8,22 @@ schema from files. ``stream_source`` is the single switch point — swapping
 what makes the file-source differential tests meaningful for the Kinesis path.
 
 Consumer-mode mapping (README.md:91-111):
-- standard polling consumer  -> trigger(processingTime='1 second')-style
-- Enhanced Fan-Out (push)    -> connector consumerArn option + low-latency
-  trigger; per-consumer isolation = one streaming query per consumer, each
-  with its own checkpoint (README.md:30-32, 52).
+- standard polling consumer  -> GetRecords polling; shared 2 MB/s/shard
+  throughput, ``startingPosition`` controls replay (README.md:81-83)
+- Enhanced Fan-Out (push)    -> connector ``consumerArn`` option, dedicated
+  2 MB/s/shard pipe per registered consumer; per-consumer isolation = one
+  streaming query per consumer, each with its own checkpoint
+  (README.md:30-32, 52)
+
+The connector reader is built by an injectable ``reader_factory`` so the real
+connector is a drop-in when its jar is on the classpath, and the option
+translation for BOTH consumer modes is contract-testable without the jar
+(tests/test_streaming.py::test_kinesis_branch_contract).
 """
 
 from __future__ import annotations
+
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -29,6 +38,40 @@ KINESIS_OPTIONS = (
     "consumerArn",      # registered EFO consumer for push delivery (README.md:94-98)
 )
 
+#: consumer modes (README.md:91-111): polling GetRecords vs EFO push
+CONSUMER_MODES = ("polling", "efo")
+
+
+def _default_reader_factory(spark: SparkSession):
+    """The production reader: requires the spark-sql-kinesis connector jar."""
+    return spark.readStream.format("kinesis")
+
+
+def kinesis_reader_options(mode: str, **options: str) -> dict[str, str]:
+    """Validate and translate consumer-mode options to connector options.
+
+    polling: ``consumerArn`` must be absent — its presence would silently
+    switch the connector to EFO billing/throughput (README.md:94: EFO is a
+    per-consumer paid feature, not a default).
+    efo: ``consumerArn`` is REQUIRED — push delivery only exists for a
+    registered consumer (README.md:94-98).
+    Either mode defaults ``startingPosition`` to LATEST (the connector's
+    own default, made explicit so replay intent is always visible)."""
+    if mode not in CONSUMER_MODES:
+        raise ValueError(f"unknown consumer mode: {mode!r} (use {CONSUMER_MODES})")
+    unknown = set(options) - set(KINESIS_OPTIONS)
+    if unknown:
+        raise ValueError(f"unknown kinesis options: {sorted(unknown)}")
+    out = {"startingPosition": "LATEST", **options}
+    if mode == "efo" and not out.get("consumerArn"):
+        raise ValueError("mode='efo' requires consumerArn= (README.md:94-98)")
+    if mode == "polling" and "consumerArn" in out:
+        raise ValueError(
+            "mode='polling' must not set consumerArn (that selects EFO); "
+            "use mode='efo' to opt into push delivery"
+        )
+    return out
+
 
 def stream_source(
     spark: SparkSession,
@@ -36,15 +79,20 @@ def stream_source(
     path: str | None = None,
     max_files_per_trigger: int | None = None,
     max_bytes_per_trigger: int | None = None,
+    mode: str = "polling",
+    reader_factory: Callable[[SparkSession], object] | None = None,
     **kinesis_options: str,
 ) -> DataFrame:
     """Build the envelope stream from the configured source kind.
 
     kind="file": replay parquet envelope batches (tests / fixtures).
-    kind="kinesis": the production connector; requires the connector package
-    on the classpath — raises a clear error here because this container
-    cannot ship external jars. The returned schema is ENVELOPE_SCHEMA either
-    way (the connector's data/partitionKey/sequenceNumber/
+    kind="kinesis": the production connector, in ``mode`` "polling" or
+    "efo" (README.md:91-111). ``reader_factory`` injects the reader
+    construction (config injection — a deployment passes a factory bound to
+    its connector package; default requires the connector jar on the
+    classpath and raises a clear error here because this container cannot
+    ship external jars). The returned schema is ENVELOPE_SCHEMA either way
+    (the connector's data/partitionKey/sequenceNumber/
     approximateArrivalTimestamp map 1:1, SURVEY.md §1.2).
     """
     if kind == "file":
@@ -54,8 +102,9 @@ def stream_source(
             spark, path, max_files_per_trigger, max_bytes_per_trigger
         )
     if kind == "kinesis":
-        reader = spark.readStream.format("kinesis")
-        for k, v in kinesis_options.items():
+        opts = kinesis_reader_options(mode, **kinesis_options)
+        reader = (reader_factory or _default_reader_factory)(spark)
+        for k, v in opts.items():
             reader = reader.option(k, v)
         try:
             return reader.load().selectExpr(

@@ -67,6 +67,63 @@ def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# --- host-contention guard (VERDICT r5 #1) --------------------------------
+# BENCH_r05 published ~2x-inflated numbers because all three samples of
+# min-of-3 were CPU-stolen on the shared VM. Before (and after) the timed
+# loop we run a FIXED synthetic plan whose idle-host cost is known; if even
+# the best of 3 runs exceeds that budget the host is contended — the run
+# retries (before) and is FLAGGED in the output JSON (contended=true), so a
+# reader never mistakes steal for regression.
+CALIBRATION_IDLE_S = 0.35   # measured idle local[32] cost ~0.2 s; headroom
+CALIBRATION_FACTOR = 1.5
+CALIBRATION_RETRIES = 3
+
+
+def _calibration_cost(spark) -> float:
+    """Fixed CPU-bound plan, independent of SF_DIR: hash+sum over 20M rows."""
+
+    def one() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 20_000_000, numPartitions=32)
+            .select(F.xxhash64("id").alias("h"))
+            # XOR, not sum: order-insensitive and cannot overflow ANSI int64
+            .agg(F.bit_xor("h"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - t0
+
+    return min(one() for _ in range(3))
+
+
+def _calibrate(spark, label: str, retry: bool) -> tuple[float, bool]:
+    """Returns (best calibration seconds, contended?). With retry=True,
+    waits out transient steal up to CALIBRATION_RETRIES times."""
+    budget = CALIBRATION_IDLE_S * CALIBRATION_FACTOR
+    cost = _calibration_cost(spark)
+    tries = 0
+    while retry and cost > budget and tries < CALIBRATION_RETRIES:
+        print(
+            f"bench: host contended ({label} calibration {cost:.3f}s > "
+            f"{budget:.3f}s budget), retrying in 30s",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+        cost = _calibration_cost(spark)
+        tries += 1
+    contended = cost > budget
+    if contended:
+        print(
+            f"bench: WARNING — {label} calibration {cost:.3f}s exceeds the "
+            f"{budget:.3f}s idle budget; timings below are inflated by host "
+            "CPU steal and are NOT a regression signal",
+            file=sys.stderr,
+        )
+    return cost, contended
+
+
 # Timed measurements take the best of N runs: the plans are deterministic,
 # so run-to-run spread is host noise (CPU steal on a shared VM measured at
 # 4-10x on identical plans — an identical stage timed [0.68, 0.80, 7.15] s
@@ -180,6 +237,8 @@ def main() -> None:
     k = F.col("r_regionkey").cast("double")
     r.select(_charge(k, k, k)).write.format("noop").mode("overwrite").save()
 
+    cal_before, contended_before = _calibrate(spark, "pre-run", retry=True)
+
     # Per-query warmup at the smallest SF: each query shape compiles its
     # whole-stage-codegen units / regexes and forks its Arrow workers once,
     # so the timed runs below measure steady-state data throughput at
@@ -219,6 +278,8 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    cal_after, contended_after = _calibrate(spark, "post-run", retry=False)
+
     total = round(sum(results.values()), 4)
     print(
         json.dumps(
@@ -231,6 +292,17 @@ def main() -> None:
                 "runs_per_query": RUNS,
                 "agg": "min",
                 "spread": SPREAD,
+                # contention guard: calibration = fixed synthetic plan with a
+                # known idle cost; contended=true means these timings carry
+                # host CPU-steal and must not be read as regressions
+                "calibration_sec": {
+                    "before": round(cal_before, 4),
+                    "after": round(cal_after, 4),
+                    "idle_budget": round(
+                        CALIBRATION_IDLE_S * CALIBRATION_FACTOR, 4
+                    ),
+                },
+                "contended": contended_before or contended_after,
             }
         )
     )

@@ -566,6 +566,22 @@ def test_bloom_no_false_negatives_and_low_fp_rate(spark):
     assert rate < 0.01, rate
 
 
+def test_bloom_merge_is_two_level(spark):
+    """VERDICT r5 #3: the bitmap OR-reduce happens EXECUTOR-side — the
+    driver receives at most merge_fan_in bitmaps regardless of input
+    partition count, and the two-level merge changes no bits (every
+    inserted key still tests positive with a tiny fan_in over many
+    partitions)."""
+    from aws_kinesis_spark.operators.bloom import build_bloom, might_contain
+
+    inserted = spark.range(0, 50_000, numPartitions=32).withColumnRenamed("id", "k")
+    fan2 = build_bloom(inserted, "k", num_bits=1 << 18, merge_fan_in=2)
+    fan64 = build_bloom(inserted, "k", num_bits=1 << 18, merge_fan_in=64)
+    assert (fan2 == fan64).all()  # merge topology cannot change the filter
+    back = inserted.withColumn("hit", might_contain(inserted, "k", fan2))
+    assert back.filter(~F.col("hit")).count() == 0
+
+
 def test_bloom_first_seen_exact_vs_anti_join(spark):
     """first_seen output is EXACT: identical row set to the plain anti-join,
     and the bloom prunes (some definite-new rows never reach the join)."""
@@ -683,6 +699,33 @@ def test_connected_components_chain_converges_in_log_rounds(spark):
     got = {r["node"]: r["cluster_id"] for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
     assert rounds <= 14, rounds  # ~2*log2(257)+slack, far below 256
+
+
+@pytest.mark.slow
+def test_connected_components_distributed_at_1m_edges(spark):
+    """VERDICT r5 #7: exercise the REAL distributed branch above
+    driver_collect_max (not the forced-dial tiny graphs): ~1.2M chain edges
+    in 1024-node blocks — deep-diameter components, the shape a templated
+    crawl's near-dup chains take at 100 TB. Asserts the O(log n) round
+    bound and verifies every label distributively against the analytic
+    ground truth (node's component minimum = its block start)."""
+    from aws_kinesis_spark.operators.dedup import connected_components
+
+    n, block = 1_200_128, 1024  # n % block == 0; ~1.199M edges > 2^20 dial
+    edges = (
+        spark.range(n - 1)
+        .filter((F.col("id") + 1) % block != 0)  # no edge across block ends
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        .repartition(32)
+    )
+    assert edges.count() > (1 << 20)  # above the default driver dial
+    labels, rounds = connected_components(edges)
+    assert rounds <= 24, rounds  # ~2*log2(1024)+slack, far below diameter
+    bad = labels.filter(
+        F.col("cluster_id") != (F.col("node") - (F.col("node") % block))
+    ).count()
+    assert bad == 0
+    assert labels.count() == n  # every node labeled exactly once
 
 
 def test_leakage_safe_split_no_pair_straddles(spark):

@@ -365,3 +365,30 @@ def test_recursive_hierarchy_uses_union_loop(spark):
     bounded rounds), not a driver-side iteration."""
     plan = _plan(queries()["d30_recursive_hierarchy"](spark, SF), "simple")
     assert "UnionLoop" in plan
+
+
+def test_collect_sites_whitelisted():
+    """SCALE.md §0 grep-able invariant, enforced: every `.collect()` /
+    `.toPandas()` in non-test source must be one of the whitelisted bounded
+    sites. A new site is a scale review, not a silent merge (VERDICT r5 #3)."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "aws_kinesis_spark"
+    whitelist = {
+        ("plans/pipeline_queries.py", "checkpoint"),  # b07: one MAX scalar
+        ("operators/similarity.py", "train_rows"),    # IVF bounded sample
+        ("operators/dedup.py", "toPandas"),           # union-find <= dial edges
+        ("operators/bloom.py", "merged"),             # <= merge_fan_in bitmaps
+        ("__main__.py", "limit"),                     # CLI display limit
+    }
+    hits = []
+    for py in pkg.rglob("*.py"):
+        rel = py.relative_to(pkg).as_posix()
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if re.search(r"\.(collect|toPandas)\(\)", code):
+                ok = any(rel == f and tag in code for f, tag in whitelist)
+                if not ok:
+                    hits.append(f"{rel}:{i}: {line.strip()}")
+    assert not hits, "non-whitelisted driver collect sites:\n" + "\n".join(hits)

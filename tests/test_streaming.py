@@ -249,13 +249,15 @@ def test_stream_source_factory(spark, env_input):
         stream_source(spark, kind="tape")
 
 
-def test_kinesis_branch_contract(spark, monkeypatch):
-    """A1/A3 contract: the kind='kinesis' branch must pass every connector
-    option through and cast the connector's raw columns
-    (data/partitionKey/sequenceNumber/approximateArrivalTimestamp) into
-    ENVELOPE_SCHEMA. The connector jar can't ship in this container, so the
-    reader is mocked — but load() returns a REAL DataFrame with the
-    connector's output schema, so the selectExpr cast executes genuinely."""
+def test_kinesis_branch_contract(spark):
+    """A1/A3 contract: the kind='kinesis' branch must translate BOTH
+    consumer modes' options to the connector surface and cast the
+    connector's raw columns (data/partitionKey/sequenceNumber/
+    approximateArrivalTimestamp) into ENVELOPE_SCHEMA. The connector jar
+    can't ship in this container, so a reader factory is injected (the same
+    config-injection seam a deployment uses to bind its connector package)
+    — but load() returns a REAL DataFrame with the connector's output
+    schema, so the selectExpr cast executes genuinely."""
     import datetime as dt
     from decimal import Decimal
 
@@ -274,32 +276,33 @@ def test_kinesis_branch_contract(spark, monkeypatch):
         "data BINARY, partitionKey STRING, sequenceNumber STRING, "
         "approximateArrivalTimestamp TIMESTAMP",
     )
-    captured: dict = {"options": {}}
+    captured: dict = {}
 
     class FakeReader:
-        def format(self, fmt):
-            captured["format"] = fmt
-            return self
-
         def option(self, k, v):
-            captured["options"][k] = v
+            captured[k] = v
             return self
 
         def load(self):
             return raw
 
-    monkeypatch.setattr(
-        type(spark), "readStream", property(lambda self: FakeReader())
-    )
-    opts = {
+    def factory(s):
+        assert s is spark
+        captured.clear()
+        return FakeReader()
+
+    # EFO (push) mode: consumerArn required and passed through
+    arn = "arn:aws:kinesis:us-east-1:1:stream/orders/consumer/efo:1"
+    efo_opts = {
         "streamName": "orders-stream",
         "region": "us-east-1",
         "startingPosition": "TRIM_HORIZON",
-        "consumerArn": "arn:aws:kinesis:us-east-1:1:stream/orders/consumer/efo:1",
+        "consumerArn": arn,
     }
-    out = stream_source(spark, kind="kinesis", **opts)
-    assert captured["format"] == "kinesis"
-    assert captured["options"] == opts
+    out = stream_source(
+        spark, kind="kinesis", mode="efo", reader_factory=factory, **efo_opts
+    )
+    assert captured == efo_opts
     assert [(f.name, f.dataType) for f in out.schema.fields] == [
         (f.name, f.dataType) for f in ENVELOPE_SCHEMA.fields
     ]
@@ -308,6 +311,39 @@ def test_kinesis_branch_contract(spark, monkeypatch):
     assert row["sequence_number"] == Decimal("396279487123456789012345678901")
     assert row["partition_key"] == "sales-orders-98765"
     assert bytes(row["data"]) == b"eyJkYXRhIjp7fX0="
+
+    # polling mode: no consumerArn, startingPosition defaulted explicitly
+    out2 = stream_source(
+        spark,
+        kind="kinesis",
+        mode="polling",
+        reader_factory=factory,
+        streamName="orders-stream",
+        region="us-east-1",
+    )
+    assert captured == {
+        "streamName": "orders-stream",
+        "region": "us-east-1",
+        "startingPosition": "LATEST",
+    }
+    assert out2.schema == out.schema
+
+    # mode validation: EFO without an ARN, polling WITH one, unknown option
+    with pytest.raises(ValueError, match="consumerArn"):
+        stream_source(
+            spark, kind="kinesis", mode="efo", reader_factory=factory,
+            streamName="s", region="r",
+        )
+    with pytest.raises(ValueError, match="polling"):
+        stream_source(
+            spark, kind="kinesis", mode="polling", reader_factory=factory,
+            streamName="s", region="r", consumerArn=arn,
+        )
+    with pytest.raises(ValueError, match="unknown kinesis options"):
+        stream_source(
+            spark, kind="kinesis", mode="polling", reader_factory=factory,
+            streamName="s", endpointUrl="http://x",
+        )
 
 
 def test_watermark_drops_late_data(spark, tmp_path):
