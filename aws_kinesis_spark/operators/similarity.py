@@ -152,6 +152,58 @@ def knn_ivf(
     )
 
 
+def max_sim_vs_reference(
+    corpus: DataFrame,
+    reference: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_reference: int = 1 << 16,
+) -> DataFrame:
+    """Max cosine similarity of every corpus vector against a BOUNDED
+    reference set — the embedding-space analogue of g13's n-gram
+    decontamination probe (flag training docs too close to any eval/
+    benchmark item), and the semantic-similarity mirror of the Bloom
+    first-seen probe.
+
+    Scale shape: the reference side (an eval benchmark — thousands of
+    vectors by construction) rides to executors inside the kernel closure;
+    the corpus STREAMS through one Arrow-batched BLAS matmul pass — no
+    join, no shuffle, no corpus movement at all (plan-locked: zero
+    Exchange). This is the right orientation at 100 TB: broadcasting the
+    huge side (what reusing knn_bruteforce's broadcast-queries plan here
+    would do) dies at scale; streaming it is one map pass. The reference
+    collect is bounded by ``max_reference`` and raises above it — the
+    explicit-dial convention of the IVF training sample.
+
+    Returns one row per corpus vector: (id, max_ref_sim)."""
+    ref = reference.select(vec_col).limit(max_reference + 1).collect()
+    if len(ref) > max_reference:
+        raise ValueError(
+            f"reference set exceeds max_reference={max_reference}; a "
+            "reference this large should use the banded/IVF candidate "
+            "paths, not an exact broadcast probe"
+        )
+    if not ref:
+        raise ValueError("reference set is empty — nothing to probe against")
+    mref = np.array([r[0] for r in ref], dtype=np.float64)
+    mref = mref / np.maximum(np.linalg.norm(mref, axis=1, keepdims=True), 1e-12)
+
+    def max_sim(batches):
+        for b in batches:
+            x = np.array(b[vec_col].tolist(), dtype=np.float64)
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col],
+                    "max_ref_sim": np.round((x @ mref.T).max(axis=1), 4),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        max_sim, schema=f"{id_col} bigint, max_ref_sim double"
+    )
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,

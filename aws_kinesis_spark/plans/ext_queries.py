@@ -26,7 +26,13 @@ from aws_kinesis_spark.operators.multimodal import (
     sample_frames,
     to_media_envelope,
 )
-from aws_kinesis_spark.operators.similarity import knn_bruteforce, knn_ivf, knn_join, knn_lsh
+from aws_kinesis_spark.operators.similarity import (
+    knn_bruteforce,
+    knn_ivf,
+    knn_join,
+    knn_lsh,
+    max_sim_vs_reference,
+)
 from aws_kinesis_spark.registry import register
 from aws_kinesis_spark.tables import load
 
@@ -1222,4 +1228,37 @@ def g26_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias("avg_logprob"),
+    )
+
+
+@register(
+    "g27_embedding_decontaminate",
+    oracle=f"""
+        WITH b AS (SELECT * FROM embeddings WHERE vec_id % 100 = 0),
+             a AS (SELECT * FROM embeddings WHERE vec_id % 100 <> 0)
+        SELECT a.vec_id,
+               round(max({_DUCK_COSINE}), 4) AS max_ref_sim,
+               max({_DUCK_COSINE}) >= 0.4 AS contaminated
+        FROM a CROSS JOIN b
+        GROUP BY a.vec_id
+    """,
+)
+def g27_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G13 in embedding space: flag training vectors whose max cosine
+    similarity against a held-out eval/benchmark set crosses a threshold —
+    the semantic-decontamination pass that catches paraphrased benchmark
+    leakage g13's exact n-gram probe cannot (reference README.md's
+    dedup/quality pipeline generalized to vectors). The eval set (every
+    100th vector here) is bounded by construction; the corpus streams
+    through one Arrow BLAS pass with NO join and NO shuffle
+    (operators/similarity.py:max_sim_vs_reference, plan-locked to zero
+    Exchange in tests/test_plans.py)."""
+    em = load(spark, sf_dir, "embeddings")
+    ref = em.filter(F.col("vec_id") % 100 == 0)
+    corpus = em.filter(F.col("vec_id") % 100 != 0)
+    sims = max_sim_vs_reference(corpus, ref)
+    return sims.select(
+        "vec_id",
+        "max_ref_sim",
+        (F.col("max_ref_sim") >= 0.4).alias("contaminated"),
     )

@@ -939,3 +939,43 @@ def d30_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT k AS o_orderkey, cur AS root_digit, depth
         FROM walk WHERE cur < 10
     """)
+
+
+@register(
+    "d31_unpivot",
+    oracle="""
+        WITH a AS (
+            SELECT l_returnflag,
+                   round(sum(l_quantity), 4)      AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS sum_disc_price
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+        UNION ALL
+        SELECT l_returnflag, 'sum_base_price', sum_base_price FROM a
+        UNION ALL
+        SELECT l_returnflag, 'sum_disc_price', sum_disc_price FROM a
+    """,
+)
+def d31_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D14 inverse: UNPIVOT/melt — wide metric columns back to long
+    (metric, value) rows via the native DataFrame.unpivot (Spark's Expand
+    node: each input row fans out in-place, map-only — the same zero-extra-
+    shuffle shape rollup/cube use; the only exchange is the aggregation's
+    own). The wide side comes from the d08-style pricing aggregate so the
+    pair (d14d pivot, d31 unpivot) closes the reshaping round-trip."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_base_price", "sum_disc_price"],
+        "metric",
+        "value",
+    )

@@ -57,6 +57,7 @@ HEADLINE = [
     "g20_incremental_dedup",
     "g21_doc_chunking",
     "g25_span_dedup",
+    "g27_embedding_decontaminate",
     "d29_interval_overlap_join",
     "b04b_bloom_first_seen",
 ]

@@ -378,6 +378,7 @@ def test_collect_sites_whitelisted():
     whitelist = {
         ("plans/pipeline_queries.py", "checkpoint"),  # b07: one MAX scalar
         ("operators/similarity.py", "train_rows"),    # IVF bounded sample
+        ("operators/similarity.py", "max_reference"), # bounded eval-set probe
         ("operators/dedup.py", "toPandas"),           # union-find <= dial edges
         ("operators/bloom.py", "merged"),             # <= merge_fan_in bitmaps
         ("__main__.py", "limit"),                     # CLI display limit
@@ -392,3 +393,12 @@ def test_collect_sites_whitelisted():
                 if not ok:
                     hits.append(f"{rel}:{i}: {line.strip()}")
     assert not hits, "non-whitelisted driver collect sites:\n" + "\n".join(hits)
+
+
+def test_embedding_decontaminate_streams_without_shuffle(spark):
+    """g27: the corpus must STREAM through the broadcast-reference kernel —
+    zero Exchange in the plan. A join/shuffle here means the huge side is
+    being moved or broadcast, which dies at 100 TB."""
+    plan = _plan(queries()["g27_embedding_decontaminate"](spark, SF), "simple")
+    assert "Exchange" not in plan, plan[:2000]
+    assert "MapInPandas" in plan
