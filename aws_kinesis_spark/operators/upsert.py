@@ -174,6 +174,34 @@ def net_changes(
     )
 
 
+def compact_changelog(
+    cdc: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    cursor,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Kafka-style log compaction bounded by the SLOWEST consumer cursor
+    (README.md:305-309 checkpointing + the retention window the reference's
+    24h stream enforces physically): events at-or-before ``cursor``
+    collapse to ONE snapshot row per key (latest state wins, per
+    apply_cdc's deterministic order; keys whose final head op is a delete
+    vanish — every consumer at >= cursor already applied the tombstone),
+    while events after the cursor are retained VERBATIM so any consumer
+    resuming from >= cursor replays exactly what it would have from the
+    full log.
+
+    Scale: the head collapses through one key shuffle over only the
+    pre-cursor slice; the tail is a pushed-down range filter, untouched.
+    Retained size is O(live keys + post-cursor delta) instead of O(full
+    history) — the property that keeps a 100 TB changelog replayable."""
+    head = cdc.filter(F.col(seq_col) <= F.lit(cursor))
+    tail = cdc.filter(F.col(seq_col) > F.lit(cursor))
+    snapshot = apply_cdc(head, keys, seq_col, op_col, delete_op)
+    return snapshot.unionByName(tail)
+
+
 def scd2_history(
     cdc: DataFrame,
     keys: Sequence[str],

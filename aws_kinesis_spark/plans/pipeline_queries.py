@@ -1291,3 +1291,115 @@ def a16_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("day")
     ).agg(F.count("*").alias("n_events"), F.sum("event_id").alias("id_sum"))
+
+
+@register(
+    "a17_snapshot_diff",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               count(*) AS n,
+               count(DISTINCT o_orderkey) AS n_ids
+        FROM orders WHERE o_orderkey % 3 <> 0
+        GROUP BY o_orderstatus
+    """,
+)
+def a17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+ incremental consumption between manifest commits (README.md:
+    291-303, 429): three producer batches land, each with its own atomic
+    manifest; a consumer that checkpointed batch 0 catches up by reading
+    ONLY the files batches 1-2 committed — file-level pruning via the
+    manifest union, no rescan of the standing table
+    (sources/lake.py:read_incremental). Oracle: exactly the records of the
+    two later batches."""
+    from aws_kinesis_spark.sources.lake import read_incremental, run_lake_batch
+
+    o = load(spark, sf_dir, "orders")
+    lake = os.path.join(_scratch("a17_diff"), "lake")
+    for b in range(3):
+        run_lake_batch(
+            synthesize_envelope(o.filter(F.col("o_orderkey") % 3 == b)),
+            lake,
+            batch_id=b,
+            raw_backup=False,
+        )
+    delta = read_incremental(spark, lake, after_batch=0, upto_batch=2)
+    return delta.groupBy(F.col("status")).agg(
+        F.count("*").alias("n"), F.count_distinct("id").alias("n_ids")
+    )
+
+
+@register(
+    "o07_log_compaction",
+    oracle="""
+        WITH cdc AS (
+            SELECT o_orderkey AS id, o_orderstatus AS status, 'I' AS op,
+                   CAST(CAST('100000000000000000000000000000' AS DECIMAL(38,0))
+                        + o_orderkey AS DECIMAL(38,0)) AS seq
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'U2', 'U',
+                   CAST(CAST('100000000000000000000000000000' AS DECIMAL(38,0))
+                        + 1000000000 + o_orderkey AS DECIMAL(38,0))
+            FROM orders WHERE o_orderkey % 5 = 0
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, 'D',
+                   CAST(CAST('100000000000000000000000000000' AS DECIMAL(38,0))
+                        + 2000000000 + o_orderkey AS DECIMAL(38,0))
+            FROM orders WHERE o_orderkey % 10 = 0
+        ),
+        cursor AS (
+            SELECT CAST('100000000000000000000000000000' AS DECIMAL(38,0))
+                   + 1500000000 AS c
+        ),
+        snap AS (
+            SELECT id, status, op, seq,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY seq DESC, op DESC) AS rn
+            FROM cdc WHERE seq <= (SELECT c FROM cursor)
+        )
+        SELECT id, status, op, CAST(seq AS VARCHAR) AS sequence_number
+        FROM snap WHERE rn = 1 AND op <> 'D'
+        UNION ALL
+        SELECT id, status, op, CAST(seq AS VARCHAR)
+        FROM cdc WHERE seq > (SELECT c FROM cursor)
+    """,
+)
+def o07_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7: Kafka-style changelog compaction bounded by the slowest consumer
+    cursor (operators/upsert.py:compact_changelog): the pre-cursor slice
+    (epochs 0-1 here) collapses to one latest-state row per key; the
+    post-cursor tail (epoch 2's delete wave) is retained verbatim so any
+    consumer at >= cursor replays identically against the compacted log.
+    Retained size drops from O(history) to O(live keys + delta)."""
+    from decimal import Decimal
+
+    from aws_kinesis_spark.operators.upsert import compact_changelog
+
+    o = load(spark, sf_dir, "orders")
+    epoch0 = decode_envelope(synthesize_envelope(o, epoch=0)).withColumn(
+        "op", F.lit("I")
+    )
+    epoch1 = decode_envelope(
+        synthesize_envelope(
+            o.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+                "o_orderstatus", F.lit("U2")
+            ),
+            epoch=1,
+        )
+    ).withColumn("op", F.lit("U"))
+    epoch2 = decode_envelope(
+        synthesize_envelope(o.filter(F.col("o_orderkey") % 10 == 0), epoch=2)
+    ).withColumn("op", F.lit("D"))
+    cdc = (
+        epoch0.unionByName(epoch1)
+        .unionByName(epoch2)
+        .select("id", "status", "op", "sequence_number")
+    )
+    cursor = Decimal("100000000000000000000000000000") + Decimal(1_500_000_000)
+    compacted = compact_changelog(cdc, ["id"], "sequence_number", cursor)
+    return compacted.select(
+        "id",
+        "status",
+        "op",
+        F.col("sequence_number").cast("string").alias("sequence_number"),
+    )

@@ -202,6 +202,27 @@ def read_via_manifest(spark: SparkSession, lake_dir: str, batch_id: int) -> Data
     return spark.read.parquet(*entries)
 
 
+def read_incremental(
+    spark: SparkSession, lake_dir: str, after_batch: int, upto_batch: int
+) -> DataFrame:
+    """Incremental consumption between two manifest commits (the
+    Iceberg-style incremental append scan over the reference's manifest
+    protocol, README.md:291-303): read EXACTLY the files committed by
+    batches in (after_batch, upto_batch] — a consumer that checkpointed
+    after_batch catches up by reading only the delta, never rescanning the
+    table. File-level pruning: each manifest lists only its own batch's
+    objects, so the diff is a manifest union, no data listing or scan of
+    prior commits at any size."""
+    files: list[str] = []
+    for b in range(after_batch + 1, upto_batch + 1):
+        files.extend(e["url"] for e in read_manifest(lake_dir, b)["entries"])
+    if not files:
+        raise ValueError(
+            f"no files committed in batches ({after_batch}, {upto_batch}]"
+        )
+    return spark.read.parquet(*files)
+
+
 def register_lake_table(spark: SparkSession, name: str, lake_dir: str) -> None:
     """Catalog registration + partition discovery (README.md:121, 163,
     541-549): the crawler's job is a view over the partition-discovering
