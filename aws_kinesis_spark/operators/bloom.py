@@ -135,22 +135,39 @@ def might_contain(
     return probe(F.col(key_col))
 
 
+def auto_bloom_bits(history: DataFrame, key_col, bits_per_key: int = 10) -> int:
+    """Size the bitmap from the history's approximate distinct-key count
+    (HLL++, one map-side-partial aggregate pass — bounded shuffle at any
+    size): m = bits_per_key × n keeps the false-positive rate near the
+    design point instead of saturating when history outgrows a static
+    default (SCALE.md known-limit fix). bits_per_key=10 with k=5 hashes
+    gives fp ≈ (1-e^(-1/2))^5 ≈ 0.9%."""
+    n = history.agg(F.approx_count_distinct(key_col).alias("n")).head()["n"]
+    return max(1 << 13, ((bits_per_key * max(n, 1) + 7) // 8) * 8)
+
+
 def first_seen(
     batch: DataFrame,
     history: DataFrame,
     key_cols: list[str],
-    num_bits: int = 1 << 23,
+    num_bits: int | None = 1 << 23,
     num_hashes: int = 5,
 ) -> DataFrame:
     """EXACT first-seen keys of ``batch`` w.r.t. ``history``, Bloom-pruned:
     rows whose key the filter rejects skip the anti-join (the bulk, for a
     mostly-new batch); only might-contain candidates pay the exact verify.
-    Returns the batch rows whose key never appears in history."""
+    ``num_bits=None`` auto-sizes the bitmap from the history keyset
+    (auto_bloom_bits) at the cost of one extra aggregate pass over the
+    history scan. Returns the batch rows whose key never appears in
+    history."""
     # no distinct(): Bloom insertion is idempotent, so duplicate history
     # keys set the same bits — a distinct here would re-introduce the full
     # history-keyset shuffle this operator exists to avoid
     hkey = F.xxhash64(*key_cols).alias("__bloom_key")
-    bitmap = build_bloom(history.select(hkey), "__bloom_key", num_bits, num_hashes)
+    hkeys = history.select(hkey)
+    if num_bits is None:
+        num_bits = auto_bloom_bits(hkeys, "__bloom_key")
+    bitmap = build_bloom(hkeys, "__bloom_key", num_bits, num_hashes)
 
     keyed = batch.withColumn("__bloom_key", F.xxhash64(*key_cols))
     keyed = keyed.withColumn(

@@ -582,6 +582,32 @@ def test_bloom_merge_is_two_level(spark):
     assert back.filter(~F.col("hit")).count() == 0
 
 
+def test_bloom_auto_sizing_tracks_history(spark):
+    """num_bits=None sizes the bitmap from the history keyset (HLL++) so a
+    history that outgrows the static default cannot saturate the filter;
+    the auto-sized path stays exact vs the plain anti-join."""
+    from aws_kinesis_spark.operators.bloom import auto_bloom_bits, first_seen
+    from aws_kinesis_spark.tables import load
+
+    small = spark.range(0, 1_000).selectExpr("xxhash64(id) AS k")
+    big = spark.range(0, 200_000).selectExpr("xxhash64(id) AS k")
+    b_small, b_big = auto_bloom_bits(small, "k"), auto_bloom_bits(big, "k")
+    assert b_small < b_big  # sizing follows the keyset
+    assert b_big >= 10 * 200_000 * 0.8  # ~bits_per_key x n (HLL tolerance)
+
+    ev = load(spark, SF, "events")
+    cutoff = F.lit("2024-01-03").cast("timestamp")
+    hist, batch = ev.filter(F.col("ts") < cutoff), ev.filter(F.col("ts") >= cutoff)
+    got = first_seen(batch, hist, ["user_id", "event_type"], num_bits=None)
+    want = batch.join(
+        hist.select("user_id", "event_type").distinct(),
+        on=["user_id", "event_type"],
+        how="left_anti",
+    )
+    assert got.count() == want.count()
+    assert got.select(*ev.columns).exceptAll(want.select(*ev.columns)).count() == 0
+
+
 def test_bloom_first_seen_exact_vs_anti_join(spark):
     """first_seen output is EXACT: identical row set to the plain anti-join,
     and the bloom prunes (some definite-new rows never reach the join)."""
