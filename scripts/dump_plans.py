@@ -108,6 +108,18 @@ SHOWCASE = [
         "iteration; the recursive step is map-only (filter + project on "
         "the previous iteration), no shuffle per round.",
     ),
+    (
+        "g27_embedding_decontaminate",
+        "Zero `Exchange`, zero joins: the bounded eval matrix rides in the "
+        "`MapInPandas` kernel closure and the corpus STREAMS through one "
+        "Arrow BLAS pass — the orientation that survives a 100 TB corpus.",
+    ),
+    (
+        "d31_unpivot",
+        "Wide-to-long via the native `Expand` node directly above the "
+        "aggregate — map-only reshaping, the only exchange is the "
+        "aggregation's own partial/final pair.",
+    ),
 ]
 
 
