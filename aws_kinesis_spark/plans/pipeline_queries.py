@@ -1403,3 +1403,29 @@ def o07_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "op",
         F.col("sequence_number").cast("string").alias("sequence_number"),
     )
+
+
+@register(
+    "c14_gzip_jsonl_roundtrip",
+    oracle="""
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def c14_gzip_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 companion #3: GZIP-compressed JSON Lines — the reference's
+    Firehose delivery format (README.md:276-278: GZIP'd objects, the
+    compression ratio the cost accounting in c10 models). Written with
+    codec=gzip, read back with an explicit schema: byte-exact round-trip.
+    Scale note: gzip is NOT splittable — one file = one task on read, so
+    the writer's repartition(4) bounds file size to keep read parallelism;
+    at 100 TB the lake path uses snappy parquet (splittable) and gzip only
+    at the interchange boundary, exactly like the reference."""
+    d = load(spark, sf_dir, "documents")
+    out = os.path.join(_scratch("c14_gzjsonl"), "docs_jsonl_gz")
+    d.repartition(4).write.mode("overwrite").option("compression", "gzip").json(out)
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(out, "*.json.gz")), "gzip codec not applied"
+    return spark.read.schema(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).json(out)

@@ -825,3 +825,37 @@ def test_net_changes_semantics(spark):
     assert got[2]["__net_op"] == "UPSERT" and got[2].status == "v3"
     assert got[3]["__net_op"] == "DELETE"
     assert got[4]["__net_op"] == "UPSERT" and got[4].status == "fresh"
+
+
+def test_log_compaction_replay_equivalence(spark):
+    """o07 invariant: for ANY consumer cursor at-or-after the compaction
+    cursor, consuming the COMPACTED log is indistinguishable from consuming
+    the full log — both the collapsed state (apply_cdc) and the incremental
+    changeset (net_changes) match row-for-row."""
+    from aws_kinesis_spark.operators.upsert import (
+        apply_cdc,
+        compact_changelog,
+        net_changes,
+    )
+
+    rows = []
+    import random
+
+    rng = random.Random(7)
+    for seq in range(1, 401):
+        key = rng.randrange(40)
+        op = rng.choice(["I", "U", "U", "D"])
+        rows.append((key, f"v{seq}", op, seq))
+    cdc = spark.createDataFrame(rows, "id INT, status STRING, op STRING, seq INT")
+    compact_cursor = 200
+    compacted = compact_changelog(cdc, ["id"], "seq", compact_cursor)
+    assert compacted.count() < cdc.count()  # it actually compacts
+    for consumer_cursor in (200, 250, 399):
+        full_state = apply_cdc(cdc, ["id"], "seq")
+        comp_state = apply_cdc(compacted, ["id"], "seq")
+        assert full_state.exceptAll(comp_state).count() == 0
+        assert comp_state.exceptAll(full_state).count() == 0
+        full_net = net_changes(cdc, ["id"], "seq", consumer_cursor)
+        comp_net = net_changes(compacted, ["id"], "seq", consumer_cursor)
+        assert full_net.exceptAll(comp_net).count() == 0
+        assert comp_net.exceptAll(full_net).count() == 0
