@@ -979,3 +979,73 @@ def d31_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+@register(
+    "d32_gap_fill",
+    oracle="""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS h,
+                   count(*) AS n, round(sum(value), 4) AS sv
+            FROM events WHERE user_id < 30 GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT user_id, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1
+        ),
+        spine AS (
+            SELECT user_id,
+                   unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+            FROM bounds
+        )
+        SELECT s.user_id, s.hour_start,
+               coalesce(h.n, 0) AS n_events,
+               last_value(h.sv IGNORE NULLS)
+                   OVER (PARTITION BY s.user_id ORDER BY s.hour_start)
+                   AS filled_value
+        FROM spine s
+        LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour_start = h.h
+    """,
+)
+def d32_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9+: hypertable-style GAP FILL — the time-series completion a
+    continuous-aggregate consumer needs: every hour between each key's
+    first and last activity materializes (empty hours included, n_events=0)
+    and a gauge column carries forward (LOCF) across the gaps.
+
+    Plan: one hourly aggregate (partial+final), per-key bounds from a
+    re-aggregation of the tiny hourly table, the dense spine generated
+    IN-ROW by sequence()+explode (no driver loop, no cross join with a
+    calendar table), a left join back on (key, hour), and one LOCF window.
+    Every stage shuffles on the key or (key, hour) — linear in the spine,
+    immune to the calendar-cross-join blowup; spine width is bounded by
+    each key's own activity range, not the table's global span."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sv"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start"),
+    )
+    filled = spine.join(
+        hourly,
+        (spine["user_id"] == hourly["user_id"])
+        & (spine["hour_start"] == hourly["h"]),
+        "left",
+    ).select(spine["user_id"], "hour_start", "n", "sv")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "user_id",
+        "hour_start",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.last("sv", ignorenulls=True).over(w).alias("filled_value"),
+    )
