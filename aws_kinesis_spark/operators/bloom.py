@@ -28,6 +28,7 @@ the output, because verification compares the real columns).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -68,17 +69,23 @@ def build_bloom(
     key_col: str,
     num_bits: int = 1 << 23,
     num_hashes: int = 5,
-    merge_fan_in: int = 64,
+    merge_fan_in: int | None = None,
 ) -> np.ndarray:
     """Build a Bloom bitmap (uint8 array of num_bits/8 bytes) over an int64
     key column.  One bitmap per partition executor-side, then a two-level
     OR-reduce: partial bitmaps shuffle into ``merge_fan_in`` groups and merge
     EXECUTOR-side, so the driver receives at most ``merge_fan_in`` bitmaps
-    (fan_in × num_bits/8 bytes — 64 MiB at the defaults) regardless of input
-    partition count.  Without the reduce, a 100 TB scan with ~1e5 splits
-    would push ~100 GiB of partials through the driver (VERDICT r5 #4)."""
+    regardless of input partition count.  Without the reduce, a 100 TB scan
+    with ~1e5 splits would push ~100 GiB of partials through the driver
+    (VERDICT r5 #4).  The default fan-in is ceil(sqrt(input partitions))
+    (metadata-only probe, no job), which balances the two levels: each merge
+    group AND the driver both receive ~sqrt(p) bitmaps — at 1e5 splits
+    ~317 MiB per side instead of 100 GiB on one."""
     if num_bits % 8:
         raise ValueError("num_bits must be a multiple of 8")
+    if merge_fan_in is None:
+        p = max(1, df.rdd.getNumPartitions())
+        merge_fan_in = max(8, math.isqrt(p - 1) + 1)
     nbytes = num_bits // 8
     schema = T.StructType([T.StructField("bitmap", T.BinaryType())])
 
