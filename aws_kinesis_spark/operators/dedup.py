@@ -542,8 +542,7 @@ def connected_components(
     frame adds the same again) and solved with union-find in milliseconds —
     no per-row Row objects or boxed-int sets, whose overhead is what makes
     a naive Row-based collect cost hundreds of MB at this size (ADVICE r5).
-    The
-    distributed loop's per-round cost is 3-4 whole jobs (two window
+    The distributed loop's per-round cost is 3-4 whole jobs (two window
     shuffles, a distinct, a checkpoint, a convergence probe); on a near-dup
     graph measured at sf0.1 (256 edges) those fixed costs were ~4.5 s of
     pure scheduling for microseconds of actual work — same rationale as the

@@ -190,6 +190,8 @@ def max_sim_vs_reference(
 
     def max_sim(batches):
         for b in batches:
+            if not len(b):
+                continue
             x = np.array(b[vec_col].tolist(), dtype=np.float64)
             x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
             yield pd.DataFrame(

@@ -814,8 +814,6 @@ def a03_efo_push_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches (a01/A2). Per-consumer isolation (each EFO subscriber holds its
     own offsets and receives the full stream) is asserted in
     tests/test_streaming.py."""
-    import tempfile
-
     from aws_kinesis_spark.sources import kinesis_sim
     from aws_kinesis_spark.sources.envelope import decode_envelope
 
@@ -860,9 +858,6 @@ def c12_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip byte-exactly (unicode text included). JSONL is how LLM
     corpora actually move between pipelines; the explicit read schema keeps
     the scan one pass (no inference job) and is the 100 TB posture."""
-    import os
-    import tempfile
-
     d = load(spark, sf_dir, "documents")
     out = os.path.join(_scratch("c12_jsonl"), "docs_jsonl")
     d.repartition(4).write.mode("overwrite").json(out)
