@@ -1262,3 +1262,42 @@ def g27_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_ref_sim",
         (F.col("max_ref_sim") >= 0.4).alias("contaminated"),
     )
+
+
+@register(
+    "g28_source_overlap",
+    oracle=f"""
+        WITH {_DUCK_SHINGLES.replace("SELECT doc_id,", "SELECT doc_id, source,").replace("sh AS (SELECT doc_id,", "sh AS (SELECT doc_id, source,")}
+        , pairs AS (
+            SELECT a.source AS sa, b.source AS sb
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+        )
+        SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b,
+               count(*) AS n_neardup_pairs
+        FROM pairs GROUP BY 1, 2
+    """,
+)
+def g28_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G22+: cross-source contamination matrix — which ingest sources
+    near-duplicate each other (the data-card question behind source
+    weighting and crawl-overlap audits). Near-dup pairs come from the
+    banded MinHash path (operators/dedup.py, full recall at the 0.7
+    threshold per the g02 differential), then two joins back onto the
+    (doc_id, source) projection and one aggregate over canonicalized
+    source pairs. Scale: the pair list is the small side post-dedup; the
+    doc->source map joins on doc_id (broadcast when the pair list is
+    small, AQE decides), text never shuffles."""
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(d, threshold=0.7).select("id_a", "id_b")
+    src = d.select("doc_id", "source")
+    joined = (
+        pairs.join(src.withColumnRenamed("doc_id", "id_a")
+                      .withColumnRenamed("source", "sa"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b")
+                 .withColumnRenamed("source", "sb"), "id_b")
+    )
+    return joined.groupBy(
+        F.least("sa", "sb").alias("src_a"), F.greatest("sa", "sb").alias("src_b")
+    ).agg(F.count("*").alias("n_neardup_pairs"))
