@@ -1424,3 +1424,44 @@ def c14_gzip_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
     ).json(out)
+
+
+@register(
+    "a18_orphan_vacuum",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               count(*) AS n,
+               count(DISTINCT o_orderkey) AS n_ids
+        FROM orders WHERE o_orderkey % 3 <> 2
+        GROUP BY o_orderstatus
+    """,
+)
+def a18_orphan_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+ lake maintenance: ORPHAN-FILE VACUUM (the Delta VACUUM /
+    Iceberg remove_orphan_files analogue). A producer crash between data
+    PUT and manifest PUT (README.md:413-430) leaves durable-but-
+    uncommitted files: invisible to manifest readers but visible to folder
+    readers. Simulated here by committing batches 0-1 normally, landing
+    batch 2's data, then deleting its manifest; vacuum_orphans removes
+    exactly batch 2's files, restoring folder-read/manifest-read
+    equivalence — the oracle is the two committed batches' content, read
+    back through the FOLDER (sources/lake.py:vacuum_orphans)."""
+    from aws_kinesis_spark.sources.lake import run_lake_batch, vacuum_orphans
+
+    o = load(spark, sf_dir, "orders")
+    lake = os.path.join(_scratch("a18_vacuum"), "lake")
+    for b in range(3):
+        run_lake_batch(
+            synthesize_envelope(o.filter(F.col("o_orderkey") % 3 == b)),
+            lake,
+            batch_id=b,
+            raw_backup=False,
+        )
+    # crash simulation: batch 2's data landed but its manifest never did
+    os.remove(os.path.join(lake, "_manifests", "manifest-0000000002.json"))
+    stats = vacuum_orphans(lake)
+    assert stats.n_orphans > 0 and stats.n_kept > 0
+    back = spark.read.parquet(os.path.join(lake, "data"))
+    return back.groupBy(F.col("status")).agg(
+        F.count("*").alias("n"), F.count_distinct("id").alias("n_ids")
+    )

@@ -231,6 +231,54 @@ def register_lake_table(spark: SparkSession, name: str, lake_dir: str) -> None:
 
 
 @dataclass
+class VacuumStats:
+    """Orphan-file vacuum accounting: what one sweep removed."""
+
+    n_orphans: int
+    n_bytes: int
+    n_kept: int
+
+
+def vacuum_orphans(lake_dir: str) -> VacuumStats:
+    """Remove data files no manifest references (the Delta VACUUM /
+    Iceberg remove_orphan_files analogue over the reference's manifest
+    protocol): a writer that crashed between PUT #1 (data) and PUT #2
+    (manifest) leaves durable-but-uncommitted files — invisible to manifest
+    readers (README.md:429-430, the commit protocol's whole point) but
+    VISIBLE to folder readers (`spark.read.parquet(dir)`, README.md:446).
+    Vacuuming restores folder-read/manifest-read equivalence and reclaims
+    the space.
+
+    Driver-side O(files + manifest entries) metadata work, no Spark job —
+    the same listing cost a flush already pays. Only ``data/`` is swept:
+    errors/ and raw/ are intentionally manifest-less sinks."""
+    manifest_dir = os.path.join(lake_dir, "_manifests")
+    referenced: set[str] = set()
+    if os.path.isdir(manifest_dir):
+        for name in sorted(os.listdir(manifest_dir)):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(manifest_dir, name)) as fh:
+                payload = json.load(fh)
+            referenced.update(os.path.realpath(e["url"]) for e in payload["entries"])
+    data_dir = os.path.join(lake_dir, "data")
+    n_orphans = n_bytes = n_kept = 0
+    for f in _list_parquet_files(data_dir):
+        if os.path.realpath(f) in referenced:
+            n_kept += 1
+            continue
+        n_orphans += 1
+        n_bytes += os.path.getsize(f)
+        os.remove(f)
+        # prune now-empty partition dirs so folder discovery stays clean
+        parent = os.path.dirname(f)
+        while parent != data_dir and not os.listdir(parent):
+            os.rmdir(parent)
+            parent = os.path.dirname(parent)
+    return VacuumStats(n_orphans=n_orphans, n_bytes=n_bytes, n_kept=n_kept)
+
+
+@dataclass
 class ExpiryStats:
     """Retention-enforcement accounting: what one expiry sweep removed."""
 
