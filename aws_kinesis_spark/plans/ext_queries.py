@@ -1301,3 +1301,33 @@ def g28_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         F.least("sa", "sb").alias("src_a"), F.greatest("sa", "sb").alias("src_b")
     ).agg(F.count("*").alias("n_neardup_pairs"))
+
+
+@register(
+    "g29_importance_sample",
+    oracle="""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) / 4294967296.0
+              < n_chars / 2000.0
+    """,
+)
+def g29_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12+: importance (weight-proportional Bernoulli) sampling — each doc
+    kept with probability proportional to its own weight (n_chars / 2000
+    here; quality score in production), the standard length/quality-aware
+    downsample between the uniform g12 and the per-stratum g24. Seedless
+    and ENGINE-REPRODUCIBLE by construction: the uniform draw is an
+    md5-derived 32-bit integer divided by 2^32, and the keep predicate uses
+    only IEEE-exact ops (integer hash, two divisions, one compare — no
+    ln/pow, whose last-ulp rounding differs across libms and would
+    de-synchronize the kept set at the threshold boundary). Map-only:
+    filter in the scan stage, zero shuffle."""
+    d = load(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) / F.lit(4294967296.0)
+    return d.filter(u < F.col("n_chars") / F.lit(2000.0)).select(
+        "doc_id", "lang", "n_chars"
+    )
