@@ -98,11 +98,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        e10 (e12 stream-stream join over the sim source; e11 outer stays)
 #   in:  a01b, a03, a05, a14, a15, a16, b04b, d29, d30, e12, e13, o05, o06,
 #        g21, g22, g23, g24, g25, g26
-# After r6 every oracle-backed query has had a driver window slot; the only
-# never-in-window queries are the rows-only ones (g02c, g03b, g03c, g07b,
-# g18b — d10b has r1-r2 driver rows) — round-7 candidates for rows-only
-# driver slots. Queries outside the window still run in the local
-# differential suite (tests/test_differential.py) every CI pass;
+# After r6's rotation the never-driver-checked set is: the rows-only
+# queries (g02c, g03b, g03c, g07b, g18b — d10b has r1-r2 driver rows) and
+# the oracle-backed queries ADDED during round 6 itself — a17, a18, c14,
+# d31, d32, g27, g28, g29, o07. Round-7 rotation: swap those nine in
+# (witnesses exist in-window for every slot family) plus rows-only slots
+# for the sketch/ANN queries. Queries outside the window still run in the
+# local differential suite (tests/test_differential.py) every CI pass;
 # prior-round driver rows for rotated-out queries remain in
 # CORRECTNESS_r{1..5}.json.
 DRIVER_WINDOW: list[str] = [

@@ -487,3 +487,20 @@ def test_whole_lake_compaction_sweeps_every_partition(spark, envelope, tmp_path)
     sub, n_before, n_after = done[0]
     assert n_before == 12 and n_after == 1
     assert spark.read.parquet(part_dir).count() == before
+
+
+def test_lake_queries_idempotent_across_invocations(spark):
+    """The _scratch-backed lake queries must return IDENTICAL results when
+    invoked twice in one process (ADVICE r5: scratch dirs are wiped on
+    reuse — if the wipe regressed, appended lake trees would double rows
+    or leak prior invocations' files into the folder reads)."""
+    from aws_kinesis_spark.registry import queries
+
+    q = queries()
+    sf = "/root/testdata/sf0.001"
+    for name in ["a05_manifest_time_travel", "a14_lake_compaction",
+                 "a15_schema_evolution", "a17_snapshot_diff",
+                 "a18_orphan_vacuum"]:
+        first = q[name](spark, sf).collect()
+        second = q[name](spark, sf).collect()
+        assert sorted(map(tuple, first)) == sorted(map(tuple, second)), name
