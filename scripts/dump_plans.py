@@ -120,6 +120,14 @@ SHOWCASE = [
         "aggregate — map-only reshaping, the only exchange is the "
         "aggregation's own partial/final pair.",
     ),
+    (
+        "d32_gap_fill",
+        "Gap fill with NO extra shuffle for the LOCF window: the dense "
+        "spine's `Generate` preserves the bounds aggregate's hash "
+        "partitioning on the key, so the final Sort+Window run "
+        "partition-local. Two column-pruned scans (bounds + hourly agg), "
+        "no calendar cross join.",
+    ),
 ]
 
 
