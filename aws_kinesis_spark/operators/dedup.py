@@ -503,7 +503,7 @@ def embedding_neardup(
         lo = np.minimum(ids_a[ia], ids_b[ib])
         hi = np.maximum(ids_a[ia], ids_b[ib])
         return pd.DataFrame(
-            {"id_a": lo, "id_b": hi, "cos_sim": np.round(cos[ia, ib], 4)}
+            {"id_a": lo, "id_b": hi, "cos_sim": np.round(cos[ia, ib], 4) + 0.0}
         )
 
     return (

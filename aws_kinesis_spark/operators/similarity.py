@@ -48,7 +48,7 @@ def knn_bruteforce(
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
-        .select(query_id_col, "neighbor_id", F.round("__cos", 4).alias("cos_sim"))
+        .select(query_id_col, "neighbor_id", (F.round("__cos", 4) + F.lit(0.0)).alias("cos_sim"))
     )
 
 
@@ -148,7 +148,7 @@ def knn_ivf(
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
-        .select(query_id_col, "neighbor_id", F.round("__cos", 4).alias("cos_sim"))
+        .select(query_id_col, "neighbor_id", (F.round("__cos", 4) + F.lit(0.0)).alias("cos_sim"))
     )
 
 
@@ -197,7 +197,7 @@ def max_sim_vs_reference(
             yield pd.DataFrame(
                 {
                     id_col: b[id_col],
-                    "max_ref_sim": np.round((x @ mref.T).max(axis=1), 4),
+                    "max_ref_sim": np.round((x @ mref.T).max(axis=1), 4) + 0.0,
                 }
             )
 
@@ -281,7 +281,7 @@ def knn_lsh(
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
-        .select(query_id_col, "neighbor_id", F.round("__cos", 4).alias("cos_sim"))
+        .select(query_id_col, "neighbor_id", (F.round("__cos", 4) + F.lit(0.0)).alias("cos_sim"))
     )
 
 
@@ -368,5 +368,5 @@ def knn_join(
     return (
         candidates.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
-        .select("query_id", "neighbor_id", F.round("__cos", 4).alias("cos_sim"))
+        .select("query_id", "neighbor_id", (F.round("__cos", 4) + F.lit(0.0)).alias("cos_sim"))
     )

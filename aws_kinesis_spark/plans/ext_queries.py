@@ -115,7 +115,7 @@ def g02c_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g03_knn_bruteforce",
     oracle=f"""
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-               round({_DUCK_COSINE}, 4) AS cos_sim
+               round({_DUCK_COSINE}, 4) + 0.0 AS cos_sim
         FROM (SELECT * FROM embeddings WHERE vec_id < 5) a
         JOIN embeddings b ON b.vec_id <> a.vec_id
         QUALIFY row_number() OVER (PARTITION BY a.vec_id
@@ -160,7 +160,7 @@ def g03c_knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g03e_knn_join",
     oracle=f"""
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-               round({_DUCK_COSINE}, 4) AS cos_sim
+               round({_DUCK_COSINE}, 4) + 0.0 AS cos_sim
         FROM embeddings a
         JOIN embeddings b ON b.vec_id <> a.vec_id
         QUALIFY row_number() OVER (PARTITION BY a.vec_id
@@ -179,7 +179,7 @@ def g03e_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g05_embedding_neardup",
     oracle=f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round({_DUCK_COSINE}, 4) AS cos_sim
+               round({_DUCK_COSINE}, 4) + 0.0 AS cos_sim
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE {_DUCK_COSINE} >= 0.4
     """,
@@ -478,7 +478,7 @@ def g04c_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT label, generate_subscripts(embedding, 1) AS pos,
                    unnest(embedding)::DOUBLE AS v
             FROM embeddings)
-        SELECT label, pos, round(avg(v), 4) AS centroid
+        SELECT label, pos, round(avg(v), 4) + 0.0 AS centroid
         FROM flat GROUP BY label, pos
     """,
 )
@@ -491,7 +491,12 @@ def g08_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = em.select(
         "label", F.posexplode("embedding").alias("pos0", "v")
     ).select("label", (F.col("pos0") + 1).alias("pos"), F.col("v").cast("double").alias("v"))
-    return flat.groupBy("label", "pos").agg(F.round(F.avg("v"), 4).alias("centroid"))
+    # + 0.0 canonicalizes IEEE signed zero: a tiny negative mean rounds to
+    # -0.0 on one engine and 0.0 on the other — numerically equal, but a
+    # stringified value-hash comparison sees two different rows
+    return flat.groupBy("label", "pos").agg(
+        (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("centroid")
+    )
 
 
 @register(
@@ -1237,7 +1242,7 @@ def g26_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH b AS (SELECT * FROM embeddings WHERE vec_id % 100 = 0),
              a AS (SELECT * FROM embeddings WHERE vec_id % 100 <> 0)
         SELECT a.vec_id,
-               round(max({_DUCK_COSINE}), 4) AS max_ref_sim,
+               round(max({_DUCK_COSINE}), 4) + 0.0 AS max_ref_sim,
                max({_DUCK_COSINE}) >= 0.4 AS contaminated
         FROM a CROSS JOIN b
         GROUP BY a.vec_id
