@@ -24,6 +24,11 @@ def _canon(df):
     import pandas as pd
 
     df = df[sorted(df.columns)].copy()
+    if df.empty:
+        # agg over axis=1 of an empty frame returns a DataFrame, not a
+        # Series — and there is nothing to sort anyway (zero-row results
+        # are legitimate at tiny SFs, e.g. no overlapping intervals)
+        return df.reset_index(drop=True)
     key = df.astype(str).agg("|".join, axis=1)
     df = df.loc[key.sort_values().index].reset_index(drop=True)
     return df
