@@ -1336,3 +1336,121 @@ def g29_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(u < F.col("n_chars") / F.lit(2000.0)).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@register(
+    "g30_bm25_score",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        ),
+        dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        stats AS (SELECT CAST(avg(dl) AS DOUBLE) AS avgdl,
+                         count(*) AS n_docs FROM dl),
+        q AS (SELECT unnest(['window', 'merge', 'scan']) AS t),
+        df AS (SELECT t, count(DISTINCT doc_id) AS df
+               FROM tok JOIN q USING (t) GROUP BY t),
+        tf AS (SELECT doc_id, t, count(*) AS tf
+               FROM tok JOIN q USING (t) GROUP BY doc_id, t)
+        SELECT doc_id,
+               count(*) AS n_terms_matched,
+               round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                         * tf * 2.2
+                         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4)
+                   AS bm25
+        FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY doc_id
+    """,
+)
+def g30_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4+: BM25 relevance scoring of every document against a query term
+    set (Robertson/Sparck-Jones BM25 with the Lucene idf form,
+    k1=1.2 b=0.75) — the retrieval-quality signal behind RAG corpus
+    curation and query-driven subset selection. Everything is IN-PLAN:
+    doc length is an in-row size(split()) (no token shuffle for lengths),
+    the corpus stats (N, avgdl) fold in as one broadcast scalar row, the
+    per-term document frequencies are a |Q|-row broadcast, and only the
+    query-term postings (tokens filtered to Q in the scan stage) ever
+    shuffle — on a 100 TB corpus that is the inverted-index slice for
+    three terms, not the token stream."""
+    d = load(spark, sf_dir, "documents")
+    terms = ["window", "merge", "scan"]
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t").isin(terms))
+    dl = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl")
+    )
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs")
+    )
+    df_t = toks.distinct().groupBy("t").agg(F.count("*").alias("df"))
+    tf = toks.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    # df is |Q| rows and stats is one row — always broadcastable
+    scored = (
+        tf.join(F.broadcast(df_t), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    contrib = (
+        idf
+        * F.col("tf")
+        * 2.2
+        / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms_matched"),
+        F.round(F.sum(contrib), 4).alias("bm25"),
+    )
+
+
+@register(
+    "g31_bigram_logprob",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE len(string_split(text, ' ')) >= 2
+        ),
+        bg AS (SELECT doc_id,
+                      unnest([w[i] for i in range(1, len(w))]) AS w1,
+                      unnest([w[i+1] for i in range(1, len(w))]) AS w2
+               FROM t),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1)
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               round(avg(ln(c2 / c1)), 4) AS avg_logprob
+        FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        GROUP BY doc_id
+    """,
+)
+def g31_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g26 upgraded to a CONDITIONAL bigram LM: each document's mean
+    log p(w_i | w_{i-1}) under the corpus's own MLE bigram model — the
+    next-token-predictability fluency signal (word-salad spam scores far
+    below fluent text even when its unigram mix looks normal). Model
+    built in-plan: bigrams come from an IN-ROW zip of the token array
+    with its shift (transform over slice — the token stream is never
+    shuffled to form pairs), bigram counts c2 and their prefix marginals
+    c1 are two cheap aggregates over the (much smaller) distinct-bigram
+    table, and the scoring joins are left to AQE (a real corpus's bigram
+    table is GBs — forcing broadcast would OOM the driver, same posture
+    as g26's vocabulary join)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    pairs = F.expr(
+        "transform(slice(w, 1, size(w) - 1), (x, i) -> struct(x AS w1, w[i + 1] AS w2))"
+    )
+    big = toks.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = big.join(c2, ["w1", "w2"]).join(c1, ["w1"])
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg(F.log(F.col("c2") / F.col("c1"))), 4).alias("avg_logprob"),
+    )

@@ -1465,3 +1465,58 @@ def a18_orphan_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy(F.col("status")).agg(
         F.count("*").alias("n"), F.count_distinct("id").alias("n_ids")
     )
+
+
+@register(
+    "a19_deletion_vectors",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS id_sum
+        FROM orders
+        WHERE o_orderkey % 7 <> 3 AND o_orderkey % 11 <> 5
+        GROUP BY o_orderstatus
+    """,
+)
+def a19_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+ row-level deletes: MERGE-ON-READ DELETION VECTORS (the Iceberg
+    v2 / Delta DV pattern grafted onto this lake's immutable-object
+    protocol, README.md:413-430 — data objects are never mutated; deletes
+    land as new atomic-renamed objects under _deletes/). Two delete
+    vectors are committed against the orders lake (GDPR-style key
+    deletes), then the table is read back through read_with_deletes —
+    one AQE-strategized LEFT ANTI join — and aggregated. Parity with the
+    oracle (orders minus both key sets) proves the vectors subtract
+    exactly their keys and nothing else. The copy-on-write fold
+    (materialize_deletes) and its crash-safe swap are pinned in
+    tests/test_lake.py."""
+    from aws_kinesis_spark.sources.lake import (
+        read_with_deletes,
+        run_lake_batch,
+        write_delete_vector,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    lake = os.path.join(_scratch("a19_deletes"), "lake")
+    run_lake_batch(synthesize_envelope(o), lake, batch_id=0, raw_backup=False)
+    write_delete_vector(
+        o.filter(F.col("o_orderkey") % 7 == 3).select(
+            F.col("o_orderkey").alias("id")
+        ),
+        lake,
+        delete_id=1,
+        key_col="id",
+    )
+    write_delete_vector(
+        o.filter(F.col("o_orderkey") % 11 == 5).select(
+            F.col("o_orderkey").alias("id")
+        ),
+        lake,
+        delete_id=2,
+        key_col="id",
+    )
+    live = read_with_deletes(spark, lake, key_col="id")
+    return live.groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.sum("id").cast("bigint").alias("id_sum"),
+    )

@@ -467,3 +467,117 @@ def compact_lake_partition(
     os.replace(tmp, part_dir)
     shutil.rmtree(trash, ignore_errors=True)
     return (len(files), len(_list_parquet_files(part_dir)))
+
+
+# --------------------------------------------------------------------------
+# Row-level deletes: merge-on-read deletion vectors
+# --------------------------------------------------------------------------
+
+
+def write_delete_vector(
+    df_keys: DataFrame, lake_dir: str, delete_id: int, key_col: str
+) -> str:
+    """Row-level delete WITHOUT rewriting data files (the merge-on-read
+    deletion-vector pattern of Iceberg v2 / Delta DVs, applied to this
+    lake's manifest protocol; completes the reference's immutable-object
+    story, README.md:413-430 — data objects are never mutated, deletes land
+    as new objects).
+
+    The keys to delete are written as their own parquet object set under
+    ``_deletes/`` via the same write-to-temp + atomic-rename commit as the
+    manifest (README.md:413-421): readers see a delete vector entirely or
+    not at all, never a partial key list. Distributed write — the key set
+    streams from executors, never through the driver. Idempotent per
+    delete_id (re-run overwrites the same commit).
+
+    Scale: the delete file is O(deleted keys); a 100 TB table with a
+    point-delete workload carries MB-scale vectors that AQE broadcasts at
+    read time (see read_with_deletes)."""
+    deletes_root = os.path.join(lake_dir, "_deletes")
+    os.makedirs(deletes_root, exist_ok=True)
+    final = os.path.join(deletes_root, f"delete-{delete_id:010d}")
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(final, ignore_errors=True)
+    df_keys.select(F.col(key_col).alias("key")).distinct().write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    os.replace(tmp, final)
+    return final
+
+
+def read_with_deletes(
+    spark: SparkSession, lake_dir: str, key_col: str
+) -> DataFrame:
+    """Merge-on-read scan: the live table is data MINUS every committed
+    delete vector, realized as one LEFT ANTI join on the key column.
+
+    The join strategy is left to AQE: delete vectors are usually small
+    enough to broadcast (map-side anti join, data never shuffles), but
+    forcing ``broadcast()`` would OOM the driver on a pathological
+    mass-delete — the same posture as the g26 vocabulary join. Uncommitted
+    ``.tmp`` vectors are invisible (atomic-rename commit), so a reader
+    racing a writer sees the pre-delete snapshot."""
+    data = spark.read.parquet(os.path.join(lake_dir, "data"))
+    deletes_root = os.path.join(lake_dir, "_deletes")
+    vecs = (
+        [
+            os.path.join(deletes_root, d)
+            for d in sorted(os.listdir(deletes_root))
+            if d.startswith("delete-") and not d.endswith(".tmp")
+        ]
+        if os.path.isdir(deletes_root)
+        else []
+    )
+    if not vecs:
+        return data
+    dels = spark.read.parquet(*vecs).distinct()
+    return data.join(
+        dels, on=data[key_col] == dels["key"], how="left_anti"
+    )
+
+
+def materialize_deletes(
+    spark: SparkSession, lake_dir: str, key_col: str
+) -> int:
+    """Maintenance: fold the accumulated delete vectors into the data files
+    (the compaction moment where merge-on-read becomes copy-on-write) and
+    drop the vectors. Each leaf partition is rewritten independently through
+    compact_lake_partition's crash-safe two-rename swap — readers never see
+    a mix of purged and unpurged files within a partition. Returns the
+    number of leaf partitions rewritten.
+
+    Scale: per-partition rewrite jobs (parallelizable, like compact_lake);
+    the anti join per partition is delete-vector-sized, not table-sized."""
+    deletes_root = os.path.join(lake_dir, "_deletes")
+    vecs = (
+        [
+            os.path.join(deletes_root, d)
+            for d in sorted(os.listdir(deletes_root))
+            if d.startswith("delete-") and not d.endswith(".tmp")
+        ]
+        if os.path.isdir(deletes_root)
+        else []
+    )
+    if not vecs:
+        return 0
+    dels = spark.read.parquet(*vecs).distinct()
+    data_dir = os.path.join(lake_dir, "data")
+    n_parts = 0
+    for dirpath, dirs, files in os.walk(data_dir):
+        if dirs or not any(f.endswith(".parquet") for f in files):
+            continue
+        part = spark.read.parquet(dirpath)
+        purged = part.join(dels, on=part[key_col] == dels["key"], how="left_anti")
+        tmp = dirpath + ".compact.tmp"
+        trash = dirpath + ".compact.old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
+        purged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.replace(dirpath, trash)
+        os.replace(tmp, dirpath)
+        shutil.rmtree(trash, ignore_errors=True)
+        n_parts += 1
+    for v in vecs:
+        shutil.rmtree(v, ignore_errors=True)
+    return n_parts

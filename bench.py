@@ -58,6 +58,7 @@ HEADLINE = [
     "g21_doc_chunking",
     "g25_span_dedup",
     "g27_embedding_decontaminate",
+    "d32_gap_fill",
     "d29_interval_overlap_join",
     "b04b_bloom_first_seen",
 ]

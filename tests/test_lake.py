@@ -504,3 +504,48 @@ def test_lake_queries_idempotent_across_invocations(spark):
         first = q[name](spark, sf).collect()
         second = q[name](spark, sf).collect()
         assert sorted(map(tuple, first)) == sorted(map(tuple, second)), name
+
+
+def test_deletion_vectors_merge_on_read_and_materialize(spark, envelope, tmp_path):
+    """Row-level deletes (SURVEY.md A5+): a committed delete vector
+    subtracts exactly its keys at read time without touching data files;
+    materialize_deletes folds it copy-on-write and drops the vector, with
+    folder reads agreeing before and after."""
+    from aws_kinesis_spark.sources.lake import (
+        materialize_deletes,
+        read_with_deletes,
+        run_lake_batch,
+        write_delete_vector,
+    )
+
+    lake = str(tmp_path / "lake")
+    run_lake_batch(envelope, lake, batch_id=0, raw_backup=False)
+    data_dir = os.path.join(lake, "data")
+    all_ids = {r.id for r in spark.read.parquet(data_dir).select("id").collect()}
+
+    doomed = sorted(all_ids)[:: 5]  # every 5th key
+    keys = spark.createDataFrame([(k,) for k in doomed], "id long")
+    write_delete_vector(keys, lake, delete_id=1, key_col="id")
+
+    # merge-on-read: data files untouched, reads subtract exactly the keys
+    live = {r.id for r in read_with_deletes(spark, lake, key_col="id").select("id").collect()}
+    assert live == all_ids - set(doomed)
+    raw = {r.id for r in spark.read.parquet(data_dir).select("id").collect()}
+    assert raw == all_ids  # no data file was rewritten
+
+    # an uncommitted (.tmp) vector is invisible to readers
+    os.makedirs(os.path.join(lake, "_deletes", "delete-0000000099.tmp"))
+    live2 = {r.id for r in read_with_deletes(spark, lake, key_col="id").select("id").collect()}
+    assert live2 == live
+
+    # copy-on-write fold: vectors gone, folder read now equals merged read
+    n_parts = materialize_deletes(spark, lake, key_col="id")
+    assert n_parts > 0
+    assert not [
+        d for d in os.listdir(os.path.join(lake, "_deletes")) if d.startswith("delete-") and not d.endswith(".tmp")
+    ]
+    folded = {r.id for r in spark.read.parquet(data_dir).select("id").collect()}
+    assert folded == live
+
+    # idempotent: a second materialize with no vectors is a no-op
+    assert materialize_deletes(spark, lake, key_col="id") == 0
