@@ -834,3 +834,69 @@ def span_dup_stats(
             F.round(F.col("n_dup_spans") / F.col("n_spans"), 4),
         )
     )
+
+
+def setsim_prefix_join(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """G2 exact variant with GUARANTEED recall at bounded candidate cost:
+    prefix-filtering set-similarity self-join (AllPairs, Bayardo et al.
+    WWW'07; prefix principle per Chaudhuri et al. ICDE'06 / PPJoin, Xiao
+    et al. WWW'08).
+
+    Shingle sets are put in one global canonical order (ascending corpus
+    document frequency, ties by hash) and only each set's PREFIX — its
+    |s| - ceil(t*|s|) + 1 RAREST shingles — is inverted for the candidate
+    join; the prefix-filter lemma guarantees every pair with Jaccard >= t
+    shares a prefix token (with the length filter t*|a| <= |b| <= |a|/t),
+    so exact-verify output equals the all-pairs answer DETERMINISTICALLY —
+    unlike g02's probabilistic LSH banding — while candidates come from
+    rare tokens only, unlike ngram_jaccard_dedup's full inverted index
+    whose hottest (most common) shingle drives a quadratic bucket.
+
+    Scale shape: df aggregate with map-side partials over shingle hashes;
+    one window by doc id for prefix selection; the candidate self-join
+    shuffles only prefix rows (~(1-t) of the shingle stream) keyed by
+    rare-token hashes — the frequency ordering is exactly what keeps the
+    join's biggest bucket small. Text strings never shuffle (hashes only
+    until the final verify joins)."""
+    docs = _spread(docs.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n))
+    sets = _checkpointed_shingle_sets(docs, text_col, id_col, shingle_n)
+    tok = sets.select(
+        F.col(id_col),
+        F.size("__sh").alias("__n"),
+        F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__s"),
+    )
+    df_tab = tok.groupBy("__s").agg(F.count("*").alias("__df"))
+    # df join strategy left to AQE (g26/g04d posture: a web-scale shingle
+    # vocabulary out-sizes any driver)
+    ordered = tok.join(df_tab, "__s")
+    w = Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__s"))
+    pref_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    prefix = ordered.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= pref_len
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__s"
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "__s"
+    )
+    cand = (
+        a.join(b, "__s")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("__nb") >= F.ceil(F.lit(threshold) * F.col("__na")))
+            & (F.col("__na") >= F.ceil(F.lit(threshold) * F.col("__nb")))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = _exact_jaccard_on_pairs(cand, sets, id_col)
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )

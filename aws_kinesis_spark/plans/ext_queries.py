@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from aws_kinesis_spark.functions import text as TX
 from aws_kinesis_spark.operators.dedup import (
     neardup_clusters,
+    setsim_prefix_join,
     embedding_neardup,
     exact_dedup,
     minhash_lsh_dedup,
@@ -1454,3 +1455,28 @@ def g31_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.round(F.avg(F.log(F.col("c2") / F.col("c1"))), 4).alias("avg_logprob"),
     )
+
+
+@register(
+    "g32_setsim_prefix_join",
+    oracle=f"""
+        WITH {_DUCK_SHINGLES}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s))::DOUBLE
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+    """,
+)
+def g32_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 completed as a THIRD candidate-generation strategy: exact
+    prefix-filtering set-similarity join (AllPairs/PPJoin). Same all-pairs
+    oracle as g02/g02b; the difference is the guarantee ladder — g02's LSH
+    banding is probabilistic recall, g02b's full inverted index is exact
+    but quadratic on its hottest shingle, prefix filtering is exact AND
+    candidate-bounded (only each set's rarest |s|-ceil(0.7|s|)+1 shingles
+    are inverted; frequency ordering keeps the join's biggest bucket
+    small). The 100 TB posture: LSH for first-pass scale, prefix join
+    where recall must be provable (compliance-grade dedup)."""
+    return setsim_prefix_join(load(spark, sf_dir, "documents"), threshold=0.7)

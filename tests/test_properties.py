@@ -294,3 +294,41 @@ def test_span_dup_stats_matches_naive(spark_session, docs):
         i: (len(ss), sum(1 for s in ss if freq[s] >= 2)) for i, ss in spans.items()
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=3, max_size=16).map(" ".join),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.5, 0.7, 0.9]),
+)
+def test_setsim_prefix_join_matches_naive(spark_session, docs, threshold):
+    """g32: the prefix-filtering join's output equals naive all-pairs
+    Jaccard over shingle sets at every threshold — the recall guarantee
+    the prefix-filter lemma promises, checked on adversarially tiny
+    low-vocab docs where prefixes collide heavily."""
+    from aws_kinesis_spark.operators.dedup import setsim_prefix_join
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark_session.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in setsim_prefix_join(df, threshold=threshold).collect()
+    }
+    sets = {
+        i: {tuple(t.split(" ")[j : j + 3]) for j in range(len(t.split(" ")) - 2)}
+        for i, t in rows
+        if len(t.split(" ")) >= 3
+    }
+    want = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            j = len(a & b) / len(a | b)
+            if j >= threshold:
+                want[(ids[x], ids[y])] = round(j, 4)
+    assert got == want
