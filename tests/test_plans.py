@@ -402,3 +402,59 @@ def test_embedding_decontaminate_streams_without_shuffle(spark):
     plan = _plan(queries()["g27_embedding_decontaminate"](spark, SF), "simple")
     assert "Exchange" not in plan, plan[:2000]
     assert "MapInPandas" in plan
+
+
+def test_deletion_vector_read_is_anti_join_not_cartesian(spark, tmp_path):
+    """A19: the merge-on-read scan must be one LEFT ANTI join with its
+    strategy left to the optimizer — never a nested-loop/cartesian, and
+    never a forced driver-side broadcast in the code (AQE may still pick
+    broadcast from runtime stats, which is the desired small-vector plan)."""
+    from aws_kinesis_spark.sources.envelope import synthesize_envelope
+    from aws_kinesis_spark.sources.lake import (
+        read_with_deletes,
+        run_lake_batch,
+        write_delete_vector,
+    )
+
+    o = load(spark, SF, "orders").limit(2000)
+    lake = os.path.join(str(tmp_path), "lake")
+    run_lake_batch(synthesize_envelope(o), lake, batch_id=0, raw_backup=False)
+    write_delete_vector(
+        o.filter(F.col("o_orderkey") % 5 == 0).select(F.col("o_orderkey").alias("id")),
+        lake, delete_id=1, key_col="id",
+    )
+    plan = _plan(read_with_deletes(spark, lake, key_col="id"))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_broadcasts_stats_and_df_only(spark):
+    """G30: the corpus-stats scalar and the |Q|-row df table broadcast;
+    the postings themselves must NOT be on a broadcast side (the corpus
+    is the big side at scale)."""
+    plan = _plan(queries()["g30_bm25_score"](spark, SF))
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_pairs_form_in_row(spark):
+    """G31: bigrams come from an in-row array zip — the only Exchanges in
+    the plan are the two model aggregates, the scoring joins, and the
+    final per-doc aggregate; no explode-then-self-join on position (which
+    would shuffle the token stream twice to form pairs)."""
+    plan = _plan(queries()["g31_bigram_logprob"](spark, SF))
+    assert "slice(" in plan  # the in-row zip survives into the physical plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_setsim_prefix_join_shuffles_prefix_only(spark):
+    """G32: the candidate self-join must key on shingle hashes from the
+    PREFIX selection (a row_number window feeds the join), and the full
+    text column must not appear in the candidate join stage — strings
+    only re-enter at the final verify joins."""
+    plan = _plan(queries()["g32_setsim_prefix_join"](spark, SF))
+    assert "row_number" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
