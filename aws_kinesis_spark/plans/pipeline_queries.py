@@ -1520,3 +1520,45 @@ def a19_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("id").cast("bigint").alias("id_sum"),
     )
+
+
+@register(
+    "a20_zone_map_pruning",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               round(sum(value), 4) AS sum_value,
+               min(event_id) AS id_min,
+               max(event_id) AS id_max
+        FROM events
+        WHERE event_id BETWEEN 100 AND 299
+        GROUP BY event_type
+    """,
+)
+def a20_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+ FILE SKIPPING via zone maps (Iceberg column-stats / Delta
+    file-skipping pattern over this lake's manifest discipline,
+    README.md:429 "readers consume the manifest, never the folder"): the
+    events table lands range-clustered on event_id (repartitionByRange —
+    each file owns a disjoint id span), build_zone_maps records per-file
+    min/max in one distributed pass, and the range scan opens ONLY the
+    overlapping files with the exact predicate as residual. Parity with
+    the oracle proves skipping drops files, never rows; the
+    files-actually-skipped count is pinned in tests/test_lake.py. At
+    100 TB this is the difference between a metadata lookup + a few file
+    reads and a full-table scan."""
+    from aws_kinesis_spark.sources.lake import build_zone_maps, read_zone_pruned
+
+    ev = load(spark, sf_dir, "events")
+    lake = _scratch("a20_zonemap")
+    data = os.path.join(lake, "data")
+    # clustered layout: 8 files, each owning a contiguous event_id span
+    ev.repartitionByRange(8, "event_id").write.mode("overwrite").parquet(data)
+    build_zone_maps(spark, lake, ["event_id"])
+    pruned = read_zone_pruned(spark, lake, "event_id", 100, 299)
+    return pruned.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.min("event_id").alias("id_min"),
+        F.max("event_id").alias("id_max"),
+    )

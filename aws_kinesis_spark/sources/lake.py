@@ -581,3 +581,67 @@ def materialize_deletes(
     for v in vecs:
         shutil.rmtree(v, ignore_errors=True)
     return n_parts
+
+
+# --------------------------------------------------------------------------
+# Zone maps: per-file min/max stats for file skipping
+# --------------------------------------------------------------------------
+
+
+def build_zone_maps(spark: SparkSession, lake_dir: str, cols: list[str]) -> str:
+    """Per-data-file min/max statistics (zone maps — Iceberg manifest
+    column stats / Delta file-skipping pattern; the manifest-protocol
+    completion of the reference's "readers consume the manifest, never the
+    folder" posture, README.md:429).
+
+    One distributed pass: group by input_file_name(), min/max per tracked
+    column (map-side partials — the shuffle carries one partial row per
+    (file, partition) pair, not data). The stats table itself is written as
+    parquet by executors via the same write-to-temp + atomic-rename commit
+    as every other lake object — the driver never holds the stats. Stats
+    are only useful when the layout clusters the column (e.g. a
+    repartitionByRange write); build after compaction/clustering."""
+    data_dir = os.path.join(lake_dir, "data")
+    df = spark.read.parquet(data_dir).withColumn("__file", F.input_file_name())
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    zm = df.groupBy("__file").agg(*aggs)
+    final = os.path.join(lake_dir, "_zonemaps")
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(final, ignore_errors=True)
+    zm.write.mode("overwrite").parquet(tmp)
+    os.replace(tmp, final)
+    return final
+
+
+def read_zone_pruned(spark: SparkSession, lake_dir: str, col: str, lo, hi) -> DataFrame:
+    """Range scan with FILE SKIPPING: consult the zone maps first, open
+    only the data files whose [min, max] for ``col`` overlaps [lo, hi],
+    and keep the exact predicate as a residual filter (zone overlap is
+    necessary, not sufficient).
+
+    The driver materializes only the SURVIVING FILE LIST (paths — the same
+    O(matching files) metadata any table-format planner holds to plan a
+    scan; whitelisted in tests/test_plans.py). On a clustered layout this
+    is the 100 TB win: a range predicate over a repartitionByRange-written
+    table opens O(range/file-span) files instead of every file. Falls back
+    to a full folder scan (predicate still applied) when no zone maps are
+    committed."""
+    data_dir = os.path.join(lake_dir, "data")
+    zm_dir = os.path.join(lake_dir, "_zonemaps")
+    pred = F.col(col).between(lo, hi)
+    if not os.path.isdir(zm_dir):
+        return spark.read.parquet(data_dir).filter(pred)
+    zm = spark.read.parquet(zm_dir)
+    overlapping = zm.filter(
+        (F.col(f"max_{col}") >= lo) & (F.col(f"min_{col}") <= hi)
+    ).select("__file")
+    # bounded: file PATHS of the overlapping zones only — the metadata any
+    # table-format planner holds on the driver to plan a scan
+    surviving = [r["__file"] for r in overlapping.collect()]
+    if not surviving:
+        return spark.read.parquet(data_dir).filter(pred).limit(0)
+    return spark.read.parquet(*surviving).filter(pred)

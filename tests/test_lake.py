@@ -549,3 +549,30 @@ def test_deletion_vectors_merge_on_read_and_materialize(spark, envelope, tmp_pat
 
     # idempotent: a second materialize with no vectors is a no-op
     assert materialize_deletes(spark, lake, key_col="id") == 0
+
+
+def test_zone_maps_skip_files_without_dropping_rows(spark, tmp_path):
+    """A20: on a range-clustered layout the pruned read opens strictly
+    fewer files than the folder holds, returns exactly the predicate's
+    rows, and degrades to a correct full scan when stats are missing."""
+    from aws_kinesis_spark.sources.lake import build_zone_maps, read_zone_pruned
+
+    lake = str(tmp_path / "lake")
+    data = os.path.join(lake, "data")
+    ev = load(spark, SF, "events")
+    ev.repartitionByRange(8, "event_id").write.mode("overwrite").parquet(data)
+
+    # no stats committed yet -> full-scan fallback, same answer
+    want = ev.filter(F.col("event_id").between(100, 299)).count()
+    assert read_zone_pruned(spark, lake, "event_id", 100, 299).count() == want
+
+    build_zone_maps(spark, lake, ["event_id"])
+    pruned = read_zone_pruned(spark, lake, "event_id", 100, 299)
+    assert pruned.count() == want
+
+    n_total = len([f for _, _, fs in os.walk(data) for f in fs if f.endswith(".parquet")])
+    n_opened = pruned.select(F.input_file_name()).distinct().count()
+    assert n_opened < n_total, (n_opened, n_total)  # skipping actually happened
+
+    # empty-overlap range: zero rows, no file opened
+    assert read_zone_pruned(spark, lake, "event_id", 10**9, 2 * 10**9).count() == 0

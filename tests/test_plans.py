@@ -382,6 +382,7 @@ def test_collect_sites_whitelisted():
         ("operators/dedup.py", "toPandas"),           # union-find <= dial edges
         ("operators/bloom.py", "merged"),             # <= merge_fan_in bitmaps
         ("__main__.py", "limit"),                     # CLI display limit
+        ("sources/lake.py", "overlapping"),           # zone-pruned file list
     }
     hits = []
     for py in pkg.rglob("*.py"):
