@@ -370,3 +370,126 @@ def knn_join(
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", (F.round("__cos", 4) + F.lit(0.0)).alias("cos_sim"))
     )
+
+
+def hard_negative_mining(
+    embeddings: DataFrame,
+    pos_threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Contrastive-training data mining: for every ANCHOR that has at
+    least one positive (cosine >= pos_threshold neighbor — a near-dup /
+    paraphrase), return its HARDEST NEGATIVE — the single most similar
+    vector strictly BELOW the threshold (the SimCSE/DPR-style hard
+    negative that carries most of the training signal; easy random
+    negatives teach nothing).
+
+    Same blocked-matmul shape as knn_join (one applyInPandas group per
+    unordered block pair, O(n*B) candidate rows, never O(n^2) shuffle):
+    each group emits per query row a has-positive flag and its partial
+    below-threshold top-1 under the final total order (cos desc, id asc),
+    so the global argmax is provably in the partial union; the final
+    stage is one window + one semi join against the anchor set."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    bp = [
+        (a * n_blocks + b, a, b)
+        for a in range(n_blocks)
+        for b in range(n_blocks)
+        if a <= b
+    ]
+    bp_df = F.broadcast(spark.createDataFrame(bp, "pair_id INT, blk_a INT, blk_b INT"))
+
+    emb = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("__blk"),
+    )
+    side_a = emb.join(bp_df, emb["__blk"] == F.col("blk_a")).select(
+        "pair_id", "blk_a", "blk_b", F.lit("a").alias("side"), "__id", "__v"
+    )
+    side_b = emb.join(bp_df, emb["__blk"] == F.col("blk_b")).select(
+        "pair_id", "blk_a", "blk_b", F.lit("b").alias("side"), "__id", "__v"
+    )
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == "a"].sort_values("__id")
+        b = pdf[pdf["side"] == "b"].sort_values("__id")
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "__cos": [], "__is_pos": []}
+        )
+        if not len(a) or not len(b):
+            return empty
+        ids_a = a["__id"].to_numpy()
+        ids_b = b["__id"].to_numpy()
+        ma = np.stack(a["__v"].to_numpy()).astype(np.float64)
+        mb = np.stack(b["__v"].to_numpy()).astype(np.float64)
+        na = np.sqrt((ma * ma).sum(axis=1))
+        nb = np.sqrt((mb * mb).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (ma @ mb.T) / np.outer(na, nb)
+        cos = np.nan_to_num(cos, nan=-np.inf)
+
+        def emit(q_ids, c_ids, mat):
+            m = np.where(q_ids[:, None] == c_ids[None, :], -np.inf, mat)
+            frames = []
+            has_pos = (m >= pos_threshold).any(axis=1)
+            if has_pos.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[has_pos],
+                            "neighbor_id": -1,
+                            "__cos": np.inf,
+                            "__is_pos": True,
+                        }
+                    )
+                )
+            neg = np.where(m >= pos_threshold, -np.inf, m)
+            # stable argsort (c_ids ascending within a sorted side) makes
+            # the partial argmax follow the final (cos desc, id asc) order
+            idx = np.argsort(-neg, axis=1, kind="stable")[:, 0]
+            best = neg[np.arange(len(q_ids)), idx]
+            keep = best > -np.inf
+            if keep.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[keep],
+                            "neighbor_id": c_ids[idx][keep],
+                            "__cos": best[keep],
+                            "__is_pos": False,
+                        }
+                    )
+                )
+            return frames
+
+        frames = emit(ids_a, ids_b, cos)
+        if a["blk_a"].iloc[0] != a["blk_b"].iloc[0]:
+            frames += emit(ids_b, ids_a, cos.T)
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    candidates = (
+        side_a.unionByName(side_b)
+        .groupBy("pair_id")
+        .applyInPandas(
+            partial,
+            schema="query_id bigint, neighbor_id bigint, __cos double, __is_pos boolean",
+        )
+    ).localCheckpoint(eager=False)
+    anchors = candidates.filter("__is_pos").select("query_id").distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    negs = (
+        candidates.filter(~F.col("__is_pos"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return negs.join(anchors, "query_id", "left_semi").select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("neighbor_id").alias("negative_id"),
+        (F.round("__cos", 4) + F.lit(0.0)).alias("neg_sim"),
+    )

@@ -28,6 +28,7 @@ from aws_kinesis_spark.operators.multimodal import (
     to_media_envelope,
 )
 from aws_kinesis_spark.operators.similarity import (
+    hard_negative_mining,
     knn_bruteforce,
     knn_ivf,
     knn_join,
@@ -1480,3 +1481,31 @@ def g32_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     small). The 100 TB posture: LSH for first-pass scale, prefix join
     where recall must be provable (compliance-grade dedup)."""
     return setsim_prefix_join(load(spark, sf_dir, "documents"), threshold=0.7)
+
+
+@register(
+    "g33_hard_negatives",
+    oracle=f"""
+        WITH pos AS (
+            SELECT DISTINCT a.vec_id
+            FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+            WHERE {_DUCK_COSINE} >= 0.4
+        )
+        SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+               round({_DUCK_COSINE}, 4) + 0.0 AS neg_sim
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id IN (SELECT vec_id FROM pos)
+          AND {_DUCK_COSINE} < 0.4
+        QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                   ORDER BY {_DUCK_COSINE} DESC, b.vec_id) = 1
+    """,
+)
+def g33_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3+: contrastive-training hard-negative mining — for every anchor
+    vector that has a positive (cosine >= 0.4 near-dup/paraphrase), the
+    single most similar vector strictly BELOW the threshold (SimCSE/DPR
+    training triples: the near-misses carry the gradient signal; random
+    negatives are trivially separable). Blocked-matmul shape shared with
+    g03e: O(n*B) candidate rows, one window, one semi join — never an
+    n^2 shuffle (operators/similarity.py:hard_negative_mining)."""
+    return hard_negative_mining(load(spark, sf_dir, "embeddings"), pos_threshold=0.4)
