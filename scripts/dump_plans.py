@@ -128,6 +128,45 @@ SHOWCASE = [
         "partition-local. Two column-pruned scans (bounds + hourly agg), "
         "no calendar cross join.",
     ),
+    (
+        "a19_deletion_vectors",
+        "Merge-on-read is ONE `LeftAnti` join whose strategy AQE picks from "
+        "the delete vector's runtime size — no nested loop, no forced "
+        "driver broadcast; data files never rewritten at read time.",
+    ),
+    (
+        "a20_zone_map_pruning",
+        "The range scan's `Location` lists only the files whose zone "
+        "overlaps the predicate (file skipping on a range-clustered "
+        "layout); the exact BETWEEN survives as the residual filter.",
+    ),
+    (
+        "g30_bm25_score",
+        "Corpus stats and the |Q|-row df table are the only broadcast "
+        "sides; the token stream is filtered to the query terms IN THE "
+        "SCAN STAGE — only the inverted-index slice for three terms ever "
+        "shuffles.",
+    ),
+    (
+        "g31_bigram_logprob",
+        "Bigrams form in-row (`slice` + `transform` zip, no self-join on "
+        "position); the c2/c1 model aggregates carry map-side partials and "
+        "the scoring joins stay with AQE — a web corpus's bigram table "
+        "out-sizes any driver.",
+    ),
+    (
+        "g32_setsim_prefix_join",
+        "The candidate self-join keys on PREFIX shingle hashes (row_number "
+        "window under the global frequency order feeds the join) — exact "
+        "recall with the shuffle bounded to ~(1-t) of the shingle stream, "
+        "rarest tokens first.",
+    ),
+    (
+        "g33_hard_negatives",
+        "Blocked-matmul masked top-1: the O(n*B) candidate rows from the "
+        "`FlatMapGroupsInPandas` kernel feed one window + one semi join — "
+        "no n^2 shuffle, no similarity matrix outside a block pair.",
+    ),
 ]
 
 
