@@ -372,6 +372,7 @@ def compact_lake(
     lake_dir: str,
     target_file_bytes: int = 128 << 20,
     min_files: int = 2,
+    cluster_col: str | None = None,
 ) -> list[tuple[str, int, int]]:
     """Whole-lake maintenance pass: discover every hour leaf partition and
     bin-pack those holding >= min_files files. Returns
@@ -389,7 +390,9 @@ def compact_lake(
         if n_parquet < min_files:
             continue
         sub = os.path.relpath(dirpath, lake_dir)
-        before, after = compact_lake_partition(spark, lake_dir, sub, target_file_bytes)
+        before, after = compact_lake_partition(
+            spark, lake_dir, sub, target_file_bytes, cluster_col=cluster_col
+        )
         compacted.append((sub, before, after))
     return compacted
 
@@ -428,6 +431,7 @@ def compact_lake_partition(
     lake_dir: str,
     partition_subdir: str,
     target_file_bytes: int = 128 << 20,
+    cluster_col: str | None = None,
 ) -> tuple[int, int]:
     """Lake maintenance: bin-pack one hive partition's small files into
     ~target_file_bytes outputs (the at-rest completion of the reference's
@@ -444,9 +448,17 @@ def compact_lake_partition(
     invariant is "every row is always durable, the live dir may lag one
     recovery call". Returns (files_before, files_after).
 
+    ``cluster_col`` turns the bin-pack into a CLUSTERED rewrite (the
+    Iceberg sort-order / Delta OPTIMIZE ZORDER analogue for one column):
+    rows are range-partitioned and sorted on the column so each output
+    file owns a disjoint value span — exactly the layout that makes zone
+    maps (build_zone_maps/read_zone_pruned) prune; rebuild the stats
+    after a clustered sweep. Costs one range shuffle + local sorts,
+    versus the shuffle-free coalesce default.
+
     Scale: runs per-partition (parallelize across partitions by calling per
-    partition); the rewrite is one coalesce(n) pass with n sized from actual
-    bytes, so no shuffle — file assembly only."""
+    partition); the default rewrite is one coalesce(n) pass with n sized
+    from actual bytes, so no shuffle — file assembly only."""
     recover_compaction(lake_dir, partition_subdir)
     part_dir = os.path.join(lake_dir, partition_subdir)
     files = _list_parquet_files(part_dir)
@@ -459,8 +471,14 @@ def compact_lake_partition(
     trash = part_dir + ".compact.old"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(trash, ignore_errors=True)
-    # coalesce, not repartition: pure file assembly, no shuffle
-    df.coalesce(int(n_out)).write.mode("overwrite").option(
+    if cluster_col is not None:
+        out = df.repartitionByRange(int(n_out), cluster_col).sortWithinPartitions(
+            cluster_col
+        )
+    else:
+        # coalesce, not repartition: pure file assembly, no shuffle
+        out = df.coalesce(int(n_out))
+    out.write.mode("overwrite").option(
         "compression", "snappy"
     ).parquet(tmp)
     os.replace(part_dir, trash)

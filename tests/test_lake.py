@@ -576,3 +576,39 @@ def test_zone_maps_skip_files_without_dropping_rows(spark, tmp_path):
 
     # empty-overlap range: zero rows, no file opened
     assert read_zone_pruned(spark, lake, "event_id", 10**9, 2 * 10**9).count() == 0
+
+
+def test_clustered_compaction_enables_zone_pruning(spark, tmp_path):
+    """A14+A20: a clustered compaction sweep (cluster_col) rewrites an
+    interleaved small-file layout into disjoint value spans, after which
+    rebuilt zone maps actually skip files — with row-level content parity
+    through the rewrite."""
+    from aws_kinesis_spark.sources.lake import (
+        build_zone_maps,
+        compact_lake,
+        read_zone_pruned,
+    )
+
+    lake = str(tmp_path / "lake")
+    data = os.path.join(lake, "data")
+    ev = load(spark, SF, "events")
+    # interleaved layout: every file spans ~the full event_id range
+    ev.repartition(8).write.mode("overwrite").parquet(data)
+
+    build_zone_maps(spark, lake, ["event_id"])
+    unpruned = read_zone_pruned(spark, lake, "event_id", 100, 299)
+    n_total = len([f for _, _, fs in os.walk(data) for f in fs if f.endswith(".parquet")])
+    assert unpruned.select(F.input_file_name()).distinct().count() == n_total  # nothing skippable
+
+    before = sorted(map(tuple, spark.read.parquet(data).collect()))
+    swept = compact_lake(spark, lake, target_file_bytes=4 << 10, cluster_col="event_id")
+    assert swept, "compaction visited no partitions"
+    assert sorted(map(tuple, spark.read.parquet(data).collect())) == before  # content parity
+
+    build_zone_maps(spark, lake, ["event_id"])
+    pruned = read_zone_pruned(spark, lake, "event_id", 100, 299)
+    want = ev.filter(F.col("event_id").between(100, 299)).count()
+    assert pruned.count() == want
+    n_files = len([f for _, _, fs in os.walk(data) for f in fs if f.endswith(".parquet")])
+    n_opened = pruned.select(F.input_file_name()).distinct().count()
+    assert n_files > 1 and n_opened < n_files, (n_opened, n_files)
