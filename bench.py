@@ -61,6 +61,10 @@ HEADLINE = [
     "d32_gap_fill",
     "d29_interval_overlap_join",
     "b04b_bloom_first_seen",
+    "g30_bm25_score",
+    "g31_bigram_logprob",
+    "g32_setsim_prefix_join",
+    "g33_hard_negatives",
 ]
 
 
