@@ -1509,3 +1509,43 @@ def g33_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     g03e: O(n*B) candidate rows, one window, one semi join — never an
     n^2 shuffle (operators/similarity.py:hard_negative_mining)."""
     return hard_negative_mining(load(spark, sf_dir, "embeddings"), pos_threshold=0.4)
+
+
+@register(
+    "g34_source_datacard",
+    oracle="""
+        SELECT source,
+               count(*) AS n_docs,
+               count(DISTINCT lang) AS n_langs,
+               round(avg(n_chars), 2) AS avg_chars,
+               round(avg(CASE WHEN n_chars < 200 THEN 1.0 ELSE 0.0 END), 4)
+                   AS short_frac,
+               round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+                     / count(*), 4) AS dup_rate
+        FROM documents GROUP BY source
+    """,
+)
+def g34_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G22+: per-source dataset-card statistics — the summary block a
+    data card / crawl audit publishes per ingest source (volume, language
+    spread, length profile, exact-duplicate rate). One aggregate pass;
+    the duplicate rate counts DISTINCT text via md5 fingerprints so the
+    distinct-aggregation state and shuffle carry 16-byte hashes, never
+    document bodies — the same text-never-shuffles discipline as the
+    dedup family (collision odds ~n^2/2^128, irrelevant at any corpus
+    size)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(
+            F.avg(F.when(F.col("n_chars") < 200, F.lit(1.0)).otherwise(F.lit(0.0))),
+            4,
+        ).alias("short_frac"),
+        F.round(
+            F.lit(1.0)
+            - F.count_distinct(F.md5("text")).cast("double") / F.count("*"),
+            4,
+        ).alias("dup_rate"),
+    )

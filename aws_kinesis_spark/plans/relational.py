@@ -1049,3 +1049,44 @@ def d32_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
         F.last("sv", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@register(
+    "d33_histogram",
+    oracle="""
+        WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+                   FROM orders)
+        SELECT CAST(least(floor((o_totalprice - lo) * 10 / (hi - lo)), 9)
+                    AS BIGINT) AS bucket,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders CROSS JOIN b
+        GROUP BY 1
+    """,
+)
+def d33_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8+ profiling: equi-width histogram with IN-PLAN bounds — the
+    EDA/monitoring primitive behind data-drift dashboards. The min/max
+    bounds fold in as one broadcast scalar row (no driver round-trip, no
+    two-pass collect-then-requery); the bucket id is a pure IEEE
+    expression (floor((x-lo)*n/(hi-lo)), clamped so the max lands in the
+    top bucket) written identically in both engines, and the aggregate
+    carries map-side partials — shuffle traffic is O(buckets)."""
+    o = load(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo")) * 10 / (F.col("hi") - F.col("lo"))
+        ),
+        F.lit(9),
+    ).cast("bigint")
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
