@@ -484,7 +484,68 @@ def compact_lake_partition(
     os.replace(part_dir, trash)
     os.replace(tmp, part_dir)
     shutil.rmtree(trash, ignore_errors=True)
-    return (len(files), len(_list_parquet_files(part_dir)))
+    new_files = _list_parquet_files(part_dir)
+    _remap_partition_in_manifests(lake_dir, part_dir, new_files)
+    _invalidate_zone_maps(lake_dir)
+    return (len(files), len(new_files))
+
+
+def _invalidate_zone_maps(lake_dir: str) -> None:
+    """Any file rewrite makes committed zone maps point at dead paths —
+    drop them so reads degrade to a correct full scan (read_zone_pruned's
+    no-stats fallback) instead of failing; maintenance rebuilds with
+    build_zone_maps after the sweep."""
+    shutil.rmtree(os.path.join(lake_dir, "_zonemaps"), ignore_errors=True)
+
+
+def _remap_partition_in_manifests(
+    lake_dir: str, part_dir: str, new_files: list[str], rows_changed: bool = False
+) -> int:
+    """Keep manifests truthful through a partition rewrite.
+
+    Manifests list exact file URLs (README.md:295-303); a compaction /
+    delete-materialization swap replaces a leaf's files, so any manifest
+    still naming the old files would (a) break manifest readers and
+    (b) make vacuum_orphans DELETE the new files as unreferenced — a
+    data-loss composition. Leaf dirs are batch-scoped
+    (``data/batch=<id>/…``), so exactly one manifest references a leaf:
+    its dead entries are replaced by the new file set via the same atomic
+    tmp-then-rename rewrite as retention expiry. ``recordCount`` is kept
+    for a pure re-pack (rows unchanged) and set to -1 (unknown) when the
+    caller rewrote rows (delete materialization), matching the expiry
+    convention. Returns manifests rewritten."""
+    manifest_dir = os.path.join(lake_dir, "_manifests")
+    if not os.path.isdir(manifest_dir):
+        return 0
+    part_real = os.path.realpath(part_dir)
+    n_rewritten = 0
+    for name in sorted(os.listdir(manifest_dir)):
+        if not name.startswith("manifest-") or not name.endswith(".json"):
+            continue
+        path = os.path.join(manifest_dir, name)
+        with open(path) as fh:
+            payload = json.load(fh)
+        kept, dropped = [], 0
+        for e in payload["entries"]:
+            if os.path.realpath(e["url"]).startswith(part_real + os.sep):
+                dropped += 1
+            else:
+                kept.append(e)
+        if not dropped:
+            continue
+        kept.extend({"url": f} for f in new_files)
+        payload["entries"] = kept
+        if rows_changed:
+            payload["recordCount"] = -1  # unknown post-delete, expiry convention
+        payload["totalBytes"] = sum(
+            os.path.getsize(e["url"]) for e in kept if os.path.exists(e["url"])
+        )
+        fd, tmp = tempfile.mkstemp(dir=manifest_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        os.replace(tmp, path)
+        n_rewritten += 1
+    return n_rewritten
 
 
 # --------------------------------------------------------------------------
@@ -595,7 +656,12 @@ def materialize_deletes(
         os.replace(dirpath, trash)
         os.replace(tmp, dirpath)
         shutil.rmtree(trash, ignore_errors=True)
+        _remap_partition_in_manifests(
+            lake_dir, dirpath, _list_parquet_files(dirpath), rows_changed=True
+        )
         n_parts += 1
+    if n_parts:
+        _invalidate_zone_maps(lake_dir)
     for v in vecs:
         shutil.rmtree(v, ignore_errors=True)
     return n_parts

@@ -612,3 +612,46 @@ def test_clustered_compaction_enables_zone_pruning(spark, tmp_path):
     n_files = len([f for _, _, fs in os.walk(data) for f in fs if f.endswith(".parquet")])
     n_opened = pruned.select(F.input_file_name()).distinct().count()
     assert n_files > 1 and n_opened < n_files, (n_opened, n_files)
+
+
+def test_compaction_keeps_manifests_truthful_and_vacuum_safe(spark, envelope, tmp_path):
+    """Composition safety (A14+A18+A19): a partition rewrite must remap
+    the owning manifest's entries to the new files — otherwise manifest
+    readers break and vacuum_orphans would DELETE the freshly-compacted
+    data as unreferenced."""
+    from aws_kinesis_spark.sources.lake import (
+        compact_lake,
+        materialize_deletes,
+        read_via_manifest,
+        run_lake_batch,
+        vacuum_orphans,
+        write_delete_vector,
+    )
+
+    lake = str(tmp_path / "lake")
+    for b in range(2):
+        run_lake_batch(envelope, lake, batch_id=b, raw_backup=False)
+    want0 = {r.id for r in read_via_manifest(spark, lake, 0).select("id").collect()}
+
+    swept = compact_lake(spark, lake, target_file_bytes=1 << 30, min_files=1)
+    assert swept, "compaction visited no partitions"
+
+    # manifest readers still work, per-batch content intact
+    got0 = {r.id for r in read_via_manifest(spark, lake, 0).select("id").collect()}
+    assert got0 == want0
+    # vacuum finds ZERO orphans — the new files are all referenced
+    stats = vacuum_orphans(lake)
+    assert stats.n_orphans == 0 and stats.n_kept > 0
+    assert {r.id for r in read_via_manifest(spark, lake, 0).select("id").collect()} == want0
+
+    # delete materialization: same contract, recordCount invalidated
+    doomed = sorted(want0)[:10]
+    write_delete_vector(
+        spark.createDataFrame([(k,) for k in doomed], "id long"),
+        lake, delete_id=1, key_col="id",
+    )
+    assert materialize_deletes(spark, lake, key_col="id") > 0
+    stats2 = vacuum_orphans(lake)
+    assert stats2.n_orphans == 0
+    got0b = {r.id for r in read_via_manifest(spark, lake, 0).select("id").collect()}
+    assert got0b == want0 - set(doomed)
