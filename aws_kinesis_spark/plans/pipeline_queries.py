@@ -1562,3 +1562,57 @@ def a20_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("id_min"),
         F.max("event_id").alias("id_max"),
     )
+
+
+@register(
+    "a21_write_audit_publish",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS id_sum
+        FROM orders
+        WHERE o_orderkey % 2 = 0
+        GROUP BY o_orderstatus
+    """,
+)
+def a21_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+ WRITE-AUDIT-PUBLISH (the Iceberg WAP workflow on this lake's
+    manifest protocol — the quality-gated completion of the reference's
+    ordered-two-PUT commit, README.md:413-430): a GOOD batch (even order
+    keys) and a BAD batch (odd keys collapsed mod 10 — duplicate ids,
+    violating the unique-key gate) are both staged; audits pass the good one and fail the bad
+    one; the good manifest publishes via one atomic rename, the bad batch
+    is dropped with its files. The manifest read — production's only
+    sanctioned read path — sees exactly the audited batch: parity with
+    the even-keys oracle proves the gate held and publish was
+    all-or-nothing."""
+    from aws_kinesis_spark.sources.lake import (
+        audit_staged_batch,
+        drop_staged_batch,
+        publish_staged_batch,
+        read_via_manifest,
+        stage_lake_batch,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    lake = os.path.join(_scratch("a21_wap"), "lake")
+    good = synthesize_envelope(o.filter(F.col("o_orderkey") % 2 == 0))
+    # bad batch: ids collapsed mod 10 -> massive duplication, fails the
+    # unique-key audit gate
+    bad = synthesize_envelope(
+        o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+            "o_orderkey", F.col("o_orderkey") % 10
+        )
+    )
+    stage_lake_batch(good, lake, batch_id=0, raw_backup=False)
+    stage_lake_batch(bad, lake, batch_id=1, raw_backup=False)
+    ok0 = audit_staged_batch(spark, lake, 0, not_null=["id"], unique_key="id")
+    ok1 = audit_staged_batch(spark, lake, 1, not_null=["id"], unique_key="id")
+    assert ok0.passed and not ok1.passed, (ok0, ok1)
+    publish_staged_batch(lake, 0)
+    drop_staged_batch(lake, 1)
+    back = read_via_manifest(spark, lake, 0)
+    return back.groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.sum("id").cast("bigint").alias("id_sum"),
+    )

@@ -167,7 +167,10 @@ def run_lake_batch(
     )
     batch_root = os.path.join(data_dir, f"batch={batch_id}")
     files = _list_parquet_files(batch_root)
-    n_ok = spark.read.parquet(batch_root).count()
+    # an all-error or empty flush writes no data files: commit an empty
+    # manifest (the batch HAPPENED, with zero ok records) instead of
+    # crashing on the missing batch dir
+    n_ok = spark.read.parquet(batch_root).count() if files else 0
 
     # DLQ branch (README.md:156, 383-384): quarantined raw envelopes
     n_error = bad.count()
@@ -252,9 +255,13 @@ def vacuum_orphans(lake_dir: str) -> VacuumStats:
     Driver-side O(files + manifest entries) metadata work, no Spark job —
     the same listing cost a flush already pays. Only ``data/`` is swept:
     errors/ and raw/ are intentionally manifest-less sinks."""
-    manifest_dir = os.path.join(lake_dir, "_manifests")
     referenced: set[str] = set()
-    if os.path.isdir(manifest_dir):
+    # staged (write-audit-publish) manifests count as references: a batch
+    # awaiting its audit is pending, not orphaned
+    for sub in ("_manifests", "_staged"):
+        manifest_dir = os.path.join(lake_dir, sub)
+        if not os.path.isdir(manifest_dir):
+            continue
         for name in sorted(os.listdir(manifest_dir)):
             if not name.endswith(".json"):
                 continue
@@ -729,3 +736,111 @@ def read_zone_pruned(spark: SparkSession, lake_dir: str, col: str, lo, hi) -> Da
     if not surviving:
         return spark.read.parquet(data_dir).filter(pred).limit(0)
     return spark.read.parquet(*surviving).filter(pred)
+
+
+# --------------------------------------------------------------------------
+# Write-Audit-Publish: staged commits gated by data-quality audits
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class AuditResult:
+    """Outcome of one staged-batch audit."""
+
+    batch_id: int
+    passed: bool
+    failures: list[str]
+
+
+def stage_lake_batch(
+    env: DataFrame,
+    lake_dir: str,
+    batch_id: int,
+    **kwargs,
+) -> FlushStats:
+    """WAP step 1 (the Iceberg write-audit-publish pattern realized on this
+    lake's manifest protocol, README.md:413-430): run the normal flush but
+    park the manifest under ``_staged/`` instead of ``_manifests/``. The
+    data files are durable, but manifest readers — the ONLY sanctioned
+    readers (README.md:429) — cannot see the batch, and vacuum_orphans
+    treats staged manifests as references (a staged batch is not an
+    orphan). Publishing is one atomic cross-dir rename; an abandoned stage
+    is dropped with its files."""
+    stats = run_lake_batch(env, lake_dir, batch_id=batch_id, **kwargs)
+    manifest_dir = os.path.join(lake_dir, "_manifests")
+    staged_dir = os.path.join(lake_dir, "_staged")
+    os.makedirs(staged_dir, exist_ok=True)
+    name = f"manifest-{batch_id:010d}.json"
+    os.replace(os.path.join(manifest_dir, name), os.path.join(staged_dir, name))
+    return stats
+
+
+def audit_staged_batch(
+    spark: SparkSession,
+    lake_dir: str,
+    batch_id: int,
+    min_rows: int = 1,
+    not_null: list[str] | None = None,
+    unique_key: str | None = None,
+) -> AuditResult:
+    """WAP step 2: data-quality gates over the STAGED files (read directly
+    from the staged manifest's entries — production readers still see
+    nothing). Checks: row count floor, NOT NULL columns, key uniqueness.
+    One Spark pass: a single aggregate computes every gate — O(audited
+    batch), never O(table)."""
+    name = f"manifest-{batch_id:010d}.json"
+    with open(os.path.join(lake_dir, "_staged", name)) as fh:
+        payload = json.load(fh)
+    files = [e["url"] for e in payload["entries"]]
+    failures: list[str] = []
+    if not files:
+        return AuditResult(batch_id, False, ["manifest lists no files"])
+    df = spark.read.parquet(*files)
+    aggs = [F.count("*").alias("__n")]
+    for c in not_null or []:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
+    if unique_key:
+        aggs.append(F.count_distinct(unique_key).alias("__distinct_key"))
+    row = df.agg(*aggs).first()
+    if row["__n"] < min_rows:
+        failures.append(f"row count {row['__n']} < {min_rows}")
+    for c in not_null or []:
+        if row[f"__nulls_{c}"]:
+            failures.append(f"column {c} has {row[f'__nulls_{c}']} NULLs")
+    if unique_key and row["__distinct_key"] != row["__n"]:
+        failures.append(
+            f"key {unique_key} not unique: {row['__distinct_key']} distinct of {row['__n']}"
+        )
+    return AuditResult(batch_id, not failures, failures)
+
+
+def publish_staged_batch(lake_dir: str, batch_id: int) -> str:
+    """WAP step 3: ONE atomic rename moves the manifest from ``_staged/``
+    to ``_manifests/`` — the instant the batch becomes visible to every
+    manifest reader (the same all-or-nothing moment as the reference's
+    PUT #2, README.md:429-430). No data moves; publish cost is O(1)
+    regardless of batch size."""
+    name = f"manifest-{batch_id:010d}.json"
+    src = os.path.join(lake_dir, "_staged", name)
+    dst = os.path.join(lake_dir, "_manifests", name)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    os.replace(src, dst)
+    return dst
+
+
+def drop_staged_batch(lake_dir: str, batch_id: int) -> int:
+    """WAP failure path: remove the staged manifest and every file it
+    listed (the batch never existed as far as any reader is concerned).
+    Returns files removed."""
+    name = f"manifest-{batch_id:010d}.json"
+    path = os.path.join(lake_dir, "_staged", name)
+    with open(path) as fh:
+        payload = json.load(fh)
+    n = 0
+    for e in payload["entries"]:
+        if os.path.exists(e["url"]):
+            os.remove(e["url"])
+            n += 1
+    os.remove(path)
+    purge_batch(lake_dir, batch_id)
+    return n

@@ -655,3 +655,41 @@ def test_compaction_keeps_manifests_truthful_and_vacuum_safe(spark, envelope, tm
     assert stats2.n_orphans == 0
     got0b = {r.id for r in read_via_manifest(spark, lake, 0).select("id").collect()}
     assert got0b == want0 - set(doomed)
+
+
+def test_write_audit_publish_gates_and_atomicity(spark, envelope, tmp_path):
+    """A21 WAP: staged batches are invisible to manifest readers and safe
+    from vacuum; publish is one rename; a dropped stage leaves no files."""
+    from aws_kinesis_spark.sources.lake import (
+        audit_staged_batch,
+        drop_staged_batch,
+        publish_staged_batch,
+        read_via_manifest,
+        stage_lake_batch,
+        vacuum_orphans,
+    )
+
+    lake = str(tmp_path / "lake")
+    stage_lake_batch(envelope, lake, batch_id=0, raw_backup=False)
+
+    # invisible: no published manifest yet
+    with pytest.raises(FileNotFoundError):
+        read_via_manifest(spark, lake, 0)
+    # staged files are NOT orphans
+    assert vacuum_orphans(lake).n_orphans == 0
+
+    res = audit_staged_batch(spark, lake, 0, not_null=["id"], unique_key="id")
+    assert res.passed, res.failures
+    publish_staged_batch(lake, 0)
+    n = read_via_manifest(spark, lake, 0).count()
+    assert n == envelope.count()
+
+    # failing stage: audit flags it, drop removes every staged file
+    stage_lake_batch(envelope.limit(0), lake, batch_id=1, raw_backup=False)
+    res1 = audit_staged_batch(spark, lake, 1, min_rows=1)
+    assert not res1.passed
+    drop_staged_batch(lake, 1)
+    assert not os.path.exists(os.path.join(lake, "data", "batch=1"))
+    assert not os.listdir(os.path.join(lake, "_staged"))
+    # published batch untouched by the drop
+    assert read_via_manifest(spark, lake, 0).count() == n
