@@ -208,6 +208,7 @@ def scd2_history(
     seq_col: str,
     op_col: str = "op",
     delete_op: str = "D",
+    keep_deletes: bool = False,
 ) -> DataFrame:
     """Slowly-changing-dimension TYPE 2 from the same CDC changelog
     apply_cdc collapses to type 1: every non-delete event opens a version
@@ -223,9 +224,49 @@ def scd2_history(
     version chain is deterministic across runs."""
     w = Window.partitionBy(*keys).orderBy(F.asc(seq_col), F.asc(op_col))
     nxt = F.lead(seq_col).over(w)
-    return (
+    out = (
         cdc.withColumn("__valid_from", F.col(seq_col))
         .withColumn("__valid_to", nxt)
         .withColumn("__is_current", nxt.isNull())
-        .filter(F.col(op_col) != delete_op)
     )
+    if keep_deletes:
+        # tombstones retained: each version row then doubles as its
+        # originating CDC event, which is what lets scd2_merge_increment
+        # rebuild chains from state alone
+        return out
+    return out.filter(F.col(op_col) != delete_op)
+
+
+def scd2_merge_increment(
+    versions: DataFrame | None,
+    batch: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """ORDER-INDEPENDENT incremental SCD2: merge one CDC micro-batch into a
+    versioned dimension (with tombstones — build with keep_deletes=True).
+
+    Because every version row retains its originating event (seq_col ==
+    __valid_from, delete tombstones kept), the chain for each TOUCHED key
+    is rebuilt from the exact event set (prior events ∪ batch events,
+    de-duplicated on key+seq+op so a replayed batch is a no-op): correct
+    under ANY cross-batch arrival order — a late event reopens or splits
+    an existing interval naturally, which cursor-style merges get wrong.
+    Untouched keys pass through without a rewrite of their chains.
+
+    Scale: one semi/anti join pair on the touched-key set plus one window
+    over (versions of touched keys + batch) — O(delta × chain depth) per
+    batch, never O(dimension). The public view filters tombstones."""
+    vcols = ["__valid_from", "__valid_to", "__is_current"]
+    klist = list(keys)
+    if versions is None:
+        src = batch.dropDuplicates(klist + [seq_col, op_col])
+        return scd2_history(src, keys, seq_col, op_col, delete_op, keep_deletes=True)
+    touched = batch.select(*klist).distinct()
+    untouched = versions.join(touched, klist, "left_anti")
+    prior_events = versions.join(touched, klist, "left_semi").drop(*vcols)
+    src = prior_events.unionByName(batch).dropDuplicates(klist + [seq_col, op_col])
+    rebuilt = scd2_history(src, keys, seq_col, op_col, delete_op, keep_deletes=True)
+    return untouched.unionByName(rebuilt)

@@ -767,3 +767,79 @@ def e13_stream_reshard_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("id").alias("max_id"),
         )
     )
+
+
+@register(
+    "o08_stream_scd2",
+    oracle="""
+        WITH cdc AS (
+            SELECT o_orderkey AS id, o_orderstatus AS status,
+                   CASE o_orderkey % 3 WHEN 0 THEN 'I' WHEN 1 THEN 'U' ELSE 'D' END AS op,
+                   CAST(CAST('100000000000000000000000000000' AS DECIMAL(38,0))
+                        + o_orderkey AS DECIMAL(38,0)) AS seq
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'U2', 'U',
+                   CAST(CAST('100000000000000000000000000000' AS DECIMAL(38,0))
+                        + 1000000000 + o_orderkey AS DECIMAL(38,0))
+            FROM orders WHERE o_orderkey % 5 = 0
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, 'D',
+                   CAST(CAST('100000000000000000000000000000' AS DECIMAL(38,0))
+                        + 2000000000 + o_orderkey AS DECIMAL(38,0))
+            FROM orders WHERE o_orderkey % 10 = 0
+        ),
+        versioned AS (
+            SELECT id, status, op,
+                   CAST(seq AS VARCHAR) AS valid_from,
+                   CAST(lead(seq) OVER (PARTITION BY id ORDER BY seq) AS VARCHAR)
+                       AS valid_to,
+                   lead(seq) OVER (PARTITION BY id ORDER BY seq) IS NULL AS is_current
+            FROM cdc
+        )
+        SELECT id, status, valid_from, valid_to, is_current
+        FROM versioned WHERE op <> 'D'
+    """,
+)
+def o08_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 maintained INCREMENTALLY over the real stream: the three
+    producer epochs (initial ops, update wave, delete wave) arrive as
+    file micro-batches in ARBITRARY order relative to epochs, and
+    start_scd2_maintenance folds each into the versioned dimension by
+    rebuilding only the touched keys' chains from their exact event sets
+    (streaming/pipeline.py, operators/upsert.py:scd2_merge_increment).
+    Parity with o05's whole-log oracle is the order-independence proof:
+    the incrementally-maintained table equals the batch recompute."""
+    from aws_kinesis_spark.streaming.pipeline import (
+        read_warehouse_table,
+        start_scd2_maintenance,
+    )
+
+    root = _tmp("o08")
+    inp = os.path.join(root, "input")
+    o = load(spark, sf_dir, "orders")
+    synthesize_envelope(o, epoch=0).repartition(2).write.mode("overwrite").parquet(inp)
+    synthesize_envelope(
+        o.filter(F.col("o_orderkey") % 5 == 0).withColumn("o_orderstatus", F.lit("U2")),
+        epoch=1,
+        force_op="U",
+    ).repartition(2).write.mode("append").parquet(inp)
+    synthesize_envelope(
+        o.filter(F.col("o_orderkey") % 10 == 0), epoch=2, force_op="D"
+    ).repartition(2).write.mode("append").parquet(inp)
+
+    table_dir = os.path.join(root, "dim")
+    q = start_scd2_maintenance(
+        envelope_stream(spark, inp, max_files_per_trigger=2),
+        table_dir,
+        os.path.join(root, "ckpt"),
+    )
+    q.awaitTermination(300)
+    dim = read_warehouse_table(spark, table_dir)
+    return dim.filter(F.col("op") != "D").select(
+        "id",
+        "status",
+        F.col("__valid_from").cast("string").alias("valid_from"),
+        F.col("__valid_to").cast("string").alias("valid_to"),
+        F.col("__is_current").alias("is_current"),
+    )

@@ -50,10 +50,16 @@ ENVELOPE_SCHEMA = T.StructType(
 SEQ_BASE = "100000000000000000000000000000"
 
 
-def synthesize_envelope(orders: DataFrame, epoch: int = 0, status_col: str = "o_orderstatus") -> DataFrame:
+def synthesize_envelope(
+    orders: DataFrame,
+    epoch: int = 0,
+    status_col: str = "o_orderstatus",
+    force_op: str | None = None,
+) -> DataFrame:
     """Deterministic CDC envelope from ``orders`` (FIXTURES.md §2).
 
-    op is keyed off o_orderkey % 3 -> I/U/D; PartitionKey is the composite
+    op is keyed off o_orderkey % 3 -> I/U/D (or ``force_op`` for a whole
+    epoch — update/delete waves); PartitionKey is the composite
     ``schema-table-id`` key (README.md:47, 225); sequence numbers are
     30-digit decimals, monotone in (epoch, orderkey).
     """
@@ -64,9 +70,13 @@ def synthesize_envelope(orders: DataFrame, epoch: int = 0, status_col: str = "o_
                 F.col(status_col).alias("status"),
             ).alias("data"),
             F.struct(
-                F.element_at(
-                    F.array(F.lit("I"), F.lit("U"), F.lit("D")),
-                    (F.col("o_orderkey") % 3 + 1).cast("int"),
+                (
+                    F.lit(force_op)
+                    if force_op is not None
+                    else F.element_at(
+                        F.array(F.lit("I"), F.lit("U"), F.lit("D")),
+                        (F.col("o_orderkey") % 3 + 1).cast("int"),
+                    )
                 ).alias("op")
             ).alias("metadata"),
         )

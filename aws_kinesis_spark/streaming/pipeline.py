@@ -369,3 +369,60 @@ class ProgressRecorder:
 
     def close(self) -> None:
         self._spark.streams.removeListener(self._listener)
+
+
+def start_scd2_maintenance(
+    env_stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming SCD Type-2 dimension maintenance (the history-keeping
+    sibling of start_warehouse_upsert; README.md:167-168, 573-575): each
+    CDC micro-batch merges into a versioned-interval dimension via
+    scd2_merge_increment — per-key chains REBUILT from the exact event
+    set, so cross-batch arrival order (late or replayed events) cannot
+    corrupt the history. State layout is the versioned-dirs + atomic
+    `_CURRENT` pointer idiom (readers always see one complete version;
+    a replayed batch rewrites its own version idempotently).
+
+    Scale: per batch one touched-key semi/anti join + one window over
+    (touched chains + delta) — O(delta × chain depth); the untouched
+    dimension passes through. At warehouse scale the pass-through write
+    becomes a partition-scoped MERGE on a v2 catalog, same plan shape."""
+    import json as _json
+
+    from aws_kinesis_spark.operators.upsert import scd2_merge_increment
+
+    os.makedirs(table_dir, exist_ok=True)
+
+    def flush(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        decoded = (
+            decode_envelope(batch_df)
+            .filter(~F.col("_corrupt"))
+            .select("id", "status", "op", "sequence_number")
+        )
+        prev = [
+            int(d[1:])
+            for d in os.listdir(table_dir)
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id
+        ]
+        versions = (
+            spark.read.parquet(os.path.join(table_dir, f"v{max(prev)}"))
+            if prev
+            else None
+        )
+        merged = scd2_merge_increment(versions, decoded, ["id"], "sequence_number")
+        vdir = os.path.join(table_dir, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(vdir)
+        tmp = os.path.join(table_dir, f"._CURRENT.{batch_id}")
+        with open(tmp, "w") as fh:
+            _json.dump({"version": batch_id}, fh)
+        os.replace(tmp, os.path.join(table_dir, "_CURRENT"))
+
+    return (
+        env_stream.writeStream.foreachBatch(flush)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

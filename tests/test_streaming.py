@@ -1211,3 +1211,40 @@ def test_kinesis_sim_merge_shards_lineage(spark, tmp_path):
     parent_batches = [b for b, rids in batches for r in rids if r % M < K]
     child_batches = [b for b, rids in batches for r in rids if r % M >= K]
     assert max(parent_batches) < min(child_batches)  # both parents first
+
+
+def test_scd2_merge_increment_order_independent_and_replay_safe(spark):
+    """o08: folding the CDC log in ANY batch partitioning/order — including
+    a replayed batch — yields the identical SCD2 table as one batch
+    recompute (the event-set reconstruction guarantee)."""
+    from aws_kinesis_spark.operators.upsert import scd2_history, scd2_merge_increment
+
+    rows = [
+        # (id, status, op, seq) — multi-version keys, a delete, a reopen
+        (1, "a", "I", 10), (1, "b", "U", 20), (1, "b", "D", 30), (1, "c", "I", 40),
+        (2, "x", "I", 11), (2, "y", "U", 35),
+        (3, "q", "I", 12),
+    ]
+    cdc = spark.createDataFrame(rows, "id long, status string, op string, sequence_number long")
+    want = sorted(
+        map(tuple, scd2_history(cdc, ["id"], "sequence_number").collect())
+    )
+
+    splits = [
+        [rows],                      # single batch
+        [rows[:3], rows[3:]],        # split mid-chain
+        [rows[4:], rows[:4]],        # later events arrive FIRST
+        [[r] for r in reversed(rows)],  # one event per batch, fully reversed
+        [rows[:5], rows[3:], rows[:2]],  # overlapping replay of old events
+    ]
+    for split in splits:
+        versions = None
+        for batch_rows in split:
+            batch = spark.createDataFrame(
+                batch_rows, "id long, status string, op string, sequence_number long"
+            )
+            versions = scd2_merge_increment(versions, batch, ["id"], "sequence_number")
+        got = sorted(
+            map(tuple, versions.filter(F.col("op") != "D").collect())
+        )
+        assert got == want, split
