@@ -332,3 +332,50 @@ def test_setsim_prefix_join_matches_naive(spark_session, docs, threshold):
             if j >= threshold:
                 want[(ids[x], ids[y])] = round(j, 4)
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-1, max_value=1, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=3,
+        max_size=16,
+    ),
+    threshold=st.sampled_from([0.3, 0.6, 0.9]),
+)
+def test_hard_negatives_match_naive(spark_session, vecs, threshold):
+    """g33: the blocked masked top-1 equals a naive numpy all-pairs
+    reference — anchors (any positive >= t), each anchor's best strictly
+    below-threshold neighbor, ties broken by (sim desc, id asc)."""
+    import numpy as np
+
+    from aws_kinesis_spark.operators.similarity import hard_negative_mining
+
+    # drop near-zero vectors: cosine of a ~0-norm vector is numerically
+    # unstable in float32->float64 and not the property under test
+    vecs = [v for v in vecs if np.linalg.norm(v) > 1e-3]
+    if len(vecs) < 3:
+        return
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark_session.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.anchor_id: (r.negative_id, r.neg_sim)
+        for r in hard_negative_mining(df, pos_threshold=threshold, n_blocks=3).collect()
+    }
+
+    m = np.array(vecs, dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    cos = (m @ m.T) / np.outer(norms, norms)
+    np.fill_diagonal(cos, -np.inf)
+    want = {}
+    for i in range(len(vecs)):
+        if (cos[i] >= threshold).any():
+            below = [(s, j) for j, s in enumerate(cos[i]) if s < threshold and s > -np.inf]
+            if below:
+                s, j = max(below, key=lambda t: (t[0], -t[1]))
+                want[i] = (j, round(s, 4) + 0.0)
+    assert got == want
