@@ -782,6 +782,7 @@ def audit_staged_batch(
     min_rows: int = 1,
     not_null: list[str] | None = None,
     unique_key: str | None = None,
+    required_cols: dict[str, str] | None = None,
 ) -> AuditResult:
     """WAP step 2: data-quality gates over the STAGED files (read directly
     from the staged manifest's entries — production readers still see
@@ -796,6 +797,14 @@ def audit_staged_batch(
     if not files:
         return AuditResult(batch_id, False, ["manifest lists no files"])
     df = spark.read.parquet(*files)
+    for col, want_type in (required_cols or {}).items():
+        got = {f.name: f.dataType.simpleString() for f in df.schema.fields}.get(col)
+        if got is None:
+            failures.append(f"required column {col} missing")
+        elif got != want_type:
+            failures.append(f"column {col} is {got}, expected {want_type}")
+    if failures:
+        return AuditResult(batch_id, False, failures)
     aggs = [F.count("*").alias("__n")]
     for c in not_null or []:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))

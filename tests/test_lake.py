@@ -693,3 +693,20 @@ def test_write_audit_publish_gates_and_atomicity(spark, envelope, tmp_path):
     assert not os.listdir(os.path.join(lake, "_staged"))
     # published batch untouched by the drop
     assert read_via_manifest(spark, lake, 0).count() == n
+
+
+def test_wap_schema_gate_blocks_incompatible_producer(spark, envelope, tmp_path):
+    """A21+A15: the schema-compatibility audit fails a staged batch whose
+    producer dropped or retyped a required column, before any publish."""
+    from aws_kinesis_spark.sources.lake import audit_staged_batch, stage_lake_batch
+
+    lake = str(tmp_path / "lake")
+    stage_lake_batch(envelope, lake, batch_id=0, raw_backup=False)
+    ok = audit_staged_batch(
+        spark, lake, 0, required_cols={"id": "bigint", "status": "string"}
+    )
+    assert ok.passed, ok.failures
+    missing = audit_staged_batch(spark, lake, 0, required_cols={"price": "double"})
+    assert not missing.passed and "missing" in missing.failures[0]
+    retyped = audit_staged_batch(spark, lake, 0, required_cols={"id": "string"})
+    assert not retyped.passed and "expected string" in retyped.failures[0]
