@@ -1248,3 +1248,71 @@ def test_scd2_merge_increment_order_independent_and_replay_safe(spark):
             map(tuple, versions.filter(F.col("op") != "D").collect())
         )
         assert got == want, split
+
+
+def test_scd2_maintenance_survives_crash_and_resume(spark, tmp_path):
+    """O8+B6: the SCD2 maintainer crashes after writing a version but
+    before the engine commits the offset; on restart the replayed batch
+    rewrites its own version idempotently and the final dimension equals
+    the batch recompute over the whole log."""
+    from aws_kinesis_spark.operators.upsert import scd2_history
+    from aws_kinesis_spark.sources.envelope import decode_envelope
+    from aws_kinesis_spark.streaming.pipeline import (
+        envelope_stream,
+        read_warehouse_table,
+        start_scd2_maintenance,
+    )
+
+    inp = str(tmp_path / "input")
+    o = load(spark, SF, "orders").limit(600)
+    env0 = synthesize_envelope(o, epoch=0)
+    env1 = synthesize_envelope(
+        o.filter(F.col("o_orderkey") % 5 == 0).withColumn("o_orderstatus", F.lit("U2")),
+        epoch=1,
+        force_op="U",
+    )
+    env0.repartition(2).write.mode("overwrite").parquet(inp)
+    env1.repartition(2).write.mode("append").parquet(inp)
+
+    table_dir = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = start_scd2_maintenance(
+        envelope_stream(spark, inp, max_files_per_trigger=1), table_dir, ckpt
+    )
+    # let it run one batch, then hard-stop mid-stream (uncommitted offsets
+    # possible) — the idempotent version rewrite is the recovery guarantee
+    import time as _time
+
+    _time.sleep(3)
+    q.stop()
+    q.awaitTermination(60)
+
+    q2 = start_scd2_maintenance(
+        envelope_stream(spark, inp, max_files_per_trigger=1), table_dir, ckpt
+    )
+    q2.awaitTermination(300)
+
+    dim = read_warehouse_table(spark, table_dir)
+    got = sorted(
+        map(
+            tuple,
+            dim.filter(F.col("op") != "D")
+            .select("id", "status", "__valid_from", "__valid_to", "__is_current")
+            .collect(),
+        )
+    )
+    cdc = (
+        decode_envelope(env0)
+        .unionByName(decode_envelope(env1).withColumn("op", F.lit("U")))
+        .select("id", "status", "op", "sequence_number")
+    )
+    want = sorted(
+        map(
+            tuple,
+            scd2_history(cdc, ["id"], "sequence_number")
+            .select("id", "status", "__valid_from", "__valid_to", "__is_current")
+            .collect(),
+        )
+    )
+    assert got == want
