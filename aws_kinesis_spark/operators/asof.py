@@ -22,11 +22,19 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     suffix: str = "_right",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right_ts <= left_ts`` sharing the ``by`` keys (inclusive, like DuckDB's
     ASOF JOIN ``>=``). Right-side ties on timestamp resolve to the row that
     sorts last by ``value_cols[0]``.
+
+    ``tolerance`` (an SQL interval string, e.g. ``"2 hours"``) bounds the
+    match's staleness: a carried right row older than ``left_ts -
+    tolerance`` is rejected and the value columns come back NULL — the
+    kdb/pandas ``merge_asof(tolerance=...)`` semantics. Implemented as a
+    post-window predicate on the carried match timestamp, so the plan
+    shape (one key shuffle + one sort, no range join) is unchanged.
 
     Returns all left columns plus ``{c}{suffix}`` for each value col.
 
@@ -45,7 +53,8 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         F.struct(
-            *[F.col(c).alias(o) for c, o in zip(value_cols, out_cols)]
+            F.col(right_ts).alias("__matched_ts"),
+            *[F.col(c).alias(o) for c, o in zip(value_cols, out_cols)],
         ).alias("__vals"),
     )
     left_cols = left.columns
@@ -77,7 +86,15 @@ def asof_join(
         F.last("__vals", ignorenulls=True).over(w).alias("__vals"),
         *[c for c in left_cols if c not in by],
     )
-    return filled.filter(F.col("__side") == 1).select(
+    out = filled.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        fresh = F.col("__vals.__matched_ts") >= F.col("__ts") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        out = out.withColumn(
+            "__vals", F.when(fresh, F.col("__vals")).otherwise(F.lit(None))
+        )
+    return out.select(
         *by,
         F.col("__ts").alias(left_ts),
         *[c for c in left_cols if c not in by and c != left_ts],

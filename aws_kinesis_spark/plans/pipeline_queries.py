@@ -1616,3 +1616,49 @@ def a21_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("id").cast("bigint").alias("id_sum"),
     )
+
+
+@register(
+    "d34_asof_tolerance",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.ts,
+               CASE WHEN p.ts >= e.ts - INTERVAL 2 HOUR
+                    THEN p.event_id END AS prior_event_id,
+               CASE WHEN p.ts >= e.ts - INTERVAL 2 HOUR
+                    THEN round(p.value, 4) END AS prior_value
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def d34_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D15 with a STALENESS BOUND (kdb wj / pandas merge_asof(tolerance)):
+    the most recent prior purchase counts only if it happened within 2
+    hours of the error — older carries reject to NULL. Same union+LOCF
+    plan as d15 (one key shuffle + one sort, no range join); the bound is
+    a post-window predicate on the carried match timestamp
+    (operators/asof.py:asof_join(tolerance=...))."""
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("pe_id"), F.round("value", 4).alias("pv")
+    )
+    joined = asof_join(
+        errors,
+        purchases,
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["pe_id", "pv"],
+        suffix="",
+        tolerance="2 hours",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("pe_id").alias("prior_event_id"),
+        F.col("pv").alias("prior_value"),
+    )
