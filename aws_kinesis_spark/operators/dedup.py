@@ -900,3 +900,50 @@ def setsim_prefix_join(
     return verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
+
+
+def band_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, bh) LSH band-bucket rows for a document set — the unit a
+    STANDING dedup index persists (g20/g35): MB-scale per million docs
+    (three longs/row), text never stored in the index. Docs shorter than
+    one shingle emit no rows (they cannot near-dup anything)."""
+    docs = docs.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n)
+    sets = _checkpointed_shingle_sets(docs, text_col, id_col, shingle_n)
+    sigs = _signatures_from_shingle_sets(sets, id_col, num_hashes)
+    r = num_hashes // bands
+    band_arr = F.array(
+        *[F.xxhash64(*[f"h{b * r + j}" for j in range(r)]) for b in range(bands)]
+    )
+    return sigs.select(id_col, F.posexplode(band_arr).alias("band", "bh"))
+
+
+def verify_pairs_against_texts(
+    pairs: DataFrame,
+    texts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact-Jaccard verify for candidate (id_a, id_b) pairs when only the
+    TEXT table is at hand (the standing-index case: the index holds band
+    rows, not shingle sets). Shingles are recomputed for exactly the ids
+    that appear in candidates — O(candidates), never O(corpus)."""
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    needed = texts.join(ids, id_col, "left_semi")
+    sets = _checkpointed_shingle_sets(needed, text_col, id_col, shingle_n)
+    verified = _exact_jaccard_on_pairs(pairs, sets, id_col)
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )

@@ -843,3 +843,66 @@ def o08_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__valid_to").cast("string").alias("valid_to"),
         F.col("__is_current").alias("is_current"),
     )
+
+
+@register(
+    "g35_stream_dedup_ingest",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        ),
+        sh AS (SELECT doc_id,
+                      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                     for i in range(1, len(w) - 1)]) AS s
+               FROM toks),
+        dropped AS (
+            SELECT DISTINCT b.doc_id
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+        )
+        SELECT d.doc_id, d.source, d.lang
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+    """,
+)
+def g35_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2/G20 made CONTINUOUS: near-dup dedup AT INGEST — the document
+    stream lands with kept/dropped verdicts against a standing LSH band
+    index that grows with the corpus (streaming/pipeline.py:
+    start_dedup_ingest). Files arrive in doc_id order (one per trigger),
+    so first-occurrence-wins is deterministic; parity with the all-pairs
+    oracle (a doc survives iff NO smaller-id near-dup exists anywhere)
+    proves the standing index reaches full recall batch after batch.
+    Per batch the corpus is never re-signed: O(batch + candidates)."""
+    from aws_kinesis_spark.streaming.pipeline import start_dedup_ingest
+
+    root = _tmp("g35")
+    inp = os.path.join(root, "input")
+    d = load(spark, sf_dir, "documents")
+    hi = d.agg(F.max("doc_id").alias("m")).first()["m"] + 1
+    bounds = [0, hi // 4, hi // 2, 3 * hi // 4, hi]
+    for i, (lo, up) in enumerate(zip(bounds, bounds[1:])):
+        (
+            d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < up))
+            .repartition(1)
+            .write.mode("append")
+            .parquet(inp)
+        )
+        # pin strictly increasing mtimes: the file source processes
+        # oldest-first, making arrival order = id order deterministically
+        for f in sorted(os.listdir(inp)):
+            path = os.path.join(inp, f)
+            if f.endswith(".parquet") and os.path.getmtime(path) > i * 1000:
+                os.utime(path, (i * 1000, i * 1000))
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    idx = os.path.join(root, "index")
+    q = start_dedup_ingest(stream, idx, os.path.join(root, "ckpt"))
+    q.awaitTermination(300)
+    corpus = spark.read.parquet(os.path.join(idx, "corpus"))
+    return corpus.filter(F.col("kept")).select("doc_id", "source", "lang")

@@ -426,3 +426,93 @@ def start_scd2_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_dedup_ingest(
+    doc_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.7,
+) -> StreamingQuery:
+    """NEAR-DUP DEDUP AT INGEST (g35): each micro-batch of documents is
+    checked against a STANDING LSH band index of everything seen so far
+    (plus its own smaller-id members) and landed with a kept/dropped
+    verdict — the g02 banding made continuous, the shape a crawl pipeline
+    actually runs. Semantics are first-occurrence-wins and
+    batching-independent: doc i is dropped iff some j < i with
+    jaccard(i, j) >= threshold was ingested at or before i's batch.
+
+    Per batch: band rows for the BATCH only (the standing corpus is never
+    re-signed), candidates from one equi-join of batch bands against
+    (standing ∪ batch) bands, exact-Jaccard verify re-shingles only the
+    candidate ids' texts — O(batch + candidates), never O(corpus).
+    State: ``bands/batch=N`` (three longs/row) + ``corpus/batch=N``
+    (docs + kept flag), both overwrite-idempotent per batch id, so a
+    replayed micro-batch converges to the same verdicts."""
+    from aws_kinesis_spark.operators.dedup import (
+        band_rows,
+        verify_pairs_against_texts,
+    )
+
+    bands_dir = os.path.join(index_dir, "bands")
+    corpus_dir = os.path.join(index_dir, "corpus")
+    os.makedirs(bands_dir, exist_ok=True)
+    os.makedirs(corpus_dir, exist_ok=True)
+
+    def flush(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        docs = batch_df.localCheckpoint(eager=True)
+        bb = band_rows(docs).localCheckpoint(eager=True)
+        prior = [
+            d for d in os.listdir(bands_dir)
+            if d.startswith("batch=") and int(d.split("=")[1]) < batch_id
+        ]
+        if prior:
+            standing = spark.read.parquet(*[os.path.join(bands_dir, d) for d in prior])
+            all_bands = standing.unionByName(bb)
+        else:
+            all_bands = bb
+        n, m = bb.alias("n"), all_bands.alias("m")
+        cand = (
+            n.join(
+                m,
+                (F.col("n.band") == F.col("m.band"))
+                & (F.col("n.bh") == F.col("m.bh"))
+                & (F.col("m.doc_id") < F.col("n.doc_id")),
+            )
+            .select(
+                F.col("m.doc_id").alias("id_a"), F.col("n.doc_id").alias("id_b")
+            )
+            .distinct()
+        )
+        prior_corpus = [
+            d for d in os.listdir(corpus_dir)
+            if d.startswith("batch=") and int(d.split("=")[1]) < batch_id
+        ]
+        texts = docs.select("doc_id", "text")
+        if prior_corpus:
+            texts = texts.unionByName(
+                spark.read.parquet(
+                    *[os.path.join(corpus_dir, d) for d in prior_corpus]
+                ).select("doc_id", "text")
+            )
+        dropped = (
+            verify_pairs_against_texts(cand, texts, threshold=threshold)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        verdict = docs.join(dropped, "doc_id", "left_anti").select("doc_id").withColumn(
+            "kept", F.lit(True)
+        )
+        out = docs.join(verdict, "doc_id", "left").fillna(False, subset=["kept"])
+        out.write.mode("overwrite").parquet(
+            os.path.join(corpus_dir, f"batch={batch_id}")
+        )
+        bb.write.mode("overwrite").parquet(os.path.join(bands_dir, f"batch={batch_id}"))
+
+    return (
+        doc_stream.writeStream.foreachBatch(flush)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
