@@ -1549,3 +1549,65 @@ def g34_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dup_rate"),
     )
+
+
+@register(
+    "g36_token_budget_sample",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        per_src AS (
+            SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS toks,
+                   CAST(sum(sum(n_tokens)) OVER () AS DOUBLE) * 0.5
+                       / count(*) OVER () AS share
+            FROM tok GROUP BY source
+        ),
+        rates AS (
+            SELECT source, least(toks, share) / toks AS keep_f FROM per_src
+        )
+        SELECT t.doc_id, t.source, t.n_tokens, round(r.keep_f, 6) AS keep_f
+        FROM tok t JOIN rates r USING (source)
+        WHERE CAST((t.doc_id * 2654435761) % 1000000 AS DOUBLE) / 1000000.0
+              < r.keep_f
+    """,
+)
+def g36_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampling family completed for TOKEN BUDGETS: given a corpus
+    budget (half the corpus here) split fairly across sources, each
+    source keeps min(its tokens, fair share) — sources under their share
+    keep everything, head sources downsample to the share (single-round
+    water-filling; unspent small-source budget intentionally not
+    redistributed — deterministic and one aggregate pass). Rates derive
+    IN-PLAN (per-source token sums + two window functions on the |sources|-
+    row aggregate), the keep decision is the same Knuth-hash variate as
+    g24 — engine-reproducible, seedless, map-only after one broadcast
+    join. This is the knob a pretraining run actually sets: tokens, not
+    document counts (g12/g24/g29 sample by row, weight, and temperature)."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tok = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    per_src = tok.groupBy("source").agg(
+        F.sum("n_tokens").cast("double").alias("toks")
+    )
+    w = Window.partitionBy()
+    per_src = per_src.select(
+        "source",
+        "toks",
+        (F.sum("toks").over(w) * 0.5 / F.count("*").over(w)).alias("share"),
+    )
+    rates = per_src.select(
+        "source", (F.least("toks", "share") / F.col("toks")).alias("keep_f")
+    )
+    variate = ((F.col("doc_id") * F.lit(2654435761)) % 1000000).cast(
+        "double"
+    ) / 1000000.0
+    return (
+        tok.join(F.broadcast(rates), "source")
+        .filter(variate < F.col("keep_f"))
+        .select("doc_id", "source", "n_tokens", F.round("keep_f", 6).alias("keep_f"))
+    )
