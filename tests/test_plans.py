@@ -459,3 +459,29 @@ def test_setsim_prefix_join_shuffles_prefix_only(spark):
     assert "row_number" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_histogram_bounds_fold_in_as_broadcast(spark):
+    """D33: the min/max bounds must reach the bucket expression through a
+    broadcast (no driver round-trip, no second scan pass materialized by
+    the driver), and the aggregate must carry map-side partials."""
+    plan = _plan(queries()["d33_histogram"](spark, SF))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_datacard_is_single_aggregate_pass(spark):
+    """G34: one scan, one aggregate — no join, no self-union; the
+    distinct-text state keys on md5 hashes (present in the plan), not
+    raw text."""
+    plan = _plan(queries()["g34_source_datacard"](spark, SF))
+    assert "Join" not in plan
+    assert "md5" in plan
+
+
+def test_token_budget_rates_broadcast_back(spark):
+    """G36: the |sources|-row rate table joins back by broadcast; the
+    document stream itself never shuffles for the keep decision."""
+    plan = _plan(queries()["g36_token_budget_sample"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
