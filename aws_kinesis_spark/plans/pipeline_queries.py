@@ -1662,3 +1662,54 @@ def d34_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pe_id").alias("prior_event_id"),
         F.col("pv").alias("prior_value"),
     )
+
+
+@register(
+    "a22_manifest_integrity",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS id_sum
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def a22_manifest_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+ storage-rot detection: the manifest's byte totals and record
+    counts (README.md:295-303, 516-523) let a consumer CERTIFY a batch
+    before trusting it. A committed batch validates clean; truncating one
+    data file flips the check to failed (byte-sum mismatch) without any
+    reader crashing; restoring the file (idempotent batch replay) heals
+    it. The returned aggregate reads the certified batch through the
+    manifest — parity with the oracle proves the healed lake is
+    byte-identical to the source (`sources/lake.py:validate_manifest`)."""
+    from aws_kinesis_spark.sources.lake import (
+        read_manifest,
+        read_via_manifest,
+        run_lake_batch,
+        validate_manifest,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    lake = os.path.join(_scratch("a22_integrity"), "lake")
+    run_lake_batch(synthesize_envelope(o), lake, batch_id=0, raw_backup=False)
+    ok = validate_manifest(lake, 0, spark)
+    assert ok.passed, ok.failures
+
+    # storage rot: truncate one committed file
+    victim = read_manifest(lake, 0)["entries"][0]["url"]
+    original = open(victim, "rb").read()
+    with open(victim, "wb") as fh:
+        fh.write(original[: len(original) // 2])
+    rotted = validate_manifest(lake, 0)
+    assert not rotted.passed and "byte sum" in rotted.failures[0]
+
+    # heal by idempotent replay, then certify and read
+    run_lake_batch(synthesize_envelope(o), lake, batch_id=0, raw_backup=False)
+    healed = validate_manifest(lake, 0, spark)
+    assert healed.passed, healed.failures
+    back = read_via_manifest(spark, lake, 0)
+    return back.groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.sum("id").cast("bigint").alias("id_sum"),
+    )

@@ -101,8 +101,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # After r6's rotation the never-driver-checked set is: the rows-only
 # queries (g02c, g03b, g03c, g07b, g18b — d10b has r1-r2 driver rows) and
 # the oracle-backed queries ADDED during round 6 itself — a17, a18, c14,
-# d31, d32, g27, g28, g29, o07, o08, a19, a20, a21, d33, d34, g30, g31, g32, g33, g34, g35, g36.
-# Round-7 rotation: swap those twenty-two in
+# d31, d32, g27, g28, g29, o07, o08, a19, a20, a21, d33, d34, g30, g31, g32, g33, g34, g35, g36, a22.
+# Round-7 rotation: swap those twenty-three in
 # (witnesses exist in-window for every slot family) plus rows-only slots
 # for the sketch/ANN queries. Queries outside the window still run in the
 # local differential suite (tests/test_differential.py) every CI pass;

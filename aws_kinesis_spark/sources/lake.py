@@ -853,3 +853,59 @@ def drop_staged_batch(lake_dir: str, batch_id: int) -> int:
     os.remove(path)
     purge_batch(lake_dir, batch_id)
     return n
+
+
+@dataclass
+class IntegrityResult:
+    """Outcome of one manifest-vs-storage integrity check."""
+
+    batch_id: int
+    passed: bool
+    failures: list[str]
+
+
+def validate_manifest(
+    lake_dir: str,
+    batch_id: int,
+    spark: SparkSession | None = None,
+) -> IntegrityResult:
+    """Integrity check of a committed batch against its manifest (the
+    consumer-side half of the reference's commit protocol, README.md:
+    291-303, 516-523 — the manifest records exact URLs, byte totals and
+    record counts precisely so a reader can detect storage rot before
+    trusting a batch): every listed file must exist, the on-disk byte sum
+    must equal ``totalBytes``, and — when a SparkSession is supplied and
+    the manifest's ``recordCount`` is not the -1 (unknown) sentinel a
+    delete-materialization writes — the actual row count must match.
+
+    Metadata checks are driver-side O(files-in-batch); the row-count
+    check is one column-pruned Spark count over just this batch's files.
+    Composes with WAP: run it post-publish as a storage audit, or point
+    it at a restored backup to certify a disaster-recovery copy."""
+    failures: list[str] = []
+    try:
+        payload = read_manifest(lake_dir, batch_id)
+    except FileNotFoundError:
+        return IntegrityResult(batch_id, False, ["manifest missing"])
+    files = [e["url"] for e in payload["entries"]]
+    missing = [f for f in files if not os.path.exists(f)]
+    if missing:
+        failures.append(f"{len(missing)} listed file(s) missing, e.g. {missing[0]}")
+    present = [f for f in files if os.path.exists(f)]
+    actual_bytes = sum(os.path.getsize(f) for f in present)
+    if not missing and actual_bytes != payload["totalBytes"]:
+        failures.append(
+            f"byte sum {actual_bytes} != manifest totalBytes {payload['totalBytes']}"
+        )
+    if (
+        spark is not None
+        and not missing
+        and files
+        and payload.get("recordCount", -1) != -1
+    ):
+        n = spark.read.parquet(*files).count()
+        if n != payload["recordCount"]:
+            failures.append(
+                f"row count {n} != manifest recordCount {payload['recordCount']}"
+            )
+    return IntegrityResult(batch_id, not failures, failures)

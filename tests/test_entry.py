@@ -68,7 +68,7 @@ def test_registry_counts_pinned():
 
     registry._ensure_loaded()
     assert len(registry.DRIVER_WINDOW) == 50
-    assert len(registry.REGISTRY) == 145, len(registry.REGISTRY)
+    assert len(registry.REGISTRY) == 146, len(registry.REGISTRY)
     assert len(set(registry.DRIVER_WINDOW)) == 50  # no duplicate slots
     # oracle-backed count: 5 queries are rows-only by nature (sketches /
     # ANN recall paths); everything else must carry a DuckDB twin
