@@ -703,13 +703,15 @@ def incremental_minhash_dedup(
     least one side in the NEW batch (``is_new`` column predicate) — the
     shape a daily-crawl ingest actually runs against a standing corpus.
 
-    Scale shape: the standing corpus's banded signature table is the
-    persistent index; per increment, only the NEW batch is shingled and
-    signed, and candidates come from an equi-join of the new batch's band
-    buckets against the full banded table — never a re-pairing of the
-    corpus with itself. The exact-Jaccard verify touches candidate pairs
-    only. At 100 TB the banded index is written once and each increment's
-    cost is proportional to the increment, not the corpus."""
+    Scale shape: candidates come from an equi-join of the new batch's
+    band buckets against the full banded table — never a re-pairing of
+    the corpus with itself — and the exact-Jaccard verify touches
+    candidate pairs only. This BATCH form recomputes the band table in
+    one pass per call (fine for a periodic job); the PERSISTED-index
+    realization, where the standing corpus is never re-signed and each
+    increment costs O(batch + candidates), is the streaming ingest path
+    (streaming/pipeline.py:start_dedup_ingest, g35) built from the same
+    band_rows/verify primitives."""
     docs = _spread(
         all_docs.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n)
     )
