@@ -123,10 +123,15 @@ def apply_cdc(
     One shuffle on the key; the window never materializes more than a
     partition's rows, so this scales linearly with key cardinality.
 
-    Ties on the sequence number (a producer that reuses one) are broken by
-    the op column so the winning row is identical across runs/partitions.
+    Ties on the sequence number (a producer that reuses one) resolve
+    DELETE-WINS: a tombstone sharing a sequence number with an update
+    beats it (the convention CDC consumers expect — discarding a
+    same-seq tombstone silently resurrects the key), then by op for a
+    total order that is identical across runs/partitions.
     """
-    w = Window.partitionBy(*keys).orderBy(F.desc(seq_col), F.desc(op_col))
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(seq_col), F.desc((F.col(op_col) == delete_op).cast("int")), F.desc(op_col)
+    )
     return (
         cdc.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -151,16 +156,18 @@ def net_changes(
     the increment: a delete marker becomes ``DELETE``, anything else an
     ``UPSERT`` carrying the final values. Keys untouched in the window emit
     nothing — downstream applies a bounded changeset instead of re-reading
-    the whole log (apply_cdc's full collapse). Sequence-number ties break
-    on the op column (same convention as apply_cdc) so the net row is
-    deterministic across runs.
+    the whole log (apply_cdc's full collapse). Sequence-number ties resolve
+    delete-wins, then by op (same convention as apply_cdc) so the net row
+    is deterministic across runs.
 
     Scale: the cursor predicate is a pushed-down range filter on the scan
     (sequence-sorted lake files prune whole splits), then one key shuffle
     over the increment only — cost proportional to the delta, never the
     retained log."""
     window_events = cdc.filter(F.col(seq_col) > F.lit(from_seq))
-    w = Window.partitionBy(*keys).orderBy(F.desc(seq_col), F.desc(op_col))
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(seq_col), F.desc((F.col(op_col) == delete_op).cast("int")), F.desc(op_col)
+    )
     return (
         window_events.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -219,10 +226,13 @@ def scd2_history(
 
     Same scale shape as apply_cdc: one shuffle on the key, one ordered
     window pass, linear in events. Columns added: __valid_from, __valid_to
-    (NULL = still open), __is_current. Sequence ties break on the op column
-    (ascending — the mirror of apply_cdc's descending convention) so the
-    version chain is deterministic across runs."""
-    w = Window.partitionBy(*keys).orderBy(F.asc(seq_col), F.asc(op_col))
+    (NULL = still open), __is_current. Sequence ties order the delete LAST
+    (the exact mirror of apply_cdc's delete-wins collapse: the tombstone
+    closes the same-seq update's version rather than being closed by it),
+    then by op — deterministic across runs."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.asc(seq_col), F.asc((F.col(op_col) == delete_op).cast("int")), F.asc(op_col)
+    )
     nxt = F.lead(seq_col).over(w)
     out = (
         cdc.withColumn("__valid_from", F.col(seq_col))

@@ -1349,7 +1349,9 @@ def a17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap AS (
             SELECT id, status, op, seq,
                    row_number() OVER (PARTITION BY id
-                                      ORDER BY seq DESC, op DESC) AS rn
+                                      ORDER BY seq DESC,
+                                               CASE WHEN op = 'D' THEN 1 ELSE 0 END DESC,
+                                               op DESC) AS rn
             FROM cdc WHERE seq <= (SELECT c FROM cursor)
         )
         SELECT id, status, op, CAST(seq AS VARCHAR) AS sequence_number
@@ -1457,9 +1459,11 @@ def a18_orphan_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_id=b,
             raw_backup=False,
         )
-    # crash simulation: batch 2's data landed but its manifest never did
+    # crash simulation: batch 2's data landed but its manifest never did.
+    # older_than=0: this harness owns every writer, so no commit can be
+    # in flight — production sweeps keep the mtime retention guard.
     os.remove(os.path.join(lake, "_manifests", "manifest-0000000002.json"))
-    stats = vacuum_orphans(lake)
+    stats = vacuum_orphans(lake, older_than_seconds=0)
     assert stats.n_orphans > 0 and stats.n_kept > 0
     back = spark.read.parquet(os.path.join(lake, "data"))
     return back.groupBy(F.col("status")).agg(

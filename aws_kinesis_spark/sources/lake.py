@@ -196,12 +196,33 @@ def run_lake_batch(
     )
 
 
+def _empty_like_lake(spark: SparkSession, lake_dir: str) -> DataFrame:
+    """Zero-row DataFrame with the table's schema, taken from the newest
+    non-empty committed manifest. An all-empty-batch range is a legitimate
+    incremental outcome (an idle producer), not an error — but a table that
+    has never committed a single file has no schema to offer."""
+    manifest_dir = os.path.join(lake_dir, "_manifests")
+    names = sorted(os.listdir(manifest_dir), reverse=True) if os.path.isdir(manifest_dir) else []
+    for name in names:
+        if not name.startswith("manifest-") or not name.endswith(".json"):
+            continue
+        with open(os.path.join(manifest_dir, name)) as fh:
+            entries = [e["url"] for e in json.load(fh)["entries"]]
+        if entries:
+            return spark.read.parquet(*entries).limit(0)
+    raise ValueError(
+        f"lake {lake_dir} has no non-empty committed batch to take a schema from"
+    )
+
+
 def read_via_manifest(spark: SparkSession, lake_dir: str, batch_id: int) -> DataFrame:
     """Warehouse-style read: 'COPY reads the manifest, never the folder'
-    (README.md:429, 453-455)."""
+    (README.md:429, 453-455). An empty manifest (all-error/empty flush) is
+    a committed zero-row batch: returns an empty DataFrame with the
+    table's schema, not an error."""
     entries = [e["url"] for e in read_manifest(lake_dir, batch_id)["entries"]]
     if not entries:
-        raise ValueError(f"manifest {batch_id} lists no files")
+        return _empty_like_lake(spark, lake_dir)
     return spark.read.parquet(*entries)
 
 
@@ -215,14 +236,13 @@ def read_incremental(
     after_batch catches up by reading only the delta, never rescanning the
     table. File-level pruning: each manifest lists only its own batch's
     objects, so the diff is a manifest union, no data listing or scan of
-    prior commits at any size."""
+    prior commits at any size. A range holding only empty batches yields an
+    empty delta (schema from the latest non-empty commit), not an error."""
     files: list[str] = []
     for b in range(after_batch + 1, upto_batch + 1):
         files.extend(e["url"] for e in read_manifest(lake_dir, b)["entries"])
     if not files:
-        raise ValueError(
-            f"no files committed in batches ({after_batch}, {upto_batch}]"
-        )
+        return _empty_like_lake(spark, lake_dir)
     return spark.read.parquet(*files)
 
 
@@ -242,7 +262,7 @@ class VacuumStats:
     n_kept: int
 
 
-def vacuum_orphans(lake_dir: str) -> VacuumStats:
+def vacuum_orphans(lake_dir: str, older_than_seconds: float = 3600.0) -> VacuumStats:
     """Remove data files no manifest references (the Delta VACUUM /
     Iceberg remove_orphan_files analogue over the reference's manifest
     protocol): a writer that crashed between PUT #1 (data) and PUT #2
@@ -254,7 +274,18 @@ def vacuum_orphans(lake_dir: str) -> VacuumStats:
 
     Driver-side O(files + manifest entries) metadata work, no Spark job —
     the same listing cost a flush already pays. Only ``data/`` is swept:
-    errors/ and raw/ are intentionally manifest-less sinks."""
+    errors/ and raw/ are intentionally manifest-less sinks.
+
+    ``older_than_seconds`` is the retention guard Delta VACUUM / Iceberg
+    remove_orphan_files carry for the same reason: a writer mid-commit
+    (data PUT durable, manifest PUT pending — the exact window the ordered
+    two-PUT protocol allows, README.md:413-421) is indistinguishable from
+    a crash orphan by reference-counting alone. Files whose mtime is
+    within the guard window are kept; pass 0 only when no writer can be
+    in flight (tests, single-writer maintenance windows)."""
+    import time
+
+    cutoff = time.time() - older_than_seconds
     referenced: set[str] = set()
     # staged (write-audit-publish) manifests count as references: a batch
     # awaiting its audit is pending, not orphaned
@@ -272,6 +303,9 @@ def vacuum_orphans(lake_dir: str) -> VacuumStats:
     n_orphans = n_bytes = n_kept = 0
     for f in _list_parquet_files(data_dir):
         if os.path.realpath(f) in referenced:
+            n_kept += 1
+            continue
+        if os.path.getmtime(f) > cutoff:  # possibly an in-flight commit
             n_kept += 1
             continue
         n_orphans += 1
@@ -520,38 +554,45 @@ def _remap_partition_in_manifests(
     tmp-then-rename rewrite as retention expiry. ``recordCount`` is kept
     for a pure re-pack (rows unchanged) and set to -1 (unknown) when the
     caller rewrote rows (delete materialization), matching the expiry
-    convention. Returns manifests rewritten."""
-    manifest_dir = os.path.join(lake_dir, "_manifests")
-    if not os.path.isdir(manifest_dir):
-        return 0
+    convention. Returns manifests rewritten.
+
+    STAGED (write-audit-publish) manifests are remapped too: vacuum_orphans
+    counts ``_staged/`` entries as references, so leaving a staged manifest
+    pointing at a rewritten leaf's dead paths would both break its eventual
+    publish AND leave the new files unreferenced — the next vacuum would
+    delete them, losing the staged batch entirely."""
     part_real = os.path.realpath(part_dir)
     n_rewritten = 0
-    for name in sorted(os.listdir(manifest_dir)):
-        if not name.startswith("manifest-") or not name.endswith(".json"):
+    for sub in ("_manifests", "_staged"):
+        manifest_dir = os.path.join(lake_dir, sub)
+        if not os.path.isdir(manifest_dir):
             continue
-        path = os.path.join(manifest_dir, name)
-        with open(path) as fh:
-            payload = json.load(fh)
-        kept, dropped = [], 0
-        for e in payload["entries"]:
-            if os.path.realpath(e["url"]).startswith(part_real + os.sep):
-                dropped += 1
-            else:
-                kept.append(e)
-        if not dropped:
-            continue
-        kept.extend({"url": f} for f in new_files)
-        payload["entries"] = kept
-        if rows_changed:
-            payload["recordCount"] = -1  # unknown post-delete, expiry convention
-        payload["totalBytes"] = sum(
-            os.path.getsize(e["url"]) for e in kept if os.path.exists(e["url"])
-        )
-        fd, tmp = tempfile.mkstemp(dir=manifest_dir, suffix=".tmp")
-        with os.fdopen(fd, "w") as fh:
-            json.dump(payload, fh, indent=1)
-        os.replace(tmp, path)
-        n_rewritten += 1
+        for name in sorted(os.listdir(manifest_dir)):
+            if not name.startswith("manifest-") or not name.endswith(".json"):
+                continue
+            path = os.path.join(manifest_dir, name)
+            with open(path) as fh:
+                payload = json.load(fh)
+            kept, dropped = [], 0
+            for e in payload["entries"]:
+                if os.path.realpath(e["url"]).startswith(part_real + os.sep):
+                    dropped += 1
+                else:
+                    kept.append(e)
+            if not dropped:
+                continue
+            kept.extend({"url": f} for f in new_files)
+            payload["entries"] = kept
+            if rows_changed:
+                payload["recordCount"] = -1  # unknown post-delete, expiry convention
+            payload["totalBytes"] = sum(
+                os.path.getsize(e["url"]) for e in kept if os.path.exists(e["url"])
+            )
+            fd, tmp = tempfile.mkstemp(dir=manifest_dir, suffix=".tmp")
+            with os.fdopen(fd, "w") as fh:
+                json.dump(payload, fh, indent=1)
+            os.replace(tmp, path)
+            n_rewritten += 1
     return n_rewritten
 
 
@@ -720,19 +761,38 @@ def read_zone_pruned(spark: SparkSession, lake_dir: str, col: str, lo, hi) -> Da
     is the 100 TB win: a range predicate over a repartitionByRange-written
     table opens O(range/file-span) files instead of every file. Falls back
     to a full folder scan (predicate still applied) when no zone maps are
-    committed."""
+    committed.
+
+    Files the stats table does not know about are MUST-READ, not
+    skippable: a normal append lands data files after build_zone_maps ran,
+    and a scan that consults only the stats would silently drop those rows.
+    The uncovered set comes from the same driver-side listing every flush
+    already performs, so freshness costs metadata work only — stats stay
+    useful between rebuilds instead of going stale-and-wrong."""
+    from urllib.parse import unquote, urlparse
+
     data_dir = os.path.join(lake_dir, "data")
     zm_dir = os.path.join(lake_dir, "_zonemaps")
     pred = F.col(col).between(lo, hi)
     if not os.path.isdir(zm_dir):
         return spark.read.parquet(data_dir).filter(pred)
+
+    def _local(path: str) -> str:
+        # input_file_name() yields file: URIs; normalize to os paths
+        return os.path.realpath(unquote(urlparse(path).path)) if "://" in path else os.path.realpath(path)
+
     zm = spark.read.parquet(zm_dir)
-    overlapping = zm.filter(
-        (F.col(f"max_{col}") >= lo) & (F.col(f"min_{col}") <= hi)
-    ).select("__file")
-    # bounded: file PATHS of the overlapping zones only — the metadata any
-    # table-format planner holds on the driver to plan a scan
-    surviving = [r["__file"] for r in overlapping.collect()]
+    stats = [
+        (r["__file"], r[f"min_{col}"], r[f"max_{col}"])
+        for r in zm.select("__file", f"min_{col}", f"max_{col}").collect()
+    ]
+    covered = {_local(f) for f, _, _ in stats}
+    # None min/max = file is all-NULL for col; BETWEEN never matches NULL
+    surviving = [
+        f for f, mn, mx in stats if mn is not None and mx is not None and mx >= lo and mn <= hi
+    ]
+    # any data file absent from the stats (committed after the build) is read
+    surviving.extend(f for f in _list_parquet_files(data_dir) if _local(f) not in covered)
     if not surviving:
         return spark.read.parquet(data_dir).filter(pred).limit(0)
     return spark.read.parquet(*surviving).filter(pred)

@@ -710,3 +710,98 @@ def test_wap_schema_gate_blocks_incompatible_producer(spark, envelope, tmp_path)
     assert not missing.passed and "missing" in missing.failures[0]
     retyped = audit_staged_batch(spark, lake, 0, required_cols={"id": "string"})
     assert not retyped.passed and "expected string" in retyped.failures[0]
+
+
+def test_zone_maps_stay_fresh_after_append(spark, envelope, tmp_path):
+    """A20 freshness: a data file committed AFTER build_zone_maps is
+    must-read, not silently skipped — a normal append must never make a
+    range scan return incomplete results."""
+    from aws_kinesis_spark.sources.lake import build_zone_maps, read_zone_pruned
+
+    lake = str(tmp_path / "lake")
+    run_lake_batch(envelope, lake, batch_id=0, raw_backup=False)
+    build_zone_maps(spark, lake, ["id"])
+    want0 = read_zone_pruned(spark, lake, "id", 0, 10**9).count()
+
+    # normal append lands AFTER the stats build — no rebuild, no invalidate
+    run_lake_batch(envelope, lake, batch_id=1, raw_backup=False)
+    got = read_zone_pruned(spark, lake, "id", 0, 10**9).count()
+    assert got == 2 * want0, f"append rows dropped by stale zone maps: {got}"
+    # narrow range still correct across covered + uncovered files
+    narrow = read_zone_pruned(spark, lake, "id", 3, 7)
+    folder = spark.read.parquet(os.path.join(lake, "data")).filter(
+        F.col("id").between(3, 7)
+    )
+    assert narrow.count() == folder.count()
+
+
+def test_vacuum_age_guard_spares_inflight_commits(spark, envelope, tmp_path):
+    """A18 retention guard: a data file younger than older_than_seconds is
+    indistinguishable from an in-flight commit (data PUT durable, manifest
+    PUT pending) and must survive the sweep; an aged sweep removes it."""
+    from aws_kinesis_spark.sources.lake import vacuum_orphans
+
+    lake = str(tmp_path / "lake")
+    run_lake_batch(envelope, lake, batch_id=0, raw_backup=False)
+    run_lake_batch(envelope, lake, batch_id=1, raw_backup=False)
+    # crash simulation: batch 1's manifest never landed
+    os.remove(os.path.join(lake, "_manifests", "manifest-0000000001.json"))
+
+    guarded = vacuum_orphans(lake)  # default window: files are seconds old
+    assert guarded.n_orphans == 0
+    assert os.path.isdir(os.path.join(lake, "data", "batch=1"))
+
+    aged = vacuum_orphans(lake, older_than_seconds=0)
+    assert aged.n_orphans > 0
+    from aws_kinesis_spark.sources.lake import _list_parquet_files
+
+    assert not _list_parquet_files(os.path.join(lake, "data", "batch=1"))
+    assert read_via_manifest(spark, lake, 0).count() == envelope.count()
+
+
+def test_staged_batch_survives_leaf_rewrite(spark, envelope, tmp_path):
+    """A21+A14 composition: compacting a STAGED batch's partition must
+    remap the staged manifest too — otherwise it points at dead paths and
+    the rewritten files are unreferenced, so the next vacuum deletes the
+    staged batch's data entirely."""
+    from aws_kinesis_spark.sources.lake import (
+        compact_lake,
+        publish_staged_batch,
+        stage_lake_batch,
+        vacuum_orphans,
+    )
+
+    lake = str(tmp_path / "lake")
+    run_lake_batch(envelope, lake, batch_id=0, raw_backup=False)
+    stage_lake_batch(envelope, lake, batch_id=1, raw_backup=False)
+    want = envelope.count()
+
+    swept = compact_lake(spark, lake, target_file_bytes=1 << 30, min_files=1)
+    assert swept, "compaction visited no partitions"
+
+    # staged manifest now lists live files: nothing is orphaned
+    assert vacuum_orphans(lake, older_than_seconds=0).n_orphans == 0
+    publish_staged_batch(lake, 1)
+    back = read_via_manifest(spark, lake, 1)
+    assert back.count() == want
+    assert back.select("id").distinct().count() == want
+
+
+def test_empty_delta_reads_return_empty_not_error(spark, envelope, tmp_path):
+    """A17 consumer contract: an incremental range holding only empty
+    batches (idle producer / all-error flush) is a legitimate empty delta —
+    schema intact, zero rows, no exception. Same for a direct manifest read
+    of an empty batch."""
+    from aws_kinesis_spark.sources.lake import read_incremental
+
+    lake = str(tmp_path / "lake")
+    run_lake_batch(envelope, lake, batch_id=0, raw_backup=False)
+    run_lake_batch(envelope.limit(0), lake, batch_id=1, raw_backup=False)
+
+    delta = read_incremental(spark, lake, after_batch=0, upto_batch=1)
+    assert delta.count() == 0
+    assert set(read_via_manifest(spark, lake, 0).columns) == set(delta.columns)
+
+    empty_batch = read_via_manifest(spark, lake, 1)
+    assert empty_batch.count() == 0
+    assert set(empty_batch.columns) == set(delta.columns)

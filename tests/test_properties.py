@@ -379,3 +379,24 @@ def test_hard_negatives_match_naive(spark_session, vecs, threshold):
                 s, j = max(below, key=lambda t: (t[0], -t[1]))
                 want[i] = (j, round(s, 4) + 0.0)
     assert got == want
+
+
+def test_cdc_same_seq_tombstone_wins(spark_session):
+    """A producer that reuses one sequence number for a D+U pair must not
+    silently resurrect the key: the tombstone wins the tie in apply_cdc /
+    net_changes, and scd2_history orders it LAST so it closes the update's
+    version (the exact mirror)."""
+    from aws_kinesis_spark.operators.upsert import apply_cdc, net_changes, scd2_history
+
+    cdc = spark_session.createDataFrame(
+        [(1, 10, "U", "s1"), (1, 10, "D", "s1"), (2, 10, "U", "s2")],
+        "id LONG, seq LONG, op STRING, status STRING",
+    )
+    assert [r.id for r in apply_cdc(cdc, ["id"], "seq").collect()] == [2]
+
+    net = {r.id: r["__net_op"] for r in net_changes(cdc, ["id"], "seq", 0).collect()}
+    assert net == {1: "DELETE", 2: "UPSERT"}
+
+    hist = scd2_history(cdc, ["id"], "seq").filter(F.col("id") == 1).collect()
+    assert len(hist) == 1
+    assert hist[0].op == "U" and not hist[0]["__is_current"]  # closed by the tombstone
