@@ -105,11 +105,13 @@ def knn_ivf(
     broadcast-centroid matmul as the corpus assignment — the query table is
     never collected, so it can be arbitrarily large. nprobe/nlist is the
     recall dial — recall vs knn_bruteforce is measured in tests/test_ext.py.
-    The only collect is the bounded train_rows centroid-training sample."""
-    train = np.array(
-        [r[0] for r in corpus.select(vec_col).limit(train_rows).collect()],
-        dtype=np.float64,
-    )
+    The only collect is the bounded train_rows centroid-training sample,
+    sorted by id driver-side so the seeded k-means sees an identical
+    matrix regardless of partition planning — the index (and therefore
+    recall) is reproducible across cluster layouts."""
+    sample = corpus.select(id_col, vec_col).limit(train_rows).collect()
+    sample.sort(key=lambda r: r[0])
+    train = np.array([r[1] for r in sample], dtype=np.float64)
     cent = _spherical_kmeans(train, nlist=min(nlist, len(train)))
     n_cells = len(cent)
 

@@ -471,15 +471,41 @@ def c09_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("d10b_approx_distinct")  # rows-only: HLL sketch has no exact SQL twin
+@register(
+    "d10b_approx_distinct",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS hll_ok
+        FROM events GROUP BY event_type
+    """,
+)
 def d10b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D10 scale path: approx_count_distinct (HyperLogLog++) — the sketch
-    you use when exact distinct would shuffle 100 TB of keys. Accuracy vs
-    exact asserted in tests/test_ext.py (relative error < 5%)."""
+    you use when exact distinct would shuffle 100 TB of keys.
+
+    Driver-checkable oracle form: DuckDB cannot reproduce Spark's HLL++
+    register values, but it CAN verify the sketch's published accuracy
+    claim — the query returns per-group exact counts (hash-anchored
+    against the SQL twin) plus ``hll_ok`` = |approx − exact| ≤ 5%·exact
+    computed in-plan; HLL++ is deterministic for a given dataset, so the
+    boolean is stable. The exact count rides the same shuffle purely as
+    the verification anchor — the sketch is the operator under test."""
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("hll_ok"),
     )
 
 
