@@ -98,70 +98,98 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        e10 (e12 stream-stream join over the sim source; e11 outer stays)
 #   in:  a01b, a03, a05, a14, a15, a16, b04b, d29, d30, e12, e13, o05, o06,
 #        g21, g22, g23, g24, g25, g26
-# After r6's rotation the never-driver-checked set is: the rows-only
-# queries (g02c, g03b, g03c, g07b, g18b — d10b has r1-r2 driver rows) and
-# the oracle-backed queries ADDED during round 6 itself — a17, a18, c14,
-# d31, d32, g27, g28, g29, o07, o08, a19, a20, a21, d33, d34, g30, g31, g32, g33, g34, g35, g36, a22.
-# Round-7 rotation: swap those twenty-three in
-# (witnesses exist in-window for every slot family) plus rows-only slots
-# for the sketch/ANN queries. Queries outside the window still run in the
-# local differential suite (tests/test_differential.py) every CI pass;
-# prior-round driver rows for rotated-out queries remain in
-# CORRECTNESS_r{1..5}.json.
+# Round-7 rotation (29 swapped — every query that had never had a driver
+# row goes in: the 23 oracle-backed round-6 additions PLUS the 6 former
+# rows-only sketch/ANN queries, which gained deterministic self-check
+# oracles this round. Witness for each rotated-out slot in parens):
+#   out: d14d (d31 unpivot = same D14 reshape family), d29 (d34 asof
+#        tolerance = same D15 temporal-join family), c12 (c14 = same C9
+#        JSONL roundtrip, gzip superset), a03 (a01b = same kinesis_sim
+#        source surface incl. shard lineage), a05 (a17 snapshot diff
+#        reads the same manifest/time-travel protocol), a14 (a18 vacuum +
+#        a19 DV-materialize exercise the same leaf-rewrite/remap
+#        machinery; a14's invariants stay pinned in tests/test_lake.py),
+#        a16 (a18 = same deletion-sweep + manifest-rewrite family),
+#        o05 (o08 stream SCD2 builds on the same scd2_history chain),
+#        o06 (o07 compaction collapses via the same net-change window),
+#        g03d (g03b/g03c share the kNN kernels and run the brute-force
+#        twin inside their recall checks), g04c/g04d (g30 BM25 + g31
+#        bigram logprob = G4 token/term-statistics family), g07c (g07b =
+#        same Arrow multimodal 1->1 plumbing, byte-exact oracle), g08
+#        (g33 = same blocked-matmul embedding-aggregation kernel), g13
+#        (g27 embedding + g28 n-gram-overlap decontamination family),
+#        g15 (g16 quality-filter family stays in), g18 (g18b runs the
+#        exact top-k as its oracle twin), g20 (g35 = the streaming form
+#        of the same standing banded index), g22 (g34 data card = same
+#        corpus-stats partial-agg), g23/g24 (g29 importance + g36 token
+#        budget = same hash-threshold sampling mechanism), g25 (g32
+#        exact set-similarity verify over the same shingle machinery),
+#        g26 (g31 bigram extends the unigram mechanism), e03/e09 (e04
+#        event-time windowed agg family), e07/e11/e13 (e12 stream-stream
+#        join over the kinesis source; a01b covers reshard lineage),
+#        e08 (o08 + g35 ARE foreachBatch multi-sink pipelines)
+#   in:  a17, a18, a19, a20, a21, a22, c14, d31, d32, d33, d34, d10b,
+#        g02c, g03b, g03c, g07b, g18b, g27, g28, g29, g30, g31, g32,
+#        g33, g34, g35, g36, o07, o08
+# After this window EVERY registered query is oracle-backed and has had
+# (or gets this round) a hard driver-hash row. Queries outside the window
+# still run in the local differential suite (tests/test_differential.py)
+# every CI pass; prior-round driver rows for rotated-out queries remain
+# in CORRECTNESS_r{1..6}.json.
 DRIVER_WINDOW: list[str] = [
-    # D — relational core (5)
+    # D — relational core (8)
     "d06_join_semi_anti",
     "d07_set_ops",
-    "d14d_pivot",
-    "d29_interval_overlap_join",
+    "d10b_approx_distinct",
     "d30_recursive_hierarchy",
+    "d31_unpivot",
+    "d32_gap_fill",
+    "d33_histogram",
+    "d34_asof_tolerance",
     # C — record transforms (2)
     "c10_cost_accounting",
-    "c12_jsonl_roundtrip",
+    "c14_gzip_jsonl_roundtrip",
     # B — streaming-core batch analogues (2)
     "b02_salted_aggregation",
     "b04b_bloom_first_seen",
-    # A — sources/sinks/lake maintenance (7)
+    # A — sources/sinks/lake maintenance (9)
     "a01b_kinesis_reshard",
-    "a03_efo_push_consumer",
-    "a05_manifest_time_travel",
     "a13_dynamic_table_partitioning",
-    "a14_lake_compaction",
     "a15_schema_evolution",
-    "a16_retention_expiry",
+    "a17_snapshot_diff",
+    "a18_orphan_vacuum",
+    "a19_deletion_vectors",
+    "a20_zone_map_pruning",
+    "a21_write_audit_publish",
+    "a22_manifest_integrity",
     # O — CDC family (2)
-    "o05_scd2_history",
-    "o06_cdc_net_changes",
-    # G — LLM-data-pipeline operators (19)
-    "g03d_knn_classify",
-    "g04c_rolling_fingerprint",
-    "g04d_tfidf_top_terms",
-    "g07c_multimodal_resize",
-    "g08_label_centroids",
-    "g13_decontaminate",
+    "o07_log_compaction",
+    "o08_stream_scd2",
+    # G — LLM-data-pipeline operators (20)
+    "g02c_dedup_simhash",
+    "g03b_knn_lsh_ann",
+    "g03c_knn_ivf_ann",
+    "g07b_multimodal_features",
     "g14b_quantization_error",
-    "g15_repetition_filter",
     "g16_pii_scrub",
     "g17_training_order",
-    "g18_token_topk",
+    "g18b_token_topk_sketch",
     "g19_dedup_keepers",
-    "g20_incremental_dedup",
     "g21_doc_chunking",
-    "g22_corpus_stats",
-    "g23_leakage_safe_split",
-    "g24_temperature_mixture",
-    "g25_span_dedup",
-    "g26_unigram_logprob",
-    # E — streaming semantics, batch-equivalent oracle form (9)
-    "e03_stream_session_window",
+    "g27_embedding_decontaminate",
+    "g28_source_overlap",
+    "g29_importance_sample",
+    "g30_bm25_score",
+    "g31_bigram_logprob",
+    "g32_setsim_prefix_join",
+    "g33_hard_negatives",
+    "g34_source_datacard",
+    "g35_stream_dedup_ingest",
+    "g36_token_budget_sample",
+    # E — streaming semantics, batch-equivalent oracle form (3)
     "e04_stream_late_data",
     "e06_stream_stateful_buffer",
-    "e07_stream_static_join",
-    "e08_stream_lake_path",
-    "e09_continuous_rollup",
-    "e11_stream_stream_outer_join",
     "e12_stream_stream_join_kinesis_source",
-    "e13_stream_reshard_drain",
     # F — UDF/UDAF/UDTF surface (4)
     "f01_scalar_pandas_udf",
     "f02_grouped_map",

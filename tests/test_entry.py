@@ -35,30 +35,33 @@ def test_driver_window_covers_every_family():
     assert all(n in o for n in window), [n for n in window if n not in o]
     # every operator family lands inside the hard-signal window
     for prefix, minimum in [
-        ("d", 5), ("c", 2), ("b", 2), ("a", 7), ("o", 2),
-        ("g", 19), ("e", 9), ("f", 4),
+        ("d", 8), ("c", 2), ("b", 2), ("a", 9), ("o", 2),
+        ("g", 20), ("e", 3), ("f", 4),
     ]:
         got = sum(1 for n in window if n.startswith(prefix))
         assert got >= minimum, f"family {prefix}: {got} < {minimum}"
     # window curation must not drop any registered query entirely
     assert set(q) == set(registry.REGISTRY)
-    # round-6 rotation: the 19 oracle-backed round-5 additions get their
-    # first driver rows; after this window every oracle-backed query has
-    # had a hard driver-hash row, and only the rows-only sketch/ANN
-    # queries remain never-in-window (round-7 rows-only slot candidates)
+    # round-7 rotation: the 23 oracle-backed round-6 additions plus the
+    # 6 former rows-only sketch/ANN queries (now with deterministic
+    # self-check oracles) get their first driver-hash rows; after this
+    # window every registered query has been in a driver window
     rotated_in = {
-        "a01b_kinesis_reshard", "a03_efo_push_consumer",
-        "a05_manifest_time_travel", "a14_lake_compaction",
-        "a15_schema_evolution", "a16_retention_expiry",
-        "b04b_bloom_first_seen", "d29_interval_overlap_join",
-        "d30_recursive_hierarchy", "e12_stream_stream_join_kinesis_source",
-        "e13_stream_reshard_drain", "o05_scd2_history",
-        "o06_cdc_net_changes", "g21_doc_chunking", "g22_corpus_stats",
-        "g23_leakage_safe_split", "g24_temperature_mixture",
-        "g25_span_dedup", "g26_unigram_logprob",
+        "a17_snapshot_diff", "a18_orphan_vacuum", "a19_deletion_vectors",
+        "a20_zone_map_pruning", "a21_write_audit_publish",
+        "a22_manifest_integrity", "c14_gzip_jsonl_roundtrip",
+        "d31_unpivot", "d32_gap_fill", "d33_histogram",
+        "d34_asof_tolerance", "d10b_approx_distinct",
+        "g02c_dedup_simhash", "g03b_knn_lsh_ann", "g03c_knn_ivf_ann",
+        "g07b_multimodal_features", "g18b_token_topk_sketch",
+        "g27_embedding_decontaminate", "g28_source_overlap",
+        "g29_importance_sample", "g30_bm25_score", "g31_bigram_logprob",
+        "g32_setsim_prefix_join", "g33_hard_negatives",
+        "g34_source_datacard", "g35_stream_dedup_ingest",
+        "g36_token_budget_sample", "o07_log_compaction", "o08_stream_scd2",
     }
     assert rotated_in <= set(window)
-    assert len(rotated_in) == 19
+    assert len(rotated_in) == 29
 
 
 def test_registry_counts_pinned():
