@@ -876,7 +876,10 @@ def g35_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (a doc survives iff NO smaller-id near-dup exists anywhere)
     proves the standing index reaches full recall batch after batch.
     Per batch the corpus is never re-signed: O(batch + candidates)."""
-    from aws_kinesis_spark.streaming.pipeline import start_dedup_ingest
+    from aws_kinesis_spark.streaming.pipeline import (
+        read_dedup_corpus,
+        start_dedup_ingest,
+    )
 
     root = _tmp("g35")
     inp = os.path.join(root, "input")
@@ -902,7 +905,9 @@ def g35_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(inp)
     )
     idx = os.path.join(root, "index")
-    q = start_dedup_ingest(stream, idx, os.path.join(root, "ckpt"))
+    # compact_every=2 exercises the index-folding path inside the 4-batch
+    # ingest (batch 2 folds batches 0-1); the verdicts must be unchanged
+    q = start_dedup_ingest(stream, idx, os.path.join(root, "ckpt"), compact_every=2)
     q.awaitTermination(300)
-    corpus = spark.read.parquet(os.path.join(idx, "corpus"))
+    corpus = read_dedup_corpus(spark, idx)
     return corpus.filter(F.col("kept")).select("doc_id", "source", "lang")

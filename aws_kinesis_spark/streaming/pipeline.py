@@ -428,11 +428,98 @@ def start_scd2_maintenance(
     )
 
 
+def _index_dirs(root: str, upto_exclusive: int | None = None) -> list[str]:
+    """Live directories of a standing index store: the newest ``compact=M``
+    plus every ``batch=N`` with N > M (and N < upto_exclusive when given).
+    Batch dirs at or below a completed compaction are superseded — ignoring
+    them makes a crash between the compaction rename and the source-dir
+    deletion harmless (no double counting)."""
+    names = os.listdir(root) if os.path.isdir(root) else []
+    compacts = [
+        int(d.split("=")[1])
+        for d in names
+        if d.startswith("compact=") and not d.endswith(".tmp")
+    ]
+    base = max(compacts) if compacts else -1
+    out = [os.path.join(root, f"compact={base}")] if base >= 0 else []
+    for d in names:
+        if not d.startswith("batch="):
+            continue
+        n = int(d.split("=")[1])
+        if n > base and (upto_exclusive is None or n < upto_exclusive):
+            out.append(os.path.join(root, d))
+    # an empty micro-batch commits a dir with no data files (just _SUCCESS)
+    # — unreadable and contentless, skip it
+    return sorted(d for d in out if _list_parquet_files(d))
+
+
+def _read_index_dirs(spark: SparkSession, dirs: list[str], cols: list[str]) -> DataFrame | None:
+    """Union the per-dir reads of a bucketed index store. Each dir is read
+    on its own so its hash-bucket subdirs infer as a partition column
+    (mixing batch=/compact= names under one basePath would not); a bucket
+    filter applied to the union pushes into every child scan's partition
+    pruning."""
+    if not dirs:
+        return None
+    parts = [spark.read.parquet(d).select(*cols) for d in dirs]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def compact_dedup_index(spark: SparkSession, index_dir: str, upto: int) -> int:
+    """Fold a dedup-ingest index's per-batch directories at or below
+    ``upto`` (plus any older compaction) into one ``compact=<upto>`` dir
+    per store, keeping the hash-bucket layout. Bounds the per-batch
+    listing/open cost to O(batches since last compaction) instead of
+    O(stream lifetime). Same write-to-tmp + atomic-rename commit as every
+    lake object; idempotent (a replayed trigger that re-requests an
+    existing compaction is a no-op). Returns stores compacted."""
+    n_done = 0
+    for sub, part_col in (("bands", "bucket"), ("corpus", "idb")):
+        root = os.path.join(index_dir, sub)
+        srcs = _index_dirs(root, upto_exclusive=upto + 1)
+        if len(srcs) <= 1:
+            continue
+        final = os.path.join(root, f"compact={upto}")
+        if os.path.exists(final):
+            continue
+        cols_df = spark.read.parquet(srcs[0])
+        cols = [c for c in cols_df.columns if c != part_col] + [part_col]
+        merged = _read_index_dirs(spark, srcs, cols)
+        tmp = final + ".tmp"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.partitionBy(part_col).mode("overwrite").parquet(tmp)
+        os.replace(tmp, final)
+        for s in srcs:
+            shutil.rmtree(s, ignore_errors=True)
+        n_done += 1
+    return n_done
+
+
+def read_dedup_corpus(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The landed corpus (docs + kept verdicts) across every live batch and
+    compaction dir — the reader face of start_dedup_ingest's store."""
+    df = _read_index_dirs(
+        spark,
+        _index_dirs(os.path.join(index_dir, "corpus")),
+        cols=["*"],
+    )
+    if df is None:
+        raise ValueError(f"dedup index {index_dir} has no landed corpus")
+    return df.drop("idb")
+
+
 def start_dedup_ingest(
     doc_stream: DataFrame,
     index_dir: str,
     checkpoint_dir: str,
     threshold: float = 0.7,
+    n_buckets: int = 64,
+    compact_every: int = 8,
 ) -> StreamingQuery:
     """NEAR-DUP DEDUP AT INGEST (g35): each micro-batch of documents is
     checked against a STANDING LSH band index of everything seen so far
@@ -446,9 +533,22 @@ def start_dedup_ingest(
     re-signed), candidates from one equi-join of batch bands against
     (standing ∪ batch) bands, exact-Jaccard verify re-shingles only the
     candidate ids' texts — O(batch + candidates), never O(corpus).
-    State: ``bands/batch=N`` (three longs/row) + ``corpus/batch=N``
-    (docs + kept flag), both overwrite-idempotent per batch id, so a
-    replayed micro-batch converges to the same verdicts."""
+
+    Scale posture of the STATE (the part that outlives any batch):
+    - ``bands/…/bucket=<bh%K>`` hash-bucketed layout: the standing-band
+      read is partition-pruned to the bucket values the batch actually
+      emits, so a small micro-batch scans a fraction of the index instead
+      of all of it; the bucket list is collected driver-side, bounded by
+      ``n_buckets`` ints.
+    - ``corpus/…/idb=<doc_id%K>``: verify texts are fetched by the
+      CANDIDATES' id-buckets only (pruned at planning), never by unioning
+      the whole landed corpus.
+    - every ``compact_every`` batches the per-batch dirs fold into one
+      ``compact=M`` dir (compact_dedup_index, run at trigger start for
+      prior batches only, so a replayed trigger re-runs it idempotently)
+      — listing/open cost stays O(compact_every), not O(stream lifetime).
+    All stores stay overwrite-idempotent per batch id, so a replayed
+    micro-batch converges to the same verdicts."""
     from aws_kinesis_spark.operators.dedup import (
         band_rows,
         verify_pairs_against_texts,
@@ -461,15 +561,26 @@ def start_dedup_ingest(
 
     def flush(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if compact_every and batch_id and batch_id % compact_every == 0:
+            compact_dedup_index(spark, index_dir, upto=batch_id - 1)
         docs = batch_df.localCheckpoint(eager=True)
-        bb = band_rows(docs).localCheckpoint(eager=True)
-        prior = [
-            d for d in os.listdir(bands_dir)
-            if d.startswith("batch=") and int(d.split("=")[1]) < batch_id
-        ]
-        if prior:
-            standing = spark.read.parquet(*[os.path.join(bands_dir, d) for d in prior])
-            all_bands = standing.unionByName(bb)
+        bb = (
+            band_rows(docs)
+            .withColumn("bucket", F.pmod("bh", F.lit(n_buckets)).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        # bounded driver collect: <= n_buckets ints — the partition-pruning
+        # key list, exactly the metadata a planner holds
+        batch_buckets = [r[0] for r in bb.select("bucket").distinct().collect()]
+        standing = _read_index_dirs(
+            spark,
+            _index_dirs(bands_dir, upto_exclusive=batch_id),
+            cols=["doc_id", "band", "bh", "bucket"],
+        )
+        if standing is not None and batch_buckets:
+            all_bands = standing.filter(
+                F.col("bucket").isin(batch_buckets)
+            ).unionByName(bb)
         else:
             all_bands = bb
         n, m = bb.alias("n"), all_bands.alias("m")
@@ -484,17 +595,29 @@ def start_dedup_ingest(
                 F.col("m.doc_id").alias("id_a"), F.col("n.doc_id").alias("id_b")
             )
             .distinct()
+            .localCheckpoint(eager=True)
         )
-        prior_corpus = [
-            d for d in os.listdir(corpus_dir)
-            if d.startswith("batch=") and int(d.split("=")[1]) < batch_id
+        # id_b is always batch-side; only id_a may live in the standing
+        # corpus — fetch exactly its id-buckets (<= n_buckets ints)
+        cand_buckets = [
+            r[0]
+            for r in cand.select(
+                F.pmod("id_a", F.lit(n_buckets)).cast("int").alias("idb")
+            )
+            .distinct()
+            .collect()
         ]
         texts = docs.select("doc_id", "text")
-        if prior_corpus:
+        prior_corpus = _read_index_dirs(
+            spark,
+            _index_dirs(corpus_dir, upto_exclusive=batch_id),
+            cols=["doc_id", "text", "idb"],
+        )
+        if prior_corpus is not None and cand_buckets:
             texts = texts.unionByName(
-                spark.read.parquet(
-                    *[os.path.join(corpus_dir, d) for d in prior_corpus]
-                ).select("doc_id", "text")
+                prior_corpus.filter(F.col("idb").isin(cand_buckets)).select(
+                    "doc_id", "text"
+                )
             )
         dropped = (
             verify_pairs_against_texts(cand, texts, threshold=threshold)
@@ -504,11 +627,17 @@ def start_dedup_ingest(
         verdict = docs.join(dropped, "doc_id", "left_anti").select("doc_id").withColumn(
             "kept", F.lit(True)
         )
-        out = docs.join(verdict, "doc_id", "left").fillna(False, subset=["kept"])
-        out.write.mode("overwrite").parquet(
+        out = (
+            docs.join(verdict, "doc_id", "left")
+            .fillna(False, subset=["kept"])
+            .withColumn("idb", F.pmod("doc_id", F.lit(n_buckets)).cast("int"))
+        )
+        out.write.partitionBy("idb").mode("overwrite").parquet(
             os.path.join(corpus_dir, f"batch={batch_id}")
         )
-        bb.write.mode("overwrite").parquet(os.path.join(bands_dir, f"batch={batch_id}"))
+        bb.write.partitionBy("bucket").mode("overwrite").parquet(
+            os.path.join(bands_dir, f"batch={batch_id}")
+        )
 
     return (
         doc_stream.writeStream.foreachBatch(flush)

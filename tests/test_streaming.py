@@ -1316,3 +1316,85 @@ def test_scd2_maintenance_survives_crash_and_resume(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_dedup_ingest_bucketed_index_prunes_and_compacts(spark, tmp_path):
+    """g35 scale posture: the standing band/corpus stores are hash-bucketed
+    (reads prune to the buckets a batch/its candidates actually touch) and
+    per-batch dirs fold into compact=M every compact_every batches — with
+    verdicts identical to the all-pairs first-occurrence-wins truth."""
+    import os
+
+    from aws_kinesis_spark.operators.dedup import ngram_jaccard_dedup
+    from aws_kinesis_spark.streaming.pipeline import (
+        _index_dirs,
+        _read_index_dirs,
+        read_dedup_corpus,
+        start_dedup_ingest,
+    )
+    from aws_kinesis_spark.tables import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    root = str(tmp_path)
+    inp = os.path.join(root, "input")
+    hi = d.agg(F.max("doc_id")).first()[0] + 1
+    bounds = [0, hi // 4, hi // 2, 3 * hi // 4, hi]
+    for i, (lo, up) in enumerate(zip(bounds, bounds[1:])):
+        (
+            d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < up))
+            .repartition(1)
+            .write.mode("append")
+            .parquet(inp)
+        )
+        for f in sorted(os.listdir(inp)):
+            path = os.path.join(inp, f)
+            if f.endswith(".parquet") and os.path.getmtime(path) > i * 1000:
+                os.utime(path, (i * 1000, i * 1000))
+    stream = (
+        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1).parquet(inp)
+    )
+    idx = os.path.join(root, "index")
+    q = start_dedup_ingest(
+        stream, idx, os.path.join(root, "ckpt"), n_buckets=8, compact_every=2
+    )
+    q.awaitTermination(300)
+
+    # 1) verdict parity: dropped == larger side of any jaccard>=0.7 pair
+    # (arrival order is id order, so first-occurrence-wins = smallest id)
+    kept = {r.doc_id for r in read_dedup_corpus(spark, idx).filter("kept").collect()}
+    dropped_truth = {
+        r.id_b for r in ngram_jaccard_dedup(d, threshold=0.7).collect()
+    }
+    all_ids = {r.doc_id for r in d.select("doc_id").collect()}
+    assert kept == all_ids - dropped_truth
+
+    # 2) compaction folded batches 0-1 (trigger at batch 2) and removed them
+    for sub in ("bands", "corpus"):
+        names = set(os.listdir(os.path.join(idx, sub)))
+        assert "compact=1" in names, names
+        assert "batch=0" not in names and "batch=1" not in names, names
+
+    # 3) bucket pruning: a standing-band read filtered to one bucket value
+    # must only OPEN files under that bucket's directories
+    dirs = _index_dirs(os.path.join(idx, "bands"))
+    bands = _read_index_dirs(spark, dirs, ["doc_id", "band", "bh", "bucket"])
+    b = bands.select("bucket").first()[0]
+    opened = {
+        r[0]
+        for r in bands.filter(F.col("bucket") == b)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert opened and all(f"bucket={b}/" in f for f in opened), opened
+    # and the corpus-text fetch prunes by id-bucket the same way
+    cdirs = _index_dirs(os.path.join(idx, "corpus"))
+    corpus = _read_index_dirs(spark, cdirs, ["doc_id", "text", "idb"])
+    opened_c = {
+        r[0]
+        for r in corpus.filter(F.col("idb") == 3)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert opened_c and all("idb=3/" in f for f in opened_c), opened_c
