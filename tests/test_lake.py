@@ -805,3 +805,39 @@ def test_empty_delta_reads_return_empty_not_error(spark, envelope, tmp_path):
     empty_batch = read_via_manifest(spark, lake, 1)
     assert empty_batch.count() == 0
     assert set(empty_batch.columns) == set(delta.columns)
+
+
+def test_pooled_sweep_many_leaves_single_remap_pass(spark, envelope, tmp_path):
+    """Whole-lake maintenance fans leaf rewrites out on a thread pool and
+    remaps every owning manifest in ONE pass: after a 3-batch sweep plus a
+    delete materialization, each batch's manifest read returns exactly its
+    own (post-delete) content and vacuum finds nothing to reap."""
+    from aws_kinesis_spark.sources.lake import (
+        compact_lake,
+        materialize_deletes,
+        vacuum_orphans,
+        write_delete_vector,
+    )
+
+    lake = str(tmp_path / "lake")
+    for b in range(3):
+        run_lake_batch(envelope, lake, batch_id=b, raw_backup=False)
+    per_batch = {
+        b: {r.id for r in read_via_manifest(spark, lake, b).select("id").collect()}
+        for b in range(3)
+    }
+
+    swept = compact_lake(spark, lake, target_file_bytes=1 << 30, min_files=1)
+    assert len(swept) >= 3  # at least one leaf per batch
+
+    doomed = set(sorted(per_batch[0])[:7])
+    write_delete_vector(
+        spark.createDataFrame([(k,) for k in doomed], "id long"),
+        lake, delete_id=0, key_col="id",
+    )
+    assert materialize_deletes(spark, lake, key_col="id") >= 3
+
+    for b in range(3):
+        got = {r.id for r in read_via_manifest(spark, lake, b).select("id").collect()}
+        assert got == per_batch[b] - doomed, f"batch {b} content drifted"
+    assert vacuum_orphans(lake, older_than_seconds=0).n_orphans == 0
