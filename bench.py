@@ -65,6 +65,10 @@ HEADLINE = [
     "g31_bigram_logprob",
     "g32_setsim_prefix_join",
     "g33_hard_negatives",
+    "d33_histogram",
+    "a19_deletion_vectors",
+    "g35_stream_dedup_ingest",
+    "g36_token_budget_sample",
 ]
 
 
