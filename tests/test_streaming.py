@@ -1398,3 +1398,54 @@ def test_dedup_ingest_bucketed_index_prunes_and_compacts(spark, tmp_path):
         .collect()
     }
     assert opened_c and all("idb=3/" in f for f in opened_c), opened_c
+
+
+def test_kinesis_sim_options_map_to_public_connector_surface():
+    """A1/A3 swap claim, closed without AWS: every kinesis_sim dial is
+    either (a) a PHYSICAL stream property the real connector discovers by
+    itself (shard layout, reshard events, arrival pacing — simulation
+    knobs precisely because the simulator must fabricate what DescribeStream
+    / SubscribeToShard would report), or (b) maps 1:1 onto a documented
+    option of the public spark-sql-kinesis connector surface. The
+    translated reader options this repo emits must be a subset of that
+    public surface, so binding the real connector is source-options-only."""
+    from aws_kinesis_spark.sources.kinesis import (
+        CONSUMER_MODES,
+        KINESIS_OPTIONS,
+        kinesis_reader_options,
+    )
+
+    # public option names of the spark-sql-kinesis connector family
+    # (qubole/awslabs spark-sql-kinesis + the Spark Kinesis EFO connector):
+    public_connector_options = {
+        "streamName", "region", "endpointUrl", "awsAccessKeyId",
+        "awsSecretKey", "startingPosition", "consumerArn", "consumerName",
+        "kinesis.executor.maxFetchTimeInMs",
+        "kinesis.executor.maxFetchRecordsPerShard",
+    }
+    assert set(KINESIS_OPTIONS) <= public_connector_options
+
+    # both consumer modes translate to names on that surface only
+    polling = kinesis_reader_options("polling", streamName="s", region="r")
+    efo = kinesis_reader_options(
+        "efo", streamName="s", region="r", consumerArn="arn:aws:kinesis:..."
+    )
+    assert set(polling) <= public_connector_options
+    assert set(efo) <= public_connector_options
+    assert "consumerArn" not in polling and "consumerArn" in efo
+
+    # sim dials: physical-stream properties vs connector options
+    sim_dials = {
+        "shards": "physical",          # DescribeStream shard count
+        "recordsPerShard": "physical", # stream contents
+        "splitAtRecord": "physical",   # SplitShard event in the stream's history
+        "mergeAtRecord": "physical",   # MergeShards event
+        "arrivalSets": "physical",     # arrival pacing of the live stream
+        "pollRecords": "kinesis.executor.maxFetchRecordsPerShard",
+        "consumerMode": "consumerArn (present=efo, absent=polling)",
+    }
+    for dial, mapping in sim_dials.items():
+        assert mapping == "physical" or any(
+            opt in mapping for opt in public_connector_options
+        ), (dial, mapping)
+    assert set(CONSUMER_MODES) == {"polling", "efo"}
