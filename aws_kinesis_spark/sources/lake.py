@@ -847,10 +847,8 @@ def read_zone_pruned(spark: SparkSession, lake_dir: str, col: str, lo, hi) -> Da
         return os.path.realpath(unquote(urlparse(path).path)) if "://" in path else os.path.realpath(path)
 
     zm = spark.read.parquet(zm_dir)
-    stats = [
-        (r["__file"], r[f"min_{col}"], r[f"max_{col}"])
-        for r in zm.select("__file", f"min_{col}", f"max_{col}").collect()
-    ]
+    zone_stats = zm.select("__file", f"min_{col}", f"max_{col}").collect()
+    stats = [(r[0], r[1], r[2]) for r in zone_stats]
     covered = {_local(f) for f, _, _ in stats}
     # None min/max = file is all-NULL for col; BETWEEN never matches NULL
     surviving = [

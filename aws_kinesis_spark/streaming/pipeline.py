@@ -599,14 +599,8 @@ def start_dedup_ingest(
         )
         # id_b is always batch-side; only id_a may live in the standing
         # corpus — fetch exactly its id-buckets (<= n_buckets ints)
-        cand_buckets = [
-            r[0]
-            for r in cand.select(
-                F.pmod("id_a", F.lit(n_buckets)).cast("int").alias("idb")
-            )
-            .distinct()
-            .collect()
-        ]
+        cand_idb = cand.select(F.pmod("id_a", F.lit(n_buckets)).cast("int").alias("idb"))
+        cand_buckets = [r[0] for r in cand_idb.distinct().collect()]
         texts = docs.select("doc_id", "text")
         prior_corpus = _read_index_dirs(
             spark,

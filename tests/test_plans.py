@@ -382,7 +382,12 @@ def test_collect_sites_whitelisted():
         ("operators/dedup.py", "toPandas"),           # union-find <= dial edges
         ("operators/bloom.py", "merged"),             # <= merge_fan_in bitmaps
         ("__main__.py", "limit"),                     # CLI display limit
-        ("sources/lake.py", "overlapping"),           # zone-pruned file list
+        ("sources/lake.py", "zone_stats"),            # per-file stats rows: the
+                                                      # O(files) metadata a
+                                                      # planner holds to plan
+        ("streaming/pipeline.py", "batch_buckets"),   # <= n_buckets ints (g35
+                                                      # partition-pruning keys)
+        ("streaming/pipeline.py", "cand_buckets"),    # <= n_buckets ints
     }
     hits = []
     for py in pkg.rglob("*.py"):
