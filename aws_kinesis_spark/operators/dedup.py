@@ -915,9 +915,16 @@ def band_rows(
     """(id, band, bh) LSH band-bucket rows for a document set — the unit a
     STANDING dedup index persists (g20/g35): MB-scale per million docs
     (three longs/row), text never stored in the index. Docs shorter than
-    one shingle emit no rows (they cannot near-dup anything)."""
+    one shingle emit no rows (they cannot near-dup anything).
+
+    No shingle-set checkpoint here: unlike the dedup pipelines (where the
+    set table feeds both signatures AND the exact verify), this path
+    consumes the shingles exactly once, so materializing them would be a
+    pure extra job per micro-batch."""
     docs = docs.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n)
-    sets = _checkpointed_shingle_sets(docs, text_col, id_col, shingle_n)
+    sets = docs.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
     sigs = _signatures_from_shingle_sets(sets, id_col, num_hashes)
     r = num_hashes // bands
     band_arr = F.array(

@@ -1528,7 +1528,13 @@ def a19_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders")
     lake = os.path.join(_scratch("a19_deletes"), "lake")
-    run_lake_batch(synthesize_envelope(o), lake, batch_id=0, raw_backup=False)
+    # files_per_partition=16: the whole batch lands in one processing-hour
+    # partition, so the salt spreads decode+write across 16 tasks instead
+    # of serializing on the single per-partition writer (lake.py dial)
+    run_lake_batch(
+        synthesize_envelope(o), lake, batch_id=0, raw_backup=False,
+        files_per_partition=16,
+    )
     write_delete_vector(
         o.filter(F.col("o_orderkey") % 7 == 3).select(
             F.col("o_orderkey").alias("id")

@@ -885,29 +885,38 @@ def g35_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     inp = os.path.join(root, "input")
     d = load(spark, sf_dir, "documents")
     hi = d.agg(F.max("doc_id").alias("m")).first()["m"] + 1
-    bounds = [0, hi // 4, hi // 2, 3 * hi // 4, hi]
-    for i, (lo, up) in enumerate(zip(bounds, bounds[1:])):
-        (
-            d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < up))
-            .repartition(1)
-            .write.mode("append")
-            .parquet(inp)
-        )
-        # pin strictly increasing mtimes: the file source processes
-        # oldest-first, making arrival order = id order deterministically
-        for f in sorted(os.listdir(inp)):
-            path = os.path.join(inp, f)
-            if f.endswith(".parquet") and os.path.getmtime(path) > i * 1000:
-                os.utime(path, (i * 1000, i * 1000))
+    # ONE write job lands all four arrival quarters (hive dirs q=0..3);
+    # per-dir mtimes then pin arrival order = id order (the file source
+    # processes oldest-first), exactly as the four sequential writes did
+    (
+        d.withColumn("q", (F.col("doc_id") * 4 / hi).cast("int"))
+        .repartition(4, "q")
+        .write.partitionBy("q")
+        .mode("overwrite")
+        .parquet(inp)
+    )
+    for qdir in sorted(os.listdir(inp)):
+        if not qdir.startswith("q="):
+            continue
+        i = int(qdir.split("=")[1])
+        for f in os.listdir(os.path.join(inp, qdir)):
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(inp, qdir, f), (i * 1000, i * 1000))
     stream = (
         spark.readStream.schema(d.schema)
         .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
         .parquet(inp)
     )
     idx = os.path.join(root, "index")
     # compact_every=2 exercises the index-folding path inside the 4-batch
-    # ingest (batch 2 folds batches 0-1); the verdicts must be unchanged
-    q = start_dedup_ingest(stream, idx, os.path.join(root, "ckpt"), compact_every=2)
+    # ingest (batch 2 folds batches 0-1); the verdicts must be unchanged.
+    # n_buckets=16 suits the fixture: a 1250-doc batch touches every
+    # bucket regardless, so finer buckets buy no pruning here and only
+    # multiply per-trigger file count (64 is the documented scale default)
+    q = start_dedup_ingest(
+        stream, idx, os.path.join(root, "ckpt"), n_buckets=16, compact_every=2
+    )
     q.awaitTermination(300)
     corpus = read_dedup_corpus(spark, idx)
     return corpus.filter(F.col("kept")).select("doc_id", "source", "lang")

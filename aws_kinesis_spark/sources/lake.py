@@ -128,6 +128,7 @@ def run_lake_batch(
     batch_id: int = 0,
     raw_backup: bool = True,
     dynamic_tables: bool = False,
+    files_per_partition: int = 1,
 ) -> FlushStats:
     """One buffer flush through the lake path (README.md:266-303):
     decode -> DLQ split -> partitioned snappy parquet -> manifest -> backup.
@@ -137,6 +138,17 @@ def run_lake_batch(
     composite partition key becomes the leading hive partition, so the lake
     grows per-table folders (``table=orders/year=…``) and table-scoped reads
     prune everything else.
+
+    ``files_per_partition`` is the write-parallelism dial: the default 1
+    keeps the strict one-file-per-partition small-files discipline, but
+    because Catalyst defers row projections past the exchange, the whole
+    decode chain then executes on the per-partition writer tasks — a batch
+    whose records land in FEW partitions (one flush = one hour) serializes
+    on few cores. Salting the repartition spreads decode+write across
+    N tasks per partition dir at the cost of N files there (Firehose
+    itself emits multiple objects per prefix per flush when throughput
+    demands; compaction re-packs later). Values land deterministically
+    (hash of the sequence number), so replay stays idempotent.
 
     Idempotent per batch_id: the batch-scoped prefixes are purged before the
     rewrite (see purge_batch — partition values derive from processing time,
@@ -158,9 +170,13 @@ def run_lake_batch(
         part_cols = ["table", *part_cols]
 
     data_dir = os.path.join(lake_dir, "data")
+    if files_per_partition > 1:
+        salt = F.pmod(F.xxhash64("sequence_number"), F.lit(files_per_partition))
+        shaped = ok.repartition(*part_cols, salt)
+    else:
+        shaped = ok.repartition(*part_cols)
     (
-        ok.repartition(*part_cols)
-        .write.mode("overwrite")
+        shaped.write.mode("overwrite")
         .partitionBy("batch", *part_cols)
         .option("compression", "snappy")
         .parquet(data_dir)
@@ -172,8 +188,11 @@ def run_lake_batch(
     # crashing on the missing batch dir
     n_ok = spark.read.parquet(batch_root).count() if files else 0
 
-    # DLQ branch (README.md:156, 383-384): quarantined raw envelopes
-    n_error = bad.count()
+    # DLQ accounting by subtraction: ok ∪ bad partitions the input exactly
+    # (split_errors is one boolean filter pair), and both counts are
+    # metadata-cheap — counting `bad` directly would re-run the full
+    # base64+JSON decode over every record a second time
+    n_error = env.count() - n_ok
     if n_error:
         (
             bad.select("data", "partition_key", "sequence_number", "arrival_ts")
