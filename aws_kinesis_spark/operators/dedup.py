@@ -956,3 +956,66 @@ def verify_pairs_against_texts(
     return verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
+
+
+def containment_join(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """G2 asymmetric variant: set-CONTAINMENT join — pairs (a, b) where
+    |S_a ∩ S_b| / |S_a| >= threshold over n-gram shingle sets. Catches
+    what symmetric Jaccard structurally cannot: a short document quoted
+    inside a much longer page has Jaccard ~|a|/|b| (tiny) but containment
+    ~1.0, so near-superset/quote/wrapper duplication only surfaces under
+    this asymmetric score (the relation is directional — both orders of a
+    pair are evaluated and can disagree).
+
+    Plan shape: inverted shingle-HASH index for candidates (>= 1 shared
+    shingle — complete for any threshold > 0), then the exact verify
+    recomputes the intersection on the true shingle STRINGS
+    (array_intersect), so hash collisions cannot inflate the score; the
+    probe side's set size normalizes. Same two-shuffle shape as
+    ngram_jaccard_dedup. Scale posture: the PPJoin prefix bound applies
+    asymmetrically — a probe set A need index only its |S_a| -
+    ceil(t*|S_a|) + 1 rarest shingles (required overlap is t*|S_a|), so
+    the g32 prefix machinery drops in unchanged when candidate volume,
+    not verify cost, dominates; this exact form is oracle-grade."""
+    docs = _spread(docs.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n))
+    sets = _checkpointed_shingle_sets(docs, text_col, id_col, shingle_n)
+    inv = sets.select(
+        F.col(id_col),
+        F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__s"),
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb")),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("__sha", "__shb")).cast("double")
+            / F.size("__sha"),
+        )
+    )
+    return verified.filter(F.col("containment") >= threshold).select(
+        F.col("id_a").alias(id_col),
+        F.col("id_b").alias("contained_in"),
+        (F.round("containment", 4) + F.lit(0.0)).alias("containment"),
+    )

@@ -83,3 +83,34 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
     )
     return salted_fact.join(replicated_dim, [key, "__salt"]).drop("__salt")
+
+
+def zorder_key(cols: list, bits: int = 16):
+    """Z-order (Morton) curve key over 2+ non-negative integer columns —
+    the multi-dimensional clustering analogue of the single-column sort in
+    compact_lake(cluster_col=...) (Delta OPTIMIZE ZORDER / Iceberg
+    sort-order with a space-filling curve; Morton 1966).
+
+    Interleaves the low `bits` bits of each column round-robin (dimension
+    d contributes bit i to output position i*ndims + d), so rows close in
+    EVERY dimension land close on the curve. Sorting files by this key
+    gives each file a tight min/max envelope on ALL the interleaved
+    columns at once — zone maps (build_zone_maps/read_zone_pruned) then
+    prune on any of them, where a lexicographic sort only prunes its
+    leading column.
+
+    Pure JVM bit arithmetic (shiftright/bitwise_and/shiftleft, unrolled at
+    plan-build time into one flat expression) — map-only, no Python, no
+    shuffle; the shuffle happens only in the range-repartition of the
+    clustered rewrite that consumes the key. Callers must clamp/bucket
+    inputs into [0, 2^bits): the key uses bits*ndims bits of a long, so
+    2 dims at 16 bits fits comfortably."""
+    ndims = len(cols)
+    key = F.lit(0).cast("long")
+    for d, c in enumerate(cols):
+        col = (F.col(c) if isinstance(c, str) else c).cast("long")
+        for i in range(bits):
+            key = key + F.shiftleft(
+                F.shiftright(col, i).bitwiseAND(F.lit(1)), i * ndims + d
+            )
+    return key

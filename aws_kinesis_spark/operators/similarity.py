@@ -495,3 +495,84 @@ def hard_negative_mining(
         F.col("neighbor_id").alias("negative_id"),
         (F.round("__cos", 4) + F.lit(0.0)).alias("neg_sim"),
     )
+
+
+def assign_clusters(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment with the n_clusters lowest-id vectors as
+    centroids (a deterministic seeding — k-means++ iterations would converge
+    tighter clusters but make the result depend on float iteration order;
+    the dedup guarantee downstream only needs SOME locality-preserving
+    partition of the space, per SemDeDup, Abbas et al. 2023, §3).
+
+    Plan shape: the centroids are collected (bounded: n_clusters rows — the
+    dial bounds driver memory exactly like knn_ivf's train_rows) and inlined
+    as array LITERALS, so assignment is a map-only projection over the
+    corpus: per row, argmax of n_clusters sequential-double cosines via
+    array_max over (cos, -centroid_id) structs — ties go to the LOWEST
+    centroid id. Zero shuffle, zero Python; at 10^9 rows this is one
+    whole-stage-codegen pass."""
+    seed = embeddings.filter(F.col(id_col) < n_clusters).select(id_col, vec_col)
+    rows = seed.orderBy(id_col).limit(n_clusters).collect()  # bounded: n_clusters rows
+    choices = []
+    for cid, row in enumerate(rows):
+        lit_vec = F.array(*[F.lit(float(x)) for x in row[vec_col]])
+        cs = F.coalesce(cosine(F.col(vec_col), lit_vec), F.lit(-2.0))
+        choices.append(F.struct(cs.alias("c"), F.lit(-cid).alias("ni")))
+    best = F.array_max(F.array(*choices))
+    return embeddings.withColumn("cluster_id", (-best["ni"]).cast("int"))
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.55,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup that
+    bounds the quadratic pair search by clustering first — near-duplicates
+    in embedding space land in the same cluster, so only WITHIN-cluster
+    pairs are examined. A row is dropped when a LOWER-id row in its cluster
+    has cosine >= threshold (the deterministic keeper convention shared
+    with g05/g19; the paper's keep-farthest-from-centroid variant is a
+    one-line orderBy swap).
+
+    Returns every input row as (id, cluster_id, is_kept).
+
+    Scale: assignment is the map-only literal-centroid pass of
+    assign_clusters; the pair stage self-joins ON cluster_id, so work is
+    sum(c_i^2) not n^2 — the operator's contract is n_clusters ∝ corpus
+    size, holding expected cluster size (and so per-task pair count)
+    CONSTANT as the corpus grows. AQE skew-join splits any hot cluster.
+    For clusters too large even so, swap the expression-cosine pair join
+    for the blocked-matmul kernel (embedding_neardup's applyInPandas
+    shape) keyed by (cluster, block-pair) — same semantics, BLAS speed."""
+    av = assign_clusters(embeddings, n_clusters, vec_col, id_col).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "cluster_id"
+    )
+    lo = av.select(
+        F.col("__id").alias("__lo_id"), F.col("__v").alias("__lo_v"), "cluster_id"
+    )
+    hi = av.select(
+        F.col("__id").alias("__hi_id"), F.col("__v").alias("__hi_v"), "cluster_id"
+    )
+    dropped = (
+        lo.join(hi, "cluster_id")
+        .filter(F.col("__lo_id") < F.col("__hi_id"))
+        .filter(cosine("__lo_v", "__hi_v") >= F.lit(threshold))
+        .select(F.col("__hi_id").alias("__id"))
+        .distinct()
+    )
+    return (
+        av.join(dropped.withColumn("__dup", F.lit(True)), "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cluster_id",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("is_kept"),
+        )
+    )

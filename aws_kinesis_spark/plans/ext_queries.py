@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from aws_kinesis_spark.functions import text as TX
 from aws_kinesis_spark.operators.dedup import (
+    containment_join,
     neardup_clusters,
     setsim_prefix_join,
     embedding_neardup,
@@ -29,6 +30,7 @@ from aws_kinesis_spark.operators.multimodal import (
 )
 from aws_kinesis_spark.operators.similarity import (
     hard_negative_mining,
+    semdedup,
     knn_bruteforce,
     knn_ivf,
     knn_join,
@@ -1716,4 +1718,116 @@ def g36_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.join(F.broadcast(rates), "source")
         .filter(variate < F.col("keep_f"))
         .select("doc_id", "source", "n_tokens", F.round("keep_f", 6).alias("keep_f"))
+    )
+
+
+def _duck_cos(lhs: str, rhs: str) -> str:
+    """_DUCK_COSINE with parameterized table aliases (same sequential
+    double-precision reduction, so Spark's zip_with/aggregate and DuckDB's
+    list comprehension produce bit-identical doubles)."""
+    return f"""
+    list_sum([CAST({lhs}.embedding[i] AS DOUBLE) * CAST({rhs}.embedding[i] AS DOUBLE)
+              for i in range(1, len({lhs}.embedding) + 1)])
+    / nullif(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in {lhs}.embedding]))
+             * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in {rhs}.embedding])), 0)
+"""
+
+
+@register(
+    "g37_containment_dedup",
+    oracle=f"""
+        WITH {_DUCK_SHINGLES},
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+            FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.da AS doc_id, i.db AS contained_in,
+               round(i.i * 1.0 / sz.n, 4) + 0.0 AS containment
+        FROM inter i JOIN sz ON sz.doc_id = i.da
+        WHERE i.i * 1.0 / sz.n >= 0.5
+    """,
+)
+def g37_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 asymmetric: shingle-set CONTAINMENT join (|A∩B|/|A| >= 0.5) —
+    finds quote/superset/wrapper duplication that symmetric Jaccard
+    misses. Inverted-index candidates + exact string verify
+    (operators/dedup.py:containment_join); directional, so both orders
+    of a pair are scored independently."""
+    return containment_join(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "g38_semdedup",
+    oracle=f"""
+        WITH cent AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+                   embedding
+            FROM embeddings WHERE vec_id < 8
+        ),
+        scored AS (
+            SELECT e.vec_id, c.cid, {_duck_cos('e', 'c')} AS cs
+            FROM embeddings e CROSS JOIN cent c
+        ),
+        assign AS (
+            SELECT vec_id, cid AS cluster_id FROM scored
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cs DESC NULLS LAST, cid) = 1
+        ),
+        av AS (
+            SELECT e.vec_id, e.embedding, a.cluster_id
+            FROM embeddings e JOIN assign a USING (vec_id)
+        ),
+        dropped AS (
+            SELECT DISTINCT hi.vec_id
+            FROM av lo JOIN av hi
+              ON lo.cluster_id = hi.cluster_id AND lo.vec_id < hi.vec_id
+            WHERE {_duck_cos('lo', 'hi')} >= 0.55
+        )
+        SELECT vec_id, cluster_id,
+               vec_id NOT IN (SELECT vec_id FROM dropped) AS is_kept
+        FROM av
+    """,
+)
+def g38_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2/G3 semantic dedup, SemDeDup (Abbas et al. 2023): cluster-bounded
+    embedding near-dup pruning — literal-centroid map-only assignment,
+    then within-cluster-only pair verification, so pair work is
+    sum(c_i^2) with cluster size held constant by the n_clusters ∝ n
+    contract (operators/similarity.py:semdedup)."""
+    return semdedup(load(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.55)
+
+
+@register(
+    "g40_stratified_sample",
+    oracle="""
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= 5
+    """,
+)
+def g40_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-mixture: EXACT-N-per-stratum sample (5 docs per source) — the
+    fixed-quota complement to g12/g24/g29's keep-rate threshold sampling
+    (those deliver expected fractions; dataset cards and eval slices need
+    exact counts). Deterministic reservoir: rank by md5(doc_id) within
+    the stratum and keep the first N — replayable on any partitioning,
+    no rand(). One key shuffle; the per-stratum sort is bounded by the
+    stratum, never global."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select("doc_id", "source")
     )

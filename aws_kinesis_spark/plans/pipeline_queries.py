@@ -1749,3 +1749,52 @@ def a22_manifest_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("id").cast("bigint").alias("id_sum"),
     )
+
+
+@register(
+    "a23_zorder_clustering",
+    oracle="""
+        WITH z AS (
+            SELECT list_sum([ ((((user_id % 128) >> i) & 1) << (2 * i))
+                            + ((((EXTRACT(hour FROM ts) * 60
+                                  + EXTRACT(minute FROM ts)) >> i) & 1) << (2 * i + 1))
+                              for i in range(0, 11)]) AS zkey,
+                   user_id % 128 AS ub,
+                   EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts) AS mn
+            FROM events
+        )
+        SELECT CAST(zkey >> 12 AS BIGINT) AS zbucket,
+               count(*) AS n,
+               CAST(min(ub) AS BIGINT) AS min_user, CAST(max(ub) AS BIGINT) AS max_user,
+               CAST(min(mn) AS BIGINT) AS min_minute, CAST(max(mn) AS BIGINT) AS max_minute
+        FROM z
+        GROUP BY 1
+    """,
+)
+def a23_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12+ layout maintenance: Z-ORDER (Morton-curve) clustering key over
+    two dimensions — user bucket x minute-of-day — the multi-dimensional
+    upgrade of compact_lake's single-column clustered rewrite (Delta
+    OPTIMIZE ZORDER / Iceberg sort-order analogue; Morton 1966). Files
+    sorted by the interleaved key hold tight min/max envelopes on BOTH
+    dimensions, so zone maps prune point/range queries on either column
+    — a lexicographic (user, minute) sort only prunes user. The query
+    certifies the curve arithmetic (pure JVM bit ops, map-only) and the
+    locality it buys: per curve-bucket row counts and per-dimension
+    envelopes, byte-identical to the oracle's interleave. The clustered
+    rewrite path itself (compact_lake(cluster_col=<zorder expr>)) is
+    exercised in tests/test_lake.py."""
+    from aws_kinesis_spark.operators.partitioning import zorder_key
+
+    ev = load(spark, sf_dir, "events").select(
+        F.pmod("user_id", F.lit(128)).alias("ub"),
+        (F.hour("ts") * 60 + F.minute("ts")).alias("mn"),
+    )
+    z = ev.select("ub", "mn", zorder_key(["ub", "mn"], bits=11).alias("zkey"))
+    return z.groupBy(F.shiftright("zkey", 12).alias("zbucket")).agg(
+        F.count("*").alias("n"),
+        F.min("ub").alias("min_user"),
+        F.max("ub").alias("max_user"),
+        F.min("mn").alias("min_minute"),
+        F.max("mn").alias("max_minute"),
+    )

@@ -1090,3 +1090,36 @@ def d33_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@register(
+    "d35_percentile_profile",
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 4) + 0.0 AS p25,
+               round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50), 4) + 0.0 AS p50,
+               round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 4) + 0.0 AS p75,
+               round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.50), 4) + 0.0 AS med_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def d35_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8+ profiling: EXACT continuous percentiles per group (linear
+    interpolation at p*(n-1) — the quantile_cont/percentile_cont
+    definition both engines implement identically over doubles). The
+    exact form needs the group's values sorted, so it shuffles once on
+    the group key and sorts within groups — right when groups are many
+    and each fits an executor. For a 100 TB single-group profile use
+    approx_percentile (t-digest sketch, map-side mergeable, one scalar
+    row out) — exactness there is neither needed nor worth a global
+    sort; this registered form is the oracle-grade profile."""
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    qty = F.col("l_quantity").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        (F.round(F.percentile(price, F.lit(0.25)), 4) + F.lit(0.0)).alias("p25"),
+        (F.round(F.percentile(price, F.lit(0.50)), 4) + F.lit(0.0)).alias("p50"),
+        (F.round(F.percentile(price, F.lit(0.75)), 4) + F.lit(0.0)).alias("p75"),
+        (F.round(F.percentile(qty, F.lit(0.50)), 4) + F.lit(0.0)).alias("med_qty"),
+    )

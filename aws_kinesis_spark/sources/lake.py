@@ -575,9 +575,12 @@ def _rewrite_leaf(
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(trash, ignore_errors=True)
     if cluster_col is not None:
-        out = df.repartitionByRange(int(n_out), cluster_col).sortWithinPartitions(
-            cluster_col
-        )
+        # F.expr accepts both a plain column name and a SQL expression, so
+        # a caller can cluster on a COMPUTED key — e.g. a Z-order curve
+        # (operators/partitioning.py:zorder_key's SQL form) for
+        # multi-dimensional file skipping — without materializing it.
+        key = F.expr(cluster_col)
+        out = df.repartitionByRange(int(n_out), key).sortWithinPartitions(key)
     else:
         # coalesce, not repartition: pure file assembly, no shuffle
         out = df.coalesce(int(n_out))

@@ -71,7 +71,7 @@ def test_registry_counts_pinned():
 
     registry._ensure_loaded()
     assert len(registry.DRIVER_WINDOW) == 50
-    assert len(registry.REGISTRY) == 146, len(registry.REGISTRY)
+    assert len(registry.REGISTRY) == 151, len(registry.REGISTRY)
     assert len(set(registry.DRIVER_WINDOW)) == 50  # no duplicate slots
     # round 7 closed the rows-only dead end: every registered query now
     # carries a DuckDB twin (the sketch/ANN paths via deterministic

@@ -379,6 +379,7 @@ def test_collect_sites_whitelisted():
         ("plans/pipeline_queries.py", "checkpoint"),  # b07: one MAX scalar
         ("operators/similarity.py", "train_rows"),    # IVF bounded sample
         ("operators/similarity.py", "max_reference"), # bounded eval-set probe
+        ("operators/similarity.py", "n_clusters"),    # semdedup centroid seed
         ("operators/dedup.py", "toPandas"),           # union-find <= dial edges
         ("operators/bloom.py", "merged"),             # <= merge_fan_in bitmaps
         ("__main__.py", "limit"),                     # CLI display limit
