@@ -958,12 +958,52 @@ def verify_pairs_against_texts(
     )
 
 
+def _containment_candidates(
+    sets: DataFrame, id_col: str, threshold: float, prefix_filter: bool
+) -> DataFrame:
+    """Directional candidate pairs (id_a, id_b) for the containment join
+    over a (id, __sh shingle-string-array) table. With ``prefix_filter``
+    only each probe set's |S_a| - ceil(t*|S_a|) + 1 rarest shingle hashes
+    (global ascending-df order, ties by hash) are joined against the FULL
+    inverted index — complete by the pigeonhole/prefix lemma, and the
+    shape the skewed-fixture shrinkage test pins (test_properties.py)."""
+    tok = sets.select(
+        F.col(id_col),
+        F.size("__sh").alias("__n"),
+        F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__s"),
+    )
+    if prefix_filter:
+        df_tab = tok.groupBy("__s").agg(F.count("*").alias("__df"))
+        # df join strategy left to AQE (web-scale shingle vocabulary
+        # out-sizes any driver, same posture as setsim_prefix_join)
+        ordered = tok.join(df_tab, "__s")
+        w = Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__s"))
+        pref_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+        probe = ordered.withColumn("__r", F.row_number().over(w)).filter(
+            F.col("__r") <= pref_len
+        )
+    else:
+        probe = tok
+    a = probe.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__s")
+    b = tok.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "__s")
+    return (
+        a.join(b, "__s")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("__nb") >= F.ceil(F.lit(threshold) * F.col("__na")))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def containment_join(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
     shingle_n: int = 3,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """G2 asymmetric variant: set-CONTAINMENT join — pairs (a, b) where
     |S_a ∩ S_b| / |S_a| >= threshold over n-gram shingle sets. Catches
@@ -973,32 +1013,34 @@ def containment_join(
     this asymmetric score (the relation is directional — both orders of a
     pair are evaluated and can disagree).
 
-    Plan shape: inverted shingle-HASH index for candidates (>= 1 shared
-    shingle — complete for any threshold > 0), then the exact verify
-    recomputes the intersection on the true shingle STRINGS
-    (array_intersect), so hash collisions cannot inflate the score; the
-    probe side's set size normalizes. Same two-shuffle shape as
-    ngram_jaccard_dedup. Scale posture: the PPJoin prefix bound applies
-    asymmetrically — a probe set A need index only its |S_a| -
-    ceil(t*|S_a|) + 1 rarest shingles (required overlap is t*|S_a|), so
-    the g32 prefix machinery drops in unchanged when candidate volume,
-    not verify cost, dominates; this exact form is oracle-grade."""
+    Candidate stage (default): the ASYMMETRIC prefix bound (the PPJoin
+    prefix principle, Xiao et al. WWW'08, applied to overlap >= t*|S_a|
+    per Chaudhuri et al. ICDE'06). containment(a->b) >= t forces
+    |S_a ∩ S_b| >= ceil(t*|S_a|); by pigeonhole, ANY |S_a| -
+    ceil(t*|S_a|) + 1 shingles of S_a must hit that intersection, so
+    only the probe side's prefix — its rarest shingles in the global
+    ascending-document-frequency order (same canonicalization as
+    setsim_prefix_join) — is joined against the full inverted index of
+    the candidate-superset side. The hottest (most common) shingle thus
+    lands in a probe prefix only for documents where it is among the
+    rarest — near-never at corpus scale — while it MUST stay on the full
+    index side (any shared shingle can be the probe's prefix witness), so
+    candidate volume is O(prefix rows x bucket), not O(bucket^2). The
+    size filter |S_b| >= ceil(t*|S_a|) prunes further; recall stays
+    exactly 100% (test_dedup.py differential vs the full inversion).
+
+    ``prefix_filter=False`` keeps the complete inverted index (every
+    shingle on both sides) — the brute candidate generator the property
+    test compares against.
+
+    Verify stage: exact — recomputes the intersection on the true shingle
+    STRINGS (array_intersect), so hash collisions cannot inflate the
+    score; the probe side's set size normalizes. Text strings never
+    shuffle in the candidate stage (hashes only until the verify joins);
+    this exact form is oracle-grade."""
     docs = _spread(docs.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n))
     sets = _checkpointed_shingle_sets(docs, text_col, id_col, shingle_n)
-    inv = sets.select(
-        F.col(id_col),
-        F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__s"),
-    )
-    a, b = inv.alias("a"), inv.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.__s") == F.col("b.__s"))
-            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    cand = _containment_candidates(sets, id_col, threshold, prefix_filter)
     verified = (
         cand.join(
             sets.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha")),

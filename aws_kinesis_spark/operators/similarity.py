@@ -503,21 +503,30 @@ def assign_clusters(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Nearest-centroid assignment with the n_clusters lowest-id vectors as
+    """Nearest-centroid assignment with the n_clusters LOWEST-ID vectors as
     centroids (a deterministic seeding — k-means++ iterations would converge
     tighter clusters but make the result depend on float iteration order;
     the dedup guarantee downstream only needs SOME locality-preserving
-    partition of the space, per SemDeDup, Abbas et al. 2023, §3).
+    partition of the space, per SemDeDup, Abbas et al. 2023, §3). The seed
+    makes no assumption about the id space: ids need not start at 0 or be
+    dense — orderBy(id).limit(n) is a TakeOrderedAndProject (per-partition
+    top-k then driver merge), never a global sort.
 
     Plan shape: the centroids are collected (bounded: n_clusters rows — the
     dial bounds driver memory exactly like knn_ivf's train_rows) and inlined
     as array LITERALS, so assignment is a map-only projection over the
     corpus: per row, argmax of n_clusters sequential-double cosines via
     array_max over (cos, -centroid_id) structs — ties go to the LOWEST
-    centroid id. Zero shuffle, zero Python; at 10^9 rows this is one
+    centroid id (centroid ids are the 0-based rank of the seed vector's id,
+    not the raw id). Zero shuffle, zero Python; at 10^9 rows this is one
     whole-stage-codegen pass."""
-    seed = embeddings.filter(F.col(id_col) < n_clusters).select(id_col, vec_col)
+    seed = embeddings.select(id_col, vec_col)
     rows = seed.orderBy(id_col).limit(n_clusters).collect()  # bounded: n_clusters rows
+    if not rows:
+        raise ValueError(
+            "assign_clusters: embeddings is empty — no rows to seed "
+            f"{n_clusters} centroids from"
+        )
     choices = []
     for cid, row in enumerate(rows):
         lit_vec = F.array(*[F.lit(float(x)) for x in row[vec_col]])

@@ -1765,7 +1765,7 @@ def g37_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH cent AS (
             SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
                    embedding
-            FROM embeddings WHERE vec_id < 8
+            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
         ),
         scored AS (
             SELECT e.vec_id, c.cid, {_duck_cos('e', 'c')} AS cs

@@ -131,14 +131,31 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #   in:  a17, a18, a19, a20, a21, a22, c14, d31, d32, d33, d34, d10b,
 #        g02c, g03b, g03c, g07b, g18b, g27, g28, g29, g30, g31, g32,
 #        g33, g34, g35, g36, o07, o08
-# After this window EVERY registered query is oracle-backed and has had
-# (or gets this round) a hard driver-hash row. Queries outside the window
-# still run in the local differential suite (tests/test_differential.py)
-# every CI pass; prior-round driver rows for rotated-out queries remain
-# in CORRECTNESS_r{1..6}.json.
+# Round-9 rotation (5 swapped — the five round-7 additions that have never
+# had a driver row go in; witness for each rotated-out slot in parens):
+#   out: d06 (semi/anti joins run INSIDE five in-window queries: g19's
+#        singleton anti-join (operators/dedup.py:677), b04b's exact
+#        first-seen anti-join (operators/bloom.py:186), a19's deletion-
+#        vector anti-join (sources/lake.py:737), g35's verdict anti-join
+#        (streaming/pipeline.py:621), g33's anchor semi-join
+#        (operators/similarity.py:493)), a13 (a17/a18/a19/a20/a21/a22 all
+#        write/read the same dynamic-partition manifest lake; the new a23
+#        IS a clustered-layout rewrite over it), o07 (o08 stream SCD2
+#        builds on the same CDC decode + net-change collapse chain — the
+#        r7 precedent that retired o05/o06), c10 (c14's gzip JSONL
+#        roundtrip measures the same compressed-byte accounting surface;
+#        a22 certifies manifest byte sums), g14b (g03c's IVF coarse
+#        quantizer exercises the same quantize-then-measure kernel and
+#        runs a recall check against the unquantized brute-force twin;
+#        g07b is byte-exact vectorized numeric Arrow plumbing)
+#   in:  a23, d35, g37, g38, g40
+# After this window EVERY registered query (151) is oracle-backed and has
+# had a hard driver-hash row. Queries outside the window still run in the
+# local differential suite (tests/test_differential.py) every CI pass;
+# prior-round driver rows for rotated-out queries remain in
+# CORRECTNESS_r{1..8}.json.
 DRIVER_WINDOW: list[str] = [
     # D — relational core (8)
-    "d06_join_semi_anti",
     "d07_set_ops",
     "d10b_approx_distinct",
     "d30_recursive_hierarchy",
@@ -146,15 +163,14 @@ DRIVER_WINDOW: list[str] = [
     "d32_gap_fill",
     "d33_histogram",
     "d34_asof_tolerance",
-    # C — record transforms (2)
-    "c10_cost_accounting",
+    "d35_percentile_profile",
+    # C — record transforms (1)
     "c14_gzip_jsonl_roundtrip",
     # B — streaming-core batch analogues (2)
     "b02_salted_aggregation",
     "b04b_bloom_first_seen",
     # A — sources/sinks/lake maintenance (9)
     "a01b_kinesis_reshard",
-    "a13_dynamic_table_partitioning",
     "a15_schema_evolution",
     "a17_snapshot_diff",
     "a18_orphan_vacuum",
@@ -162,15 +178,14 @@ DRIVER_WINDOW: list[str] = [
     "a20_zone_map_pruning",
     "a21_write_audit_publish",
     "a22_manifest_integrity",
-    # O — CDC family (2)
-    "o07_log_compaction",
+    "a23_zorder_clustering",
+    # O — CDC family (1)
     "o08_stream_scd2",
-    # G — LLM-data-pipeline operators (20)
+    # G — LLM-data-pipeline operators (22)
     "g02c_dedup_simhash",
     "g03b_knn_lsh_ann",
     "g03c_knn_ivf_ann",
     "g07b_multimodal_features",
-    "g14b_quantization_error",
     "g16_pii_scrub",
     "g17_training_order",
     "g18b_token_topk_sketch",
@@ -186,6 +201,9 @@ DRIVER_WINDOW: list[str] = [
     "g34_source_datacard",
     "g35_stream_dedup_ingest",
     "g36_token_budget_sample",
+    "g37_containment_dedup",
+    "g38_semdedup",
+    "g40_stratified_sample",
     # E — streaming semantics, batch-equivalent oracle form (3)
     "e04_stream_late_data",
     "e06_stream_stateful_buffer",

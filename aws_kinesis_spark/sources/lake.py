@@ -228,7 +228,11 @@ def _empty_like_lake(spark: SparkSession, lake_dir: str) -> DataFrame:
         with open(os.path.join(manifest_dir, name)) as fh:
             entries = [e["url"] for e in json.load(fh)["entries"]]
         if entries:
-            return spark.read.parquet(*entries).limit(0)
+            # one footer read, not O(files): a batch is one flush of one
+            # DataFrame, so every entry in a manifest shares one schema
+            # (cross-batch evolution is irrelevant — the NEWEST committed
+            # schema is exactly what an empty delta should carry)
+            return spark.read.parquet(entries[0]).limit(0)
     raise ValueError(
         f"lake {lake_dir} has no non-empty committed batch to take a schema from"
     )
@@ -836,6 +840,47 @@ def build_zone_maps(spark: SparkSession, lake_dir: str, cols: list[str]) -> str:
     return final
 
 
+def _coerce_zone_bound(value, sample, col: str):
+    """Coerce a caller-supplied pruning bound to the zone-map stats' Python
+    type so the driver-side min/max overlap test never dies on a bare
+    TypeError (int bounds against timestamp/string stats). Unambiguous
+    coercions are applied (numeric widening, ISO strings to date/datetime,
+    date to midnight datetime, anything to str); ambiguous ones (an int
+    against a timestamp — seconds? micros?) raise a clear per-column error
+    naming the expected type instead."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if value is None or sample is None:
+        return value
+    try:
+        sample <= value  # comparability probe — cheap, no side effects
+        return value
+    except TypeError:
+        pass
+    st = type(sample)
+    try:
+        if st in (int, float) and isinstance(value, (int, float, str, _dec.Decimal)):
+            return st(value)
+        if st is _dec.Decimal and isinstance(value, (int, float, str)):
+            return _dec.Decimal(str(value))
+        if st is _dt.datetime and isinstance(value, str):
+            return _dt.datetime.fromisoformat(value)
+        if st is _dt.datetime and isinstance(value, _dt.date) and not isinstance(value, _dt.datetime):
+            return _dt.datetime.combine(value, _dt.time.min)
+        if st is _dt.date and isinstance(value, str):
+            return _dt.date.fromisoformat(value)
+        if st is str:
+            return str(value)
+    except (ValueError, TypeError):
+        pass
+    raise TypeError(
+        f"read_zone_pruned: bound {value!r} ({type(value).__name__}) is not "
+        f"comparable to column {col!r} zone stats of type {st.__name__}; "
+        f"pass a {st.__name__} bound"
+    )
+
+
 def read_zone_pruned(spark: SparkSession, lake_dir: str, col: str, lo, hi) -> DataFrame:
     """Range scan with FILE SKIPPING: consult the zone maps first, open
     only the data files whose [min, max] for ``col`` overlaps [lo, hi],
@@ -872,9 +917,16 @@ def read_zone_pruned(spark: SparkSession, lake_dir: str, col: str, lo, hi) -> Da
     zone_stats = zm.select("__file", f"min_{col}", f"max_{col}").collect()
     stats = [(r[0], r[1], r[2]) for r in zone_stats]
     covered = {_local(f) for f, _, _ in stats}
+    sample = next(
+        (v for _, mn, mx in stats for v in (mn, mx) if v is not None), None
+    )
+    lo_c = _coerce_zone_bound(lo, sample, col)
+    hi_c = _coerce_zone_bound(hi, sample, col)
     # None min/max = file is all-NULL for col; BETWEEN never matches NULL
     surviving = [
-        f for f, mn, mx in stats if mn is not None and mx is not None and mx >= lo and mn <= hi
+        f
+        for f, mn, mx in stats
+        if mn is not None and mx is not None and mx >= lo_c and mn <= hi_c
     ]
     # any data file absent from the stats (committed after the build) is read
     surviving.extend(f for f in _list_parquet_files(data_dir) if _local(f) not in covered)

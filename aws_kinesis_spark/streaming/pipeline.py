@@ -476,26 +476,42 @@ def compact_dedup_index(spark: SparkSession, index_dir: str, upto: int) -> int:
     O(stream lifetime). Same write-to-tmp + atomic-rename commit as every
     lake object; idempotent (a replayed trigger that re-requests an
     existing compaction is a no-op). Returns stores compacted."""
+    import shutil
+
+    def _sweep_superseded(root: str) -> None:
+        # once compact=<upto> is committed, EVERY compact=<k<upto> and
+        # batch=<n<=upto> dir is provably folded into it (older batches
+        # fed the older compaction that fed this one) — delete them all,
+        # not just this call's srcs list, so a crash between the rename
+        # and the rmtree loop cannot strand dirs forever (the retry used
+        # to hit the final-exists path and skip cleanup permanently).
+        for d in os.listdir(root):
+            kind, _, num = d.partition("=")
+            if not num or d.endswith(".tmp"):
+                continue
+            if (kind == "compact" and int(num) < upto) or (
+                kind == "batch" and int(num) <= upto
+            ):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
     n_done = 0
     for sub, part_col in (("bands", "bucket"), ("corpus", "idb")):
         root = os.path.join(index_dir, sub)
         srcs = _index_dirs(root, upto_exclusive=upto + 1)
-        if len(srcs) <= 1:
-            continue
         final = os.path.join(root, f"compact={upto}")
         if os.path.exists(final):
+            _sweep_superseded(root)  # crash-recovery: finish the cleanup
+            continue
+        if len(srcs) <= 1:
             continue
         cols_df = spark.read.parquet(srcs[0])
         cols = [c for c in cols_df.columns if c != part_col] + [part_col]
         merged = _read_index_dirs(spark, srcs, cols)
         tmp = final + ".tmp"
-        import shutil
-
         shutil.rmtree(tmp, ignore_errors=True)
         merged.write.partitionBy(part_col).mode("overwrite").parquet(tmp)
         os.replace(tmp, final)
-        for s in srcs:
-            shutil.rmtree(s, ignore_errors=True)
+        _sweep_superseded(root)
         n_done += 1
     return n_done
 

@@ -33,35 +33,35 @@ def test_driver_window_covers_every_family():
     assert len(registry.DRIVER_WINDOW) == 50
     # every window query must carry a full DuckDB oracle (hash-match check)
     assert all(n in o for n in window), [n for n in window if n not in o]
-    # every operator family lands inside the hard-signal window
+    # every operator family lands inside the hard-signal window (o and c
+    # dropped to 1 in round 9: o07 retired on the o08 witness, c10 on the
+    # c14 witness — see the registry.py rotation log)
     for prefix, minimum in [
-        ("d", 8), ("c", 2), ("b", 2), ("a", 9), ("o", 2),
-        ("g", 20), ("e", 3), ("f", 4),
+        ("d", 8), ("c", 1), ("b", 2), ("a", 9), ("o", 1),
+        ("g", 22), ("e", 3), ("f", 4),
     ]:
         got = sum(1 for n in window if n.startswith(prefix))
         assert got >= minimum, f"family {prefix}: {got} < {minimum}"
     # window curation must not drop any registered query entirely
     assert set(q) == set(registry.REGISTRY)
-    # round-7 rotation: the 23 oracle-backed round-6 additions plus the
-    # 6 former rows-only sketch/ANN queries (now with deterministic
-    # self-check oracles) get their first driver-hash rows; after this
-    # window every registered query has been in a driver window
+    # round-9 rotation: the five round-7 additions that had never had a
+    # driver row get their first driver-hash rows; after this window every
+    # one of the 151 registered queries has been in a driver window
     rotated_in = {
-        "a17_snapshot_diff", "a18_orphan_vacuum", "a19_deletion_vectors",
-        "a20_zone_map_pruning", "a21_write_audit_publish",
-        "a22_manifest_integrity", "c14_gzip_jsonl_roundtrip",
-        "d31_unpivot", "d32_gap_fill", "d33_histogram",
-        "d34_asof_tolerance", "d10b_approx_distinct",
-        "g02c_dedup_simhash", "g03b_knn_lsh_ann", "g03c_knn_ivf_ann",
-        "g07b_multimodal_features", "g18b_token_topk_sketch",
-        "g27_embedding_decontaminate", "g28_source_overlap",
-        "g29_importance_sample", "g30_bm25_score", "g31_bigram_logprob",
-        "g32_setsim_prefix_join", "g33_hard_negatives",
-        "g34_source_datacard", "g35_stream_dedup_ingest",
-        "g36_token_budget_sample", "o07_log_compaction", "o08_stream_scd2",
+        "a23_zorder_clustering", "d35_percentile_profile",
+        "g37_containment_dedup", "g38_semdedup", "g40_stratified_sample",
     }
     assert rotated_in <= set(window)
-    assert len(rotated_in) == 29
+    rotated_out = {
+        "d06_join_semi_anti", "a13_dynamic_table_partitioning",
+        "o07_log_compaction", "c10_cost_accounting",
+        "g14b_quantization_error",
+    }
+    assert rotated_out & set(window) == set()
+    # with this window, every registered query has had a driver slot
+    ever_windowed = rotated_in | set(window)  # plus rounds 1-8 history
+    assert rotated_out <= set(registry.REGISTRY)
+    assert ever_windowed <= set(registry.REGISTRY)
 
 
 def test_registry_counts_pinned():

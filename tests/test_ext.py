@@ -859,3 +859,66 @@ def test_log_compaction_replay_equivalence(spark):
         comp_net = net_changes(compacted, ["id"], "seq", consumer_cursor)
         assert full_net.exceptAll(comp_net).count() == 0
         assert comp_net.exceptAll(full_net).count() == 0
+
+
+def test_containment_prefix_shrinks_candidates_on_skewed_shingles(spark):
+    """g37 scale shape (VERDICT r8 #2): with a universal hot shingle the
+    complete inverted index makes EVERY ordered doc pair a candidate —
+    the near-quadratic hot-bucket blowup. The asymmetric prefix bound
+    keeps a corpus-common shingle out of (almost) every probe prefix (it
+    is never among a doc's rarest), so candidate pairs collapse while
+    output stays IDENTICAL (completeness = the pigeonhole/prefix lemma,
+    property-tested in test_properties.py)."""
+    from aws_kinesis_spark.operators.dedup import (
+        _containment_candidates,
+        containment_join,
+        shingles,
+    )
+
+    # every doc opens with the hot trigram "x x x"; unique tails differ
+    rows = [
+        (i, "x x x " + " ".join(f"w{i}_{j}" for j in range(6))) for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sets = df.select("doc_id", shingles(F.col("text"), 3).alias("__sh"))
+    n_pref = _containment_candidates(sets, "doc_id", 0.5, True).count()
+    n_full = _containment_candidates(sets, "doc_id", 0.5, False).count()
+    assert n_full == 24 * 23, n_full  # hot shingle: all ordered pairs
+    assert n_pref < n_full / 4, (n_pref, n_full)
+    got = {
+        (r.doc_id, r.contained_in, r.containment)
+        for r in containment_join(df, threshold=0.5).collect()
+    }
+    full = {
+        (r.doc_id, r.contained_in, r.containment)
+        for r in containment_join(df, threshold=0.5, prefix_filter=False).collect()
+    }
+    assert got == full
+
+
+def test_assign_clusters_non_zero_based_ids(spark):
+    """VERDICT r8 #3: centroid seeding must not assume the id space starts
+    at 0 — the n_clusters LOWEST-id vectors seed, whatever the ids, and
+    cluster_id is never silently NULL."""
+    from aws_kinesis_spark.operators.similarity import assign_clusters, semdedup
+
+    rows = [(1000 + i, [float(i == j) for j in range(4)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {r.vec_id: r.cluster_id for r in assign_clusters(df, n_clusters=3).collect()}
+    assert None not in got.values(), got
+    # each seed vector is its own nearest centroid, ids ranked 0..2
+    assert (got[1000], got[1001], got[1002]) == (0, 1, 2)
+    # non-seeds are orthogonal to every centroid (cos=0 ties) -> lowest cid
+    assert got[1003] == got[1004] == got[1005] == 0
+    # downstream semdedup keeps everything (all-orthogonal corpus)
+    assert all(r.is_kept for r in semdedup(df, n_clusters=3, threshold=0.9).collect())
+
+
+def test_assign_clusters_empty_input_raises(spark):
+    """The silent-NULL degradation path is closed: an empty corpus raises
+    a named error instead of seeding zero centroids."""
+    from aws_kinesis_spark.operators.similarity import assign_clusters
+
+    df = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        assign_clusters(df, n_clusters=4)

@@ -841,3 +841,31 @@ def test_pooled_sweep_many_leaves_single_remap_pass(spark, envelope, tmp_path):
         got = {r.id for r in read_via_manifest(spark, lake, b).select("id").collect()}
         assert got == per_batch[b] - doomed, f"batch {b} content drifted"
     assert vacuum_orphans(lake, older_than_seconds=0).n_orphans == 0
+
+
+def test_zone_pruned_bounds_coerce_or_raise_clearly(spark, tmp_path):
+    """VERDICT r8 #3 (lake): the driver-side zone overlap test must not
+    die on a bare TypeError when the caller's bound type differs from the
+    stats' — unambiguous coercions apply (str->int, ISO str->timestamp),
+    ambiguous ones raise an error naming the column and expected type."""
+    from aws_kinesis_spark.sources.lake import build_zone_maps, read_zone_pruned
+
+    lake = str(tmp_path / "lake")
+    data = os.path.join(lake, "data")
+    ev = load(spark, SF, "events")
+    ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(data)
+    build_zone_maps(spark, lake, ["event_id", "ts"])
+
+    # str bounds on an int column coerce and answer identically
+    want = ev.filter(F.col("event_id").between(100, 299)).count()
+    assert read_zone_pruned(spark, lake, "event_id", "100", "299").count() == want
+
+    # ISO-string bounds on a timestamp column coerce through fromisoformat
+    tlo, thi = ev.agg(F.min("ts"), F.max("ts")).first()
+    want_ts = ev.filter(F.col("ts").between(tlo, thi)).count()
+    got = read_zone_pruned(spark, lake, "ts", tlo.isoformat(), thi.isoformat())
+    assert got.count() == want_ts
+
+    # an int bound on a timestamp column is ambiguous -> named error
+    with pytest.raises(TypeError, match="ts.*datetime"):
+        read_zone_pruned(spark, lake, "ts", 0, 10**9).count()

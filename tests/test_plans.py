@@ -491,3 +491,14 @@ def test_token_budget_rates_broadcast_back(spark):
     plan = _plan(queries()["g36_token_budget_sample"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_containment_join_probes_prefix_only(spark):
+    """G37: the candidate stage must key on shingle hashes from the PREFIX
+    selection (a row_number window over ascending document frequency feeds
+    the probe side of the join) — never a cartesian/NL join, and never the
+    full probe-side inversion the pre-r9 form used."""
+    plan = _plan(queries()["g37_containment_dedup"](spark, SF))
+    assert "row_number" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -400,3 +400,51 @@ def test_cdc_same_seq_tombstone_wins(spark_session):
     hist = scd2_history(cdc, ["id"], "seq").filter(F.col("id") == 1).collect()
     assert len(hist) == 1
     assert hist[0].op == "U" and not hist[0]["__is_current"]  # closed by the tombstone
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=3, max_size=16).map(" ".join),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_containment_join_prefix_matches_naive_and_full_index(
+    spark_session, docs, threshold
+):
+    """g37: the asymmetric-prefix candidate stage loses NOTHING — its
+    output equals both the complete-inverted-index form
+    (prefix_filter=False) and naive all-ordered-pairs containment, on
+    adversarially tiny low-vocab docs where prefixes collide heavily
+    (the prefix-filter lemma applied to overlap >= t*|S_a|)."""
+    from aws_kinesis_spark.operators.dedup import containment_join
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark_session.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.doc_id, r.contained_in): r.containment
+        for r in containment_join(df, threshold=threshold).collect()
+    }
+    full = {
+        (r.doc_id, r.contained_in): r.containment
+        for r in containment_join(
+            df, threshold=threshold, prefix_filter=False
+        ).collect()
+    }
+    sets = {
+        i: {tuple(t.split(" ")[j : j + 3]) for j in range(len(t.split(" ")) - 2)}
+        for i, t in rows
+        if len(t.split(" ")) >= 3
+    }
+    want = {}
+    for x in sets:
+        for y in sets:
+            if x == y:
+                continue
+            c = len(sets[x] & sets[y]) / len(sets[x])
+            if c >= threshold:
+                want[(x, y)] = round(c, 4)
+    assert got == want
+    assert full == want

@@ -1449,3 +1449,38 @@ def test_kinesis_sim_options_map_to_public_connector_surface():
             opt in mapping for opt in public_connector_options
         ), (dial, mapping)
     assert set(CONSUMER_MODES) == {"polling", "efo"}
+
+
+def test_compact_sweeps_superseded_dirs_after_crash_window(spark, tmp_path):
+    """VERDICT r8 #4: a crash between os.replace(tmp, final) and the
+    source rmtree loop used to strand superseded batch=/compact= dirs
+    FOREVER — the retry hit the final-exists early-continue and later
+    sweeps never revisited them. The final-exists path must now delete
+    every provably superseded dir (compact=k<upto, batch=n<=upto)."""
+    import os
+
+    from aws_kinesis_spark.streaming.pipeline import compact_dedup_index
+
+    root = str(tmp_path / "index")
+    for sub, pc in (("bands", "bucket"), ("corpus", "idb")):
+        for b in (0, 1):
+            spark.createDataFrame(
+                [(b, 0), (b + 10, 1)], f"doc_id bigint, {pc} int"
+            ).write.partitionBy(pc).parquet(os.path.join(root, sub, f"batch={b}"))
+    assert compact_dedup_index(spark, root, upto=1) == 2
+    for sub in ("bands", "corpus"):
+        names = {n for n in os.listdir(os.path.join(root, sub)) if "=" in n}
+        assert names == {"compact=1"}, names
+
+    # simulate the crash leftovers: superseded dirs reappear next to the
+    # committed compact=1 (exactly the on-disk state the crash leaves)
+    for sub, pc in (("bands", "bucket"), ("corpus", "idb")):
+        for stale in ("batch=0", "batch=1", "compact=0"):
+            spark.createDataFrame(
+                [(99, 0)], f"doc_id bigint, {pc} int"
+            ).write.partitionBy(pc).parquet(os.path.join(root, sub, stale))
+    # retry of the same compaction request: no work, but cleanup finishes
+    assert compact_dedup_index(spark, root, upto=1) == 0
+    for sub in ("bands", "corpus"):
+        names = {n for n in os.listdir(os.path.join(root, sub)) if "=" in n}
+        assert names == {"compact=1"}, names
