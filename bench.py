@@ -69,6 +69,13 @@ HEADLINE = [
     "a19_deletion_vectors",
     "g35_stream_dedup_ingest",
     "g36_token_budget_sample",
+    # round-9 additions (VERDICT r8 #6): regressions in the five rotated-in
+    # queries become visible per-round
+    "a23_zorder_clustering",
+    "d35_percentile_profile",
+    "g37_containment_dedup",
+    "g38_semdedup",
+    "g40_stratified_sample",
 ]
 
 
