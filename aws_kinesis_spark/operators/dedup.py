@@ -258,15 +258,18 @@ def lsh_candidate_pairs(
 
 
 def _checkpointed_shingle_sets(
-    docs: DataFrame, text_col: str, id_col: str, shingle_n: int
+    docs: DataFrame, text_col: str, id_col: str, shingle_n: int, eager: bool = True
 ) -> DataFrame:
     """(id, __sh) with lineage cut: the set table is referenced by multiple
     join sides / pipeline stages, and checkpointing both computes the
     shingling once and keeps the optimizer from re-analyzing the doc-scan
-    plan per reference."""
+    plan per reference. ``eager=False`` folds the materialization into the
+    first downstream job instead of its own barrier — right for latency-
+    bound micro-batch paths (g35's per-trigger verify) where the barrier
+    costs more than the work."""
     return docs.select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=eager)
 
 
 def _exact_jaccard_on_pairs(
@@ -951,7 +954,9 @@ def verify_pairs_against_texts(
         .distinct()
     )
     needed = texts.join(ids, id_col, "left_semi")
-    sets = _checkpointed_shingle_sets(needed, text_col, id_col, shingle_n)
+    # lazy: this path runs once per micro-batch trigger (g35), where a
+    # standalone materialization barrier costs more than the shingling
+    sets = _checkpointed_shingle_sets(needed, text_col, id_col, shingle_n, eager=False)
     verified = _exact_jaccard_on_pairs(pairs, sets, id_col)
     return verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
-from aws_kinesis_spark.functions.vectors import cosine
+from aws_kinesis_spark.functions.vectors import cosine, dot, l2_norm
 
 
 def knn_bruteforce(
@@ -561,19 +561,36 @@ def semdedup(
     For clusters too large even so, swap the expression-cosine pair join
     for the blocked-matmul kernel (embedding_neardup's applyInPandas
     shape) keyed by (cluster, block-pair) — same semantics, BLAS speed."""
-    av = assign_clusters(embeddings, n_clusters, vec_col, id_col).select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "cluster_id"
+    # per-row norms are computed ONCE before the pair join (they ride the
+    # shuffle), so each pair pays one dot product, not three — the norm
+    # product is the exact same double expression cosine() builds inline,
+    # so scores are bit-identical to the naive form (and the oracle)
+    av = (
+        assign_clusters(embeddings, n_clusters, vec_col, id_col)
+        .select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "cluster_id"
+        )
+        .withColumn("__nm", l2_norm("__v"))
     )
     lo = av.select(
-        F.col("__id").alias("__lo_id"), F.col("__v").alias("__lo_v"), "cluster_id"
+        F.col("__id").alias("__lo_id"),
+        F.col("__v").alias("__lo_v"),
+        F.col("__nm").alias("__lo_n"),
+        "cluster_id",
     )
     hi = av.select(
-        F.col("__id").alias("__hi_id"), F.col("__v").alias("__hi_v"), "cluster_id"
+        F.col("__id").alias("__hi_id"),
+        F.col("__v").alias("__hi_v"),
+        F.col("__nm").alias("__hi_n"),
+        "cluster_id",
+    )
+    pair_cos = dot("__lo_v", "__hi_v") / F.nullif(
+        F.col("__lo_n") * F.col("__hi_n"), F.lit(0.0)
     )
     dropped = (
         lo.join(hi, "cluster_id")
         .filter(F.col("__lo_id") < F.col("__hi_id"))
-        .filter(cosine("__lo_v", "__hi_v") >= F.lit(threshold))
+        .filter(pair_cos >= F.lit(threshold))
         .select(F.col("__hi_id").alias("__id"))
         .distinct()
     )

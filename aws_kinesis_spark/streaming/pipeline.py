@@ -453,15 +453,20 @@ def _index_dirs(root: str, upto_exclusive: int | None = None) -> list[str]:
     return sorted(d for d in out if _list_parquet_files(d))
 
 
-def _read_index_dirs(spark: SparkSession, dirs: list[str], cols: list[str]) -> DataFrame | None:
+def _read_index_dirs(
+    spark: SparkSession, dirs: list[str], cols: list[str], schema=None
+) -> DataFrame | None:
     """Union the per-dir reads of a bucketed index store. Each dir is read
     on its own so its hash-bucket subdirs infer as a partition column
     (mixing batch=/compact= names under one basePath would not); a bucket
     filter applied to the union pushes into every child scan's partition
-    pruning."""
+    pruning. Passing ``schema`` (incl. the partition column) skips the
+    per-dir footer-read inference job — on the per-trigger hot path that
+    is one driver round-trip per store per dir, pure fixed cost."""
     if not dirs:
         return None
-    parts = [spark.read.parquet(d).select(*cols) for d in dirs]
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    parts = [reader.parquet(d).select(*cols) for d in dirs]
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
@@ -509,7 +514,13 @@ def compact_dedup_index(spark: SparkSession, index_dir: str, upto: int) -> int:
         merged = _read_index_dirs(spark, srcs, cols)
         tmp = final + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
-        merged.write.partitionBy(part_col).mode("overwrite").parquet(tmp)
+        # cluster on the partition value before writing: one file per
+        # bucket instead of files x source-dirs — every later trigger's
+        # standing read opens the compacted store, so open count is paid
+        # per trigger while this shuffle is paid once per compaction
+        merged.repartition(F.col(part_col)).write.partitionBy(part_col).mode(
+            "overwrite"
+        ).parquet(tmp)
         os.replace(tmp, final)
         _sweep_superseded(root)
         n_done += 1
@@ -575,79 +586,129 @@ def start_dedup_ingest(
     os.makedirs(bands_dir, exist_ok=True)
     os.makedirs(corpus_dir, exist_ok=True)
 
+    # both index stores have schemas known at stream start — pass them to
+    # every per-trigger read so no trigger pays a footer-inference job
+    from pyspark.sql import types as T
+
+    id_type = doc_stream.schema["doc_id"].dataType
+    bands_schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bh", T.LongType()),
+            T.StructField("bucket", T.IntegerType()),
+        ]
+    )
+    corpus_schema = T.StructType(
+        list(doc_stream.schema.fields)
+        + [
+            T.StructField("kept", T.BooleanType()),
+            T.StructField("idb", T.IntegerType()),
+        ]
+    )
+
     def flush(batch_df: DataFrame, batch_id: int) -> None:
+        # Per-trigger latency here is job-count bound (a micro-batch is
+        # small; every barrier costs more than its work), so the trigger is
+        # scheduled as overlapping Spark jobs: checkpoints are LAZY (they
+        # materialize inside the first job that needs them instead of as
+        # their own barrier), compaction overlaps batch signing (it only
+        # touches dirs < batch_id - 1, which nothing in this trigger reads
+        # until the standing-band listing — joined before that point), and
+        # the bands write (depends only on bb) runs on a thread under the
+        # candidate/verify chain (nothing in THIS trigger reads this
+        # batch's bands dir; the trigger returns only after .result()).
+        from concurrent.futures import ThreadPoolExecutor
+
         spark = batch_df.sparkSession
-        if compact_every and batch_id and batch_id % compact_every == 0:
-            compact_dedup_index(spark, index_dir, upto=batch_id - 1)
-        docs = batch_df.localCheckpoint(eager=True)
-        bb = (
-            band_rows(docs)
-            .withColumn("bucket", F.pmod("bh", F.lit(n_buckets)).cast("int"))
-            .localCheckpoint(eager=True)
-        )
-        # bounded driver collect: <= n_buckets ints — the partition-pruning
-        # key list, exactly the metadata a planner holds
-        batch_buckets = [r[0] for r in bb.select("bucket").distinct().collect()]
-        standing = _read_index_dirs(
-            spark,
-            _index_dirs(bands_dir, upto_exclusive=batch_id),
-            cols=["doc_id", "band", "bh", "bucket"],
-        )
-        if standing is not None and batch_buckets:
-            all_bands = standing.filter(
-                F.col("bucket").isin(batch_buckets)
-            ).unionByName(bb)
-        else:
-            all_bands = bb
-        n, m = bb.alias("n"), all_bands.alias("m")
-        cand = (
-            n.join(
-                m,
-                (F.col("n.band") == F.col("m.band"))
-                & (F.col("n.bh") == F.col("m.bh"))
-                & (F.col("m.doc_id") < F.col("n.doc_id")),
-            )
-            .select(
-                F.col("m.doc_id").alias("id_a"), F.col("n.doc_id").alias("id_b")
-            )
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        # id_b is always batch-side; only id_a may live in the standing
-        # corpus — fetch exactly its id-buckets (<= n_buckets ints)
-        cand_idb = cand.select(F.pmod("id_a", F.lit(n_buckets)).cast("int").alias("idb"))
-        cand_buckets = [r[0] for r in cand_idb.distinct().collect()]
-        texts = docs.select("doc_id", "text")
-        prior_corpus = _read_index_dirs(
-            spark,
-            _index_dirs(corpus_dir, upto_exclusive=batch_id),
-            cols=["doc_id", "text", "idb"],
-        )
-        if prior_corpus is not None and cand_buckets:
-            texts = texts.unionByName(
-                prior_corpus.filter(F.col("idb").isin(cand_buckets)).select(
-                    "doc_id", "text"
+        pool = ThreadPoolExecutor(max_workers=2)
+        try:
+            compact_f = None
+            if compact_every and batch_id and batch_id % compact_every == 0:
+                compact_f = pool.submit(
+                    compact_dedup_index, spark, index_dir, upto=batch_id - 1
                 )
+            docs = batch_df.localCheckpoint(eager=False)
+            bb = (
+                band_rows(docs)
+                .withColumn("bucket", F.pmod("bh", F.lit(n_buckets)).cast("int"))
+                .localCheckpoint(eager=False)
             )
-        dropped = (
-            verify_pairs_against_texts(cand, texts, threshold=threshold)
-            .select(F.col("id_b").alias("doc_id"))
-            .distinct()
-        )
-        verdict = docs.join(dropped, "doc_id", "left_anti").select("doc_id").withColumn(
-            "kept", F.lit(True)
-        )
-        out = (
-            docs.join(verdict, "doc_id", "left")
-            .fillna(False, subset=["kept"])
-            .withColumn("idb", F.pmod("doc_id", F.lit(n_buckets)).cast("int"))
-        )
-        out.write.partitionBy("idb").mode("overwrite").parquet(
-            os.path.join(corpus_dir, f"batch={batch_id}")
-        )
-        bb.write.partitionBy("bucket").mode("overwrite").parquet(
-            os.path.join(bands_dir, f"batch={batch_id}")
-        )
+            # bounded driver collect: <= n_buckets ints — the partition-
+            # pruning key list, exactly the metadata a planner holds
+            # (this first action also materializes the docs/bb checkpoints)
+            batch_buckets = [r[0] for r in bb.select("bucket").distinct().collect()]
+            bands_write_f = pool.submit(
+                lambda: bb.write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(os.path.join(bands_dir, f"batch={batch_id}"))
+            )
+            if compact_f is not None:
+                compact_f.result()  # dir layout must be stable before listing
+            standing = _read_index_dirs(
+                spark,
+                _index_dirs(bands_dir, upto_exclusive=batch_id),
+                cols=["doc_id", "band", "bh", "bucket"],
+                schema=bands_schema,
+            )
+            if standing is not None and batch_buckets:
+                all_bands = standing.filter(
+                    F.col("bucket").isin(batch_buckets)
+                ).unionByName(bb)
+            else:
+                all_bands = bb
+            n, m = bb.alias("n"), all_bands.alias("m")
+            cand = (
+                n.join(
+                    m,
+                    (F.col("n.band") == F.col("m.band"))
+                    & (F.col("n.bh") == F.col("m.bh"))
+                    & (F.col("m.doc_id") < F.col("n.doc_id")),
+                )
+                .select(
+                    F.col("m.doc_id").alias("id_a"), F.col("n.doc_id").alias("id_b")
+                )
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+            # id_b is always batch-side; only id_a may live in the standing
+            # corpus — fetch exactly its id-buckets (<= n_buckets ints)
+            cand_idb = cand.select(
+                F.pmod("id_a", F.lit(n_buckets)).cast("int").alias("idb")
+            )
+            cand_buckets = [r[0] for r in cand_idb.distinct().collect()]
+            texts = docs.select("doc_id", "text")
+            prior_corpus = _read_index_dirs(
+                spark,
+                _index_dirs(corpus_dir, upto_exclusive=batch_id),
+                cols=["doc_id", "text", "idb"],
+                schema=corpus_schema,
+            )
+            if prior_corpus is not None and cand_buckets:
+                texts = texts.unionByName(
+                    prior_corpus.filter(F.col("idb").isin(cand_buckets)).select(
+                        "doc_id", "text"
+                    )
+                )
+            dropped = (
+                verify_pairs_against_texts(cand, texts, threshold=threshold)
+                .select(F.col("id_b").alias("doc_id"))
+                .distinct()
+                .withColumn("__dup", F.lit(True))
+            )
+            # one left join decides the verdict (kept = no smaller-id dup)
+            out = (
+                docs.join(dropped, "doc_id", "left")
+                .withColumn("kept", F.col("__dup").isNull())
+                .drop("__dup")
+                .withColumn("idb", F.pmod("doc_id", F.lit(n_buckets)).cast("int"))
+            )
+            out.write.partitionBy("idb").mode("overwrite").parquet(
+                os.path.join(corpus_dir, f"batch={batch_id}")
+            )
+            bands_write_f.result()
+        finally:
+            pool.shutdown(wait=True)
 
     return (
         doc_stream.writeStream.foreachBatch(flush)
