@@ -964,38 +964,70 @@ def verify_pairs_against_texts(
 
 
 def _containment_candidates(
-    sets: DataFrame, id_col: str, threshold: float, prefix_filter: bool
+    sets: DataFrame,
+    id_col: str,
+    threshold: float,
+    prefix_filter: bool,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Directional candidate pairs (id_a, id_b) for the containment join
     over a (id, __sh shingle-string-array) table. With ``prefix_filter``
     only each probe set's |S_a| - ceil(t*|S_a|) + 1 rarest shingle hashes
     (global ascending-df order, ties by hash) are joined against the FULL
-    inverted index — complete by the pigeonhole/prefix lemma, and the
+    inverted index, and each joined row must additionally pass the PPJoin
+    POSITIONAL upper bound (Xiao et al. WWW'08 §3.2): every common shingle
+    of a pair sits at or after this row's rank in BOTH canonical orders,
+    so overlap <= 1 + min(|S_a|-r_a, |S_b|-r_b) — rows that cannot reach
+    the required overlap ceil(t*|S_a|) are dropped before the distinct.
+    Complete: a qualifying pair's FIRST shared shingle (inside a's prefix
+    by the pigeonhole lemma) always satisfies the bound. This is the
     shape the skewed-fixture shrinkage test pins (test_properties.py)."""
     tok = sets.select(
         F.col(id_col),
         F.size("__sh").alias("__n"),
         F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__s"),
     )
+    req = F.ceil(F.lit(threshold) * F.col("__na"))  # required overlap
     if prefix_filter:
         df_tab = tok.groupBy("__s").agg(F.count("*").alias("__df"))
         # df join strategy left to AQE (web-scale shingle vocabulary
         # out-sizes any driver, same posture as setsim_prefix_join)
-        ordered = tok.join(df_tab, "__s")
         w = Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__s"))
+        ranked = tok.join(df_tab, "__s").withColumn("__r", F.row_number().over(w))
+        if checkpoint:
+            # feeds probe AND index side; lazy — materializes inside the
+            # first downstream job (checkpoint=False keeps the lineage
+            # visible for the plan-lock test)
+            ranked = ranked.localCheckpoint(eager=False)
         pref_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
-        probe = ordered.withColumn("__r", F.row_number().over(w)).filter(
-            F.col("__r") <= pref_len
+        a = ranked.filter(F.col("__r") <= pref_len).select(
+            F.col(id_col).alias("id_a"),
+            F.col("__n").alias("__na"),
+            F.col("__r").alias("__ra"),
+            "__s",
         )
+        b = ranked.select(
+            F.col(id_col).alias("id_b"),
+            F.col("__n").alias("__nb"),
+            F.col("__r").alias("__rb"),
+            "__s",
+        )
+        pos_ok = (
+            F.lit(1)
+            + F.least(F.col("__na") - F.col("__ra"), F.col("__nb") - F.col("__rb"))
+        ) >= req
     else:
-        probe = tok
-    a = probe.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__s")
-    b = tok.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "__s")
+        a = tok.select(
+            F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__s"
+        )
+        b = tok.select(
+            F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "__s"
+        )
+        pos_ok = F.lit(True)
     return (
         a.join(b, "__s")
         .filter(
-            (F.col("id_a") != F.col("id_b"))
-            & (F.col("__nb") >= F.ceil(F.lit(threshold) * F.col("__na")))
+            (F.col("id_a") != F.col("id_b")) & (F.col("__nb") >= req) & pos_ok
         )
         .select("id_a", "id_b")
         .distinct()

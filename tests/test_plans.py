@@ -496,10 +496,26 @@ def test_token_budget_rates_broadcast_back(spark):
 def test_containment_join_probes_prefix_only(spark):
     """G37: the candidate stage must key on shingle hashes from the PREFIX
     selection (a row_number window over ascending document frequency feeds
-    the probe side of the join) — never a cartesian/NL join, and never the
-    full probe-side inversion the pre-r9 form used."""
+    the probe side of the join, and the PPJoin positional bound rides the
+    join filter) — never a cartesian/NL join, and never the full
+    probe-side inversion the pre-r9 form used. The candidate shape is
+    inspected un-checkpointed (the production path's lazy checkpoint
+    truncates the visible lineage); the registered query is then checked
+    for the join-strategy bans."""
+    from aws_kinesis_spark.operators.dedup import (
+        _containment_candidates,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "b c d e")], "doc_id bigint, text string"
+    )
+    sets = docs.select("doc_id", shingles(F.col("text"), 3).alias("__sh"))
+    cand_plan = _plan(
+        _containment_candidates(sets, "doc_id", 0.5, True, checkpoint=False)
+    )
+    assert "row_number" in cand_plan
     plan = _plan(queries()["g37_containment_dedup"](spark, SF))
-    assert "row_number" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
