@@ -1831,3 +1831,121 @@ def g40_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 5)
         .select("doc_id", "source")
     )
+
+
+@register(
+    "g41_sequence_packing",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        seq AS (
+            SELECT doc_id, source, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS off
+            FROM tok
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST(floor(off / 512) AS BIGINT) AS bin_id,
+               CAST(off % 512 AS BIGINT) AS offset_in_bin
+        FROM seq
+    """,
+)
+def g41_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-training-prep: SEQUENCE PACKING by concatenation — documents are
+    laid end-to-end in a deterministic shuffled order (md5(doc_id), the
+    g40/g17 decorrelation hash) and cut into fixed token-budget bins
+    (512 here): each doc gets the bin its first token lands in plus its
+    offset — exactly the concat-and-chunk batch layout a pretraining
+    loader materializes (bins may straddle: the chunker, g21, handles
+    intra-doc splits; this operator owns the ORDER and PLACEMENT).
+
+    Scale: packing is PER SOURCE, so the running token offset is one
+    window per source partition — parallel across sources, bounded by the
+    stratum like g40's rank, never a global single-partition scan. For a
+    single global stream swap the window for the two-pass distributed
+    prefix sum (per-partition subtotals broadcast back — same shape as
+    b03's sequence numbering)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return tok.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(off / F.lit(512)).alias("bin_id"),
+        (off % F.lit(512)).alias("offset_in_bin"),
+    )
+
+
+@register(
+    "g45_vocab_coverage",
+    oracle="""
+        WITH tk AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        vocab AS (
+            SELECT tok FROM (
+                SELECT tok, count(*) AS c FROM tk GROUP BY tok
+            ) QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= 500
+        )
+        SELECT tk.doc_id,
+               count(*) AS n_tok,
+               CAST(sum(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               round(sum(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 4) + 0.0 AS oov_rate
+        FROM tk LEFT JOIN vocab ON tk.tok = vocab.tok
+        GROUP BY tk.doc_id
+    """,
+)
+def g45_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-tokenizer-prep: VOCABULARY COVERAGE — build the top-V (500)
+    corpus vocabulary by token frequency (ties broken by token string, so
+    the V boundary is deterministic in both engines) and score every
+    document's out-of-vocabulary rate over token OCCURRENCES. The report
+    a tokenizer-training run reads before fixing its vocab size, and a
+    quality signal (high OOV = noise/code/foreign text).
+
+    Scale: one partial-agg shuffle for the frequency table; the top-V cut
+    is orderBy+limit (TakeOrdered per partition + driver merge of V-row
+    heaps, never a global sort); the V-row vocab broadcasts back onto the
+    token stream (explicit F.broadcast), so the per-doc pass adds no
+    second shuffle of the corpus beyond the doc_id agg."""
+    d = load(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        tk.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(500)
+        .select("tok", F.lit(True).alias("__in"))
+    )
+    cov = tk.join(F.broadcast(vocab), "tok", "left")
+    return cov.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        (
+            F.round(
+                F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+                / F.count("*"),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("oov_rate"),
+    )

@@ -1123,3 +1123,37 @@ def d35_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.percentile(price, F.lit(0.75)), 4) + F.lit(0.0)).alias("p75"),
         (F.round(F.percentile(qty, F.lit(0.50)), 4) + F.lit(0.0)).alias("med_qty"),
     )
+
+
+@register(
+    "d36_approx_percentile_check",
+    oracle="""
+        SELECT l_returnflag, count(*) AS n, true AS within_bounds
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def d36_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8+ SKETCH path of d35, certified: the t-digest/GK median
+    (approx_percentile, accuracy=1000 => rank error <= 0.1%) must land
+    inside the EXACT percentile band [p50 - 2eps, p50 + 2eps] computed in
+    the same aggregate — the self-check-oracle pattern the ANN recall
+    queries use (the oracle pins the per-group row counts as exact
+    anchors and the bound as an always-true claim the Spark plan actually
+    evaluates). This is the form a 100 TB profile runs: the sketch is
+    map-side mergeable with O(accuracy) state per group, no per-group
+    value buffer, no sort — d35's exact form stays the oracle-grade
+    answer when groups are small enough to hold."""
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    eps = 1.0 / 1000
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        (
+            F.percentile_approx(price, F.lit(0.5), F.lit(1000))
+            .between(
+                F.percentile(price, F.lit(0.5 - 2 * eps)),
+                F.percentile(price, F.lit(0.5 + 2 * eps)),
+            )
+        ).alias("within_bounds"),
+    )

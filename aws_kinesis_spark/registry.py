@@ -149,7 +149,21 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        runs a recall check against the unquantized brute-force twin;
 #        g07b is byte-exact vectorized numeric Arrow plumbing)
 #   in:  a23, d35, g37, g38, g40
-# After this window EVERY registered query (151) is oracle-backed and has
+# Round-9 additions (3 new queries registered AND windowed the same round,
+# so they get driver rows immediately; witness for each rotated-out slot
+# in parens):
+#   out: d10b (g18b = the same sketch-with-deterministic-self-check
+#        family, and the NEW d36 is itself a sketch-vs-exact-bounds
+#        check; exact distinct/dup detection stays witnessed by g19
+#        keepers and b04b exact first-seen), g17 (g40's md5-rank-within-
+#        stratum IS the deterministic-hash ordering mechanism, and the
+#        NEW g41 orders by the same decorrelation hash; epoch variation
+#        is the same seed-in-hash trick as g36/g24's variates), g29
+#        (g36 token-budget + g40 exact-N = the same hash-threshold /
+#        deterministic-rank sampling family, both in-window)
+#   in:  d36_approx_percentile_check, g41_sequence_packing,
+#        g45_vocab_coverage
+# After this window EVERY registered query (154) is oracle-backed and has
 # had a hard driver-hash row. Queries outside the window still run in the
 # local differential suite (tests/test_differential.py) every CI pass;
 # prior-round driver rows for rotated-out queries remain in
@@ -157,13 +171,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 DRIVER_WINDOW: list[str] = [
     # D — relational core (8)
     "d07_set_ops",
-    "d10b_approx_distinct",
     "d30_recursive_hierarchy",
     "d31_unpivot",
     "d32_gap_fill",
     "d33_histogram",
     "d34_asof_tolerance",
     "d35_percentile_profile",
+    "d36_approx_percentile_check",
     # C — record transforms (1)
     "c14_gzip_jsonl_roundtrip",
     # B — streaming-core batch analogues (2)
@@ -187,13 +201,11 @@ DRIVER_WINDOW: list[str] = [
     "g03c_knn_ivf_ann",
     "g07b_multimodal_features",
     "g16_pii_scrub",
-    "g17_training_order",
     "g18b_token_topk_sketch",
     "g19_dedup_keepers",
     "g21_doc_chunking",
     "g27_embedding_decontaminate",
     "g28_source_overlap",
-    "g29_importance_sample",
     "g30_bm25_score",
     "g31_bigram_logprob",
     "g32_setsim_prefix_join",
@@ -204,6 +216,8 @@ DRIVER_WINDOW: list[str] = [
     "g37_containment_dedup",
     "g38_semdedup",
     "g40_stratified_sample",
+    "g41_sequence_packing",
+    "g45_vocab_coverage",
     # E — streaming semantics, batch-equivalent oracle form (3)
     "e04_stream_late_data",
     "e06_stream_stateful_buffer",

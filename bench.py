@@ -76,6 +76,9 @@ HEADLINE = [
     "g37_containment_dedup",
     "g38_semdedup",
     "g40_stratified_sample",
+    "d36_approx_percentile_check",
+    "g41_sequence_packing",
+    "g45_vocab_coverage",
 ]
 
 

@@ -45,17 +45,23 @@ def test_driver_window_covers_every_family():
     # window curation must not drop any registered query entirely
     assert set(q) == set(registry.REGISTRY)
     # round-9 rotation: the five round-7 additions that had never had a
-    # driver row get their first driver-hash rows; after this window every
-    # one of the 151 registered queries has been in a driver window
+    # driver row get their first driver-hash rows, and the three round-9
+    # additions are windowed the round they are registered; after this
+    # window every one of the 154 registered queries has been in a
+    # driver window
     rotated_in = {
         "a23_zorder_clustering", "d35_percentile_profile",
         "g37_containment_dedup", "g38_semdedup", "g40_stratified_sample",
+        # registered AND windowed in round 9 (driver rows the same round)
+        "d36_approx_percentile_check", "g41_sequence_packing",
+        "g45_vocab_coverage",
     }
     assert rotated_in <= set(window)
     rotated_out = {
         "d06_join_semi_anti", "a13_dynamic_table_partitioning",
         "o07_log_compaction", "c10_cost_accounting",
-        "g14b_quantization_error",
+        "g14b_quantization_error", "d10b_approx_distinct",
+        "g17_training_order", "g29_importance_sample",
     }
     assert rotated_out & set(window) == set()
     # with this window, every registered query has had a driver slot
@@ -71,7 +77,7 @@ def test_registry_counts_pinned():
 
     registry._ensure_loaded()
     assert len(registry.DRIVER_WINDOW) == 50
-    assert len(registry.REGISTRY) == 151, len(registry.REGISTRY)
+    assert len(registry.REGISTRY) == 154, len(registry.REGISTRY)
     assert len(set(registry.DRIVER_WINDOW)) == 50  # no duplicate slots
     # round 7 closed the rows-only dead end: every registered query now
     # carries a DuckDB twin (the sketch/ANN paths via deterministic

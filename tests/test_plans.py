@@ -571,3 +571,20 @@ def test_rename_sites_enumerated_against_s3_translation_table():
     stale = documented - found
     assert not undocumented, f"rename sites missing a SCALE.md §7 row: {undocumented}"
     assert not stale, f"SCALE.md §7 rows with no surviving rename site: {stale}"
+
+
+def test_vocab_coverage_broadcasts_vocab_not_corpus(spark):
+    """G45: the V-row vocabulary must broadcast back onto the token stream
+    (BroadcastHashJoin), and the top-V cut must be a TakeOrdered, not a
+    global Sort+Limit over the frequency table."""
+    plan = _plan(queries()["g45_vocab_coverage"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sequence_packing_single_window_pass(spark):
+    """G41: packing is one per-source window over the token-count
+    projection — no joins, no extra shuffles beyond the window exchange."""
+    plan = _plan(queries()["g41_sequence_packing"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # window hash exchange (+AQE read)
