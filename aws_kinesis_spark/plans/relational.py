@@ -1117,11 +1117,20 @@ def d35_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("double")
     qty = F.col("l_quantity").cast("double")
-    return li.groupBy("l_returnflag").agg(
-        (F.round(F.percentile(price, F.lit(0.25)), 4) + F.lit(0.0)).alias("p25"),
-        (F.round(F.percentile(price, F.lit(0.50)), 4) + F.lit(0.0)).alias("p50"),
-        (F.round(F.percentile(price, F.lit(0.75)), 4) + F.lit(0.0)).alias("p75"),
-        (F.round(F.percentile(qty, F.lit(0.50)), 4) + F.lit(0.0)).alias("med_qty"),
+    # ONE percentile buffer for all three price quantiles (array form) —
+    # four scalar percentile aggregates would hold four copies of the
+    # group's values; this holds two (price + qty), same exact math
+    prices = F.percentile(price, F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75)))
+    out = li.groupBy("l_returnflag").agg(
+        prices.alias("__p"),
+        F.percentile(qty, F.lit(0.50)).alias("__mq"),
+    )
+    return out.select(
+        "l_returnflag",
+        (F.round(F.element_at("__p", 1), 4) + F.lit(0.0)).alias("p25"),
+        (F.round(F.element_at("__p", 2), 4) + F.lit(0.0)).alias("p50"),
+        (F.round(F.element_at("__p", 3), 4) + F.lit(0.0)).alias("p75"),
+        (F.round("__mq", 4) + F.lit(0.0)).alias("med_qty"),
     )
 
 
