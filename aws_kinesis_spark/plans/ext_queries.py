@@ -1834,62 +1834,47 @@ def g40_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "g41_sequence_packing",
-    oracle="""
-        WITH tok AS (
-            SELECT doc_id, source,
-                   len(string_split(text, ' ')) AS n_tokens
-            FROM documents
-        ),
-        seq AS (
-            SELECT doc_id, source, n_tokens,
-                   coalesce(sum(n_tokens) OVER (
-                       PARTITION BY source
-                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ), 0) AS off
-            FROM tok
-        )
-        SELECT doc_id, source, n_tokens,
-               CAST(floor(off / 512) AS BIGINT) AS bin_id,
-               CAST(off % 512 AS BIGINT) AS offset_in_bin
-        FROM seq
+    "g41_filtered_knn",
+    oracle=f"""
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round({_DUCK_COSINE}, 4) + 0.0 AS cos_sim
+        FROM (SELECT * FROM embeddings WHERE vec_id % 50 = 0) a
+        JOIN (SELECT e.* FROM embeddings e
+              JOIN documents d ON d.doc_id = e.vec_id
+              WHERE d.lang = 'en') b ON b.vec_id <> a.vec_id
+        QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                   ORDER BY {_DUCK_COSINE} DESC, b.vec_id) <= 3
     """,
 )
-def g41_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G-training-prep: SEQUENCE PACKING by concatenation — documents are
-    laid end-to-end in a deterministic shuffled order (md5(doc_id), the
-    g40/g17 decorrelation hash) and cut into fixed token-budget bins
-    (512 here): each doc gets the bin its first token lands in plus its
-    offset — exactly the concat-and-chunk batch layout a pretraining
-    loader materializes (bins may straddle: the chunker, g21, handles
-    intra-doc splits; this operator owns the ORDER and PLACEMENT).
+def g41_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3+: FILTERED vector search — exact cosine top-3 restricted to the
+    corpus subset matching a metadata predicate (documents.lang = 'en'),
+    the hybrid retrieval shape every RAG/vector store serves (Qdrant/
+    Milvus/pgvector filtered queries). The filter is applied as a
+    PRE-filter: a doc_id semi-join prunes the corpus BEFORE any distance
+    work, so top-k is exact over the qualifying set — post-filtering an
+    unfiltered top-k (the naive composition of g03 + a filter) silently
+    returns FEWER than k when neighbors fail the predicate, an
+    unbounded recall loss at selective filters.
 
-    Scale: packing is PER SOURCE, so the running token offset is one
-    window per source partition — parallel across sources, bounded by the
-    stratum like g40's rank, never a global single-partition scan. For a
-    single global stream swap the window for the two-pass distributed
-    prefix sum (per-partition subtotals broadcast back — same shape as
-    b03's sequence numbering)."""
-    from pyspark.sql import Window
-
-    d = load(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    Scale: the semi-join prunes at the scan (broadcast of the qualifying
+    ids when the predicate is selective, AQE decides); the scoring pass
+    is the g03 blocked brute-force kernel over the REDUCED corpus. For
+    ANN at 100 TB the same pre-filter composes with the IVF path: filter
+    ids join against the posting lists before probing (g03c's bucketed
+    layout admits the same semi-join), keeping recall exact w.r.t. the
+    filtered set rather than hoping the unfiltered candidates survive
+    the predicate."""
+    em = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    qualifying = docs.filter(F.col("lang") == "en").select(
+        F.col("doc_id").alias("vec_id")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+    corpus = em.join(qualifying, "vec_id", "left_semi")
+    queries = em.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
     )
-    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return tok.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        F.floor(off / F.lit(512)).alias("bin_id"),
-        (off % F.lit(512)).alias("offset_in_bin"),
-    )
+    return knn_bruteforce(corpus, queries, k=3)
 
 
 @register(

@@ -156,12 +156,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        family, and the NEW d36 is itself a sketch-vs-exact-bounds
 #        check; exact distinct/dup detection stays witnessed by g19
 #        keepers and b04b exact first-seen), g17 (g40's md5-rank-within-
-#        stratum IS the deterministic-hash ordering mechanism, and the
-#        NEW g41 orders by the same decorrelation hash; epoch variation
-#        is the same seed-in-hash trick as g36/g24's variates), g29
+#        stratum IS the deterministic-hash ordering mechanism and g11's
+#        packing consumes the same ordered layout; epoch variation is
+#        the same seed-in-hash trick as g36/g24's variates), g29
 #        (g36 token-budget + g40 exact-N = the same hash-threshold /
 #        deterministic-rank sampling family, both in-window)
-#   in:  d36_approx_percentile_check, g41_sequence_packing,
+#   in:  d36_approx_percentile_check, g41_filtered_knn,
 #        g45_vocab_coverage
 # After this window EVERY registered query (154) is oracle-backed and has
 # had a hard driver-hash row. Queries outside the window still run in the
@@ -216,7 +216,7 @@ DRIVER_WINDOW: list[str] = [
     "g37_containment_dedup",
     "g38_semdedup",
     "g40_stratified_sample",
-    "g41_sequence_packing",
+    "g41_filtered_knn",
     "g45_vocab_coverage",
     # E — streaming semantics, batch-equivalent oracle form (3)
     "e04_stream_late_data",

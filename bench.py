@@ -77,7 +77,7 @@ HEADLINE = [
     "g38_semdedup",
     "g40_stratified_sample",
     "d36_approx_percentile_check",
-    "g41_sequence_packing",
+    "g41_filtered_knn",
     "g45_vocab_coverage",
 ]
 

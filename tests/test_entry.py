@@ -53,7 +53,7 @@ def test_driver_window_covers_every_family():
         "a23_zorder_clustering", "d35_percentile_profile",
         "g37_containment_dedup", "g38_semdedup", "g40_stratified_sample",
         # registered AND windowed in round 9 (driver rows the same round)
-        "d36_approx_percentile_check", "g41_sequence_packing",
+        "d36_approx_percentile_check", "g41_filtered_knn",
         "g45_vocab_coverage",
     }
     assert rotated_in <= set(window)

@@ -582,9 +582,11 @@ def test_vocab_coverage_broadcasts_vocab_not_corpus(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_sequence_packing_single_window_pass(spark):
-    """G41: packing is one per-source window over the token-count
-    projection — no joins, no extra shuffles beyond the window exchange."""
-    plan = _plan(queries()["g41_sequence_packing"](spark, SF))
-    assert "Join" not in plan
-    assert plan.count("Exchange") <= 2  # window hash exchange (+AQE read)
+def test_filtered_knn_prefilters_before_scoring(spark):
+    """G41: the metadata filter must reach the corpus BEFORE the distance
+    stage — a LeftSemi join on the qualifying ids below the scoring join,
+    with the predicate pushed into the documents scan. Post-filtering an
+    unfiltered top-k would show the filter ABOVE the ranking window."""
+    plan = _plan(queries()["g41_filtered_knn"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "EqualTo(lang,en)" in plan  # predicate pushed into the scan
