@@ -167,6 +167,48 @@ SHOWCASE = [
         "`FlatMapGroupsInPandas` kernel feed one window + one semi join — "
         "no n^2 shuffle, no similarity matrix outside a block pair.",
     ),
+    (
+        "g37_containment_dedup",
+        "Asymmetric prefix + PPJoin positional bound: only each probe's "
+        "rarest |S|-ceil(t|S|)+1 shingles (row_number under the global df "
+        "order) join the full index, and rows whose positional upper bound "
+        "cannot reach ceil(t*|S_a|) drop before the distinct — the hot "
+        "shingle never drives a quadratic bucket.",
+    ),
+    (
+        "g38_semdedup",
+        "Cluster-bounded pair search: map-only literal-centroid assignment "
+        "(zero Exchange before the pair join), per-row norms computed once "
+        "and carried through the shuffle — one dot product per "
+        "within-cluster pair, work sum(c_i^2) not n^2.",
+    ),
+    (
+        "g41_filtered_knn",
+        "Hybrid retrieval pre-filter: `EqualTo(lang,en)` pushed into the "
+        "documents scan, corpus pruned by a LeftSemi join BELOW the "
+        "distance stage — top-k exact over the qualifying set, no "
+        "post-filter recall loss.",
+    ),
+    (
+        "g45_vocab_coverage",
+        "Top-V cut is a `TakeOrderedAndProject` (per-partition heaps, "
+        "never a global sort) and the V-row vocabulary broadcasts back "
+        "(`BroadcastHashJoin`) — the corpus token stream shuffles once, "
+        "for the per-doc aggregate only.",
+    ),
+    (
+        "a23_zorder_clustering",
+        "Pure-JVM Morton interleave: the curve key is bit arithmetic in "
+        "whole-stage codegen, map-only before one partial aggregate — the "
+        "clustered-rewrite path reuses compact_lake's crash-safe swap.",
+    ),
+    (
+        "d36_approx_percentile_check",
+        "The sketch path of the percentile profile: approx_percentile is "
+        "map-side mergeable with O(accuracy) state per group — the plan "
+        "carries no per-group value buffer and the exact band computed in "
+        "the same aggregate certifies the sketch in-plan.",
+    ),
 ]
 
 
