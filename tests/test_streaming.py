@@ -1484,3 +1484,65 @@ def test_compact_sweeps_superseded_dirs_after_crash_window(spark, tmp_path):
     for sub in ("bands", "corpus"):
         names = {n for n in os.listdir(os.path.join(root, sub)) if "=" in n}
         assert names == {"compact=1"}, names
+
+
+def test_dedup_ingest_survives_crash_and_resume(spark, tmp_path):
+    """G35+B6: the dedup ingest is hard-stopped mid-stream (possibly after
+    landing a batch dir but before the engine commits the offset — and with
+    the round-9 THREADED flush, possibly between the threaded bands write
+    and the corpus write); on restart the replayed trigger overwrites its
+    own batch=N dirs idempotently and the final kept-set equals the
+    all-pairs first-occurrence-wins truth."""
+    import os
+    import time as _time
+
+    from aws_kinesis_spark.operators.dedup import ngram_jaccard_dedup
+    from aws_kinesis_spark.streaming.pipeline import (
+        read_dedup_corpus,
+        start_dedup_ingest,
+    )
+    from aws_kinesis_spark.tables import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    root = str(tmp_path)
+    inp = os.path.join(root, "input")
+    hi = d.agg(F.max("doc_id")).first()[0] + 1
+    bounds = [0, hi // 4, hi // 2, 3 * hi // 4, hi]
+    for i, (lo, up) in enumerate(zip(bounds, bounds[1:])):
+        (
+            d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < up))
+            .repartition(1)
+            .write.mode("append")
+            .parquet(inp)
+        )
+        for f in sorted(os.listdir(inp)):
+            path = os.path.join(inp, f)
+            if f.endswith(".parquet") and os.path.getmtime(path) > i * 1000:
+                os.utime(path, (i * 1000, i * 1000))
+
+    idx = os.path.join(root, "index")
+    ckpt = os.path.join(root, "ckpt")
+
+    def ingest():
+        stream = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inp)
+        )
+        return start_dedup_ingest(stream, idx, ckpt, n_buckets=8, compact_every=2)
+
+    q = ingest()
+    _time.sleep(4)  # mid-stream: some triggers done, possibly one in flight
+    q.stop()
+    q.awaitTermination(60)
+
+    q2 = ingest()
+    q2.awaitTermination(300)
+
+    kept = {r.doc_id for r in read_dedup_corpus(spark, idx).filter("kept").collect()}
+    dropped_truth = {r.id_b for r in ngram_jaccard_dedup(d, threshold=0.7).collect()}
+    all_ids = {r.doc_id for r in d.select("doc_id").collect()}
+    assert kept == all_ids - dropped_truth
+    # every landed doc exactly once (replay overwrote, never duplicated)
+    corpus = read_dedup_corpus(spark, idx)
+    assert corpus.count() == corpus.select("doc_id").distinct().count()
