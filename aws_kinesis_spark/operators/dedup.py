@@ -326,8 +326,13 @@ def ngram_jaccard_dedup(
 ) -> DataFrame:
     """G2 exact variant: candidate pairs from an inverted shingle index
     (docs sharing >=1 shingle), then exact Jaccard. Guaranteed-exact but
-    candidate growth depends on shingle frequency — MinHash+LSH is the
-    100 TB path; this is the oracle-grade reference implementation."""
+    candidate growth depends on shingle frequency: the hottest shingle
+    drives a quadratic bucket. For the SAME exact output with bounded
+    candidates use setsim_prefix_join (the prefix-filtered form of this
+    join — provable recall at the threshold, candidates from rare tokens
+    only); MinHash+LSH (minhash_lsh_dedup) is the probabilistic 100 TB
+    path. This full-inversion form stays as the oracle-grade reference
+    the other two are differentially tested against."""
     docs = _spread(docs.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n))
     sets = _checkpointed_shingle_sets(docs, text_col, id_col, shingle_n)
     # invert on the shingle HASH, not the string: the self-join shuffles and

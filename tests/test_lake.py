@@ -869,3 +869,33 @@ def test_zone_pruned_bounds_coerce_or_raise_clearly(spark, tmp_path):
     # an int bound on a timestamp column is ambiguous -> named error
     with pytest.raises(TypeError, match="ts.*datetime"):
         read_zone_pruned(spark, lake, "ts", 0, 10**9).count()
+
+
+def test_zone_bound_coercions_unit():
+    """_coerce_zone_bound edge matrix: numeric widening, Decimal, ISO
+    strings, date->midnight-datetime — and the ambiguous cases raise a
+    TypeError naming the column and the expected type."""
+    import datetime as dt
+    import decimal
+
+    from aws_kinesis_spark.sources.lake import _coerce_zone_bound as c
+
+    assert c(5, 10.0, "x") == 5  # cross-numeric is comparable: passthrough
+    assert c("5", 10, "x") == 5 and isinstance(c("5", 10, "x"), int)
+    assert c(5, decimal.Decimal("1.5"), "x") == decimal.Decimal("5")
+    ts = dt.datetime(2026, 1, 2, 3, 4, 5)
+    assert c("2026-01-02T03:04:05", ts, "x") == ts
+    assert c(dt.date(2026, 1, 2), ts, "x") == dt.datetime(2026, 1, 2, 0, 0)
+    assert c("2026-01-02", dt.date(2020, 1, 1), "x") == dt.date(2026, 1, 2)
+    assert c(7, "abc", "x") == "7"
+    # passthroughs
+    assert c(None, 5, "x") is None
+    assert c(5, None, "x") == 5
+    assert c(3, 4, "x") == 3  # already comparable
+    # ambiguous: int vs datetime stats
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="mycol.*datetime"):
+        c(12345, ts, "mycol")
+    with _pytest.raises(TypeError, match="mycol.*date"):
+        c(12345, dt.date(2020, 1, 1), "mycol")
