@@ -840,6 +840,61 @@ def build_zone_maps(spark: SparkSession, lake_dir: str, cols: list[str]) -> str:
     return final
 
 
+def update_zone_maps(spark: SparkSession, lake_dir: str, cols: list[str]) -> int:
+    """INCREMENTAL zone-map maintenance: scan ONLY data files the stats
+    table does not cover yet, union their stats with the surviving prior
+    rows, and commit through the same write-to-tmp + atomic-rename swap.
+    Also drops rows for files that no longer exist (compaction/vacuum
+    replaced them), so stats never bloat or point at dead paths.
+
+    This is what a per-flush maintenance hook runs: O(new files) scan per
+    call instead of build_zone_maps' O(table) rescan — at 100 TB a full
+    rebuild is a capital expense reserved for re-clustering, while the
+    incremental form keeps file skipping fresh between flushes (uncovered
+    files are must-read until covered, so freshness = pruning). Returns
+    the number of newly covered files; falls back to a full build when no
+    stats table exists."""
+    from urllib.parse import unquote, urlparse
+
+    data_dir = os.path.join(lake_dir, "data")
+    final = os.path.join(lake_dir, "_zonemaps")
+    if not os.path.isdir(final):
+        build_zone_maps(spark, lake_dir, cols)
+        return len(_list_parquet_files(data_dir))
+
+    def _local(path: str) -> str:
+        return os.path.realpath(unquote(urlparse(path).path)) if "://" in path else os.path.realpath(path)
+
+    prior = spark.read.parquet(final)
+    live = {_local(f): f for f in _list_parquet_files(data_dir)}
+    # per-file stats rows: the same O(files) metadata a planner holds
+    prior_names = [r[0] for r in prior.select("__file").collect()]
+    covered = {_local(n) for n in prior_names}
+    new_files = [p for k, p in live.items() if k not in covered]
+    still_live = [n for n in prior_names if _local(n) in live]
+    keep = prior.filter(F.col("__file").isin(still_live))
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    if new_files:
+        fresh = (
+            spark.read.parquet(*new_files)
+            .withColumn("__file", F.input_file_name())
+            .groupBy("__file")
+            .agg(*aggs)
+        )
+        zm = keep.unionByName(fresh)
+    else:
+        zm = keep
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    zm.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(tmp, final)
+    return len(new_files)
+
+
 def _coerce_zone_bound(value, sample, col: str):
     """Coerce a caller-supplied pruning bound to the zone-map stats' Python
     type so the driver-side min/max overlap test never dies on a bare
@@ -922,14 +977,21 @@ def read_zone_pruned(spark: SparkSession, lake_dir: str, col: str, lo, hi) -> Da
     )
     lo_c = _coerce_zone_bound(lo, sample, col)
     hi_c = _coerce_zone_bound(hi, sample, col)
+    live = {_local(f): f for f in _list_parquet_files(data_dir)}
+    # stale stats rows (files a later compaction/vacuum removed) are
+    # dropped, not scheduled — scheduling a dead path fails the scan;
     # None min/max = file is all-NULL for col; BETWEEN never matches NULL
     surviving = [
         f
         for f, mn, mx in stats
-        if mn is not None and mx is not None and mx >= lo_c and mn <= hi_c
+        if _local(f) in live
+        and mn is not None
+        and mx is not None
+        and mx >= lo_c
+        and mn <= hi_c
     ]
     # any data file absent from the stats (committed after the build) is read
-    surviving.extend(f for f in _list_parquet_files(data_dir) if _local(f) not in covered)
+    surviving.extend(p for k, p in live.items() if k not in covered)
     if not surviving:
         return spark.read.parquet(data_dir).filter(pred).limit(0)
     return spark.read.parquet(*surviving).filter(pred)

@@ -899,3 +899,67 @@ def test_zone_bound_coercions_unit():
         c(12345, ts, "mycol")
     with _pytest.raises(TypeError, match="mycol.*date"):
         c(12345, dt.date(2020, 1, 1), "mycol")
+
+
+def test_update_zone_maps_incremental_and_stale_safe(spark, tmp_path):
+    """A20+: incremental stats maintenance — an append is covered by
+    scanning ONLY the new files (returned count proves it), a compaction
+    that replaced files neither crashes the pruned read (stale rows are
+    dropped, replacement files are must-read) nor survives the next
+    update (dead rows purged)."""
+    from aws_kinesis_spark.sources.lake import (
+        build_zone_maps,
+        compact_lake,
+        read_zone_pruned,
+        update_zone_maps,
+    )
+
+    lake = str(tmp_path / "lake")
+    data = os.path.join(lake, "data")
+    ev = load(spark, SF, "events")
+    first = ev.filter(F.col("event_id") < 500)
+    rest = ev.filter(F.col("event_id") >= 500)
+    first.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(data)
+    build_zone_maps(spark, lake, ["event_id"])
+
+    # append lands new files -> update scans exactly those
+    n_before = len([f for _, _, fs in os.walk(data) for f in fs if f.endswith(".parquet")])
+    rest.repartitionByRange(4, "event_id").write.mode("append").parquet(data)
+    n_after = len([f for _, _, fs in os.walk(data) for f in fs if f.endswith(".parquet")])
+    n_new = update_zone_maps(spark, lake, ["event_id"])
+    assert n_new == n_after - n_before, (n_new, n_before, n_after)
+
+    want = ev.filter(F.col("event_id").between(100, 899)).count()
+    pruned = read_zone_pruned(spark, lake, "event_id", 100, 899)
+    assert pruned.count() == want
+    # pruning works across BOTH builds' stats: a range inside the FIRST
+    # build's span must skip the second build's files (and vice versa)
+    n_total = len([f for _, _, fs in os.walk(data) for f in fs if f.endswith(".parquet")])
+    narrow = read_zone_pruned(spark, lake, "event_id", 100, 299)
+    assert narrow.count() == ev.filter(F.col("event_id").between(100, 299)).count()
+    assert narrow.select(F.input_file_name()).distinct().count() < n_total
+
+    # compaction replaces files; stats now reference dead paths — the
+    # pruned read must still answer (stale rows dropped, new files
+    # must-read), and the next update purges the dead rows
+    before = sorted(map(tuple, spark.read.parquet(data).collect()))
+    assert compact_lake(spark, lake, target_file_bytes=1 << 20, cluster_col="event_id")
+    assert sorted(map(tuple, spark.read.parquet(data).collect())) == before
+    got = read_zone_pruned(spark, lake, "event_id", 100, 899)
+    assert got.count() == want  # no crash, no lost rows (stale rows dropped)
+    update_zone_maps(spark, lake, ["event_id"])
+    zm = spark.read.parquet(os.path.join(lake, "_zonemaps"))
+    from urllib.parse import unquote, urlparse
+
+    live = {
+        os.path.realpath(os.path.join(r, f))
+        for r, _, fs in os.walk(data)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    def loc(p):
+        return os.path.realpath(unquote(urlparse(p).path)) if "://" in p else os.path.realpath(p)
+    assert {loc(r[0]) for r in zm.select("__file").collect()} <= live
+    # and the refreshed stats prune again
+    pruned2 = read_zone_pruned(spark, lake, "event_id", 100, 299)
+    assert pruned2.count() == ev.filter(F.col("event_id").between(100, 299)).count()

@@ -385,7 +385,9 @@ def test_collect_sites_whitelisted():
         ("__main__.py", "limit"),                     # CLI display limit
         ("sources/lake.py", "zone_stats"),            # per-file stats rows: the
                                                       # O(files) metadata a
-                                                      # planner holds to plan
+                                                      # planner holds
+        ("sources/lake.py", "prior_names"),           # same: stats __file list
+                                                      # for incremental update to plan
         ("streaming/pipeline.py", "batch_buckets"),   # <= n_buckets ints (g35
                                                       # partition-pruning keys)
         ("streaming/pipeline.py", "cand_buckets"),    # <= n_buckets ints
