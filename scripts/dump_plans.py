@@ -204,10 +204,11 @@ SHOWCASE = [
     ),
     (
         "d36_approx_percentile_check",
-        "The sketch path of the percentile profile: approx_percentile is "
-        "map-side mergeable with O(accuracy) state per group — the plan "
-        "carries no per-group value buffer and the exact band computed in "
-        "the same aggregate certifies the sketch in-plan.",
+        "The sketch path of the percentile profile: approx_percentile "
+        "carries map-side-mergeable O(accuracy) state per group. This "
+        "CHECK query also computes the exact band in the same aggregate "
+        "(the certification harness — that part does buffer values); the "
+        "production profile runs the sketch alone.",
     ),
 ]
 
