@@ -1166,3 +1166,121 @@ def d36_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("within_bounds"),
     )
+
+
+@register(
+    "d38_funnel_steps",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(ts) AS t0 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS t1
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t0
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t1
+            GROUP BY e.user_id
+        )
+        SELECT 1 AS stage, 'view' AS step, (SELECT count(*) FROM v) AS n_users
+        UNION ALL
+        SELECT 2, 'click_after_view', (SELECT count(*) FROM c)
+        UNION ALL
+        SELECT 3, 'purchase_after_click', (SELECT count(*) FROM p)
+    """,
+)
+def d38_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8+ ORDERED-FUNNEL analysis (the view -> click -> purchase question
+    every product-analytics engine answers): users counted at stage k only
+    if step k happened strictly AFTER their first completion of stage k-1
+    — ordering matters, so this is NOT three independent filters. Shape:
+    per-stage conditional min-ts aggregates chained by equi-joins on
+    user_id; each stage's frame shrinks monotonically, so later joins are
+    broadcast-eligible (AQE decides) and the events scan is touched once
+    per stage with the event-type predicate pushed down. At 100 TB the
+    same chain runs per (user-bucket) partition; no window over the full
+    event stream is ever needed."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    rows = [
+        (1, "view", v),
+        (2, "click_after_view", c),
+        (3, "purchase_after_click", p),
+    ]
+    out = None
+    for stage, step, df in rows:
+        one = df.agg(F.count("*").alias("n_users")).select(
+            F.lit(stage).alias("stage"), F.lit(step).alias("step"), "n_users"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+@register(
+    "d39_cohort_retention",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+            FROM events GROUP BY user_id
+        ),
+        active AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS wk
+            FROM events
+        )
+        SELECT CAST(f.cohort AS VARCHAR) AS cohort_week,
+               CAST(floor(date_diff('day', f.cohort, a.wk) / 7) AS BIGINT)
+                   AS week_offset,
+               count(DISTINCT a.user_id) AS n_active
+        FROM firsts f JOIN active a USING (user_id)
+        GROUP BY 1, 2
+    """,
+)
+def d39_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8+ COHORT RETENTION (the week-k retention triangle): users grouped
+    by the ISO week of their FIRST event, counted in every later week
+    they were active — the second canonical product-analytics shape next
+    to d38's funnel. Two aggregates (first-week per user, distinct
+    active-weeks per user) joined on user_id, then one count-distinct per
+    (cohort, offset) cell. Scale: both aggregates are map-side partial
+    over the same user-hashed shuffle; the cell count is O(users x
+    active-weeks), never O(events), after the distinct."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    return (
+        firsts.join(active, "user_id")
+        .groupBy(
+            F.col("cohort").cast("string").alias("cohort_week"),
+            F.floor(F.datediff("wk", "cohort") / 7).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

@@ -163,13 +163,25 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        deterministic-rank sampling family, both in-window)
 #   in:  d36_approx_percentile_check, g41_filtered_knn,
 #        g45_vocab_coverage
+# Round-9 late additions (2 more new queries windowed the same round;
+# witness for each rotated-out slot in parens):
+#   out: g21 (f04's UDTF LATERAL is the same 1->N Python surface and
+#        g07b pins the Arrow batch plumbing; g21's chunk-boundary and
+#        chunking-invisibility invariants stay pinned locally in
+#        tests/test_ext.py::test_chunking_invariants and
+#        test_signature_kernels_chunking_is_invisible, and g17/g11's
+#        consumers were retired on the same local-invariant basis),
+#        g34 (d35/d36 are the same grouped single-pass profile shape and
+#        g45's corpus-frequency aggregate covers the distinct-state
+#        posture; g34's md5-not-bodies invariant stays pinned locally)
+#   in:  d38_funnel_steps, d39_cohort_retention
 # After this window EVERY registered query (154) is oracle-backed and has
 # had a hard driver-hash row. Queries outside the window still run in the
 # local differential suite (tests/test_differential.py) every CI pass;
 # prior-round driver rows for rotated-out queries remain in
 # CORRECTNESS_r{1..8}.json.
 DRIVER_WINDOW: list[str] = [
-    # D — relational core (8)
+    # D — relational core (10)
     "d07_set_ops",
     "d30_recursive_hierarchy",
     "d31_unpivot",
@@ -178,6 +190,8 @@ DRIVER_WINDOW: list[str] = [
     "d34_asof_tolerance",
     "d35_percentile_profile",
     "d36_approx_percentile_check",
+    "d38_funnel_steps",
+    "d39_cohort_retention",
     # C — record transforms (1)
     "c14_gzip_jsonl_roundtrip",
     # B — streaming-core batch analogues (2)
@@ -195,7 +209,7 @@ DRIVER_WINDOW: list[str] = [
     "a23_zorder_clustering",
     # O — CDC family (1)
     "o08_stream_scd2",
-    # G — LLM-data-pipeline operators (22)
+    # G — LLM-data-pipeline operators (20)
     "g02c_dedup_simhash",
     "g03b_knn_lsh_ann",
     "g03c_knn_ivf_ann",
@@ -203,14 +217,12 @@ DRIVER_WINDOW: list[str] = [
     "g16_pii_scrub",
     "g18b_token_topk_sketch",
     "g19_dedup_keepers",
-    "g21_doc_chunking",
     "g27_embedding_decontaminate",
     "g28_source_overlap",
     "g30_bm25_score",
     "g31_bigram_logprob",
     "g32_setsim_prefix_join",
     "g33_hard_negatives",
-    "g34_source_datacard",
     "g35_stream_dedup_ingest",
     "g36_token_budget_sample",
     "g37_containment_dedup",

@@ -79,6 +79,8 @@ HEADLINE = [
     "d36_approx_percentile_check",
     "g41_filtered_knn",
     "g45_vocab_coverage",
+    "d38_funnel_steps",
+    "d39_cohort_retention",
 ]
 
 

@@ -37,8 +37,8 @@ def test_driver_window_covers_every_family():
     # dropped to 1 in round 9: o07 retired on the o08 witness, c10 on the
     # c14 witness — see the registry.py rotation log)
     for prefix, minimum in [
-        ("d", 8), ("c", 1), ("b", 2), ("a", 9), ("o", 1),
-        ("g", 22), ("e", 3), ("f", 4),
+        ("d", 10), ("c", 1), ("b", 2), ("a", 9), ("o", 1),
+        ("g", 20), ("e", 3), ("f", 4),
     ]:
         got = sum(1 for n in window if n.startswith(prefix))
         assert got >= minimum, f"family {prefix}: {got} < {minimum}"
@@ -47,14 +47,14 @@ def test_driver_window_covers_every_family():
     # round-9 rotation: the five round-7 additions that had never had a
     # driver row get their first driver-hash rows, and the three round-9
     # additions are windowed the round they are registered; after this
-    # window every one of the 154 registered queries has been in a
+    # window every one of the 156 registered queries has been in a
     # driver window
     rotated_in = {
         "a23_zorder_clustering", "d35_percentile_profile",
         "g37_containment_dedup", "g38_semdedup", "g40_stratified_sample",
         # registered AND windowed in round 9 (driver rows the same round)
         "d36_approx_percentile_check", "g41_filtered_knn",
-        "g45_vocab_coverage",
+        "g45_vocab_coverage", "d38_funnel_steps", "d39_cohort_retention",
     }
     assert rotated_in <= set(window)
     rotated_out = {
@@ -62,6 +62,7 @@ def test_driver_window_covers_every_family():
         "o07_log_compaction", "c10_cost_accounting",
         "g14b_quantization_error", "d10b_approx_distinct",
         "g17_training_order", "g29_importance_sample",
+        "g21_doc_chunking", "g34_source_datacard",
     }
     assert rotated_out & set(window) == set()
     # with this window, every registered query has had a driver slot
@@ -77,7 +78,7 @@ def test_registry_counts_pinned():
 
     registry._ensure_loaded()
     assert len(registry.DRIVER_WINDOW) == 50
-    assert len(registry.REGISTRY) == 154, len(registry.REGISTRY)
+    assert len(registry.REGISTRY) == 156, len(registry.REGISTRY)
     assert len(set(registry.DRIVER_WINDOW)) == 50  # no duplicate slots
     # round 7 closed the rows-only dead end: every registered query now
     # carries a DuckDB twin (the sketch/ANN paths via deterministic

@@ -546,6 +546,8 @@ def test_rename_sites_enumerated_against_s3_translation_table():
         ("sources/lake.py", "_remap_partitions_in_manifests"),  # manifest PUT
         ("sources/lake.py", "write_delete_vector"),     # DV completion marker
         ("sources/lake.py", "build_zone_maps"),         # stats-table marker
+        ("sources/lake.py", "update_zone_maps"),        # stats-table marker
+                                                        # (incremental swap)
         ("streaming/pipeline.py", "flush"),             # _CURRENT pointer CAS
         ("streaming/pipeline.py", "compact_dedup_index"),  # batch-dir key PUT
         ("streaming/rollup.py", "flush"),               # rollup pointer CAS
