@@ -594,3 +594,31 @@ def test_filtered_knn_prefilters_before_scoring(spark):
     plan = _plan(queries()["g41_filtered_knn"](spark, SF))
     assert "LeftSemi" in plan
     assert "EqualTo(lang,en)" in plan  # predicate pushed into the scan
+
+
+def test_funnel_pushes_stage_predicates_and_avoids_windows(spark):
+    """D38: each funnel stage reads the events scan with ITS event-type
+    predicate pushed down (three pruned scans, not one wide scan feeding a
+    per-user window over the whole stream), stage frames join as hash
+    joins, and no Window operator appears anywhere — the window form would
+    shuffle+sort the full 100 TB event stream."""
+    plan = _plan(queries()["d38_funnel_steps"](spark, SF))
+    for stage in ("view", "click", "purchase"):
+        assert f"EqualTo(event_type,{stage})" in plan
+    assert "Window" not in plan
+    # stage frames shrink monotonically -> joinable without a fact shuffle
+    assert "BroadcastHashJoin" in plan
+    # column pruning: the payload/body columns never leave the scan
+    assert "payload" not in plan
+
+
+def test_cohort_retention_partial_aggregates_and_prunes(spark):
+    """D39: both inputs (first-week per user, distinct active weeks) must
+    partial-aggregate map-side before their user-hash exchange — the
+    shuffle carries O(users)/O(user-weeks) partials, never raw events —
+    and the events scan must read only (user_id, ts)."""
+    plan = _plan(queries()["d39_cohort_retention"](spark, SF))
+    assert "partial_min" in plan  # map-side combine on the cohort side
+    assert "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>" in plan
+    assert "event_type" not in plan  # untouched columns pruned
+    assert "Window" not in plan
