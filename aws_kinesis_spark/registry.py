@@ -175,7 +175,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        g45's corpus-frequency aggregate covers the distinct-state
 #        posture; g34's md5-not-bodies invariant stays pinned locally)
 #   in:  d38_funnel_steps, d39_cohort_retention
-# After this window EVERY registered query (154) is oracle-backed and has
+# After this window EVERY registered query (156) is oracle-backed and has
 # had a hard driver-hash row. Queries outside the window still run in the
 # local differential suite (tests/test_differential.py) every CI pass;
 # prior-round driver rows for rotated-out queries remain in
