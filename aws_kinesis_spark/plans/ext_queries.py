@@ -1934,3 +1934,66 @@ def g45_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("oov_rate"),
     )
+
+
+@register(
+    "g46_bpe_pair_stats",
+    oracle="""
+        WITH words AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        wf AS (
+            SELECT w, count(*) AS f
+            FROM words
+            WHERE w <> '' AND length(w) >= 2
+            GROUP BY w
+        ),
+        pr AS (
+            SELECT substring(w, i, 2) AS pair, f
+            FROM (SELECT w, f, unnest(range(1, length(w))) AS i FROM wf)
+        )
+        SELECT pair, freq FROM (
+            SELECT pair, CAST(sum(f) AS BIGINT) AS freq FROM pr GROUP BY pair
+        ) QUALIFY row_number() OVER (ORDER BY freq DESC, pair) <= 50
+    """,
+)
+def g46_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-tokenizer-prep: BPE MERGE-PAIR COUNTING — the inner loop of BPE
+    tokenizer training (Sennrich et al. 2016): count adjacent symbol pairs
+    across the corpus and surface the top-50 merge candidates (ties broken
+    by pair string, so the cut boundary is deterministic in both engines).
+    The first merge a BPE trainer would take is row 1.
+
+    Scale: the classic fast-BPE factoring — pairs are enumerated over the
+    DISTINCT-WORD table weighted by word frequency, never over raw tokens
+    (at 100 TB the vocabulary is millions of rows while the token stream
+    is trillions). One corpus-wide partial-agg shuffle builds the word
+    frequencies; the pair explode + agg then runs over vocab-sized input
+    (per-word pair fan-out is length-1, JVM `transform`+`substr`, no
+    Python); the top-50 cut is orderBy+limit = TakeOrdered, never a
+    global sort. Successive merge rounds would re-run only the vocab-sized
+    stage with merged symbols — the corpus is touched once."""
+    d = load(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    # sequence(1, len-1) is safe: len >= 2 is filtered above, so the
+    # sequence is never descending (Spark steps -1 when start > stop).
+    pairs = wf.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "f",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(50)
+    )

@@ -81,6 +81,7 @@ HEADLINE = [
     "g45_vocab_coverage",
     "d38_funnel_steps",
     "d39_cohort_retention",
+    "g46_bpe_pair_stats",
 ]
 
 

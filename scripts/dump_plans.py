@@ -197,6 +197,13 @@ SHOWCASE = [
         "for the per-doc aggregate only.",
     ),
     (
+        "g46_bpe_pair_stats",
+        "Fast-BPE factoring: the pair `Generate` sits ABOVE the "
+        "word-frequency aggregate (vocab-sized input, never the token "
+        "stream) and the top-50 cut is a `TakeOrderedAndProject` — the "
+        "corpus shuffles once, for word counts.",
+    ),
+    (
         "a23_zorder_clustering",
         "Pure-JVM Morton interleave: the curve key is bit arithmetic in "
         "whole-stage codegen, map-only before one partial aggregate — the "

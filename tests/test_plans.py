@@ -622,3 +622,22 @@ def test_cohort_retention_partial_aggregates_and_prunes(spark):
     assert "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>" in plan
     assert "event_type" not in plan  # untouched columns pruned
     assert "Window" not in plan
+
+
+def test_bpe_pairs_run_over_vocab_not_tokens(spark):
+    """G46: the pair explode must sit ABOVE the word-frequency aggregate
+    (vocab-sized input, the fast-BPE factoring) — exactly two aggregate
+    pairs (word count, pair sum), the top-50 cut is TakeOrdered never a
+    global Sort+Limit, and no join of any kind is involved."""
+    plan = _plan(queries()["g46_bpe_pair_stats"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    # 2 aggregates x (partial+final) = 4 nodes; "Name (n)" counts each
+    # node once in the formatted tree (the details section prints "(n) Name")
+    assert plan.count("HashAggregate (") == 4
+    assert "Join" not in plan
+    # the pair explode must consume the aggregate output: in the
+    # root-first tree the pair Generate prints ABOVE the word-count
+    # Exchange; a plan that exploded pairs straight off the token stream
+    # would print Generate below every Exchange (next to the scan)
+    tree = plan.split("\n\n(")[0]
+    assert tree.index("Generate (") < tree.rindex("Exchange (")
