@@ -195,13 +195,16 @@ def minhash_signatures(
     return _signatures_from_shingle_sets(sets, id_col, num_hashes)
 
 
-def _signatures_from_shingle_sets(
+def _signature_array(
     sets: DataFrame, id_col: str = "doc_id", num_hashes: int = 64
 ) -> DataFrame:
-    """Signatures from a precomputed (id, __sh shingle-array) frame — lets
-    the LSH pipeline compute/checkpoint the shingle sets ONCE and reuse
-    them for both signatures and the exact-Jaccard verify stage instead of
-    shingling the corpus twice."""
+    """(id, __sig array<long>) minhash signatures from a precomputed
+    (id, __sh shingle-array) frame — the array form, kept un-exploded for
+    callers that consume the signature wholesale (band_rows builds its
+    band hashes straight off ``__sig[i]`` in ONE selectExpr: per-trigger
+    plan construction is driver-latency that a streaming flush pays every
+    batch, and 64 element_at Column objects cost ~hundreds of py4j
+    round-trips vs one parsed SQL string)."""
     a_co, b_co = _minhash_coeffs(num_hashes)
 
     @F.pandas_udf("array<long>")
@@ -212,10 +215,19 @@ def _signatures_from_shingle_sets(
         F.col(id_col),
         F.transform("__sh", lambda s: F.xxhash64(s)).alias("__hs"),
     )
-    sig = hashed.select(F.col(id_col), minhash_mins("__hs").alias("__sig"))
-    return sig.select(
-        F.col(id_col),
-        *[F.element_at("__sig", i + 1).alias(f"h{i}") for i in range(num_hashes)],
+    return hashed.select(F.col(id_col), minhash_mins("__hs").alias("__sig"))
+
+
+def _signatures_from_shingle_sets(
+    sets: DataFrame, id_col: str = "doc_id", num_hashes: int = 64
+) -> DataFrame:
+    """Signatures from a precomputed (id, __sh shingle-array) frame — lets
+    the LSH pipeline compute/checkpoint the shingle sets ONCE and reuse
+    them for both signatures and the exact-Jaccard verify stage instead of
+    shingling the corpus twice."""
+    sig = _signature_array(sets, id_col, num_hashes)
+    return sig.selectExpr(
+        id_col, *[f"__sig[{i}] AS h{i}" for i in range(num_hashes)]
     )
 
 
@@ -933,12 +945,19 @@ def band_rows(
     sets = docs.select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")
     )
-    sigs = _signatures_from_shingle_sets(sets, id_col, num_hashes)
+    sigs = _signature_array(sets, id_col, num_hashes)
     r = num_hashes // bands
-    band_arr = F.array(
-        *[F.xxhash64(*[f"h{b * r + j}" for j in range(r)]) for b in range(bands)]
+    # one parsed SQL string instead of ~bands*(r+1) Column round-trips:
+    # this runs per micro-batch trigger in g35, where driver-side plan
+    # construction is serial latency (values identical — xxhash64 over the
+    # same longs in the same order as the exploded h{i} form)
+    band_arr = ",".join(
+        "xxhash64(" + ",".join(f"__sig[{b * r + j}]" for j in range(r)) + ")"
+        for b in range(bands)
     )
-    return sigs.select(id_col, F.posexplode(band_arr).alias("band", "bh"))
+    return sigs.selectExpr(
+        id_col, f"posexplode(array({band_arr})) AS (band, bh)"
+    )
 
 
 def verify_pairs_against_texts(

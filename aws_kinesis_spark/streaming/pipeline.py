@@ -499,16 +499,15 @@ def compact_dedup_index(spark: SparkSession, index_dir: str, upto: int) -> int:
             ):
                 shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
-    n_done = 0
-    for sub, part_col in (("bands", "bucket"), ("corpus", "idb")):
+    def _compact_store(sub: str, part_col: str) -> int:
         root = os.path.join(index_dir, sub)
         srcs = _index_dirs(root, upto_exclusive=upto + 1)
         final = os.path.join(root, f"compact={upto}")
         if os.path.exists(final):
             _sweep_superseded(root)  # crash-recovery: finish the cleanup
-            continue
+            return 0
         if len(srcs) <= 1:
-            continue
+            return 0
         cols_df = spark.read.parquet(srcs[0])
         cols = [c for c in cols_df.columns if c != part_col] + [part_col]
         merged = _read_index_dirs(spark, srcs, cols)
@@ -523,8 +522,19 @@ def compact_dedup_index(spark: SparkSession, index_dir: str, upto: int) -> int:
         ).parquet(tmp)
         os.replace(tmp, final)
         _sweep_superseded(root)
-        n_done += 1
-    return n_done
+        return 1
+
+    # the two stores are independent — compact them as concurrent Spark
+    # jobs (local threads): compaction runs inside a live trigger (g35
+    # overlaps it with batch signing), so its wall time is trigger latency
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(_compact_store, sub, part_col)
+            for sub, part_col in (("bands", "bucket"), ("corpus", "idb"))
+        ]
+        return sum(f.result() for f in futs)
 
 
 def read_dedup_corpus(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -557,8 +567,13 @@ def start_dedup_ingest(
     jaccard(i, j) >= threshold was ingested at or before i's batch.
 
     Per batch: band rows for the BATCH only (the standing corpus is never
-    re-signed), candidates from one equi-join of batch bands against
-    (standing ∪ batch) bands, exact-Jaccard verify re-shingles only the
+    re-signed) — the file source hands a micro-batch over as ONE input
+    partition, so the signing input is repartitioned to the cluster's
+    parallelism first (the Arrow kernel is per-partition; unspread it runs
+    on a single core). Candidates come from one equi-join of batch bands
+    against (standing ∪ batch) bands with the BATCH side broadcast — the
+    standing index never shuffles, the stream-static asymmetry that holds
+    at any corpus size. Exact-Jaccard verify re-shingles only the
     candidate ids' texts — O(batch + candidates), never O(corpus).
 
     Scale posture of the STATE (the part that outlives any batch):
@@ -610,36 +625,55 @@ def start_dedup_ingest(
     def flush(batch_df: DataFrame, batch_id: int) -> None:
         # Per-trigger latency here is job-count bound (a micro-batch is
         # small; every barrier costs more than its work), so the trigger is
-        # scheduled as overlapping Spark jobs: checkpoints are LAZY (they
-        # materialize inside the first job that needs them instead of as
-        # their own barrier), compaction overlaps batch signing (it only
-        # touches dirs < batch_id - 1, which nothing in this trigger reads
-        # until the standing-band listing — joined before that point), and
-        # the bands write (depends only on bb) runs on a thread under the
-        # candidate/verify chain (nothing in THIS trigger reads this
-        # batch's bands dir; the trigger returns only after .result()).
+        # scheduled as overlapping Spark jobs: reused frames are CACHED,
+        # not checkpointed (localCheckpoint plans physically at build time
+        # — ~0.2 s of serial driver latency per call that a per-trigger
+        # path pays every batch; cache registration is free and the first
+        # job that touches the frame materializes it), compaction overlaps
+        # batch signing (it only touches dirs < batch_id - 1, which nothing
+        # in this trigger reads until the standing-band listing — joined
+        # before that point), and the bands write (depends only on bb)
+        # runs on a thread under the candidate/verify chain (nothing in
+        # THIS trigger reads this batch's bands dir; the trigger returns
+        # only after .result()). The finally block unpersists, so trigger
+        # frames never accumulate in the cache across a long stream.
         from concurrent.futures import ThreadPoolExecutor
 
         spark = batch_df.sparkSession
         pool = ThreadPoolExecutor(max_workers=2)
+        cached: list[DataFrame] = []
+
+        def keep(df: DataFrame) -> DataFrame:
+            cached.append(df.cache())
+            return df
+
         try:
             compact_f = None
             if compact_every and batch_id and batch_id % compact_every == 0:
                 compact_f = pool.submit(
                     compact_dedup_index, spark, index_dir, upto=batch_id - 1
                 )
-            docs = batch_df.localCheckpoint(eager=False)
-            bb = (
-                band_rows(docs)
-                .withColumn("bucket", F.pmod("bh", F.lit(n_buckets)).cast("int"))
-                .localCheckpoint(eager=False)
+            docs = keep(batch_df)
+            # the file source delivers the batch as one partition per input
+            # file — spread the Arrow signing kernel across the executors
+            # (a 2 KB/doc shuffle buys a parallelism-times-faster UDF pass)
+            sign_par = spark.sparkContext.defaultParallelism
+            bb = keep(
+                band_rows(docs.repartition(sign_par)).withColumn(
+                    "bucket", F.pmod("bh", F.lit(n_buckets)).cast("int")
+                )
             )
             # bounded driver collect: <= n_buckets ints — the partition-
             # pruning key list, exactly the metadata a planner holds
-            # (this first action also materializes the docs/bb checkpoints)
+            # (this first action also materializes the docs/bb caches)
             batch_buckets = [r[0] for r in bb.select("bucket").distinct().collect()]
+            # cluster the store write by bucket so each batch lands ~one
+            # file per bucket (the signing repartition would otherwise fan
+            # every bucket across sign_par files and bloat the standing
+            # index's listing/open cost)
             bands_write_f = pool.submit(
-                lambda: bb.write.partitionBy("bucket")
+                lambda: bb.repartition(F.col("bucket"))
+                .write.partitionBy("bucket")
                 .mode("overwrite")
                 .parquet(os.path.join(bands_dir, f"batch={batch_id}"))
             )
@@ -657,7 +691,9 @@ def start_dedup_ingest(
                 ).unionByName(bb)
             else:
                 all_bands = bb
-            n, m = bb.alias("n"), all_bands.alias("m")
+            # broadcast the BATCH bands: the standing index (the side that
+            # grows with the corpus) never shuffles — stream-static asymmetry
+            n, m = F.broadcast(bb.alias("n")), all_bands.alias("m")
             cand = (
                 n.join(
                     m,
@@ -669,8 +705,8 @@ def start_dedup_ingest(
                     F.col("m.doc_id").alias("id_a"), F.col("n.doc_id").alias("id_b")
                 )
                 .distinct()
-                .localCheckpoint(eager=False)
             )
+            cand = keep(cand)
             # id_b is always batch-side; only id_a may live in the standing
             # corpus — fetch exactly its id-buckets (<= n_buckets ints)
             cand_idb = cand.select(
@@ -696,19 +732,23 @@ def start_dedup_ingest(
                 .distinct()
                 .withColumn("__dup", F.lit(True))
             )
-            # one left join decides the verdict (kept = no smaller-id dup)
+            # one left join decides the verdict (kept = no smaller-id dup);
+            # dropped is candidate-sized — broadcast it so the batch never
+            # shuffles, and cluster the landing write by id-bucket
             out = (
-                docs.join(dropped, "doc_id", "left")
+                docs.join(F.broadcast(dropped), "doc_id", "left")
                 .withColumn("kept", F.col("__dup").isNull())
                 .drop("__dup")
                 .withColumn("idb", F.pmod("doc_id", F.lit(n_buckets)).cast("int"))
             )
-            out.write.partitionBy("idb").mode("overwrite").parquet(
-                os.path.join(corpus_dir, f"batch={batch_id}")
-            )
+            out.repartition(F.col("idb")).write.partitionBy("idb").mode(
+                "overwrite"
+            ).parquet(os.path.join(corpus_dir, f"batch={batch_id}"))
             bands_write_f.result()
         finally:
             pool.shutdown(wait=True)
+            for df in cached:
+                df.unpersist()
 
     return (
         doc_stream.writeStream.foreachBatch(flush)

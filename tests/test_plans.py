@@ -549,7 +549,9 @@ def test_rename_sites_enumerated_against_s3_translation_table():
         ("sources/lake.py", "update_zone_maps"),        # stats-table marker
                                                         # (incremental swap)
         ("streaming/pipeline.py", "flush"),             # _CURRENT pointer CAS
-        ("streaming/pipeline.py", "compact_dedup_index"),  # batch-dir key PUT
+        ("streaming/pipeline.py", "_compact_store"),    # batch-dir key PUT
+                                                        # (compact_dedup_index
+                                                        # per-store body)
         ("streaming/rollup.py", "flush"),               # rollup pointer CAS
     }
     found = set()
