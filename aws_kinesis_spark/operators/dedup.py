@@ -1094,16 +1094,51 @@ def containment_join(
     shingle on both sides) — the brute candidate generator the property
     test compares against.
 
-    Verify stage: exact — recomputes the intersection on the true shingle
-    STRINGS (array_intersect), so hash collisions cannot inflate the
-    score; the probe side's set size normalizes. Text strings never
-    shuffle in the candidate stage (hashes only until the verify joins);
-    this exact form is oracle-grade."""
+    Verify stage: exact, in two passes sized to what candidates actually
+    look like (low precision is structural here — a loose containment
+    threshold keeps half-length prefixes, so survivors are a sliver of
+    candidates). Pass 1 intersects the 8-byte HASH arrays — far cheaper
+    per pair than string intersection — and keeps pairs reaching the
+    required overlap; pass 2 recomputes the intersection on the true
+    shingle STRINGS for just the survivors, so the reported score is
+    collision-proof. Pass 1 is EXACT-complete, not probabilistically so:
+    |hash ∩| < |string ∩| requires two distinct shared shingles of the
+    probe set colliding, impossible when the probe's own hash array is
+    collision-free — the per-doc ``__cf`` flag routes the (cosmically
+    rare) colliding probes around the prefilter straight to pass 2.
+    Text strings never shuffle in the candidate stage (hashes only until
+    the final verify join)."""
     docs = _spread(docs.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n))
     sets = _checkpointed_shingle_sets(docs, text_col, id_col, shingle_n)
     cand = _containment_candidates(sets, id_col, threshold, prefix_filter)
-    verified = (
+    hashed = sets.select(
+        F.col(id_col),
+        F.transform("__sh", lambda s: F.xxhash64(s)).alias("__hs"),
+    ).withColumn("__cf", F.size(F.array_distinct("__hs")) == F.size("__hs"))
+    pre = (
         cand.join(
+            hashed.select(
+                F.col(id_col).alias("id_a"),
+                F.col("__hs").alias("__ha"),
+                F.col("__cf").alias("__cfa"),
+            ),
+            "id_a",
+        )
+        .join(
+            hashed.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__hb")),
+            "id_b",
+        )
+        .filter(
+            (~F.col("__cfa"))
+            | (
+                F.size(F.array_intersect("__ha", "__hb"))
+                >= F.ceil(F.lit(threshold) * F.size("__ha"))
+            )
+        )
+        .select("id_a", "id_b")
+    )
+    verified = (
+        pre.join(
             sets.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha")),
             "id_a",
         )

@@ -554,45 +554,49 @@ def semdedup(
     Returns every input row as (id, cluster_id, is_kept).
 
     Scale: assignment is the map-only literal-centroid pass of
-    assign_clusters; the pair stage self-joins ON cluster_id, so work is
-    sum(c_i^2) not n^2 — the operator's contract is n_clusters ∝ corpus
-    size, holding expected cluster size (and so per-task pair count)
-    CONSTANT as the corpus grows. AQE skew-join splits any hot cluster.
-    For clusters too large even so, swap the expression-cosine pair join
-    for the blocked-matmul kernel (embedding_neardup's applyInPandas
-    shape) keyed by (cluster, block-pair) — same semantics, BLAS speed."""
-    # per-row norms are computed ONCE before the pair join (they ride the
-    # shuffle), so each pair pays one dot product, not three — the norm
-    # product is the exact same double expression cosine() builds inline,
-    # so scores are bit-identical to the naive form (and the oracle)
-    av = (
-        assign_clusters(embeddings, n_clusters, vec_col, id_col)
-        .select(
-            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "cluster_id"
-        )
-        .withColumn("__nm", l2_norm("__v"))
+    assign_clusters; the pair stage is ONE applyInPandas over
+    groupBy(cluster_id) — each cluster's pairwise cosines are a blocked
+    numpy gram matrix (BLAS), so every vector crosses Arrow once per
+    cluster instead of riding one join row per pair, and work is
+    sum(c_i^2) not n^2. The operator's contract is n_clusters ∝ corpus
+    size, holding expected cluster size (and so per-task pair count and
+    the b x c gram block) CONSTANT as the corpus grows; a hot cluster is
+    bounded by the in-kernel row blocking, not executor memory. float64
+    matmul vs the oracle's sequential-double sum differ only in ulp-level
+    accumulation order — decisions are thresholded, so any pair nearer
+    the threshold than ~1e-12 is flagged by no engine reliably (the
+    expression-cosine twin stayed in g05/g41 for oracle-grade scoring)."""
+    av = assign_clusters(embeddings, n_clusters, vec_col, id_col).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "cluster_id"
     )
-    lo = av.select(
-        F.col("__id").alias("__lo_id"),
-        F.col("__v").alias("__lo_v"),
-        F.col("__nm").alias("__lo_n"),
-        "cluster_id",
-    )
-    hi = av.select(
-        F.col("__id").alias("__hi_id"),
-        F.col("__v").alias("__hi_v"),
-        F.col("__nm").alias("__hi_n"),
-        "cluster_id",
-    )
-    pair_cos = dot("__lo_v", "__hi_v") / F.nullif(
-        F.col("__lo_n") * F.col("__hi_n"), F.lit(0.0)
-    )
-    dropped = (
-        lo.join(hi, "cluster_id")
-        .filter(F.col("__lo_id") < F.col("__hi_id"))
-        .filter(pair_cos >= F.lit(threshold))
-        .select(F.col("__hi_id").alias("__id"))
-        .distinct()
+
+    id_sql = embeddings.schema[id_col].dataType.simpleString()
+
+    def cluster_dropped(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["__id"].to_numpy()
+        order = np.argsort(ids)  # lower-id keeper convention
+        ids = ids[order]
+        V = np.array(pdf["__v"].to_numpy()[order].tolist(), dtype=np.float64)
+        nm = np.linalg.norm(V, axis=1, keepdims=True)
+        # zero-norm rows: cosine undefined (NULL in the expression twin)
+        # -> never a dup and never drop others; a zeroed row scores 0 < t
+        np.divide(V, nm, out=V, where=nm > 0)
+        V[(nm == 0).ravel()] = 0.0
+        n = len(ids)
+        dup = np.zeros(n, dtype=bool)
+        block = 1024  # rows of the gram matrix per BLAS call: O(block*n)
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            G = V[s:e] @ V.T  # (block, n)
+            hit = G >= threshold
+            # row i may only drop strictly higher-id columns j > i
+            for bi in range(e - s):
+                hit[bi, : s + bi + 1] = False
+            dup |= hit.any(axis=0)
+        return pd.DataFrame({"__id": ids[dup]})
+
+    dropped = av.groupBy("cluster_id").applyInPandas(
+        cluster_dropped, schema=f"__id {id_sql}"
     )
     return (
         av.join(dropped.withColumn("__dup", F.lit(True)), "__id", "left")
