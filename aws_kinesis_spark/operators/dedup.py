@@ -270,18 +270,18 @@ def lsh_candidate_pairs(
 
 
 def _checkpointed_shingle_sets(
-    docs: DataFrame, text_col: str, id_col: str, shingle_n: int, eager: bool = True
+    docs: DataFrame, text_col: str, id_col: str, shingle_n: int
 ) -> DataFrame:
     """(id, __sh) with lineage cut: the set table is referenced by multiple
     join sides / pipeline stages, and checkpointing both computes the
-    shingling once and keeps the optimizer from re-analyzing the doc-scan
-    plan per reference. ``eager=False`` folds the materialization into the
-    first downstream job instead of its own barrier — right for latency-
-    bound micro-batch paths (g35's per-trigger verify) where the barrier
-    costs more than the work."""
+    CORPUS-sized shingling once and keeps the optimizer from re-analyzing
+    the doc-scan plan per reference. Batch paths only — per-trigger paths
+    (g35's verify) shingle their candidate-sized sets uncut, because a
+    localCheckpoint plans physically at build time and registers a
+    persistent RDD that only GC releases."""
     return docs.select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")
-    ).localCheckpoint(eager=eager)
+    ).localCheckpoint(eager=True)
 
 
 def _exact_jaccard_on_pairs(
@@ -967,20 +967,37 @@ def verify_pairs_against_texts(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     shingle_n: int = 3,
+    keep=None,
 ) -> DataFrame:
     """Exact-Jaccard verify for candidate (id_a, id_b) pairs when only the
     TEXT table is at hand (the standing-index case: the index holds band
     rows, not shingle sets). Shingles are recomputed for exactly the ids
-    that appear in candidates — O(candidates), never O(corpus)."""
+    that appear in candidates — O(candidates), never O(corpus).
+
+    The set table feeds BOTH join sides, so it needs a lineage cut or the
+    candidate text fetch (a pruned read of the standing corpus in g35)
+    executes twice. ``keep`` lets the caller own that cut: g35's
+    per-trigger flush passes its trigger-scoped cache (unpersisted when
+    the trigger ends), because the default ``localCheckpoint(eager=False)``
+    both plans physically at build time (serial driver latency at trigger
+    rate) and registers a persistent RDD only GC ever releases. The
+    caller's cut lands on the TEXT rows, before shingling: caching plain
+    strings is cheap where columnar-encoding arrays of shingle strings is
+    not, and re-shingling a candidate-sized set once per join side costs
+    ~nothing."""
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
     needed = texts.join(ids, id_col, "left_semi")
-    # lazy: this path runs once per micro-batch trigger (g35), where a
-    # standalone materialization barrier costs more than the shingling
-    sets = _checkpointed_shingle_sets(needed, text_col, id_col, shingle_n, eager=False)
+    if keep is not None:
+        needed = keep(needed)
+    sets = needed.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+    if keep is None:
+        sets = sets.localCheckpoint(eager=False)
     verified = _exact_jaccard_on_pairs(pairs, sets, id_col)
     return verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")

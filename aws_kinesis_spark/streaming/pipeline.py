@@ -727,7 +727,9 @@ def start_dedup_ingest(
                     )
                 )
             dropped = (
-                verify_pairs_against_texts(cand, texts, threshold=threshold)
+                verify_pairs_against_texts(
+                    cand, texts, threshold=threshold, keep=keep
+                )
                 .select(F.col("id_b").alias("doc_id"))
                 .distinct()
                 .withColumn("__dup", F.lit(True))

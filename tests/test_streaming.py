@@ -1354,10 +1354,24 @@ def test_dedup_ingest_bucketed_index_prunes_and_compacts(spark, tmp_path):
         spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1).parquet(inp)
     )
     idx = os.path.join(root, "index")
+    persisted_before = spark.sparkContext._jsc.getPersistentRDDs().size()
     q = start_dedup_ingest(
         stream, idx, os.path.join(root, "ckpt"), n_buckets=8, compact_every=2
     )
     q.awaitTermination(300)
+
+    # 0) trigger-scoped caches are unpersisted when each flush ends: a
+    # long-lived ingest must not accumulate one docs/bands/candidates
+    # cache entry per trigger (the flush's finally block owns this, and
+    # the per-trigger path takes no localCheckpoints that would linger
+    # until GC). Baseline-relative: earlier tests in the shared session
+    # may hold eager checkpoints of their own; a flush leak would add
+    # >= 3 entries per trigger on top
+    persisted_after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert persisted_after <= persisted_before, (
+        f"{persisted_after - persisted_before} cached frames outlived "
+        "their trigger"
+    )
 
     # 1) verdict parity: dropped == larger side of any jaccard>=0.7 pair
     # (arrival order is id order, so first-occurrence-wins = smallest id)
