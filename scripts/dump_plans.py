@@ -173,14 +173,17 @@ SHOWCASE = [
         "rarest |S|-ceil(t|S|)+1 shingles (row_number under the global df "
         "order) join the full index, and rows whose positional upper bound "
         "cannot reach ceil(t*|S_a|) drop before the distinct — the hot "
-        "shingle never drives a quadratic bucket.",
+        "shingle never drives a quadratic bucket. Verify is two-pass: an "
+        "8-byte-hash array_intersect prefilter (exact-complete under the "
+        "collision-free flag) feeds string-exact scoring its survivors.",
     ),
     (
         "g38_semdedup",
         "Cluster-bounded pair search: map-only literal-centroid assignment "
-        "(zero Exchange before the pair join), per-row norms computed once "
-        "and carried through the shuffle — one dot product per "
-        "within-cluster pair, work sum(c_i^2) not n^2.",
+        "(zero Exchange before the pair stage), then ONE applyInPandas "
+        "over groupBy(cluster_id) — each cluster a blocked numpy gram "
+        "matrix, vectors cross Arrow once per cluster, work sum(c_i^2) "
+        "not n^2.",
     ),
     (
         "g41_filtered_knn",
