@@ -1997,3 +1997,66 @@ def g46_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("pair"))
         .limit(50)
     )
+
+
+@register(
+    "g47_length_bucketing",
+    oracle="""
+        WITH lens AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+            FROM documents
+        ),
+        b AS (
+            SELECT quantile_cont(n_tok, 0.25) AS q1,
+                   quantile_cont(n_tok, 0.50) AS q2,
+                   quantile_cont(n_tok, 0.75) AS q3
+            FROM lens
+        )
+        SELECT CAST((CASE WHEN n_tok > q1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN n_tok > q2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN n_tok > q3 THEN 1 ELSE 0 END) AS INT) AS bucket,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST(max(n_tok) AS BIGINT) AS max_len
+        FROM lens, b
+        GROUP BY 1
+    """,
+)
+def g47_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-training-prep: LENGTH BUCKETING — split the corpus at its token-
+    length quartiles and report per-bucket size stats. The shape dynamic
+    batching runs on: batches drawn within a length bucket pad to the
+    bucket's max, not the corpus max, so padding waste is bounded by the
+    bucket width (and the stats here are exactly what sizes that
+    schedule). Quantile bounds (not fixed thresholds) keep the buckets
+    balanced whatever the corpus length distribution looks like.
+
+    Scale: one aggregate computes the three exact quartiles (single
+    group — at 100 TB this is the documented approx_percentile swap from
+    d35/d36, rank error bounded, no value buffer); the 1-row bounds
+    BROADCAST back over the length table, so bucket assignment is
+    map-only arithmetic; the per-bucket stats carry map-side partials
+    into a 4-group shuffle. The corpus is scanned once, shuffled never
+    (lengths partial-aggregate in place)."""
+    d = load(spark, sf_dir, "documents")
+    lens = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    bounds = lens.agg(
+        F.percentile("n_tok", F.lit(0.25)).alias("q1"),
+        F.percentile("n_tok", F.lit(0.50)).alias("q2"),
+        F.percentile("n_tok", F.lit(0.75)).alias("q3"),
+    )
+    bucket = (
+        (F.col("n_tok") > F.col("q1")).cast("int")
+        + (F.col("n_tok") > F.col("q2")).cast("int")
+        + (F.col("n_tok") > F.col("q3")).cast("int")
+    ).alias("bucket")
+    return (
+        lens.join(F.broadcast(bounds))
+        .select(bucket, "n_tok")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.max("n_tok").cast("bigint").alias("max_len"),
+        )
+    )

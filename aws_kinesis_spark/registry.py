@@ -167,8 +167,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # witness for each rotated-out slot in parens), then 1 more (g46):
 #   out: g31 (green r8; g30 BM25 term statistics + g45 vocab coverage are
 #        the same in-window G4 token/term-statistics family, and the NEW
-#        g46 is itself that family's pair-statistics form)
-#   in:  g46_bpe_pair_stats
+#        g46 is itself that family's pair-statistics form), g33 (green
+#        r8; its blocked-matmul embedding kernel shape is in-window via
+#        g38's per-cluster gram-matrix applyInPandas and the g03b/g03c
+#        kNN recall checks run the same cosine kernels)
+#   in:  g46_bpe_pair_stats, g47_length_bucketing
 # Earlier late additions:
 #   out: g21 (f04's UDTF LATERAL is the same 1->N Python surface and
 #        g07b pins the Arrow batch plumbing; g21's chunk-boundary and
@@ -180,7 +183,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        g45's corpus-frequency aggregate covers the distinct-state
 #        posture; g34's md5-not-bodies invariant stays pinned locally)
 #   in:  d38_funnel_steps, d39_cohort_retention
-# After this window EVERY registered query (157) is oracle-backed and has
+# After this window EVERY registered query (158) is oracle-backed and has
 # had a hard driver-hash row. Queries outside the window still run in the
 # local differential suite (tests/test_differential.py) every CI pass;
 # prior-round driver rows for rotated-out queries remain in
@@ -226,7 +229,6 @@ DRIVER_WINDOW: list[str] = [
     "g28_source_overlap",
     "g30_bm25_score",
     "g32_setsim_prefix_join",
-    "g33_hard_negatives",
     "g35_stream_dedup_ingest",
     "g36_token_budget_sample",
     "g37_containment_dedup",
@@ -235,6 +237,7 @@ DRIVER_WINDOW: list[str] = [
     "g41_filtered_knn",
     "g45_vocab_coverage",
     "g46_bpe_pair_stats",
+    "g47_length_bucketing",
     # E — streaming semantics, batch-equivalent oracle form (3)
     "e04_stream_late_data",
     "e06_stream_stateful_buffer",

@@ -82,6 +82,7 @@ HEADLINE = [
     "d38_funnel_steps",
     "d39_cohort_retention",
     "g46_bpe_pair_stats",
+    "g47_length_bucketing",
 ]
 
 

@@ -207,6 +207,13 @@ SHOWCASE = [
         "corpus shuffles once, for word counts.",
     ),
     (
+        "g47_length_bucketing",
+        "Exact quartile bounds in ONE single-group aggregate, broadcast "
+        "back as a 1-row BroadcastNestedLoopJoin — bucket assignment is "
+        "map-only arithmetic, the stats agg carries map-side partials "
+        "into a 4-group shuffle; the corpus scans once.",
+    ),
+    (
         "a23_zorder_clustering",
         "Pure-JVM Morton interleave: the curve key is bit arithmetic in "
         "whole-stage codegen, map-only before one partial aggregate — the "

@@ -643,3 +643,14 @@ def test_bpe_pairs_run_over_vocab_not_tokens(spark):
     # would print Generate below every Exchange (next to the scan)
     tree = plan.split("\n\n(")[0]
     assert tree.index("Generate (") < tree.rindex("Exchange (")
+
+
+def test_length_bucketing_broadcasts_bounds(spark):
+    """G47: the 1-row quartile bounds reach the bucket expression through
+    a broadcast (never a driver round-trip or a second scan pass), both
+    aggregates carry map-side partials, and there is no Window node — a
+    quantile-via-row_number plan would sort the corpus globally."""
+    plan = _plan(queries()["g47_length_bucketing"](spark, SF))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate (") >= 4  # 2 aggregates x (partial+final)
+    assert "Window" not in plan and "CartesianProduct" not in plan
