@@ -1535,22 +1535,25 @@ def a19_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_envelope(o), lake, batch_id=0, raw_backup=False,
         files_per_partition=16,
     )
-    write_delete_vector(
-        o.filter(F.col("o_orderkey") % 7 == 3).select(
-            F.col("o_orderkey").alias("id")
-        ),
-        lake,
-        delete_id=1,
-        key_col="id",
-    )
-    write_delete_vector(
-        o.filter(F.col("o_orderkey") % 11 == 5).select(
-            F.col("o_orderkey").alias("id")
-        ),
-        lake,
-        delete_id=2,
-        key_col="id",
-    )
+    # the two delete vectors are independent commit objects (each lands
+    # atomically under its own id) — write them as concurrent Spark jobs
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(
+                write_delete_vector,
+                o.filter(F.col("o_orderkey") % m == r).select(
+                    F.col("o_orderkey").alias("id")
+                ),
+                lake,
+                delete_id=i,
+                key_col="id",
+            )
+            for i, (m, r) in enumerate([(7, 3), (11, 5)], start=1)
+        ]
+        for f in futs:
+            f.result()
     live = read_with_deletes(spark, lake, key_col="id")
     return live.groupBy("status").agg(
         F.count("*").alias("n"),
