@@ -448,3 +448,57 @@ def test_containment_join_prefix_matches_naive_and_full_index(
                 want[(x, y)] = round(c, 4)
     assert got == want
     assert full == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["ab", "cd", "ef", "g", "hi"]), min_size=0, max_size=8).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_bpe_pair_stats_match_naive(spark_session, docs):
+    """g46: the vocab-factored pair counts (pairs enumerated over distinct
+    words weighted by frequency) equal the naive per-token-occurrence
+    count — the fast-BPE refactoring must be invisible in the result.
+    Low-vocab short docs force heavy word repetition across documents."""
+    from collections import Counter
+
+    from aws_kinesis_spark.plans.ext_queries import g46_bpe_pair_stats
+
+    rows = [(i, t, "en", "web", len(t)) for i, t in enumerate(docs)]
+    df = spark_session.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    naive = Counter()
+    for t in docs:
+        for w in t.split(" "):
+            if len(w) >= 2:
+                for i in range(len(w) - 1):
+                    naive[w[i : i + 2]] += 1
+    expected = sorted(naive.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+
+    import aws_kinesis_spark.tables as tables
+
+    orig = tables.load
+    tables.load = lambda spark, sf, name: df  # the query loads `documents`
+    try:
+        from aws_kinesis_spark.plans import ext_queries
+
+        orig2 = ext_queries.load
+        ext_queries.load = tables.load
+        try:
+            got = [
+                (r.pair, r.freq)
+                for r in g46_bpe_pair_stats(spark_session, "unused")
+                .orderBy(F.desc("freq"), F.asc("pair"))
+                .collect()
+            ]
+        finally:
+            ext_queries.load = orig2
+    finally:
+        tables.load = orig
+    assert got == [(p, c) for p, c in expected]
