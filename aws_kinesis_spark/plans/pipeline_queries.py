@@ -1528,12 +1528,13 @@ def a19_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders")
     lake = os.path.join(_scratch("a19_deletes"), "lake")
-    # files_per_partition=16: the whole batch lands in one processing-hour
-    # partition, so the salt spreads decode+write across 16 tasks instead
-    # of serializing on the single per-partition writer (lake.py dial)
+    # files_per_partition=32: the whole batch lands in one processing-hour
+    # partition, so the salt spreads decode+write across every local core
+    # instead of serializing on the single per-partition writer (lake.py
+    # dial; a cluster run sizes this to cores-per-flush the same way)
     run_lake_batch(
         synthesize_envelope(o), lake, batch_id=0, raw_backup=False,
-        files_per_partition=16,
+        files_per_partition=32,
     )
     # the two delete vectors are independent commit objects (each lands
     # atomically under its own id) — write them as concurrent Spark jobs
