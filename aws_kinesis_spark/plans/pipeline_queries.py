@@ -1802,3 +1802,49 @@ def a23_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mn").alias("min_minute"),
         F.max("mn").alias("max_minute"),
     )
+
+
+@register(
+    "a24_symlink_manifest_export",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS id_sum
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def a24_symlink_manifest_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+ EXTERNAL-ENGINE INTEROP: export the lake's committed snapshot
+    as Hive SYMLINK_TEXT_INPUT_FORMAT manifests — the layout Presto/
+    Trino/Athena consume (Delta's Athena-compatibility mode), and exactly
+    how the reference's Athena tier reads this lake without Spark
+    (README.md:446, 468). Two batches land through the normal flush, the
+    export derives one text manifest per partition dir FROM THE COMMIT
+    PROTOCOL (never a folder listing, so uncommitted/superseded objects
+    can't leak into it), and the read-back scans precisely the listed
+    objects the way an external split planner would. Parity with the
+    oracle over the source table proves the exported file set is the
+    complete committed snapshot and nothing else
+    (`sources/lake.py:export_symlink_manifests`)."""
+    from aws_kinesis_spark.sources.lake import (
+        export_symlink_manifests,
+        read_via_symlink_manifests,
+        run_lake_batch,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    lake = os.path.join(_scratch("a24_symlink"), "lake")
+    for i, half in enumerate([o.filter(F.col("o_orderkey") % 2 == 0),
+                              o.filter(F.col("o_orderkey") % 2 == 1)]):
+        run_lake_batch(
+            synthesize_envelope(half), lake, batch_id=i, raw_backup=False,
+            files_per_partition=16,
+        )
+    n = export_symlink_manifests(lake)
+    assert n > 0
+    back = read_via_symlink_manifests(spark, lake)
+    return back.groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.sum("id").cast("bigint").alias("id_sum"),
+    )

@@ -170,8 +170,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        g46 is itself that family's pair-statistics form), g33 (green
 #        r8; its blocked-matmul embedding kernel shape is in-window via
 #        g38's per-cluster gram-matrix applyInPandas and the g03b/g03c
-#        kNN recall checks run the same cosine kernels)
-#   in:  g46_bpe_pair_stats, g47_length_bucketing
+#        kNN recall checks run the same cosine kernels), a21 (green r8;
+#        a22's manifest certification + a17's snapshot protocol are the
+#        same in-window commit-protocol family, the NEW a24 consumes the
+#        identical manifest chain, and a21's stage/audit/publish
+#        invariants stay pinned in tests/test_lake.py — the a14
+#        precedent)
+#   in:  g46_bpe_pair_stats, g47_length_bucketing,
+#        a24_symlink_manifest_export
 # Earlier late additions:
 #   out: g21 (f04's UDTF LATERAL is the same 1->N Python surface and
 #        g07b pins the Arrow batch plumbing; g21's chunk-boundary and
@@ -183,7 +189,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        g45's corpus-frequency aggregate covers the distinct-state
 #        posture; g34's md5-not-bodies invariant stays pinned locally)
 #   in:  d38_funnel_steps, d39_cohort_retention
-# After this window EVERY registered query (158) is oracle-backed and has
+# After this window EVERY registered query (159) is oracle-backed and has
 # had a hard driver-hash row. Queries outside the window still run in the
 # local differential suite (tests/test_differential.py) every CI pass;
 # prior-round driver rows for rotated-out queries remain in
@@ -212,9 +218,9 @@ DRIVER_WINDOW: list[str] = [
     "a18_orphan_vacuum",
     "a19_deletion_vectors",
     "a20_zone_map_pruning",
-    "a21_write_audit_publish",
     "a22_manifest_integrity",
     "a23_zorder_clustering",
+    "a24_symlink_manifest_export",
     # O — CDC family (1)
     "o08_stream_scd2",
     # G — LLM-data-pipeline operators (20)

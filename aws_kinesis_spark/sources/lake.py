@@ -1168,3 +1168,77 @@ def validate_manifest(
                 f"row count {n} != manifest recordCount {payload['recordCount']}"
             )
     return IntegrityResult(batch_id, not failures, failures)
+
+
+def export_symlink_manifests(lake_dir: str) -> int:
+    """Hive/Presto/Trino/Athena interop export: write the lake's CURRENT
+    committed file set as SYMLINK_TEXT_INPUT_FORMAT manifests — one text
+    file per partition directory under ``_symlink_format_manifest/``,
+    each line one absolute data-file URI (the layout Delta Lake's
+    "Presto/Athena compatibility" mode generates, and exactly how the
+    reference's Athena tier would consume this lake without Spark,
+    README.md:446, 468 "query it with any tool that speaks Parquet").
+
+    The export reads the COMMIT PROTOCOL, never the folder: file lists
+    come from the committed batch manifests (which compaction/retention
+    rewrite in place), so superseded and orphaned objects are never
+    exported even while they still exist on disk awaiting vacuum.
+
+    Idempotent and atomic per partition: each manifest lands via
+    write-to-temp + os.replace (readers see old or new, never partial),
+    and partition dirs that no longer hold committed files get their
+    manifests removed — a re-export after compaction converges to the
+    current snapshot. Driver cost is O(committed files): the same
+    metadata any table-format planner materializes to plan a scan.
+
+    Returns the number of partition manifests written."""
+    import shutil
+
+    manifest_dir = os.path.join(lake_dir, "_manifests")
+    data_root = os.path.join(lake_dir, "data")
+    by_partition: dict[str, list[str]] = {}
+    names = sorted(os.listdir(manifest_dir)) if os.path.isdir(manifest_dir) else []
+    for name in names:
+        if not name.startswith("manifest-") or not name.endswith(".json"):
+            continue
+        with open(os.path.join(manifest_dir, name)) as fh:
+            for entry in json.load(fh)["entries"]:
+                f = entry["url"]
+                rel = os.path.relpath(os.path.dirname(f), data_root)
+                by_partition.setdefault(rel, []).append(os.path.abspath(f))
+    sym_root = os.path.join(lake_dir, "_symlink_format_manifest")
+    os.makedirs(sym_root, exist_ok=True)
+    # drop manifests for partitions that left the committed set
+    for dirpath, _dirnames, filenames in list(os.walk(sym_root)):
+        if "manifest" in filenames:
+            rel = os.path.relpath(dirpath, sym_root)
+            if rel not in by_partition:
+                shutil.rmtree(dirpath, ignore_errors=True)
+    n_written = 0
+    for rel, files in by_partition.items():
+        pdir = os.path.join(sym_root, rel)
+        os.makedirs(pdir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=pdir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            fh.write("\n".join(sorted(files)) + "\n")
+        os.replace(tmp, os.path.join(pdir, "manifest"))
+        n_written += 1
+    return n_written
+
+
+def read_via_symlink_manifests(spark: SparkSession, lake_dir: str) -> DataFrame:
+    """Consume the lake exactly as an external symlink-manifest reader
+    (Athena/Presto/Trino) would: list the ``_symlink_format_manifest``
+    tree, read each partition's manifest lines, and scan precisely those
+    parquet objects — never the data folder. The manifest walk is
+    driver-side O(partitions + files), the metadata such an engine's
+    split planner holds."""
+    sym_root = os.path.join(lake_dir, "_symlink_format_manifest")
+    files: list[str] = []
+    for dirpath, _dirnames, filenames in os.walk(sym_root):
+        if "manifest" in filenames:
+            with open(os.path.join(dirpath, "manifest")) as fh:
+                files.extend(line.strip() for line in fh if line.strip())
+    if not files:
+        raise ValueError(f"no symlink manifests under {sym_root}")
+    return spark.read.parquet(*files)

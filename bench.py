@@ -83,6 +83,7 @@ HEADLINE = [
     "d39_cohort_retention",
     "g46_bpe_pair_stats",
     "g47_length_bucketing",
+    "a24_symlink_manifest_export",
 ]
 
 

@@ -214,6 +214,14 @@ SHOWCASE = [
         "into a 4-group shuffle; the corpus scans once.",
     ),
     (
+        "a24_symlink_manifest_export",
+        "External-engine interop: the read-back scans EXACTLY the "
+        "objects the symlink manifests list (derived from the commit "
+        "protocol, never a folder listing) — the same split-planning "
+        "metadata Presto/Trino/Athena hold; the aggregate carries "
+        "map-side partials.",
+    ),
+    (
         "a23_zorder_clustering",
         "Pure-JVM Morton interleave: the curve key is bit arithmetic in "
         "whole-stage codegen, map-only before one partial aggregate — the "

@@ -47,7 +47,7 @@ def test_driver_window_covers_every_family():
     # round-9 rotation: the five round-7 additions that had never had a
     # driver row get their first driver-hash rows, and the three round-9
     # additions are windowed the round they are registered; after this
-    # window every one of the 158 registered queries has been in a
+    # window every one of the 159 registered queries has been in a
     # driver window
     rotated_in = {
         "a23_zorder_clustering", "d35_percentile_profile",
@@ -56,6 +56,7 @@ def test_driver_window_covers_every_family():
         "d36_approx_percentile_check", "g41_filtered_knn",
         "g45_vocab_coverage", "d38_funnel_steps", "d39_cohort_retention",
         "g46_bpe_pair_stats", "g47_length_bucketing",
+        "a24_symlink_manifest_export",
     }
     assert rotated_in <= set(window)
     rotated_out = {
@@ -65,6 +66,7 @@ def test_driver_window_covers_every_family():
         "g17_training_order", "g29_importance_sample",
         "g21_doc_chunking", "g34_source_datacard",
         "g31_bigram_logprob", "g33_hard_negatives",
+        "a21_write_audit_publish",
     }
     assert rotated_out & set(window) == set()
     # with this window, every registered query has had a driver slot
@@ -80,7 +82,7 @@ def test_registry_counts_pinned():
 
     registry._ensure_loaded()
     assert len(registry.DRIVER_WINDOW) == 50
-    assert len(registry.REGISTRY) == 158, len(registry.REGISTRY)
+    assert len(registry.REGISTRY) == 159, len(registry.REGISTRY)
     assert len(set(registry.DRIVER_WINDOW)) == 50  # no duplicate slots
     # round 7 closed the rows-only dead end: every registered query now
     # carries a DuckDB twin (the sketch/ANN paths via deterministic

@@ -963,3 +963,88 @@ def test_update_zone_maps_incremental_and_stale_safe(spark, tmp_path):
     # and the refreshed stats prune again
     pruned2 = read_zone_pruned(spark, lake, "event_id", 100, 299)
     assert pruned2.count() == ev.filter(F.col("event_id").between(100, 299)).count()
+
+
+def test_symlink_export_tracks_committed_snapshot(spark, tmp_path):
+    """A24: the symlink manifest export equals the committed file set, and
+    a re-export after compaction converges — rewritten partitions list the
+    new objects, superseded per-batch objects disappear from the export
+    even while they still exist on disk awaiting vacuum."""
+    import os
+
+    from aws_kinesis_spark.sources.envelope import synthesize_envelope
+    from aws_kinesis_spark.sources.lake import (
+        export_symlink_manifests,
+        read_via_symlink_manifests,
+        run_lake_batch,
+    )
+    from aws_kinesis_spark.tables import load
+
+    o = load(spark, "/root/testdata/sf0.001", "orders")
+    lake = os.path.join(str(tmp_path), "lake")
+    for i, m in enumerate([0, 1]):
+        run_lake_batch(
+            synthesize_envelope(o.filter(F.col("o_orderkey") % 2 == m)),
+            lake, batch_id=i, raw_backup=False, files_per_partition=4,
+        )
+    n = export_symlink_manifests(lake)
+    assert n > 0
+    before = read_via_symlink_manifests(spark, lake)
+    assert before.count() == o.count()
+
+    # committed-protocol fidelity: exported lines == manifest entries
+    import json as _json
+
+    committed = set()
+    mdir = os.path.join(lake, "_manifests")
+    for name in os.listdir(mdir):
+        if name.startswith("manifest-") and name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as fh:
+                committed |= {os.path.abspath(e["url"]) for e in _json.load(fh)["entries"]}
+    exported = set()
+    sym = os.path.join(lake, "_symlink_format_manifest")
+    for dirpath, _d, files in os.walk(sym):
+        if "manifest" in files:
+            with open(os.path.join(dirpath, "manifest")) as fh:
+                exported |= {l.strip() for l in fh if l.strip()}
+    assert exported == committed
+
+    def _exported() -> set:
+        out = set()
+        for dirpath, _d, files in os.walk(sym):
+            if "manifest" in files:
+                with open(os.path.join(dirpath, "manifest")) as fh:
+                    out |= {l.strip() for l in fh if l.strip()}
+        return out
+
+    def _committed() -> set:
+        out = set()
+        for name in os.listdir(mdir):
+            if name.startswith("manifest-") and name.endswith(".json"):
+                with open(os.path.join(mdir, name)) as fh:
+                    out |= {
+                        os.path.abspath(e["url"])
+                        for e in _json.load(fh)["entries"]
+                    }
+        return out
+
+    # a new committed batch must appear on re-export (refresh adds)
+    run_lake_batch(
+        synthesize_envelope(o.limit(40)), lake, batch_id=2, raw_backup=False
+    )
+    export_symlink_manifests(lake)
+    grown = _exported()
+    assert grown == _committed() and grown > exported
+
+    # a batch leaving the committed set (retention dropping its manifest)
+    # must leave the export too — including its partition's manifest file
+    os.remove(os.path.join(mdir, "manifest-0000000002.json"))
+    export_symlink_manifests(lake)
+    shrunk = _exported()
+    assert shrunk == _committed() == exported
+    assert not any(
+        "batch=2" in dirpath
+        for dirpath, _d, files in os.walk(sym)
+        if "manifest" in files
+    )
+    assert read_via_symlink_manifests(spark, lake).count() == o.count()

@@ -545,6 +545,8 @@ def test_rename_sites_enumerated_against_s3_translation_table():
         ("sources/lake.py", "expire_partitions"),       # retention leaf drop
         ("sources/lake.py", "_remap_partitions_in_manifests"),  # manifest PUT
         ("sources/lake.py", "write_delete_vector"),     # DV completion marker
+        ("sources/lake.py", "export_symlink_manifests"),  # per-partition
+                                                        # symlink manifest PUT
         ("sources/lake.py", "build_zone_maps"),         # stats-table marker
         ("sources/lake.py", "update_zone_maps"),        # stats-table marker
                                                         # (incremental swap)
