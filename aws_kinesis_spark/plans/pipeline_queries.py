@@ -1848,3 +1848,58 @@ def a24_symlink_manifest_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("id").cast("bigint").alias("id_sum"),
     )
+
+
+@register(
+    "a09_dlq_split",
+    oracle="""
+        SELECT 'ok' AS side,
+               count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS id_sum
+        FROM orders WHERE o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT 'dlq',
+               count(*),
+               CAST(0 AS BIGINT)
+        FROM orders WHERE o_orderkey % 13 = 0
+    """,
+)
+def a09_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/B11 hard-certified: the DLQ split's ZERO-RECORDS-LOST invariant
+    (README.md:134, 155-156, 383-384 — bad records are quarantined with
+    an error prefix, never dropped silently, and one poison record never
+    kills the batch). Every 13th record's payload is mangled into
+    invalid base64 BEFORE decode; the decode stage routes exactly those
+    to the DLQ branch as a boolean filter (no exception path), and the
+    ok side decodes byte-identically to the source. Parity proves both
+    directions at once: nothing leaked into ok (id_sum matches the
+    untainted keys exactly) and nothing vanished (the two sides
+    partition the input, n_ok + n_dlq = |orders|).
+
+    Scale: the split is one map-only boolean filter pair over the decode
+    expressions — per-record constant cost inside whole-stage codegen,
+    no shuffle until the certifying aggregate."""
+    from aws_kinesis_spark.sources.envelope import decode_envelope
+    from aws_kinesis_spark.sources.lake import split_errors
+
+    o = load(spark, sf_dir, "orders")
+    env = synthesize_envelope(o)
+    # the envelope's composite key ends in "-<id>": taint by key so the
+    # corruption is decided WITHOUT decoding (as storage rot would be)
+    key_id = F.regexp_extract("partition_key", r"(\d+)$", 1).cast("long")
+    env = env.withColumn(
+        "data",
+        F.when(key_id % 13 == 0, F.lit("%%not-base64%%")).otherwise(F.col("data")),
+    )
+    ok, bad = split_errors(decode_envelope(env))
+    ok_side = ok.agg(
+        F.lit("ok").alias("side"),
+        F.count("*").alias("n"),
+        F.sum("id").cast("bigint").alias("id_sum"),
+    )
+    dlq_side = bad.agg(
+        F.lit("dlq").alias("side"),
+        F.count("*").alias("n"),
+        F.lit(0).cast("bigint").alias("id_sum"),
+    )
+    return ok_side.unionByName(dlq_side)

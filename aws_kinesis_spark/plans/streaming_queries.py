@@ -931,3 +931,61 @@ def g35_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     corpus = read_dedup_corpus(spark, idx)
     return corpus.filter(F.col("kept")).select("doc_id", "source", "lang")
+
+
+@register(
+    "b12_stream_progress",
+    oracle="""
+        SELECT CAST(o_orderkey % 4 AS INT) AS batch,
+               count(*) AS n_rows
+        FROM orders
+        GROUP BY 1
+    """,
+)
+def b12_stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12 hard-certified: STREAM METRICS — the observability surface the
+    reference reads from CloudWatch (IteratorAge, MillisBehindLatest,
+    per-stage counts, README.md:64, 179, 230, 252-254) maps onto
+    Structured Streaming's progress events; this query certifies the one
+    metric with a deterministic oracle: per-trigger numInputRows. Four
+    arrival-ordered files stream one per trigger, and the counts the
+    ENGINE reports in query.recentProgress must equal the fixture's
+    per-quarter row counts — if the metrics pipeline dropped, merged or
+    double-counted a batch, the parity breaks. Latency metrics
+    (batchDuration, watermark lag) ride the same progress events and are
+    asserted non-deterministically in tests/test_streaming.py.
+
+    The returned frame is built from query METADATA (4 progress rows) —
+    driver-side by nature, like any metrics scrape."""
+    o = load(spark, sf_dir, "orders")
+    root = _tmp("b12")
+    inp = os.path.join(root, "input")
+    os.makedirs(inp, exist_ok=True)
+    for q in range(4):
+        before = set(os.listdir(inp))
+        (
+            o.filter(F.col("o_orderkey") % 4 == q)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(inp)
+        )
+        for f in set(os.listdir(inp)) - before:
+            os.utime(os.path.join(inp, f), (q * 1000, q * 1000))
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    query = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    rows = [
+        (i, int(p["numInputRows"]))
+        for i, p in enumerate(query.recentProgress)
+        if int(p["numInputRows"]) > 0
+    ]
+    return spark.createDataFrame(rows, "batch int, n_rows bigint")

@@ -178,6 +178,15 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        precedent)
 #   in:  g46_bpe_pair_stats, g47_length_bucketing,
 #        a24_symlink_manifest_export
+# Round-9 final wave: two operators that had only local evidence (A9 DLQ
+# zero-records-lost, B12 stream metrics) gain deterministic oracles and
+# hard driver rows; witness for each rotated-out slot in parens:
+#   out: g28 (green r8; g27 embedding decontamination is the same
+#        in-window decontamination family over the same eval fixture),
+#        g03b (green r8; g03c IVF runs the same ANN-recall self-check
+#        against the same brute-force twin — the r7 precedent that
+#        retired g03d citing exactly this pair)
+#   in:  a09_dlq_split, b12_stream_progress
 # Earlier late additions:
 #   out: g21 (f04's UDTF LATERAL is the same 1->N Python surface and
 #        g07b pins the Arrow batch plumbing; g21's chunk-boundary and
@@ -189,7 +198,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        g45's corpus-frequency aggregate covers the distinct-state
 #        posture; g34's md5-not-bodies invariant stays pinned locally)
 #   in:  d38_funnel_steps, d39_cohort_retention
-# After this window EVERY registered query (159) is oracle-backed and has
+# After this window EVERY registered query (161) is oracle-backed and has
 # had a hard driver-hash row. Queries outside the window still run in the
 # local differential suite (tests/test_differential.py) every CI pass;
 # prior-round driver rows for rotated-out queries remain in
@@ -208,11 +217,13 @@ DRIVER_WINDOW: list[str] = [
     "d39_cohort_retention",
     # C — record transforms (1)
     "c14_gzip_jsonl_roundtrip",
-    # B — streaming-core batch analogues (2)
+    # B — streaming-core batch analogues (3)
     "b02_salted_aggregation",
     "b04b_bloom_first_seen",
-    # A — sources/sinks/lake maintenance (9)
+    "b12_stream_progress",
+    # A — sources/sinks/lake maintenance (10)
     "a01b_kinesis_reshard",
+    "a09_dlq_split",
     "a15_schema_evolution",
     "a17_snapshot_diff",
     "a18_orphan_vacuum",
@@ -225,14 +236,12 @@ DRIVER_WINDOW: list[str] = [
     "o08_stream_scd2",
     # G — LLM-data-pipeline operators (20)
     "g02c_dedup_simhash",
-    "g03b_knn_lsh_ann",
     "g03c_knn_ivf_ann",
     "g07b_multimodal_features",
     "g16_pii_scrub",
     "g18b_token_topk_sketch",
     "g19_dedup_keepers",
     "g27_embedding_decontaminate",
-    "g28_source_overlap",
     "g30_bm25_score",
     "g32_setsim_prefix_join",
     "g35_stream_dedup_ingest",

@@ -84,6 +84,8 @@ HEADLINE = [
     "g46_bpe_pair_stats",
     "g47_length_bucketing",
     "a24_symlink_manifest_export",
+    "a09_dlq_split",
+    "b12_stream_progress",
 ]
 
 

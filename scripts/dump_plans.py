@@ -214,6 +214,13 @@ SHOWCASE = [
         "into a 4-group shuffle; the corpus scans once.",
     ),
     (
+        "a09_dlq_split",
+        "The DLQ split is a map-only boolean filter PAIR over the decode "
+        "expressions (no exception path, no shuffle before the certifying "
+        "aggregates) — one poison record costs one false bit, never a "
+        "batch.",
+    ),
+    (
         "a24_symlink_manifest_export",
         "External-engine interop: the read-back scans EXACTLY the "
         "objects the symlink manifests list (derived from the commit "

@@ -37,8 +37,8 @@ def test_driver_window_covers_every_family():
     # dropped to 1 in round 9: o07 retired on the o08 witness, c10 on the
     # c14 witness — see the registry.py rotation log)
     for prefix, minimum in [
-        ("d", 10), ("c", 1), ("b", 2), ("a", 9), ("o", 1),
-        ("g", 20), ("e", 3), ("f", 4),
+        ("d", 10), ("c", 1), ("b", 3), ("a", 10), ("o", 1),
+        ("g", 18), ("e", 3), ("f", 4),
     ]:
         got = sum(1 for n in window if n.startswith(prefix))
         assert got >= minimum, f"family {prefix}: {got} < {minimum}"
@@ -47,7 +47,7 @@ def test_driver_window_covers_every_family():
     # round-9 rotation: the five round-7 additions that had never had a
     # driver row get their first driver-hash rows, and the three round-9
     # additions are windowed the round they are registered; after this
-    # window every one of the 159 registered queries has been in a
+    # window every one of the 161 registered queries has been in a
     # driver window
     rotated_in = {
         "a23_zorder_clustering", "d35_percentile_profile",
@@ -57,6 +57,7 @@ def test_driver_window_covers_every_family():
         "g45_vocab_coverage", "d38_funnel_steps", "d39_cohort_retention",
         "g46_bpe_pair_stats", "g47_length_bucketing",
         "a24_symlink_manifest_export",
+        "a09_dlq_split", "b12_stream_progress",
     }
     assert rotated_in <= set(window)
     rotated_out = {
@@ -67,6 +68,7 @@ def test_driver_window_covers_every_family():
         "g21_doc_chunking", "g34_source_datacard",
         "g31_bigram_logprob", "g33_hard_negatives",
         "a21_write_audit_publish",
+        "g28_source_overlap", "g03b_knn_lsh_ann",
     }
     assert rotated_out & set(window) == set()
     # with this window, every registered query has had a driver slot
@@ -82,7 +84,7 @@ def test_registry_counts_pinned():
 
     registry._ensure_loaded()
     assert len(registry.DRIVER_WINDOW) == 50
-    assert len(registry.REGISTRY) == 159, len(registry.REGISTRY)
+    assert len(registry.REGISTRY) == 161, len(registry.REGISTRY)
     assert len(set(registry.DRIVER_WINDOW)) == 50  # no duplicate slots
     # round 7 closed the rows-only dead end: every registered query now
     # carries a DuckDB twin (the sketch/ANN paths via deterministic
