@@ -1876,11 +1876,12 @@ def a09_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     untainted keys exactly) and nothing vanished (the two sides
     partition the input, n_ok + n_dlq = |orders|).
 
-    Scale: the split is one map-only boolean filter pair over the decode
-    expressions — per-record constant cost inside whole-stage codegen,
-    no shuffle until the certifying aggregate."""
+    Scale: the split is the `_corrupt` boolean the decode expressions
+    emit — per-record constant cost inside whole-stage codegen — and the
+    certifying aggregate groups ON that boolean, so both sides come out
+    of ONE pass over the decode (a per-side filter+agg union would scan
+    and decode the batch once per side)."""
     from aws_kinesis_spark.sources.envelope import decode_envelope
-    from aws_kinesis_spark.sources.lake import split_errors
 
     o = load(spark, sf_dir, "orders")
     env = synthesize_envelope(o)
@@ -1891,15 +1892,12 @@ def a09_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "data",
         F.when(key_id % 13 == 0, F.lit("%%not-base64%%")).otherwise(F.col("data")),
     )
-    ok, bad = split_errors(decode_envelope(env))
-    ok_side = ok.agg(
-        F.lit("ok").alias("side"),
+    dec = decode_envelope(env)
+    return dec.groupBy(
+        F.when(F.col("_corrupt"), F.lit("dlq")).otherwise(F.lit("ok")).alias("side")
+    ).agg(
         F.count("*").alias("n"),
-        F.sum("id").cast("bigint").alias("id_sum"),
+        F.coalesce(
+            F.sum(F.when(~F.col("_corrupt"), F.col("id"))), F.lit(0)
+        ).cast("bigint").alias("id_sum"),
     )
-    dlq_side = bad.agg(
-        F.lit("dlq").alias("side"),
-        F.count("*").alias("n"),
-        F.lit(0).cast("bigint").alias("id_sum"),
-    )
-    return ok_side.unionByName(dlq_side)
