@@ -1835,12 +1835,22 @@ def a24_symlink_manifest_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders")
     lake = os.path.join(_scratch("a24_symlink"), "lake")
-    for i, half in enumerate([o.filter(F.col("o_orderkey") % 2 == 0),
-                              o.filter(F.col("o_orderkey") % 2 == 1)]):
-        run_lake_batch(
-            synthesize_envelope(half), lake, batch_id=i, raw_backup=False,
-            files_per_partition=16,
-        )
+    # independent batch commits (disjoint batch=N prefixes, one manifest
+    # each) — flush them as concurrent Spark jobs, the same overlap two
+    # producers landing separate buffers would have
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(
+                run_lake_batch,
+                synthesize_envelope(o.filter(F.col("o_orderkey") % 2 == i)),
+                lake, batch_id=i, raw_backup=False, files_per_partition=16,
+            )
+            for i in range(2)
+        ]
+        for f in futs:
+            f.result()
     n = export_symlink_manifests(lake)
     assert n > 0
     back = read_via_symlink_manifests(spark, lake)
