@@ -44,6 +44,7 @@ HEADLINE = [
     "b04_dedup_by_sequence",
     "c01_envelope_roundtrip",
     "f01_scalar_pandas_udf",
+    "f02_grouped_map",
     "f03_grouped_agg_udaf",
     "g01_dedup_exact",
     "g02_dedup_minhash_lsh",

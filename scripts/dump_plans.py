@@ -214,6 +214,14 @@ SHOWCASE = [
         "into a 4-group shuffle; the corpus scans once.",
     ),
     (
+        "f02_grouped_map",
+        "The repartition before the grouped-map is EXPLICIT and pinned: "
+        "per-group Python dispatch is the cost here, which AQE's "
+        "byte-based coalescing cannot see — left to AQE this "
+        "small-byte/high-group-count shuffle folds to one partition and "
+        "serializes every group on one core.",
+    ),
+    (
         "a09_dlq_split",
         "The DLQ split is a map-only boolean filter PAIR over the decode "
         "expressions (no exception path, no shuffle before the certifying "

@@ -656,3 +656,14 @@ def test_length_bucketing_broadcasts_bounds(spark):
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert plan.count("HashAggregate (") >= 4  # 2 aggregates x (partial+final)
     assert "Window" not in plan and "CartesianProduct" not in plan
+
+
+def test_grouped_map_keeps_pinned_fanout(spark):
+    """F2: the explicit repartition before applyInPandas must survive as a
+    user-pinned exchange (REPARTITION_BY_NUM) — if it decays to an
+    AQE-coalescible shuffle, the small-byte/high-group-count batch folds
+    to one partition and every group's Python dispatch serializes on one
+    core (measured 21 s -> 2.7 s at sf0.1)."""
+    plan = _plan(queries()["f02_grouped_map"](spark, SF))
+    assert "REPARTITION_BY_NUM" in plan
+    assert "FlatMapGroupsInPandas" in plan
