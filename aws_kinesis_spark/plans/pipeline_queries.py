@@ -1911,3 +1911,54 @@ def a09_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~F.col("_corrupt"), F.col("id"))), F.lit(0)
         ).cast("bigint").alias("id_sum"),
     )
+
+
+@register(
+    "a11_raw_backup",
+    oracle="""
+        SELECT count(*) AS n_backup,
+               CAST(sum(CASE WHEN o_orderkey % 13 <> 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ok,
+               CAST(sum(CASE WHEN o_orderkey % 13 <> 0 THEN o_orderkey END)
+                    AS BIGINT) AS id_sum_ok
+        FROM orders
+    """,
+)
+def a11_raw_backup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 hard-certified: RAW BACKUP COMPLETENESS (README.md:605
+    S3BackupMode=AllData — the unparsed envelope lands in backup/
+    regardless of what the transform thinks of it). Every 13th payload is
+    tainted into invalid base64; the main path quarantines those to the
+    DLQ, but the raw backup must still hold EVERY input record untouched
+    — including the poison ones — or disaster recovery silently loses
+    exactly the records that were having problems. The certificate
+    aggregates the backup alone: its total row count covers the whole
+    input, and re-decoding it yields the same ok-subset the main path
+    kept (byte-fidelity of the backed-up payloads, not just the count).
+
+    Scale: the backup write is a straight unparsed copy (no decode on
+    that branch); the certificate is one pass over the backup with a
+    conditional aggregate."""
+    from aws_kinesis_spark.sources.envelope import decode_envelope
+    from aws_kinesis_spark.sources.lake import run_lake_batch
+
+    o = load(spark, sf_dir, "orders")
+    env = synthesize_envelope(o)
+    key_id = F.regexp_extract("partition_key", r"(\d+)$", 1).cast("long")
+    env = env.withColumn(
+        "data",
+        F.when(key_id % 13 == 0, F.lit("%%not-base64%%")).otherwise(F.col("data")),
+    )
+    lake = os.path.join(_scratch("a11_backup"), "lake")
+    run_lake_batch(env, lake, batch_id=0, raw_backup=True, files_per_partition=32)
+    back = spark.read.parquet(os.path.join(lake, "raw", "batch=0"))
+    dec = decode_envelope(back)
+    return dec.agg(
+        F.count("*").alias("n_backup"),
+        F.sum(F.when(~F.col("_corrupt"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ok"),
+        F.sum(F.when(~F.col("_corrupt"), F.col("id")))
+        .cast("bigint")
+        .alias("id_sum_ok"),
+    )

@@ -187,6 +187,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        against the same brute-force twin — the r7 precedent that
 #        retired g03d citing exactly this pair)
 #   in:  a09_dlq_split, b12_stream_progress
+#   ...and a11 (raw-backup completeness, the third local-only operator
+#   to gain a hard oracle this round):
+#   out: a18 (green r8; a19's deletion-vector materialize + a24's
+#        manifest-protocol consumption are the in-window witnesses for
+#        the lake-maintenance commit chain, and a18's orphan-sweep
+#        mtime-guard invariants stay pinned in tests/test_lake.py — the
+#        r7 precedent that retired a14/a16 of the same family)
+#   in:  a11_raw_backup
 # Earlier late additions:
 #   out: g21 (f04's UDTF LATERAL is the same 1->N Python surface and
 #        g07b pins the Arrow batch plumbing; g21's chunk-boundary and
@@ -198,7 +206,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        g45's corpus-frequency aggregate covers the distinct-state
 #        posture; g34's md5-not-bodies invariant stays pinned locally)
 #   in:  d38_funnel_steps, d39_cohort_retention
-# After this window EVERY registered query (161) is oracle-backed and has
+# After this window EVERY registered query (162) is oracle-backed and has
 # had a hard driver-hash row. Queries outside the window still run in the
 # local differential suite (tests/test_differential.py) every CI pass;
 # prior-round driver rows for rotated-out queries remain in
@@ -224,9 +232,9 @@ DRIVER_WINDOW: list[str] = [
     # A — sources/sinks/lake maintenance (10)
     "a01b_kinesis_reshard",
     "a09_dlq_split",
+    "a11_raw_backup",
     "a15_schema_evolution",
     "a17_snapshot_diff",
-    "a18_orphan_vacuum",
     "a19_deletion_vectors",
     "a20_zone_map_pruning",
     "a22_manifest_integrity",

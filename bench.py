@@ -87,6 +87,7 @@ HEADLINE = [
     "a24_symlink_manifest_export",
     "a09_dlq_split",
     "b12_stream_progress",
+    "a11_raw_backup",
 ]
 
 

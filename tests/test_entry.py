@@ -47,7 +47,7 @@ def test_driver_window_covers_every_family():
     # round-9 rotation: the five round-7 additions that had never had a
     # driver row get their first driver-hash rows, and the three round-9
     # additions are windowed the round they are registered; after this
-    # window every one of the 161 registered queries has been in a
+    # window every one of the 162 registered queries has been in a
     # driver window
     rotated_in = {
         "a23_zorder_clustering", "d35_percentile_profile",
@@ -57,7 +57,7 @@ def test_driver_window_covers_every_family():
         "g45_vocab_coverage", "d38_funnel_steps", "d39_cohort_retention",
         "g46_bpe_pair_stats", "g47_length_bucketing",
         "a24_symlink_manifest_export",
-        "a09_dlq_split", "b12_stream_progress",
+        "a09_dlq_split", "b12_stream_progress", "a11_raw_backup",
     }
     assert rotated_in <= set(window)
     rotated_out = {
@@ -69,6 +69,7 @@ def test_driver_window_covers_every_family():
         "g31_bigram_logprob", "g33_hard_negatives",
         "a21_write_audit_publish",
         "g28_source_overlap", "g03b_knn_lsh_ann",
+        "a18_orphan_vacuum",
     }
     assert rotated_out & set(window) == set()
     # with this window, every registered query has had a driver slot
@@ -84,7 +85,7 @@ def test_registry_counts_pinned():
 
     registry._ensure_loaded()
     assert len(registry.DRIVER_WINDOW) == 50
-    assert len(registry.REGISTRY) == 161, len(registry.REGISTRY)
+    assert len(registry.REGISTRY) == 162, len(registry.REGISTRY)
     assert len(set(registry.DRIVER_WINDOW)) == 50  # no duplicate slots
     # round 7 closed the rows-only dead end: every registered query now
     # carries a DuckDB twin (the sketch/ANN paths via deterministic
