@@ -946,12 +946,14 @@ def a05_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         lake,
         batch_id=0,
         raw_backup=False,
+        files_per_partition=32,
     )
     run_lake_batch(
         synthesize_envelope(o.filter(F.col("o_orderkey") % 3 != 0)),
         lake,
         batch_id=1,
         raw_backup=False,
+        files_per_partition=32,
     )
     snapshot = read_via_manifest(spark, lake, batch_id=0)
     return snapshot.groupBy(F.col("status")).agg(
@@ -1342,6 +1344,7 @@ def a17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             lake,
             batch_id=b,
             raw_backup=False,
+            files_per_partition=32,
         )
     delta = read_incremental(spark, lake, after_batch=0, upto_batch=2)
     return delta.groupBy(F.col("status")).agg(
@@ -1484,6 +1487,7 @@ def a18_orphan_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             lake,
             batch_id=b,
             raw_backup=False,
+            files_per_partition=32,
         )
     # crash simulation: batch 2's data landed but its manifest never did.
     # older_than=0: this harness owns every writer, so no commit can be
@@ -1732,7 +1736,8 @@ def a22_manifest_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders")
     lake = os.path.join(_scratch("a22_integrity"), "lake")
-    run_lake_batch(synthesize_envelope(o), lake, batch_id=0, raw_backup=False)
+    run_lake_batch(synthesize_envelope(o), lake, batch_id=0, raw_backup=False,
+                   files_per_partition=32)
     ok = validate_manifest(lake, 0, spark)
     assert ok.passed, ok.failures
 
@@ -1745,7 +1750,8 @@ def a22_manifest_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert not rotted.passed and "byte sum" in rotted.failures[0]
 
     # heal by idempotent replay, then certify and read
-    run_lake_batch(synthesize_envelope(o), lake, batch_id=0, raw_backup=False)
+    run_lake_batch(synthesize_envelope(o), lake, batch_id=0, raw_backup=False,
+                   files_per_partition=32)
     healed = validate_manifest(lake, 0, spark)
     assert healed.passed, healed.failures
     back = read_via_manifest(spark, lake, 0)
