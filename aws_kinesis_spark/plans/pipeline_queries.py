@@ -1954,7 +1954,7 @@ def a11_raw_backup(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = env.withColumn(
         "data",
         F.when(key_id % 13 == 0, F.lit("%%not-base64%%")).otherwise(F.col("data")),
-    )
+    ).localCheckpoint()  # four consumers (write, count, DLQ write, backup)
     lake = os.path.join(_scratch("a11_backup"), "lake")
     run_lake_batch(env, lake, batch_id=0, raw_backup=True, files_per_partition=32)
     back = spark.read.parquet(os.path.join(lake, "raw", "batch=0"))
