@@ -237,7 +237,7 @@ def _signatures_from_shingle_sets(
     shingling the corpus twice."""
     sig = _signature_array(sets, id_col, num_hashes)
     return sig.selectExpr(
-        id_col, *[f"__sig[{i}] AS h{i}" for i in range(num_hashes)]
+        f"`{id_col}`", *[f"__sig[{i}] AS h{i}" for i in range(num_hashes)]
     )
 
 
@@ -969,7 +969,7 @@ def band_rows(
         for b in range(bands)
     )
     return sigs.selectExpr(
-        id_col, f"posexplode(array({band_arr})) AS (band, bh)"
+        f"`{id_col}`", f"posexplode(array({band_arr})) AS (band, bh)"
     )
 
 

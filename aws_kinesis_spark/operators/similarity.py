@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
-from aws_kinesis_spark.functions.vectors import cosine, dot, l2_norm
+from aws_kinesis_spark.functions.vectors import cosine
 
 
 def knn_bruteforce(

@@ -983,9 +983,13 @@ def b12_stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination(300)
-    rows = [
-        (i, int(p["numInputRows"]))
-        for i, p in enumerate(query.recentProgress)
+    # number the DATA batches after dropping no-data progress events: a
+    # leading or interleaved zero-row trigger (timing-dependent with
+    # availableNow) must not shift the quarter ids the oracle expects
+    nonzero = [
+        int(p["numInputRows"])
+        for p in query.recentProgress
         if int(p["numInputRows"]) > 0
     ]
+    rows = list(enumerate(nonzero))
     return spark.createDataFrame(rows, "batch int, n_rows bigint")

@@ -900,9 +900,11 @@ def _coerce_zone_bound(value, sample, col: str):
     type so the driver-side min/max overlap test never dies on a bare
     TypeError (int bounds against timestamp/string stats). Unambiguous
     coercions are applied (numeric widening, ISO strings to date/datetime,
-    date to midnight datetime, anything to str); ambiguous ones (an int
-    against a timestamp — seconds? micros?) raise a clear per-column error
-    naming the expected type instead."""
+    date to midnight datetime); ambiguous ones (an int against a timestamp
+    — seconds? micros?, or a non-string against string stats — the driver
+    compares lexicographically while the residual Spark predicate casts
+    numerically, so str(90) vs stats '090' would silently skip matching
+    files) raise a clear per-column error naming the expected type."""
     import datetime as _dt
     import decimal as _dec
 
@@ -925,8 +927,6 @@ def _coerce_zone_bound(value, sample, col: str):
             return _dt.datetime.combine(value, _dt.time.min)
         if st is _dt.date and isinstance(value, str):
             return _dt.date.fromisoformat(value)
-        if st is str:
-            return str(value)
     except (ValueError, TypeError):
         pass
     raise TypeError(

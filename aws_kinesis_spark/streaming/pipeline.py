@@ -663,10 +663,13 @@ def start_dedup_ingest(
                     "bucket", F.pmod("bh", F.lit(n_buckets)).cast("int")
                 )
             )
-            # bounded driver collect: <= n_buckets ints — the partition-
-            # pruning key list, exactly the metadata a planner holds
-            # (this first action also materializes the docs/bb caches)
-            batch_buckets = [r[0] for r in bb.select("bucket").distinct().collect()]
+            # bounded driver collect: <= n_buckets (bucket, count) rows —
+            # the partition-pruning key list plus the batch size, exactly
+            # the metadata a planner holds (this first action also
+            # materializes the docs/bb caches)
+            bucket_counts = bb.groupBy("bucket").count().collect()
+            batch_buckets = [r[0] for r in bucket_counts]
+            batch_band_rows = sum(r[1] for r in bucket_counts)
             # cluster the store write by bucket so each batch lands ~one
             # file per bucket (the signing repartition would otherwise fan
             # every bucket across sign_par files and bloat the standing
@@ -692,8 +695,16 @@ def start_dedup_ingest(
             else:
                 all_bands = bb
             # broadcast the BATCH bands: the standing index (the side that
-            # grows with the corpus) never shuffles — stream-static asymmetry
-            n, m = F.broadcast(bb.alias("n")), all_bands.alias("m")
+            # grows with the corpus) never shuffles — stream-static
+            # asymmetry. The hint is gated on batch size: a catch-up
+            # trigger (file source with no maxFilesPerTrigger cap) folds
+            # the whole backlog into ONE batch, and force-broadcasting
+            # that would blow the driver where an AQE-decided shuffle
+            # join degrades gracefully. The size rode along with the
+            # bucket collect, so the gate costs no extra job.
+            batch_is_small = batch_band_rows <= 2_000_000
+            n = (F.broadcast(bb) if batch_is_small else bb).alias("n")
+            m = all_bands.alias("m")
             cand = (
                 n.join(
                     m,
@@ -735,10 +746,16 @@ def start_dedup_ingest(
                 .withColumn("__dup", F.lit(True))
             )
             # one left join decides the verdict (kept = no smaller-id dup);
-            # dropped is candidate-sized — broadcast it so the batch never
-            # shuffles, and cluster the landing write by id-bucket
+            # dropped is candidate-sized (<= batch ids) — broadcast it so
+            # the batch never shuffles, under the same catch-up-batch size
+            # gate as the band join, and cluster the landing write by
+            # id-bucket
             out = (
-                docs.join(F.broadcast(dropped), "doc_id", "left")
+                docs.join(
+                    F.broadcast(dropped) if batch_is_small else dropped,
+                    "doc_id",
+                    "left",
+                )
                 .withColumn("kept", F.col("__dup").isNull())
                 .drop("__dup")
                 .withColumn("idb", F.pmod("doc_id", F.lit(n_buckets)).cast("int"))

@@ -335,6 +335,24 @@ def main() -> None:
             }
         )
     )
+    # The driver captures only the TAIL of stdout; the full record above
+    # can be front-truncated once the query map grows. Emit a compact,
+    # self-contained summary LAST so the tail always ends with one
+    # complete parseable JSON line (VERDICT r9 "what's missing" #3).
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "sf": SF_DIR,
+                "n_queries": len(results),
+                "lake_microbatch": results.get("lake_microbatch"),
+                "point_query": results.get("point_query"),
+                "contended": contended_before or contended_after,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -887,18 +887,25 @@ def test_zone_bound_coercions_unit():
     assert c("2026-01-02T03:04:05", ts, "x") == ts
     assert c(dt.date(2026, 1, 2), ts, "x") == dt.datetime(2026, 1, 2, 0, 0)
     assert c("2026-01-02", dt.date(2020, 1, 1), "x") == dt.date(2026, 1, 2)
-    assert c(7, "abc", "x") == "7"
     # passthroughs
     assert c(None, 5, "x") is None
     assert c(5, None, "x") == 5
     assert c(3, 4, "x") == 3  # already comparable
-    # ambiguous: int vs datetime stats
+    assert c("b", "a", "x") == "b"  # str vs str: comparable passthrough
     import pytest as _pytest
 
+    # ambiguous: int vs datetime stats
     with _pytest.raises(TypeError, match="mycol.*datetime"):
         c(12345, ts, "mycol")
     with _pytest.raises(TypeError, match="mycol.*date"):
         c(12345, dt.date(2020, 1, 1), "mycol")
+    # ADVICE r9 (medium): a non-string bound against STRING stats must
+    # raise, not coerce — the driver compares stats LEXICOGRAPHICALLY
+    # (str(90) vs '090') while the residual Spark predicate casts
+    # numerically, so the old str() fallback silently skipped files whose
+    # rows matched the filter
+    with _pytest.raises(TypeError, match="mycol.*str"):
+        c(90, "090", "mycol")
 
 
 def test_update_zone_maps_incremental_and_stale_safe(spark, tmp_path):
