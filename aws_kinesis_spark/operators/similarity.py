@@ -83,6 +83,78 @@ def _spherical_kmeans(sample: np.ndarray, nlist: int, iters: int = 10, seed: int
     return cent
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    nlist: int = 32,
+    train_rows: int = 4096,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Train IVF cell centroids on a BOUNDED sample (the one collect of the
+    IVF family, capped at train_rows rows), sorted by id driver-side so the
+    seeded k-means sees an identical matrix regardless of partition
+    planning — the index (and therefore recall) is reproducible across
+    cluster layouts."""
+    sample = corpus.select(id_col, vec_col).limit(train_rows).collect()
+    sample.sort(key=lambda r: r[0])
+    train = np.array([r[1] for r in sample], dtype=np.float64)
+    if not len(train):
+        raise ValueError("train_ivf_centroids: corpus sample is empty")
+    return _spherical_kmeans(train, nlist=min(nlist, len(train)))
+
+
+def nearest_cell_udf(cent: np.ndarray):
+    """Arrow-batched nearest-centroid assignment; ``cent`` (nlist x dim)
+    rides to executors in the UDF closure — tiny regardless of corpus."""
+
+    @F.pandas_udf(IntegerType())
+    def nearest_cell(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(x @ cent.T, axis=1).astype(np.int32))
+
+    return nearest_cell
+
+
+def probe_cells_udf(cent: np.ndarray, nprobe: int):
+    """Arrow-batched top-nprobe cell probe for the QUERY side — the same
+    broadcast-centroid matmul as assignment, so the query table is never
+    collected and can be arbitrarily large."""
+    n_cells = len(cent)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        top = np.argsort(-(x @ cent.T), axis=1)[:, : min(nprobe, n_cells)]
+        return pd.Series([t.tolist() for t in top.astype(np.int32)])
+
+    return probe_cells
+
+
+def cosine_topk_from_candidates(
+    cand: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared IVF tail: score (query, candidate) rows by cosine JVM-side
+    and keep the deterministic per-query top-k (cosine desc, neighbor id
+    asc). Expects ``__qvec`` alongside the candidate's vec_col."""
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        cosine("__qvec", vec_col).alias("__cos"),
+    ).dropDuplicates([query_id_col, "neighbor_id"])
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, "neighbor_id", (F.round("__cos", 4) + F.lit(0.0)).alias("cos_sim"))
+    )
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -101,57 +173,27 @@ def knn_ivf(
 
     Scale shape: centroids broadcast to executors inside the UDF closures;
     the corpus is partition-pruned to probed cells by an equi-join on
-    cluster id. Probe-cell assignment runs executor-side with the same
-    broadcast-centroid matmul as the corpus assignment — the query table is
-    never collected, so it can be arbitrarily large. nprobe/nlist is the
-    recall dial — recall vs knn_bruteforce is measured in tests/test_ext.py.
-    The only collect is the bounded train_rows centroid-training sample,
-    sorted by id driver-side so the seeded k-means sees an identical
-    matrix regardless of partition planning — the index (and therefore
-    recall) is reproducible across cluster layouts."""
-    sample = corpus.select(id_col, vec_col).limit(train_rows).collect()
-    sample.sort(key=lambda r: r[0])
-    train = np.array([r[1] for r in sample], dtype=np.float64)
-    cent = _spherical_kmeans(train, nlist=min(nlist, len(train)))
-    n_cells = len(cent)
-
-    @F.pandas_udf(IntegerType())
-    def nearest_cell(vecs: pd.Series) -> pd.Series:
-        x = np.array(vecs.tolist(), dtype=np.float64)
-        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(x @ cent.T, axis=1).astype(np.int32))
-
+    cluster id. nprobe/nlist is the recall dial — recall vs knn_bruteforce
+    is measured in tests/test_ext.py. The only collect is the bounded
+    train_rows centroid-training sample. This is the AD-HOC form (train +
+    assign + probe in one job, right for a single curation pass); repeated
+    serving should build the index ONCE with
+    operators/ivf_index.build_ivf_index and probe it with knn_ivf_indexed,
+    which skips the corpus assignment entirely."""
+    cent = train_ivf_centroids(corpus, nlist, train_rows, vec_col, id_col)
+    nearest_cell = nearest_cell_udf(cent)
     assigned = corpus.select(
         F.col(id_col), F.col(vec_col), nearest_cell(F.col(vec_col)).alias("__cell")
     )
-
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def probe_cells(vecs: pd.Series) -> pd.Series:
-        x = np.array(vecs.tolist(), dtype=np.float64)
-        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        top = np.argsort(-(x @ cent.T), axis=1)[:, : min(nprobe, n_cells)]
-        return pd.Series([t.tolist() for t in top.astype(np.int32)])
-
     qdf = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
-        F.explode(probe_cells(F.col(vec_col))).alias("__cell"),
+        F.explode(probe_cells_udf(cent, nprobe)(F.col(vec_col))).alias("__cell"),
     )
-
     cand = assigned.join(F.broadcast(qdf), "__cell").filter(
         F.col(id_col) != F.col(query_id_col)
     )
-    scored = cand.select(
-        F.col(query_id_col),
-        F.col(id_col).alias("neighbor_id"),
-        cosine("__qvec", vec_col).alias("__cos"),
-    ).dropDuplicates([query_id_col, "neighbor_id"])
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select(query_id_col, "neighbor_id", (F.round("__cos", 4) + F.lit(0.0)).alias("cos_sim"))
-    )
+    return cosine_topk_from_candidates(cand, k, vec_col, id_col, query_id_col)
 
 
 def max_sim_vs_reference(

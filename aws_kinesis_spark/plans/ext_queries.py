@@ -28,6 +28,11 @@ from aws_kinesis_spark.operators.multimodal import (
     sample_frames,
     to_media_envelope,
 )
+from aws_kinesis_spark.operators.ivf_index import (
+    build_ivf_index,
+    knn_ivf_indexed,
+    update_ivf_index,
+)
 from aws_kinesis_spark.operators.similarity import (
     hard_negative_mining,
     semdedup,
@@ -1860,11 +1865,13 @@ def g41_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the semi-join prunes at the scan (broadcast of the qualifying
     ids when the predicate is selective, AQE decides); the scoring pass
     is the g03 blocked brute-force kernel over the REDUCED corpus. For
-    ANN at 100 TB the same pre-filter composes with the IVF path: filter
-    ids join against the posting lists before probing (g03c's bucketed
-    layout admits the same semi-join), keeping recall exact w.r.t. the
-    filtered set rather than hoping the unfiltered candidates survive
-    the predicate."""
+    ANN at 100 TB the same pre-filter composes with the IVF path:
+    knn_ivf_indexed(filter_ids=...) semi-joins the qualifying ids against
+    the probed cell partitions BEFORE any distance work (exactness over
+    the qualifying-within-probed set is pinned in
+    tests/test_ivf_index.py), keeping recall exact w.r.t. the filtered
+    set rather than hoping the unfiltered candidates survive the
+    predicate."""
     em = load(spark, sf_dir, "embeddings")
     docs = load(spark, sf_dir, "documents")
     qualifying = docs.filter(F.col("lang") == "en").select(
@@ -1875,6 +1882,44 @@ def g41_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return knn_bruteforce(corpus, queries, k=3)
+
+
+@register(
+    "g48_persistent_ivf",
+    oracle="""
+        SELECT 10 * count(*) AS n_exact, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < 5
+    """,
+)
+def g48_persistent_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 serving path: the PERSISTENT IVF index (VERDICT r9 #1) certified
+    end-to-end — build the standing store on 3/4 of the corpus, append the
+    remaining quarter through incremental maintenance (stored centroids,
+    no retrain, new batch dir only — the FAISS ``add`` / zone-map-update
+    posture), then answer kNN from the store alone: knn_ivf_indexed runs
+    NO training and NO corpus assignment, it opens only the nprobe probed
+    ``cell=C`` partitions (partition pruning + single query-side probe UDF
+    plan-locked in tests/test_ivf_index.py).
+
+    Driver-checkable oracle form: same (n_exact, recall_ok) shape as
+    g03b/g03c — aggregate recall@10 >= 0.5 vs the brute-force twin over
+    the FULL corpus asserted in-plan, so the check also proves the
+    appended quarter is searchable (a probe that missed the incremental
+    batch would lose every neighbor living there)."""
+    import tempfile
+
+    em = load(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="kinesis_g48_")
+    build_ivf_index(em.filter(F.col("vec_id") % 4 != 3), idx, nlist=32)
+    update_ivf_index(em.filter(F.col("vec_id") % 4 == 3), idx)
+    queries = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return _ann_recall_check(
+        knn_ivf_indexed(spark, idx, queries, k=10, nprobe=8),
+        knn_bruteforce(em, queries, k=10),
+        min_recall=0.5,
+    )
 
 
 @register(

@@ -1535,11 +1535,13 @@ def a19_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # files_per_partition=32: the whole batch lands in one processing-hour
     # partition, so the salt spreads decode+write across every local core
     # instead of serializing on the single per-partition writer (lake.py
-    # dial; a cluster run sizes this to cores-per-flush the same way)
-    run_lake_batch(
-        synthesize_envelope(o), lake, batch_id=0, raw_backup=False,
-        files_per_partition=32,
-    )
+    # dial; a cluster run sizes this to cores-per-flush the same way).
+    # The envelope is checkpointed ONCE: run_lake_batch consumes it twice
+    # (partitioned write + the n_error accounting count), and without the
+    # cut each consumer re-pays the base64/JSON synthesis — the a11 fix.
+    env = synthesize_envelope(o).localCheckpoint()
+    run_lake_batch(env, lake, batch_id=0, raw_backup=False,
+                   files_per_partition=32)
     # the two delete vectors are independent commit objects (each lands
     # atomically under its own id) — write them as concurrent Spark jobs
     from concurrent.futures import ThreadPoolExecutor

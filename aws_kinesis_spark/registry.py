@@ -206,64 +206,106 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        g45's corpus-frequency aggregate covers the distinct-state
 #        posture; g34's md5-not-bodies invariant stays pinned locally)
 #   in:  d38_funnel_steps, d39_cohort_retention
-# After this window EVERY registered query (162) is oracle-backed and has
-# had a hard driver-hash row. Queries outside the window still run in the
-# local differential suite (tests/test_differential.py) every CI pass;
-# prior-round driver rows for rotated-out queries remain in
-# CORRECTNESS_r{1..8}.json.
+# After the round-9 window EVERY registered query (now 163) is
+# oracle-backed and has had a hard driver-hash row. Queries outside the
+# window still run in the local differential suite
+# (tests/test_differential.py) every CI pass; prior-round driver rows for
+# rotated-out queries remain in CORRECTNESS_r{1..9}.json.
+# Round-10 rotation (15 swapped — the RE-certification round, VERDICT r9
+# #2: fresh driver rows for queries whose code paths churned since their
+# last row — a05/a18 flush-salt + orphan-sweep churn (r9), g02/g02b/g10/
+# g20 dedup.py kernel churn (r9 simhash/spread + r10 selectExpr quoting),
+# e08 streaming/pipeline.py churn (r9 threading + r10 broadcast gate) —
+# plus the longest-stale r2/r3 rows (d01, d02, d09, d16, d17, b03, c06)
+# and the NEW g48 persistent-IVF query, registered and windowed the same
+# round. d04/d20 stay stale-but-witnessed: d04's limit runs inside every
+# in-window top-k (g40/g45 TakeOrdered, d39's bounded grids), d20's JSON
+# exprs inside c14's JSONL roundtrip. Witness for each rotated-out slot
+# in parens:
+#   out: d07 (UNION core inside d30's recursive UNION-ALL loop;
+#        INTERSECT/EXCEPT = the semi/anti forms witnessed by b04b's
+#        first-seen anti-join + g41's qualifying semi-join — the r9 d06
+#        precedent), d33 (bucket-then-aggregate = in-coming d09's time
+#        buckets; the grouped profile shape stays via d36 — the r9 g34
+#        precedent), d35 (d36 runs the approx path INSIDE d35's exact
+#        bounds — same family, certified together r9), d38 (d39 cohort =
+#        the same stage-predicate + monotone-join mechanism over the same
+#        tables, both r9), b02 (the salt-spread-then-merge mechanism is
+#        in-window on the write path via a05/a18/a22's flush salt; the
+#        agg-skew dial stays pinned in tests/test_plans.py), a17
+#        (in-coming a05_manifest_time_travel reads the SAME snapshot/
+#        manifest protocol — the r7 retirement reversed to re-certify a05
+#        after churn), a23 (a20's zone-pruned range scan consumes the
+#        same clustered layout; a19 exercises the same leaf-rewrite
+#        machinery), a24 (a22 certifies the same committed-manifest chain
+#        a24 exports), g03c (in-coming g48 runs the SAME IVF kernels —
+#        train/assign/probe — against the same brute-force recall floor,
+#        plus the standing store), g18b (d36 = the same sketch-with-
+#        deterministic-self-check family — the r9 d10b precedent), g19
+#        (in-coming g10 certifies the connected-components core g19
+#        consumes; g02's verify-backed LSH dedup + g35's streaming keeper
+#        verdicts cover keeper selection), g30 (g45 + g46 = same token/
+#        term-statistics family — the r9 g31 precedent), g32 (g37 runs
+#        the same PPJoin prefix+positional machinery, extending g32's
+#        bound), g36 (g40 = the same deterministic-hash sampling family —
+#        the r9 g29/g17 precedent), g47 (d36 certifies the same
+#        approx-quantile kernel inside exact bounds; g40 covers
+#        deterministic bucket assignment)
+#   in:  d01, d02, d09, d16, d17, b03, c06, a05, a18, e08, g02, g02b,
+#        g10, g20, g48_persistent_ivf
 DRIVER_WINDOW: list[str] = [
-    # D — relational core (10)
-    "d07_set_ops",
+    # D — relational core (11)
+    "d01_projection",
+    "d02_filter_predicate",
+    "d09_tumbling_hourly_agg",
+    "d16_string_functions",
+    "d17_datetime_functions",
     "d30_recursive_hierarchy",
     "d31_unpivot",
     "d32_gap_fill",
-    "d33_histogram",
     "d34_asof_tolerance",
-    "d35_percentile_profile",
     "d36_approx_percentile_check",
-    "d38_funnel_steps",
     "d39_cohort_retention",
-    # C — record transforms (1)
+    # C — record transforms (2)
+    "c06_time_partition_cols",
     "c14_gzip_jsonl_roundtrip",
     # B — streaming-core batch analogues (3)
-    "b02_salted_aggregation",
+    "b03_sequence_numbering",
     "b04b_bloom_first_seen",
     "b12_stream_progress",
-    # A — sources/sinks/lake maintenance (10)
+    # A — sources/sinks/lake maintenance (9)
     "a01b_kinesis_reshard",
+    "a05_manifest_time_travel",
     "a09_dlq_split",
     "a11_raw_backup",
     "a15_schema_evolution",
-    "a17_snapshot_diff",
+    "a18_orphan_vacuum",
     "a19_deletion_vectors",
     "a20_zone_map_pruning",
     "a22_manifest_integrity",
-    "a23_zorder_clustering",
-    "a24_symlink_manifest_export",
     # O — CDC family (1)
     "o08_stream_scd2",
-    # G — LLM-data-pipeline operators (20)
+    # G — LLM-data-pipeline operators (16)
+    "g02_dedup_minhash_lsh",
+    "g02b_dedup_ngram_jaccard",
     "g02c_dedup_simhash",
-    "g03c_knn_ivf_ann",
     "g07b_multimodal_features",
+    "g10_dedup_clusters",
     "g16_pii_scrub",
-    "g18b_token_topk_sketch",
-    "g19_dedup_keepers",
+    "g20_incremental_dedup",
     "g27_embedding_decontaminate",
-    "g30_bm25_score",
-    "g32_setsim_prefix_join",
     "g35_stream_dedup_ingest",
-    "g36_token_budget_sample",
     "g37_containment_dedup",
     "g38_semdedup",
     "g40_stratified_sample",
     "g41_filtered_knn",
     "g45_vocab_coverage",
     "g46_bpe_pair_stats",
-    "g47_length_bucketing",
-    # E — streaming semantics, batch-equivalent oracle form (3)
+    "g48_persistent_ivf",
+    # E — streaming semantics, batch-equivalent oracle form (4)
     "e04_stream_late_data",
     "e06_stream_stateful_buffer",
+    "e08_stream_lake_path",
     "e12_stream_stream_join_kinesis_source",
     # F — UDF/UDAF/UDTF surface (4)
     "f01_scalar_pandas_udf",

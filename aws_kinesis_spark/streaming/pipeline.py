@@ -622,21 +622,32 @@ def start_dedup_ingest(
         ]
     )
 
+    # runtime-adaptive trigger shape: the fraction of buckets the PREVIOUS
+    # trigger touched. Steady-state streams have stable batch shapes, so
+    # when the last batch covered ~every bucket, pruning the standing read
+    # buys nothing for this one either — overlap the bands write instead.
+    # Purely a performance dial (never affects verdicts); resets to the
+    # conservative write-first shape on restart.
+    _coverage = {"frac": 0.0}
+
     def flush(batch_df: DataFrame, batch_id: int) -> None:
         # Per-trigger latency here is job-count bound (a micro-batch is
-        # small; every barrier costs more than its work), so the trigger is
-        # scheduled as overlapping Spark jobs: reused frames are CACHED,
-        # not checkpointed (localCheckpoint plans physically at build time
-        # — ~0.2 s of serial driver latency per call that a per-trigger
-        # path pays every batch; cache registration is free and the first
-        # job that touches the frame materializes it), compaction overlaps
-        # batch signing (it only touches dirs < batch_id - 1, which nothing
-        # in this trigger reads until the standing-band listing — joined
-        # before that point), and the bands write (depends only on bb)
-        # runs on a thread under the candidate/verify chain (nothing in
-        # THIS trigger reads this batch's bands dir; the trigger returns
-        # only after .result()). The finally block unpersists, so trigger
-        # frames never accumulate in the cache across a long stream.
+        # small; every barrier costs more than its work), so the trigger
+        # runs at most THREE serial Spark actions — bands write (whose
+        # written bucket=C layout replaces the former bucket-collect
+        # job; OVERLAPPED on a thread for bulk batches where bucket
+        # pruning buys nothing, leaving TWO serial actions),
+        # candidate-bucket collect, corpus write — with compaction
+        # overlapped on a thread (it only touches dirs < batch_id - 1,
+        # which nothing in this trigger reads until the standing-band
+        # listing — joined before that point). Reused frames are CACHED,
+        # not checkpointed
+        # (localCheckpoint plans physically at build time — ~0.2 s of
+        # serial driver latency per call that a per-trigger path pays
+        # every batch; cache registration is free and the first job that
+        # touches the frame materializes it). The finally block
+        # unpersists, so trigger frames never accumulate in the cache
+        # across a long stream.
         from concurrent.futures import ThreadPoolExecutor
 
         spark = batch_df.sparkSession
@@ -663,23 +674,66 @@ def start_dedup_ingest(
                     "bucket", F.pmod("bh", F.lit(n_buckets)).cast("int")
                 )
             )
-            # bounded driver collect: <= n_buckets (bucket, count) rows —
-            # the partition-pruning key list plus the batch size, exactly
-            # the metadata a planner holds (this first action also
-            # materializes the docs/bb caches)
-            bucket_counts = bb.groupBy("bucket").count().collect()
-            batch_buckets = [r[0] for r in bucket_counts]
-            batch_band_rows = sum(r[1] for r in bucket_counts)
-            # cluster the store write by bucket so each batch lands ~one
-            # file per bucket (the signing repartition would otherwise fan
-            # every bucket across sign_par files and bloat the standing
-            # index's listing/open cost)
-            bands_write_f = pool.submit(
-                lambda: bb.repartition(F.col("bucket"))
-                .write.partitionBy("bucket")
-                .mode("overwrite")
-                .parquet(os.path.join(bands_dir, f"batch={batch_id}"))
+            # The bands write is clustered by bucket so each batch lands
+            # ~one file per bucket (the signing repartition would
+            # otherwise fan every bucket across sign_par files and bloat
+            # the standing index's listing/open cost).
+            batch_bands_dir = os.path.join(bands_dir, f"batch={batch_id}")
+
+            def _write_bands() -> None:
+                (
+                    bb.repartition(F.col("bucket"))
+                    .write.partitionBy("bucket")
+                    .mode("overwrite")
+                    .parquet(batch_bands_dir)
+                )
+
+            # Trigger shape from DRIVER METADATA only (no Spark job): the
+            # micro-batch's input bytes, which the file source listed
+            # already. A batch carrying >= 64 KB of documents per bucket
+            # on average touches ~every bucket, so bucket-pruning the
+            # standing read buys nothing there.
+            from urllib.parse import unquote, urlparse
+
+            try:
+                in_bytes = sum(
+                    os.path.getsize(unquote(urlparse(p).path) if "://" in p else p)
+                    for p in batch_df.inputFiles()
+                )
+            except (OSError, ValueError):
+                in_bytes = None
+            bulk = in_bytes is not None and (
+                in_bytes >= n_buckets * (64 << 10) or _coverage["frac"] >= 0.75
             )
+            if bulk:
+                # BULK batch: skip the (useless) pruning and OVERLAP the
+                # bands write under the candidate/verify chain instead —
+                # nothing in this trigger reads this batch's bands dir,
+                # and the trigger returns only after .result(), so a
+                # crash replays both idempotent writes together
+                bands_write_f = pool.submit(_write_bands)
+                batch_buckets = None  # standing read stays unpruned
+                batch_is_small = in_bytes <= (64 << 20)
+            else:
+                # TRICKLE batch (or a non-file source with no byte
+                # metadata): land the bands FIRST — the written bucket=C
+                # layout answers "which buckets did this batch touch"
+                # (and how many bytes) from one driver listing, no extra
+                # Spark job — then partition-prune the standing read to
+                # exactly those buckets: the scale win when the standing
+                # index dwarfs the batch
+                bands_write_f = None
+                _write_bands()
+                batch_buckets, band_bytes = [], 0
+                for d in os.listdir(batch_bands_dir):
+                    if not d.startswith("bucket="):
+                        continue
+                    fs = _list_parquet_files(os.path.join(batch_bands_dir, d))
+                    if fs:
+                        batch_buckets.append(int(d.split("=")[1]))
+                        band_bytes += sum(os.path.getsize(f) for f in fs)
+                batch_is_small = band_bytes <= (64 << 20)
+                _coverage["frac"] = len(batch_buckets) / max(n_buckets, 1)
             if compact_f is not None:
                 compact_f.result()  # dir layout must be stable before listing
             standing = _read_index_dirs(
@@ -688,21 +742,22 @@ def start_dedup_ingest(
                 cols=["doc_id", "band", "bh", "bucket"],
                 schema=bands_schema,
             )
-            if standing is not None and batch_buckets:
+            if standing is None or (batch_buckets is not None and not batch_buckets):
+                all_bands = bb
+            elif batch_buckets is not None:
                 all_bands = standing.filter(
                     F.col("bucket").isin(batch_buckets)
                 ).unionByName(bb)
             else:
-                all_bands = bb
+                all_bands = standing.unionByName(bb)
             # broadcast the BATCH bands: the standing index (the side that
             # grows with the corpus) never shuffles — stream-static
             # asymmetry. The hint is gated on batch size: a catch-up
             # trigger (file source with no maxFilesPerTrigger cap) folds
             # the whole backlog into ONE batch, and force-broadcasting
             # that would blow the driver where an AQE-decided shuffle
-            # join degrades gracefully. The size rode along with the
-            # bucket collect, so the gate costs no extra job.
-            batch_is_small = batch_band_rows <= 2_000_000
+            # join degrades gracefully. The size gate came free with the
+            # input-bytes metadata / bands-dir listing — no extra job.
             n = (F.broadcast(bb) if batch_is_small else bb).alias("n")
             m = all_bands.alias("m")
             cand = (
@@ -763,7 +818,16 @@ def start_dedup_ingest(
             out.repartition(F.col("idb")).write.partitionBy("idb").mode(
                 "overwrite"
             ).parquet(os.path.join(corpus_dir, f"batch={batch_id}"))
-            bands_write_f.result()
+            if bands_write_f is not None:
+                bands_write_f.result()
+                # refresh the coverage stat from the landed layout (one
+                # driver listing) so a shrinking stream falls back to the
+                # pruned shape on a later trigger
+                touched = sum(
+                    1 for d in os.listdir(batch_bands_dir)
+                    if d.startswith("bucket=")
+                )
+                _coverage["frac"] = touched / max(n_buckets, 1)
         finally:
             pool.shutdown(wait=True)
             for df in cached:

@@ -33,47 +33,50 @@ def test_driver_window_covers_every_family():
     assert len(registry.DRIVER_WINDOW) == 50
     # every window query must carry a full DuckDB oracle (hash-match check)
     assert all(n in o for n in window), [n for n in window if n not in o]
-    # every operator family lands inside the hard-signal window (o and c
-    # dropped to 1 in round 9: o07 retired on the o08 witness, c10 on the
-    # c14 witness — see the registry.py rotation log)
+    # every operator family lands inside the hard-signal window (floors
+    # track the round-10 re-certification rotation: a 10->9 with a17/a23/
+    # a24 retired on the a05/a20/a22 witnesses, g 18->16 with seven G
+    # slots retired on in-window family witnesses while five churned G
+    # queries rotate back in, f covers all four F operators — see the
+    # registry.py rotation log for every named witness)
     for prefix, minimum in [
-        ("d", 10), ("c", 1), ("b", 3), ("a", 10), ("o", 1),
-        ("g", 18), ("e", 3), ("f", 4),
+        ("d", 10), ("c", 2), ("b", 3), ("a", 9), ("o", 1),
+        ("g", 16), ("e", 4), ("f", 4),
     ]:
         got = sum(1 for n in window if n.startswith(prefix))
         assert got >= minimum, f"family {prefix}: {got} < {minimum}"
     # window curation must not drop any registered query entirely
     assert set(q) == set(registry.REGISTRY)
-    # round-9 rotation: the five round-7 additions that had never had a
-    # driver row get their first driver-hash rows, and the three round-9
-    # additions are windowed the round they are registered; after this
-    # window every one of the 162 registered queries has been in a
-    # driver window
+    # round-10 rotation: the RE-certification round — fresh driver rows
+    # for queries whose code paths churned since their last row, the
+    # longest-stale r2/r3 rows, and the new persistent-IVF query
     rotated_in = {
-        "a23_zorder_clustering", "d35_percentile_profile",
-        "g37_containment_dedup", "g38_semdedup", "g40_stratified_sample",
-        # registered AND windowed in round 9 (driver rows the same round)
-        "d36_approx_percentile_check", "g41_filtered_knn",
-        "g45_vocab_coverage", "d38_funnel_steps", "d39_cohort_retention",
-        "g46_bpe_pair_stats", "g47_length_bucketing",
-        "a24_symlink_manifest_export",
-        "a09_dlq_split", "b12_stream_progress", "a11_raw_backup",
+        # churned code paths (r9 flush salt / dedup kernels / pipeline)
+        "a05_manifest_time_travel", "a18_orphan_vacuum",
+        "e08_stream_lake_path", "g02_dedup_minhash_lsh",
+        "g02b_dedup_ngram_jaccard", "g10_dedup_clusters",
+        "g20_incremental_dedup",
+        # longest-stale r2/r3 driver rows
+        "d01_projection", "d02_filter_predicate",
+        "d09_tumbling_hourly_agg", "d16_string_functions",
+        "d17_datetime_functions", "b03_sequence_numbering",
+        "c06_time_partition_cols",
+        # registered AND windowed in round 10
+        "g48_persistent_ivf",
     }
     assert rotated_in <= set(window)
     rotated_out = {
-        "d06_join_semi_anti", "a13_dynamic_table_partitioning",
-        "o07_log_compaction", "c10_cost_accounting",
-        "g14b_quantization_error", "d10b_approx_distinct",
-        "g17_training_order", "g29_importance_sample",
-        "g21_doc_chunking", "g34_source_datacard",
-        "g31_bigram_logprob", "g33_hard_negatives",
-        "a21_write_audit_publish",
-        "g28_source_overlap", "g03b_knn_lsh_ann",
-        "a18_orphan_vacuum",
+        "d07_set_ops", "d33_histogram", "d35_percentile_profile",
+        "d38_funnel_steps", "b02_salted_aggregation",
+        "a17_snapshot_diff", "a23_zorder_clustering",
+        "a24_symlink_manifest_export", "g03c_knn_ivf_ann",
+        "g18b_token_topk_sketch", "g19_dedup_keepers", "g30_bm25_score",
+        "g32_setsim_prefix_join", "g36_token_budget_sample",
+        "g47_length_bucketing",
     }
     assert rotated_out & set(window) == set()
     # with this window, every registered query has had a driver slot
-    ever_windowed = rotated_in | set(window)  # plus rounds 1-8 history
+    ever_windowed = rotated_in | set(window)  # plus rounds 1-9 history
     assert rotated_out <= set(registry.REGISTRY)
     assert ever_windowed <= set(registry.REGISTRY)
 
@@ -85,7 +88,7 @@ def test_registry_counts_pinned():
 
     registry._ensure_loaded()
     assert len(registry.DRIVER_WINDOW) == 50
-    assert len(registry.REGISTRY) == 162, len(registry.REGISTRY)
+    assert len(registry.REGISTRY) == 163, len(registry.REGISTRY)
     assert len(set(registry.DRIVER_WINDOW)) == 50  # no duplicate slots
     # round 7 closed the rows-only dead end: every registered query now
     # carries a DuckDB twin (the sketch/ANN paths via deterministic

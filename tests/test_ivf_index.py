@@ -1,0 +1,146 @@
+"""Persistent IVF index (operators/ivf_index.py): build/update/probe
+semantics, the no-reassignment plan lock, and the filtered-probe recall
+contract (VERDICT r9 next-round #1 and #7)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_kinesis_spark.operators.ivf_index import (
+    build_ivf_index,
+    knn_ivf_indexed,
+    read_ivf_cells,
+    update_ivf_index,
+)
+from aws_kinesis_spark.operators.similarity import knn_bruteforce
+from aws_kinesis_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            mode
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def em(spark):
+    return load(spark, SF, "embeddings").cache()
+
+
+@pytest.fixture()
+def index(spark, em, tmp_path):
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(em, idx, nlist=16)
+    return idx
+
+
+def _queries(em, n=5):
+    return em.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_build_then_probe_matches_recall_floor(spark, em, index):
+    got = knn_ivf_indexed(spark, index, _queries(em), k=10, nprobe=8)
+    exact = knn_bruteforce(em, _queries(em), k=10)
+    hits = got.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
+    assert hits >= 0.5 * exact.count()
+
+
+def test_probe_runs_no_corpus_assignment_and_prunes_partitions(spark, em, index):
+    """THE standing-index contract: a probe must not re-assign the corpus.
+    The plan may contain exactly ONE Arrow UDF evaluation — the query-side
+    cell probe — and the cells scan must carry a PartitionFilters entry on
+    ``cell`` (the probed-cell pruning), i.e. repeated queries pay
+    O(probed cells), never O(corpus)."""
+    got = knn_ivf_indexed(spark, index, _queries(em), k=10, nprobe=4)
+    plan = _plan(got)
+    assert "PartitionFilters: [cell" in plan, plan
+    # simple mode prints each physical node exactly once
+    simple = _plan(got, "simple")
+    assert simple.count("ArrowEvalPython") == 1, simple
+
+
+def test_update_appends_without_touching_existing_batches(spark, em, tmp_path):
+    idx = str(tmp_path / "ivf")
+    old = em.filter(F.col("vec_id") % 4 != 3)
+    new = em.filter(F.col("vec_id") % 4 == 3)
+    build_ivf_index(old, idx, nlist=16)
+    batch0 = os.path.join(idx, "cells", "batch=0")
+    before = {
+        f: os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(batch0)
+        for f in fs
+    }
+    bid = update_ivf_index(new, idx)
+    assert bid == 1
+    after = {
+        f: os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(batch0)
+        for f in fs
+    }
+    assert after == before, "incremental update rewrote the existing batch"
+    # the store now covers the full corpus, exactly once each
+    ids = read_ivf_cells(spark, idx).select("vec_id")
+    assert ids.count() == em.count()
+    assert ids.distinct().count() == em.count()
+
+
+def test_update_is_idempotent_per_batch_id(spark, em, tmp_path):
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(em.filter(F.col("vec_id") % 2 == 0), idx, nlist=16)
+    new = em.filter(F.col("vec_id") % 2 == 1)
+    update_ivf_index(new, idx, batch_id=1)
+    update_ivf_index(new, idx, batch_id=1)  # replay converges
+    ids = read_ivf_cells(spark, idx).select("vec_id")
+    assert ids.count() == ids.distinct().count() == em.count()
+
+
+def test_incrementally_added_vectors_are_searchable(spark, em, tmp_path):
+    """A neighbor that lives ONLY in the appended batch must be returned:
+    query vectors BY themselves after an exact-duplicate append should find
+    their twin at cosine ~1.0."""
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(em, idx, nlist=16)
+    twins = em.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    update_ivf_index(twins, idx)
+    got = knn_ivf_indexed(spark, idx, _queries(em, 3), k=1, nprobe=4).collect()
+    for r in got:
+        assert r.neighbor_id == r.query_id + 1_000_000
+        assert r.cos_sim == pytest.approx(1.0, abs=1e-4)
+
+
+def test_filtered_probe_is_exact_over_qualifying_subset(spark, em, index):
+    """filter_ids pre-filters INSIDE the probed cells (semi-join before any
+    distance work): results contain only qualifying ids, and equal the
+    brute-force top-k over (qualifying ∩ probed cells) — with nprobe=nlist
+    the probed set is everything, so it must match the filtered brute
+    force exactly."""
+    qualifying = em.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    got = knn_ivf_indexed(
+        spark, index, _queries(em), k=5, nprobe=16, filter_ids=qualifying
+    )
+    exact = knn_bruteforce(em.join(qualifying, "vec_id", "left_semi"),
+                           _queries(em), k=5)
+    g = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    assert g == e
+    assert all(n % 2 == 0 for _, n in g)
+
+
+def test_rebuild_resets_store_atomically(spark, em, tmp_path):
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(em.filter(F.col("vec_id") < 50), idx, nlist=8)
+    update_ivf_index(em.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 80)), idx)
+    build_ivf_index(em, idx, nlist=16)  # full rebuild over the same dir
+    ids = read_ivf_cells(spark, idx).select("vec_id")
+    assert ids.count() == ids.distinct().count() == em.count()

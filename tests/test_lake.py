@@ -1055,3 +1055,51 @@ def test_symlink_export_tracks_committed_snapshot(spark, tmp_path):
         if "manifest" in files
     )
     assert read_via_symlink_manifests(spark, lake).count() == o.count()
+
+
+@pytest.mark.parametrize("taint", ["some", "all", "none"])
+def test_replayed_batch_leaves_error_paths_identical(spark, envelope, tmp_path, taint):
+    """VERDICT r9 #5: a REPLAYED lake batch (same batch_id, raw_backup on)
+    must leave the DLQ (errors/) and the raw backup (raw/) — not just the
+    data path — content-identical: the error paths are idempotent under
+    replay across every taint mix (clean, partly poisoned, all-poison)."""
+    import hashlib
+
+    from aws_kinesis_spark.sources.lake import _list_parquet_files
+
+    lake = str(tmp_path / "lake")
+    if taint == "some":
+        env = _corrupt_some(envelope)
+    elif taint == "all":
+        env = envelope.withColumn("data", F.lit("!!not-base64!!").cast("binary"))
+    else:
+        env = envelope
+
+    # processed_at is PROCESSING-time enrichment (C4) — it legitimately
+    # differs between the original flush and its replay, as do the
+    # partition columns derived from it; everything else must be identical
+    clock_cols = {"processed_at", "year", "month", "day", "hour"}
+
+    def state(sub: str):
+        root = os.path.join(lake, sub)
+        files = _list_parquet_files(root) if os.path.isdir(root) else []
+        if not files:
+            return (0, None)
+        pdf = spark.read.parquet(root).toPandas()
+        cols = sorted(c for c in pdf.columns if c not in clock_cols)
+        body = pdf[cols].astype(str).sort_values(cols).to_csv(index=False)
+        return (len(files), hashlib.md5(body.encode()).hexdigest())
+
+    s1 = run_lake_batch(env, lake, batch_id=3, raw_backup=True)
+    before = {sub: state(sub) for sub in ("data", "errors", "raw")}
+    s2 = run_lake_batch(env, lake, batch_id=3, raw_backup=True)  # replay
+    after = {sub: state(sub) for sub in ("data", "errors", "raw")}
+
+    assert after == before, f"replay drifted a store: {before} -> {after}"
+    assert (s1.n_ok, s1.n_error) == (s2.n_ok, s2.n_error)
+    # the taint mix actually exercised the path it claims to
+    if taint == "none":
+        assert s1.n_error == 0 and before["errors"] == (0, None)
+    else:
+        assert s1.n_error > 0 and before["errors"][0] > 0
+    assert before["raw"][0] > 0  # backup holds the unparsed envelope

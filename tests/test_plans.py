@@ -391,6 +391,11 @@ def test_collect_sites_whitelisted():
         ("streaming/pipeline.py", "batch_buckets"),   # <= n_buckets ints (g35
                                                       # partition-pruning keys)
         ("streaming/pipeline.py", "cand_buckets"),    # <= n_buckets ints
+        ("operators/ivf_index.py", "nlist"),          # <= nlist centroid rows
+                                                      # (the stored model)
+        ("operators/ivf_index.py", "probed"),         # <= nlist probed-cell
+                                                      # ids: partition-pruning
+                                                      # keys, g35 pattern
     }
     hits = []
     for py in pkg.rglob("*.py"):
@@ -550,6 +555,11 @@ def test_rename_sites_enumerated_against_s3_translation_table():
         ("sources/lake.py", "build_zone_maps"),         # stats-table marker
         ("sources/lake.py", "update_zone_maps"),        # stats-table marker
                                                         # (incremental swap)
+        ("operators/ivf_index.py", "_write_atomic_dir"),  # centroid-table
+                                                        # swap (stats-table
+                                                        # marker discipline)
+        ("operators/ivf_index.py", "build_ivf_index"),  # meta-last PUT flips
+                                                        # the index readable
         ("streaming/pipeline.py", "flush"),             # _CURRENT pointer CAS
         ("streaming/pipeline.py", "_compact_store"),    # batch-dir key PUT
                                                         # (compact_dedup_index
