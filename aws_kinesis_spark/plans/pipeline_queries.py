@@ -1650,12 +1650,14 @@ def a21_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", F.col("o_orderkey") % 10
         )
     )
-    stage_lake_batch(good, lake, batch_id=0, raw_backup=False)
+    s0 = stage_lake_batch(good, lake, batch_id=0, raw_backup=False)
     stage_lake_batch(bad, lake, batch_id=1, raw_backup=False)
     ok0 = audit_staged_batch(spark, lake, 0, not_null=["id"], unique_key="id")
     ok1 = audit_staged_batch(spark, lake, 1, not_null=["id"], unique_key="id")
     assert ok0.passed and not ok1.passed, (ok0, ok1)
-    publish_staged_batch(lake, 0)
+    # publish under the stage's fencing token (a concurrent re-stage of
+    # batch 0 would fail this loudly instead of publishing foreign data)
+    publish_staged_batch(lake, 0, writer=s0.writer)
     drop_staged_batch(lake, 1)
     back = read_via_manifest(spark, lake, 0)
     return back.groupBy("status").agg(

@@ -120,6 +120,11 @@ class FlushStats:
     bytes_out: int
     n_files: int
     manifest_path: str
+    # WAP fencing token (set by stage_lake_batch only): publish presents it
+    # back, and a stager that was overwritten by a concurrent writer on the
+    # same batch_id fails its publish instead of publishing the other
+    # writer's batch as its own
+    writer: str | None = None
 
 
 def run_lake_batch(
@@ -1024,14 +1029,33 @@ def stage_lake_batch(
     readers (README.md:429) — cannot see the batch, and vacuum_orphans
     treats staged manifests as references (a staged batch is not an
     orphan). Publishing is one atomic cross-dir rename; an abandoned stage
-    is dropped with its files."""
+    is dropped with its files.
+
+    The stage is FENCED: a per-stage writer token lands inside the staged
+    manifest (atomic rewrite), and ``publish_staged_batch(writer=...)``
+    verifies it — when two maintenance writers interleave stage/publish on
+    the same batch_id, the later stager's manifest (and data: its flush
+    purged and rewrote the batch prefix) wins whole, and the earlier
+    writer's publish fails loudly instead of publishing someone else's
+    batch as its own."""
+    import uuid
+
     stats = run_lake_batch(env, lake_dir, batch_id=batch_id, **kwargs)
     manifest_dir = os.path.join(lake_dir, "_manifests")
     staged_dir = os.path.join(lake_dir, "_staged")
     os.makedirs(staged_dir, exist_ok=True)
     name = f"manifest-{batch_id:010d}.json"
-    os.replace(os.path.join(manifest_dir, name), os.path.join(staged_dir, name))
-    return stats
+    staged = os.path.join(staged_dir, name)
+    os.replace(os.path.join(manifest_dir, name), staged)
+    token = uuid.uuid4().hex
+    with open(staged) as fh:
+        payload = json.load(fh)
+    payload["writer"] = token
+    tmp = staged + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, staged)
+    return FlushStats(**{**stats.__dict__, "writer": token})
 
 
 def audit_staged_batch(
@@ -1082,15 +1106,33 @@ def audit_staged_batch(
     return AuditResult(batch_id, not failures, failures)
 
 
-def publish_staged_batch(lake_dir: str, batch_id: int) -> str:
+def publish_staged_batch(
+    lake_dir: str, batch_id: int, writer: str | None = None
+) -> str:
     """WAP step 3: ONE atomic rename moves the manifest from ``_staged/``
     to ``_manifests/`` — the instant the batch becomes visible to every
     manifest reader (the same all-or-nothing moment as the reference's
     PUT #2, README.md:429-430). No data moves; publish cost is O(1)
-    regardless of batch size."""
+    regardless of batch size.
+
+    ``writer`` is the fencing token stage_lake_batch returned: if the
+    staged manifest carries a DIFFERENT token, a concurrent writer
+    re-staged this batch_id after us (its flush purged and replaced our
+    data files too) — publishing would bless the other writer's batch
+    under our audit, so raise instead. Passing None skips the check (a
+    single-writer pipeline that never fences)."""
     name = f"manifest-{batch_id:010d}.json"
     src = os.path.join(lake_dir, "_staged", name)
     dst = os.path.join(lake_dir, "_manifests", name)
+    if writer is not None:
+        with open(src) as fh:
+            staged_writer = json.load(fh).get("writer")
+        if staged_writer != writer:
+            raise RuntimeError(
+                f"publish_staged_batch: fenced out of batch {batch_id} — "
+                f"staged manifest belongs to writer {staged_writer!r}, "
+                f"not {writer!r} (a concurrent stager superseded this one)"
+            )
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     os.replace(src, dst)
     return dst

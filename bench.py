@@ -88,6 +88,9 @@ HEADLINE = [
     "a09_dlq_split",
     "b12_stream_progress",
     "a11_raw_backup",
+    # round-10 addition: the persistent IVF index (build + incremental
+    # append + indexed probe) joins the headline the round it lands
+    "g48_persistent_ivf",
 ]
 
 

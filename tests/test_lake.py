@@ -1103,3 +1103,46 @@ def test_replayed_batch_leaves_error_paths_identical(spark, envelope, tmp_path, 
     else:
         assert s1.n_error > 0 and before["errors"][0] > 0
     assert before["raw"][0] > 0  # backup holds the unparsed envelope
+
+
+def test_wap_concurrent_stagers_fence_single_winner(spark, envelope, tmp_path):
+    """VERDICT r9 #8: two writers interleaving stage/publish on the SAME
+    batch_id must resolve to exactly one whole batch — the later stager's
+    flush purged and replaced the earlier one's data AND manifest, so the
+    earlier writer's publish is FENCED (raises) instead of blessing the
+    other writer's batch under its own audit. No mixed manifest: every
+    published entry exists and the read-back is exactly the winner's
+    rows."""
+    from aws_kinesis_spark.sources.lake import (
+        publish_staged_batch,
+        stage_lake_batch,
+        validate_manifest,
+    )
+
+    lake = str(tmp_path / "lake")
+    env_a = envelope.limit(50)
+    env_b = envelope.limit(80)
+    s_a = stage_lake_batch(env_a, lake, batch_id=5, raw_backup=False)
+    s_b = stage_lake_batch(env_b, lake, batch_id=5, raw_backup=False)
+    assert s_a.writer and s_b.writer and s_a.writer != s_b.writer
+
+    # the superseded writer's publish fails loudly...
+    with pytest.raises(RuntimeError, match="fenced"):
+        publish_staged_batch(lake, 5, writer=s_a.writer)
+    # ...and has published nothing
+    assert not os.path.exists(
+        os.path.join(lake, "_manifests", "manifest-0000000005.json")
+    )
+
+    # the surviving stager publishes its batch whole
+    publish_staged_batch(lake, 5, writer=s_b.writer)
+    back = read_via_manifest(spark, lake, 5)
+    assert back.count() == s_b.n_ok == 80
+    assert back.select("id").distinct().count() == 80
+    # no mixed manifest: every listed object exists with the counted rows
+    assert validate_manifest(lake, 5, spark).passed
+
+    # replaying the winner's publish is now a no-op failure (already
+    # published, nothing staged) rather than silent double-publish
+    with pytest.raises(FileNotFoundError):
+        publish_staged_batch(lake, 5, writer=s_b.writer)
