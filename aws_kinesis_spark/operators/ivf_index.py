@@ -119,10 +119,17 @@ def build_ivf_index(
         "row_schema": base.schema.json(),
     }
     os.makedirs(index_dir, exist_ok=True)
+    # Arrow-path createDataFrame + repartition(1): a row-list local
+    # relation coalesced to 1 pays seconds of per-row plumbing for this
+    # 32-row table (measured 5-6 s vs 0.4 s)
+    import pandas as pd
+
+    cent_pdf = pd.DataFrame(
+        {"cell": range(len(cent)), "centroid": [c.tolist() for c in cent]}
+    )
     cent_df = spark.createDataFrame(
-        [(int(i), [float(v) for v in c]) for i, c in enumerate(cent)],
-        "cell int, centroid array<double>",
-    ).coalesce(1)
+        cent_pdf, "cell int, centroid array<double>"
+    ).repartition(1)
     _write_atomic_dir(cent_df, os.path.join(index_dir, _CENTROIDS))
 
     cells_dir = os.path.join(index_dir, _CELLS)
@@ -151,10 +158,13 @@ def update_ivf_index(
     cent = _load_centroids(spark, index_dir, meta["nlist"])
     cells_dir = os.path.join(index_dir, _CELLS)
     if batch_id is None:
+        # compact=M supersedes batches <= M, and _index_dirs only reads
+        # batch dirs ABOVE the newest compaction — a fresh append must be
+        # numbered past both, or it would land invisible
         existing = [
             int(d.split("=")[1])
             for d in os.listdir(cells_dir)
-            if d.startswith("batch=") and not d.endswith(".tmp")
+            if d.split("=")[0] in ("batch", "compact") and not d.endswith(".tmp")
         ]
         batch_id = max(existing, default=-1) + 1
     assigned = new_vectors.select(meta["id_col"], meta["vec_col"]).withColumn(
@@ -162,6 +172,18 @@ def update_ivf_index(
     )
     _write_cells_batch(assigned, cells_dir, batch_id)
     return batch_id
+
+
+def compact_ivf_index(spark: SparkSession, index_dir: str, upto: int) -> int:
+    """Fold the cells store's per-batch dirs at or below ``upto`` into one
+    ``compact=<upto>`` dir (one file per cell), bounding a probe's
+    listing/open cost to O(appends since last compaction) instead of
+    O(index lifetime) — the same _compact_store commit (tmp + atomic
+    rename, idempotent, crash-sweep) the dedup-ingest index uses.
+    Centroids are untouched; verdict-free metadata maintenance."""
+    from aws_kinesis_spark.streaming.pipeline import _compact_store
+
+    return _compact_store(spark, os.path.join(index_dir, _CELLS), "cell", upto)
 
 
 def read_ivf_cells(

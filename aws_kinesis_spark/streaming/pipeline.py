@@ -473,57 +473,64 @@ def _read_index_dirs(
     return df
 
 
-def compact_dedup_index(spark: SparkSession, index_dir: str, upto: int) -> int:
-    """Fold a dedup-ingest index's per-batch directories at or below
-    ``upto`` (plus any older compaction) into one ``compact=<upto>`` dir
-    per store, keeping the hash-bucket layout. Bounds the per-batch
-    listing/open cost to O(batches since last compaction) instead of
-    O(stream lifetime). Same write-to-tmp + atomic-rename commit as every
-    lake object; idempotent (a replayed trigger that re-requests an
-    existing compaction is a no-op). Returns stores compacted."""
+def _sweep_superseded_dirs(root: str, upto: int) -> None:
+    """Once compact=<upto> is committed, EVERY compact=<k<upto> and
+    batch=<n<=upto> dir is provably folded into it (older batches fed the
+    older compaction that fed this one) — delete them all, not just one
+    call's srcs list, so a crash between the rename and the rmtree loop
+    cannot strand dirs forever (the retry used to hit the final-exists
+    path and skip cleanup permanently)."""
     import shutil
 
-    def _sweep_superseded(root: str) -> None:
-        # once compact=<upto> is committed, EVERY compact=<k<upto> and
-        # batch=<n<=upto> dir is provably folded into it (older batches
-        # fed the older compaction that fed this one) — delete them all,
-        # not just this call's srcs list, so a crash between the rename
-        # and the rmtree loop cannot strand dirs forever (the retry used
-        # to hit the final-exists path and skip cleanup permanently).
-        for d in os.listdir(root):
-            kind, _, num = d.partition("=")
-            if not num or d.endswith(".tmp"):
-                continue
-            if (kind == "compact" and int(num) < upto) or (
-                kind == "batch" and int(num) <= upto
-            ):
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    for d in os.listdir(root):
+        kind, _, num = d.partition("=")
+        if not num or d.endswith(".tmp"):
+            continue
+        if (kind == "compact" and int(num) < upto) or (
+            kind == "batch" and int(num) <= upto
+        ):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
-    def _compact_store(sub: str, part_col: str) -> int:
-        root = os.path.join(index_dir, sub)
-        srcs = _index_dirs(root, upto_exclusive=upto + 1)
-        final = os.path.join(root, f"compact={upto}")
-        if os.path.exists(final):
-            _sweep_superseded(root)  # crash-recovery: finish the cleanup
-            return 0
-        if len(srcs) <= 1:
-            return 0
-        cols_df = spark.read.parquet(srcs[0])
-        cols = [c for c in cols_df.columns if c != part_col] + [part_col]
-        merged = _read_index_dirs(spark, srcs, cols)
-        tmp = final + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        # cluster on the partition value before writing: one file per
-        # bucket instead of files x source-dirs — every later trigger's
-        # standing read opens the compacted store, so open count is paid
-        # per trigger while this shuffle is paid once per compaction
-        merged.repartition(F.col(part_col)).write.partitionBy(part_col).mode(
-            "overwrite"
-        ).parquet(tmp)
-        os.replace(tmp, final)
-        _sweep_superseded(root)
-        return 1
 
+def _compact_store(spark: SparkSession, root: str, part_col: str, upto: int) -> int:
+    """Fold one standing store's per-batch directories at or below
+    ``upto`` (plus any older compaction) into ``compact=<upto>``, keeping
+    the hash-partition layout. Bounds the per-read listing/open cost to
+    O(batches since last compaction) instead of O(store lifetime). Same
+    write-to-tmp + atomic-rename commit as every lake object; idempotent
+    (a replayed request against an existing compaction only finishes the
+    sweep). Shared by the dedup-ingest index (bands/corpus) and the
+    persistent IVF index (cells)."""
+    import shutil
+
+    srcs = _index_dirs(root, upto_exclusive=upto + 1)
+    final = os.path.join(root, f"compact={upto}")
+    if os.path.exists(final):
+        _sweep_superseded_dirs(root, upto)  # crash-recovery: finish cleanup
+        return 0
+    if len(srcs) <= 1:
+        return 0
+    cols_df = spark.read.parquet(srcs[0])
+    cols = [c for c in cols_df.columns if c != part_col] + [part_col]
+    merged = _read_index_dirs(spark, srcs, cols)
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    # cluster on the partition value before writing: one file per
+    # bucket instead of files x source-dirs — every later reader opens
+    # the compacted store, so open count is paid per read while this
+    # shuffle is paid once per compaction
+    merged.repartition(F.col(part_col)).write.partitionBy(part_col).mode(
+        "overwrite"
+    ).parquet(tmp)
+    os.replace(tmp, final)
+    _sweep_superseded_dirs(root, upto)
+    return 1
+
+
+def compact_dedup_index(spark: SparkSession, index_dir: str, upto: int) -> int:
+    """Fold a dedup-ingest index's per-batch directories at or below
+    ``upto`` into one ``compact=<upto>`` dir per store (see
+    _compact_store). Returns stores compacted."""
     # the two stores are independent — compact them as concurrent Spark
     # jobs (local threads): compaction runs inside a live trigger (g35
     # overlaps it with batch signing), so its wall time is trigger latency
@@ -531,7 +538,9 @@ def compact_dedup_index(spark: SparkSession, index_dir: str, upto: int) -> int:
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         futs = [
-            pool.submit(_compact_store, sub, part_col)
+            pool.submit(
+                _compact_store, spark, os.path.join(index_dir, sub), part_col, upto
+            )
             for sub, part_col in (("bands", "bucket"), ("corpus", "idb"))
         ]
         return sum(f.result() for f in futs)
@@ -633,15 +642,14 @@ def start_dedup_ingest(
     def flush(batch_df: DataFrame, batch_id: int) -> None:
         # Per-trigger latency here is job-count bound (a micro-batch is
         # small; every barrier costs more than its work), so the trigger
-        # runs at most THREE serial Spark actions — bands write (whose
-        # written bucket=C layout replaces the former bucket-collect
-        # job; OVERLAPPED on a thread for bulk batches where bucket
-        # pruning buys nothing, leaving TWO serial actions),
-        # candidate-bucket collect, corpus write — with compaction
-        # overlapped on a thread (it only touches dirs < batch_id - 1,
-        # which nothing in this trigger reads until the standing-band
-        # listing — joined before that point). Reused frames are CACHED,
-        # not checkpointed
+        # keeps its serial Spark actions to candidate-bucket collect +
+        # corpus write (plus, on trickle batches only, the bounded
+        # bucket-collect that feeds the standing read's pruning — bulk
+        # batches skip it, see `bulk` below), with the bands write and
+        # compaction overlapped on threads (compaction only touches dirs
+        # < batch_id - 1, which nothing in this trigger reads until the
+        # standing-band listing — joined before that point). Reused
+        # frames are CACHED, not checkpointed
         # (localCheckpoint plans physically at build time — ~0.2 s of
         # serial driver latency per call that a per-trigger path pays
         # every batch; cache registration is free and the first job that
@@ -705,34 +713,28 @@ def start_dedup_ingest(
             bulk = in_bytes is not None and (
                 in_bytes >= n_buckets * (64 << 10) or _coverage["frac"] >= 0.75
             )
+            # the bands write ALWAYS overlaps the candidate/verify chain
+            # (nothing in this trigger reads this batch's bands dir; the
+            # trigger returns only after .result(), so a crash replays
+            # both idempotent writes together)
+            bands_write_f = pool.submit(_write_bands)
             if bulk:
-                # BULK batch: skip the (useless) pruning and OVERLAP the
-                # bands write under the candidate/verify chain instead —
-                # nothing in this trigger reads this batch's bands dir,
-                # and the trigger returns only after .result(), so a
-                # crash replays both idempotent writes together
-                bands_write_f = pool.submit(_write_bands)
+                # BULK batch: it will touch ~every bucket, so the
+                # bucket-collect job AND the standing-read pruning are
+                # both useless — skip them; serial chain = candidates +
+                # corpus write only
                 batch_buckets = None  # standing read stays unpruned
                 batch_is_small = in_bytes <= (64 << 20)
             else:
                 # TRICKLE batch (or a non-file source with no byte
-                # metadata): land the bands FIRST — the written bucket=C
-                # layout answers "which buckets did this batch touch"
-                # (and how many bytes) from one driver listing, no extra
-                # Spark job — then partition-prune the standing read to
-                # exactly those buckets: the scale win when the standing
-                # index dwarfs the batch
-                bands_write_f = None
-                _write_bands()
-                batch_buckets, band_bytes = [], 0
-                for d in os.listdir(batch_bands_dir):
-                    if not d.startswith("bucket="):
-                        continue
-                    fs = _list_parquet_files(os.path.join(batch_bands_dir, d))
-                    if fs:
-                        batch_buckets.append(int(d.split("=")[1]))
-                        band_bytes += sum(os.path.getsize(f) for f in fs)
-                batch_is_small = band_bytes <= (64 << 20)
+                # metadata): one bounded collect (<= n_buckets rows,
+                # overlapping the threaded write — both scan the cached
+                # band rows) yields the partition-pruning key list and
+                # the batch size: the scale win when the standing index
+                # dwarfs the batch
+                bucket_counts = bb.groupBy("bucket").count().collect()
+                batch_buckets = [r[0] for r in bucket_counts]
+                batch_is_small = sum(r[1] for r in bucket_counts) <= 2_000_000
                 _coverage["frac"] = len(batch_buckets) / max(n_buckets, 1)
             if compact_f is not None:
                 compact_f.result()  # dir layout must be stable before listing
@@ -818,8 +820,8 @@ def start_dedup_ingest(
             out.repartition(F.col("idb")).write.partitionBy("idb").mode(
                 "overwrite"
             ).parquet(os.path.join(corpus_dir, f"batch={batch_id}"))
-            if bands_write_f is not None:
-                bands_write_f.result()
+            bands_write_f.result()
+            if bulk:
                 # refresh the coverage stat from the landed layout (one
                 # driver listing) so a shrinking stream falls back to the
                 # pruned shape on a later trigger

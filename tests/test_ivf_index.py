@@ -144,3 +144,34 @@ def test_rebuild_resets_store_atomically(spark, em, tmp_path):
     build_ivf_index(em, idx, nlist=16)  # full rebuild over the same dir
     ids = read_ivf_cells(spark, idx).select("vec_id")
     assert ids.count() == ids.distinct().count() == em.count()
+
+
+def test_compaction_folds_appends_and_later_appends_stay_visible(spark, em, tmp_path):
+    """compact_ivf_index folds batch dirs into compact=<upto> (one file
+    per cell), the store's content is unchanged, a post-compaction append
+    auto-numbers PAST the compaction watermark (an append numbered at or
+    below it would land invisible), and re-compacting is a no-op."""
+    from aws_kinesis_spark.operators.ivf_index import compact_ivf_index
+
+    idx = str(tmp_path / "ivf")
+    thirds = [em.filter(F.col("vec_id") % 3 == r) for r in range(3)]
+    build_ivf_index(thirds[0], idx, nlist=8)
+    update_ivf_index(thirds[1], idx)  # batch=1
+    assert compact_ivf_index(spark, idx, upto=1) == 1
+    cells_root = os.path.join(idx, "cells")
+    names = sorted(os.listdir(cells_root))
+    assert "compact=1" in names and not any(n.startswith("batch=") for n in names)
+    n01 = thirds[0].count() + thirds[1].count()
+    assert read_ivf_cells(spark, idx).count() == n01
+
+    bid = update_ivf_index(thirds[2], idx)  # must number past compact=1
+    assert bid == 2
+    ids = read_ivf_cells(spark, idx).select("vec_id")
+    assert ids.count() == ids.distinct().count() == em.count()
+    # probes read the compacted + appended store transparently
+    got = knn_ivf_indexed(spark, idx, _queries(em), k=10, nprobe=8)
+    exact = knn_bruteforce(em, _queries(em), k=10)
+    hits = got.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
+    assert hits >= 0.5 * exact.count()
+    # idempotent: a replayed compaction request is a no-op
+    assert compact_ivf_index(spark, idx, upto=1) == 0
