@@ -62,7 +62,7 @@ def _events_with_flush_sentinel(
     sentinel_ts = ev.agg(F.max("ts")).first()[0] + dt.timedelta(days=365)
     spark.createDataFrame(
         [(-1, sentinel_ts, -1, "__flush", 0.0, "{}")], EVENTS_SCHEMA
-    ).coalesce(1).write.mode("append").parquet(inp)
+    ).repartition(1).write.mode("append").parquet(inp)
     for f in os.listdir(inp):
         if f.endswith(".parquet") and f not in fixture:
             os.utime(os.path.join(inp, f), (1_700_000_100, 1_700_000_100))
@@ -238,15 +238,19 @@ def e04_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # watermark becomes operative one batch after it advances, so the late
     # file is two batch boundaries after the 12:30 advancer
-    spark.createDataFrame(batch((10, 5), (10, 40), (12, 30)), schema).coalesce(
+    # repartition(1), not coalesce(1): coalescing a row-list local
+    # relation chains its ~parallelism pickled partitions into ONE task's
+    # sequential python-worker round-trips (~5 s measured for tiny data);
+    # repartition evaluates them in parallel and shuffles 3 rows
+    spark.createDataFrame(batch((10, 5), (10, 40), (12, 30)), schema).repartition(
         1
     ).write.mode("overwrite").parquet(inp)
     stamp(1_700_000_000)
-    spark.createDataFrame(batch((12, 45)), schema).coalesce(1).write.mode(
+    spark.createDataFrame(batch((12, 45)), schema).repartition(1).write.mode(
         "append"
     ).parquet(inp)
     stamp(1_700_000_100)
-    spark.createDataFrame(batch((10, 15), (13, 30)), schema).coalesce(1).write.mode(
+    spark.createDataFrame(batch((10, 15), (13, 30)), schema).repartition(1).write.mode(
         "append"
     ).parquet(inp)
     stamp(1_700_000_200)
@@ -569,7 +573,7 @@ def e11_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.createDataFrame(
         [(-1, far, -1, "click", 0.0, "{}"), (-2, far, -1, "purchase", 0.0, "{}")],
         EVENTS_SCHEMA,
-    ).coalesce(1).write.mode("append").parquet(inp)
+    ).repartition(1).write.mode("append").parquet(inp)
     for f in os.listdir(inp):
         if f.endswith(".parquet") and f not in fixture:
             os.utime(os.path.join(inp, f), (1_700_000_100, 1_700_000_100))
