@@ -299,6 +299,33 @@ def main() -> None:
         simhash_signatures(load(spark, SF, "documents")),
     )
 
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aws_kinesis_spark.operators.ivf_index import build_ivf_index, knn_ivf_indexed
+
+    em = load(spark, SF, "embeddings")
+    ivf_dir = tempfile.mkdtemp(prefix="plans_ivf_")
+    build_ivf_index(em, ivf_dir, nlist=16)
+    emit(
+        "knn_ivf_indexed (g48 probe stage)",
+        "The standing-index probe: `PartitionFilters: [cell IN (...)]` on "
+        "the cells scan — only the nprobe probed cell partitions open — and "
+        "exactly ONE `ArrowEvalPython` (the query-side probe UDF): the "
+        "corpus is never re-assigned, so repeated kNN pays O(probed cells), "
+        "not O(corpus).",
+        knn_ivf_indexed(
+            spark,
+            ivf_dir,
+            em.filter(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            k=10,
+            nprobe=4,
+        ),
+    )
+
 
 if __name__ == "__main__":
     main()
