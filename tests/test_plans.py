@@ -388,8 +388,10 @@ def test_collect_sites_whitelisted():
                                                       # planner holds
         ("sources/lake.py", "prior_names"),           # same: stats __file list
                                                       # for incremental update to plan
-        ("streaming/pipeline.py", "batch_buckets"),   # <= n_buckets ints (g35
-                                                      # partition-pruning keys)
+        ("streaming/pipeline.py", "bucket_counts"),   # <= n_buckets rows (g35
+                                                      # partition-pruning keys
+                                                      # + batch size, trickle
+                                                      # path only)
         ("streaming/pipeline.py", "cand_buckets"),    # <= n_buckets ints
         ("operators/ivf_index.py", "nlist"),          # <= nlist centroid rows
                                                       # (the stored model)
