@@ -776,11 +776,19 @@ def start_dedup_ingest(
             )
             cand = keep(cand)
             # id_b is always batch-side; only id_a may live in the standing
-            # corpus — fetch exactly its id-buckets (<= n_buckets ints)
-            cand_idb = cand.select(
-                F.pmod("id_a", F.lit(n_buckets)).cast("int").alias("idb")
-            )
-            cand_buckets = [r[0] for r in cand_idb.distinct().collect()]
+            # corpus — on trickle triggers fetch exactly its id-buckets
+            # (<= n_buckets ints, one bounded collect). On BULK triggers
+            # candidates span ~every id-bucket, so the bucket prune would
+            # remove no IO (the verify's exact semi-join on candidate ids
+            # still cuts the rows) and its collect is pure serial latency
+            # — skip it: the whole trigger then runs as ONE Spark action.
+            if bulk:
+                cand_buckets = None
+            else:
+                cand_idb = cand.select(
+                    F.pmod("id_a", F.lit(n_buckets)).cast("int").alias("idb")
+                )
+                cand_buckets = [r[0] for r in cand_idb.distinct().collect()]
             texts = docs.select("doc_id", "text")
             prior_corpus = _read_index_dirs(
                 spark,
@@ -788,12 +796,11 @@ def start_dedup_ingest(
                 cols=["doc_id", "text", "idb"],
                 schema=corpus_schema,
             )
-            if prior_corpus is not None and cand_buckets:
-                texts = texts.unionByName(
-                    prior_corpus.filter(F.col("idb").isin(cand_buckets)).select(
-                        "doc_id", "text"
-                    )
-                )
+            if prior_corpus is not None and (cand_buckets is None or cand_buckets):
+                pc = prior_corpus
+                if cand_buckets is not None:
+                    pc = pc.filter(F.col("idb").isin(cand_buckets))
+                texts = texts.unionByName(pc.select("doc_id", "text"))
             dropped = (
                 verify_pairs_against_texts(
                     cand, texts, threshold=threshold, keep=keep
