@@ -180,34 +180,51 @@ def run_lake_batch(
         shaped = ok.repartition(*part_cols, salt)
     else:
         shaped = ok.repartition(*part_cols)
-    (
-        shaped.write.mode("overwrite")
-        .partitionBy("batch", *part_cols)
-        .option("compression", "snappy")
-        .parquet(data_dir)
-    )
-    batch_root = os.path.join(data_dir, f"batch={batch_id}")
-    files = _list_parquet_files(batch_root)
-    # an all-error or empty flush writes no data files: commit an empty
-    # manifest (the batch HAPPENED, with zero ok records) instead of
-    # crashing on the missing batch dir
-    n_ok = spark.read.parquet(batch_root).count() if files else 0
 
-    # DLQ accounting by subtraction: ok ∪ bad partitions the input exactly
-    # (split_errors is one boolean filter pair), and both counts are
-    # metadata-cheap — counting `bad` directly would re-run the full
-    # base64+JSON decode over every record a second time
-    n_error = env.count() - n_ok
-    if n_error:
-        (
-            bad.select("data", "partition_key", "sequence_number", "arrival_ts")
-            .write.mode("overwrite")
-            .parquet(os.path.join(lake_dir, "errors", f"batch={batch_id}"))
+    # the raw backup (README.md:605 S3BackupMode=AllData: the unparsed
+    # envelope, no decode on this branch) and the input count feed no
+    # downstream ordering constraint except the manifest-last commit —
+    # overlap them with the data write as concurrent Spark jobs instead
+    # of paying three serial passes over the batch
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        raw_f = (
+            pool.submit(
+                lambda: env.write.mode("overwrite").parquet(
+                    os.path.join(lake_dir, "raw", f"batch={batch_id}")
+                )
+            )
+            if raw_backup
+            else None
         )
+        n_in_f = pool.submit(env.count)
+        (
+            shaped.write.mode("overwrite")
+            .partitionBy("batch", *part_cols)
+            .option("compression", "snappy")
+            .parquet(data_dir)
+        )
+        batch_root = os.path.join(data_dir, f"batch={batch_id}")
+        files = _list_parquet_files(batch_root)
+        # an all-error or empty flush writes no data files: commit an empty
+        # manifest (the batch HAPPENED, with zero ok records) instead of
+        # crashing on the missing batch dir
+        n_ok = spark.read.parquet(batch_root).count() if files else 0
 
-    # raw backup (README.md:605 S3BackupMode=AllData): unparsed envelope
-    if raw_backup:
-        env.write.mode("overwrite").parquet(os.path.join(lake_dir, "raw", f"batch={batch_id}"))
+        # DLQ accounting by subtraction: ok ∪ bad partitions the input
+        # exactly (split_errors is one boolean filter pair), and both
+        # counts are metadata-cheap — counting `bad` directly would re-run
+        # the full base64+JSON decode over every record a second time
+        n_error = n_in_f.result() - n_ok
+        if n_error:
+            (
+                bad.select("data", "partition_key", "sequence_number", "arrival_ts")
+                .write.mode("overwrite")
+                .parquet(os.path.join(lake_dir, "errors", f"batch={batch_id}"))
+            )
+        if raw_f is not None:
+            raw_f.result()  # manifest-last: backup is durable before commit
 
     manifest = write_manifest(lake_dir, batch_id, files, n_ok)
     return FlushStats(
