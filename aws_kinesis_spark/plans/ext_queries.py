@@ -1597,6 +1597,73 @@ def g32_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "g49_leakage_safe_split",
+    oracle=f"""
+        WITH {_DUCK_SHINGLES},
+        split AS (
+            SELECT doc_id,
+                   CASE WHEN md5(CAST(doc_id AS VARCHAR)) LIKE '0%'
+                        THEN 'test' ELSE 'train' END AS split
+            FROM documents
+        ),
+        leaked AS (
+            SELECT DISTINCT a.doc_id
+            FROM sh a
+            JOIN split x ON x.doc_id = a.doc_id AND x.split = 'train'
+            JOIN sh b ON b.doc_id <> a.doc_id
+            JOIN split y ON y.doc_id = b.doc_id AND y.split = 'test'
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+        )
+        SELECT s.doc_id, s.split FROM split s
+        WHERE s.split = 'test'
+           OR s.doc_id NOT IN (SELECT doc_id FROM leaked)
+    """,
+)
+def g49_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-split+decontamination COMPOSED: LEAKAGE-SAFE train/test split —
+    hold out a deterministic hash slice (md5-hex prefix, the g09/g12
+    split mechanism: replayable on any partitioning, no rand()) and then
+    DROP from train every document with a near-duplicate in test
+    (jaccard >= 0.7 on 3-gram shingles), the held-out-split
+    decontamination every serious pretrain/eval pipeline runs so the
+    model is never graded on paraphrases of its own training data
+    (the GPT-3 appendix-A / C4 dedup practice).
+
+    Cross-split near-dup pairs come from the EXACT prefix-filtering
+    set-similarity join (operators/dedup.py:setsim_prefix_join — provable
+    recall, the compliance-grade guarantee a leakage audit needs; LSH's
+    probabilistic recall would silently leave leaks). Scale shape: the
+    pair join is the g32 bounded-prefix plan; the leak set is test-rate
+    sized and anti-joins train in one pass. Test docs always survive;
+    only the contaminated TRAIN side is dropped."""
+    d = load(spark, sf_dir, "documents")
+    tagged = d.select(
+        "doc_id",
+        F.when(
+            F.md5(F.col("doc_id").cast("string")).startswith("0"), "test"
+        ).otherwise("train").alias("split"),
+    )
+    pairs = setsim_prefix_join(d, threshold=0.7)
+    # pairs are id_a < id_b; a leak is EITHER orientation of (train, test)
+    edges = pairs.select("id_a", "id_b").unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    test_ids = tagged.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("id_b")
+    )
+    leaked = (
+        edges.join(test_ids, "id_b", "left_semi")
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+    train_kept = tagged.filter(F.col("split") == "train").join(
+        leaked, "doc_id", "left_anti"
+    )
+    return train_kept.unionByName(tagged.filter(F.col("split") == "test"))
+
+
+@register(
     "g33_hard_negatives",
     oracle=f"""
         WITH pos AS (

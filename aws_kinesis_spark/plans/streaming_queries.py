@@ -964,20 +964,26 @@ def b12_stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     root = _tmp("b12")
     inp = os.path.join(root, "input")
-    os.makedirs(inp, exist_ok=True)
-    for q in range(4):
-        before = set(os.listdir(inp))
-        (
-            o.filter(F.col("o_orderkey") % 4 == q)
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(inp)
-        )
-        for f in set(os.listdir(inp)) - before:
-            os.utime(os.path.join(inp, f), (q * 1000, q * 1000))
+    # ONE write lands all four arrival quarters (hive dirs q=0..3, one
+    # file each: a quarter's rows hash to one task); per-dir mtimes then
+    # pin arrival order = quarter order, exactly as the four sequential
+    # writes did — the g35 fixture technique
+    (
+        o.withColumn("q", (F.col("o_orderkey") % 4).cast("int"))
+        .repartition(4, "q")
+        .write.partitionBy("q")
+        .mode("overwrite")
+        .parquet(inp)
+    )
+    for qdir in sorted(d for d in os.listdir(inp) if d.startswith("q=")):
+        i = int(qdir.split("=")[1])
+        for f in os.listdir(os.path.join(inp, qdir)):
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(inp, qdir, f), (i * 1000, i * 1000))
     stream = (
         spark.readStream.schema(o.schema)
         .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
         .parquet(inp)
     )
     query = (

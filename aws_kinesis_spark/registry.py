@@ -253,6 +253,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        deterministic bucket assignment)
 #   in:  d01, d02, d09, d16, d17, b03, c06, a05, a18, e08, g02, g02b,
 #        g10, g20, g48_persistent_ivf
+# Round-10 late addition (1 more new query windowed the same round;
+# witness for the rotated-out slot in parens):
+#   out: g02c (green r9, certified AFTER the r9 simhash kernel churn and
+#        its code path is untouched since — this round's dedup.py edits
+#        quote identifiers in the MINHASH band/signature selectExpr only;
+#        the G2 near-dup family is witnessed in-window by g02 + g02b +
+#        g20 + g35, and the simhash chunk-join completeness invariant
+#        stays pinned in tests/test_ext.py::
+#        test_simhash_chunk_join_is_complete)
+#   in:  g49_leakage_safe_split (held-out-split decontamination composing
+#        the exact g32 prefix join with the g09/g12 hash-split mechanism)
 DRIVER_WINDOW: list[str] = [
     # D — relational core (11)
     "d01_projection",
@@ -288,7 +299,6 @@ DRIVER_WINDOW: list[str] = [
     # G — LLM-data-pipeline operators (16)
     "g02_dedup_minhash_lsh",
     "g02b_dedup_ngram_jaccard",
-    "g02c_dedup_simhash",
     "g07b_multimodal_features",
     "g10_dedup_clusters",
     "g16_pii_scrub",
@@ -302,6 +312,7 @@ DRIVER_WINDOW: list[str] = [
     "g45_vocab_coverage",
     "g46_bpe_pair_stats",
     "g48_persistent_ivf",
+    "g49_leakage_safe_split",
     # E — streaming semantics, batch-equivalent oracle form (4)
     "e04_stream_late_data",
     "e06_stream_stateful_buffer",

@@ -88,9 +88,11 @@ HEADLINE = [
     "a09_dlq_split",
     "b12_stream_progress",
     "a11_raw_backup",
-    # round-10 addition: the persistent IVF index (build + incremental
-    # append + indexed probe) joins the headline the round it lands
+    # round-10 additions: the persistent IVF index (build + incremental
+    # append + indexed probe) and the leakage-safe split join the
+    # headline the round they land
     "g48_persistent_ivf",
+    "g49_leakage_safe_split",
 ]
 
 

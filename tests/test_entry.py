@@ -62,7 +62,7 @@ def test_driver_window_covers_every_family():
         "d17_datetime_functions", "b03_sequence_numbering",
         "c06_time_partition_cols",
         # registered AND windowed in round 10
-        "g48_persistent_ivf",
+        "g48_persistent_ivf", "g49_leakage_safe_split",
     }
     assert rotated_in <= set(window)
     rotated_out = {
@@ -72,7 +72,7 @@ def test_driver_window_covers_every_family():
         "a24_symlink_manifest_export", "g03c_knn_ivf_ann",
         "g18b_token_topk_sketch", "g19_dedup_keepers", "g30_bm25_score",
         "g32_setsim_prefix_join", "g36_token_budget_sample",
-        "g47_length_bucketing",
+        "g47_length_bucketing", "g02c_dedup_simhash",
     }
     assert rotated_out & set(window) == set()
     # with this window, every registered query has had a driver slot
@@ -88,7 +88,7 @@ def test_registry_counts_pinned():
 
     registry._ensure_loaded()
     assert len(registry.DRIVER_WINDOW) == 50
-    assert len(registry.REGISTRY) == 163, len(registry.REGISTRY)
+    assert len(registry.REGISTRY) == 164, len(registry.REGISTRY)
     assert len(set(registry.DRIVER_WINDOW)) == 50  # no duplicate slots
     # round 7 closed the rows-only dead end: every registered query now
     # carries a DuckDB twin (the sketch/ANN paths via deterministic
