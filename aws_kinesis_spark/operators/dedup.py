@@ -981,6 +981,7 @@ def verify_pairs_against_texts(
     threshold: float = 0.7,
     shingle_n: int = 3,
     keep=None,
+    pairs_are_small: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard verify for candidate (id_a, id_b) pairs when only the
     TEXT table is at hand (the standing-index case: the index holds band
@@ -997,13 +998,22 @@ def verify_pairs_against_texts(
     caller's cut lands on the TEXT rows, before shingling: caching plain
     strings is cheap where columnar-encoding arrays of shingle strings is
     not, and re-shingling a candidate-sized set once per join side costs
-    ~nothing."""
+    ~nothing.
+
+    ``pairs_are_small`` declares the candidate side broadcast-sized
+    (bounded by the caller — g35 gates it on the trigger's byte size):
+    the id semi-join and both verify joins then plan as broadcast joins
+    OUTRIGHT instead of materializing exchange stages AQE would only
+    convert afterwards — on a per-trigger path those exchanges are pure
+    fixed cost."""
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    needed = texts.join(ids, id_col, "left_semi")
+    needed = texts.join(
+        F.broadcast(ids) if pairs_are_small else ids, id_col, "left_semi"
+    )
     if keep is not None:
         needed = keep(needed)
     sets = needed.select(
@@ -1011,7 +1021,9 @@ def verify_pairs_against_texts(
     )
     if keep is None:
         sets = sets.localCheckpoint(eager=False)
-    verified = _exact_jaccard_on_pairs(pairs, sets, id_col)
+    verified = _exact_jaccard_on_pairs(
+        F.broadcast(pairs) if pairs_are_small else pairs, sets, id_col
+    )
     return verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )

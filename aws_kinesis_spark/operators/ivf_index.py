@@ -225,7 +225,11 @@ def knn_ivf_indexed(
     metadata PRE-filter: qualifying ids semi-join the probed cells BEFORE
     any distance work, so top-k is exact over the qualifying subset of the
     probed cells — the g41 composition its docstring promises, without the
-    unbounded recall loss of post-filtering an unfiltered top-k."""
+    unbounded recall loss of post-filtering an unfiltered top-k.
+
+    The probe UDF evaluates twice (once under the probed-cell collect,
+    once in the returned plan) — deterministic, so both agree; the matmul
+    is O(queries x nlist), noise next to one avoided cell scan."""
     meta = _load_meta(index_dir)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     cent = _load_centroids(spark, index_dir, meta["nlist"])

@@ -803,7 +803,11 @@ def start_dedup_ingest(
                 texts = texts.unionByName(pc.select("doc_id", "text"))
             dropped = (
                 verify_pairs_against_texts(
-                    cand, texts, threshold=threshold, keep=keep
+                    cand,
+                    texts,
+                    threshold=threshold,
+                    keep=keep,
+                    pairs_are_small=batch_is_small,
                 )
                 .select(F.col("id_b").alias("doc_id"))
                 .distinct()
