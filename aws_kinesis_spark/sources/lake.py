@@ -209,8 +209,13 @@ def run_lake_batch(
         files = _list_parquet_files(batch_root)
         # an all-error or empty flush writes no data files: commit an empty
         # manifest (the batch HAPPENED, with zero ok records) instead of
-        # crashing on the missing batch dir
-        n_ok = spark.read.parquet(batch_root).count() if files else 0
+        # crashing on the missing batch dir. The count comes from the
+        # written files' parquet FOOTERS (row-group metadata the committer
+        # just produced) — O(own files) driver reads, the same planner
+        # metadata as the listing above, one whole Spark job cheaper
+        import pyarrow.parquet as pq
+
+        n_ok = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
         # DLQ accounting by subtraction: ok ∪ bad partitions the input
         # exactly (split_errors is one boolean filter pair), and both
