@@ -103,14 +103,26 @@ def train_ivf_centroids(
     return _spherical_kmeans(train, nlist=min(nlist, len(train)))
 
 
+def _unit_batch(vecs: pd.Series, cent: np.ndarray) -> np.ndarray:
+    """Arrow batch -> L2-normalized matrix, with a NAMED dim check (a
+    mismatched embedding otherwise dies in a cryptic BLAS shape error
+    deep in an executor)."""
+    x = np.array(vecs.tolist(), dtype=np.float64)
+    if x.ndim != 2 or x.shape[1] != cent.shape[1]:
+        raise ValueError(
+            f"embedding dim {x.shape[1] if x.ndim == 2 else '?'} does not "
+            f"match the index's centroid dim {cent.shape[1]}"
+        )
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+
 def nearest_cell_udf(cent: np.ndarray):
     """Arrow-batched nearest-centroid assignment; ``cent`` (nlist x dim)
     rides to executors in the UDF closure — tiny regardless of corpus."""
 
     @F.pandas_udf(IntegerType())
     def nearest_cell(vecs: pd.Series) -> pd.Series:
-        x = np.array(vecs.tolist(), dtype=np.float64)
-        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        x = _unit_batch(vecs, cent)
         return pd.Series(np.argmax(x @ cent.T, axis=1).astype(np.int32))
 
     return nearest_cell
@@ -124,8 +136,7 @@ def probe_cells_udf(cent: np.ndarray, nprobe: int):
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def probe_cells(vecs: pd.Series) -> pd.Series:
-        x = np.array(vecs.tolist(), dtype=np.float64)
-        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        x = _unit_batch(vecs, cent)
         top = np.argsort(-(x @ cent.T), axis=1)[:, : min(nprobe, n_cells)]
         return pd.Series([t.tolist() for t in top.astype(np.int32)])
 

@@ -679,3 +679,31 @@ def test_grouped_map_keeps_pinned_fanout(spark):
     plan = _plan(queries()["f02_grouped_map"](spark, SF))
     assert "REPARTITION_BY_NUM" in plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_verify_broadcast_hint_removes_pair_exchanges(spark):
+    """Round-10 g35 latency lock: with pairs_are_small the verify stage's
+    id semi-join and pair/set joins plan as broadcast joins OUTRIGHT —
+    strictly fewer Exchange nodes than the unhinted plan, which is what
+    keeps the per-trigger fixed cost down (AQE would only convert after
+    materializing those exchanges)."""
+    from aws_kinesis_spark.operators.dedup import verify_pairs_against_texts
+    from aws_kinesis_spark.tables import load
+
+    texts = load(spark, SF, "documents").select("doc_id", "text")
+    pairs = spark.range(3).selectExpr("id AS id_a", "id + 1 AS id_b")
+    # the hint must hold even when size stats alone would NOT broadcast
+    # (the g35 gate, not Catalyst's estimate, bounds the pairs side)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        small = verify_pairs_against_texts(pairs, texts, pairs_are_small=True)
+        big = verify_pairs_against_texts(pairs, texts, pairs_are_small=False)
+        p_small, p_big = _plan(small, "simple"), _plan(big, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" in p_small
+    assert p_small.count("Exchange") < p_big.count("Exchange"), (
+        p_small,
+        p_big,
+    )
