@@ -175,3 +175,15 @@ def test_compaction_folds_appends_and_later_appends_stay_visible(spark, em, tmp_
     assert hits >= 0.5 * exact.count()
     # idempotent: a replayed compaction request is a no-op
     assert compact_ivf_index(spark, idx, upto=1) == 0
+
+
+def test_full_probe_equals_bruteforce_exactly(spark, em, index):
+    """With nprobe = nlist the probed set is the whole corpus, so the
+    indexed path must return EXACTLY the brute-force top-k — same pairs,
+    same scores (both rank by cosine desc, neighbor id asc); any drift
+    means the index dropped or duplicated vectors."""
+    got = knn_ivf_indexed(spark, index, _queries(em), k=10, nprobe=16)
+    exact = knn_bruteforce(em, _queries(em), k=10)
+    g = {(r.query_id, r.neighbor_id, r.cos_sim) for r in got.collect()}
+    e = {(r.query_id, r.neighbor_id, r.cos_sim) for r in exact.collect()}
+    assert g == e
