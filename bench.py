@@ -17,6 +17,8 @@ import sys
 import tempfile
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
@@ -129,6 +131,40 @@ def _calibration_cost(spark) -> float:
         )
         return time.perf_counter() - t0
 
+    return min(one() for _ in range(3))
+
+
+def _host_index_cost(spark) -> float:
+    """Workload-shaped host speed index: a shuffle, an Arrow pandas-UDF
+    pass, and a small parquet write — the resources (disk, python
+    workers, scheduler) the headline queries actually contend on. The
+    pure-CPU probe above missed a measured ~20% whole-run inflation that
+    hit exactly these. Published in the output JSON so round-over-round
+    per-query comparisons can NORMALIZE by the ratio of host indices
+    instead of misreading host drift as regression. First run is a
+    warmup (codegen + python-worker spin-up), excluded from the min."""
+    @F.pandas_udf("long")
+    def _probe_udf(x: pd.Series) -> pd.Series:
+        return x * 2
+
+    def one() -> float:
+        tmp = tempfile.mkdtemp(prefix="kinesis_cal_")
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 2_000_000, numPartitions=32)
+            .withColumn("k", F.pmod("id", F.lit(64)))
+            .repartition("k")
+            .withColumn("v", _probe_udf("id"))
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"))
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        dt = time.perf_counter() - t0
+        shutil.rmtree(tmp, ignore_errors=True)
+        return dt
+
+    one()  # warmup
     return min(one() for _ in range(3))
 
 
@@ -313,6 +349,7 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
     cal_after, contended_after = _calibrate(spark, "post-run", retry=False)
+    host_index = round(_host_index_cost(spark), 4)
 
     total = round(sum(results.values()), 4)
     print(
@@ -336,6 +373,11 @@ def main() -> None:
                         CALIBRATION_IDLE_S * CALIBRATION_FACTOR, 4
                     ),
                 },
+                # workload-shaped host speed index (shuffle + Arrow UDF +
+                # parquet write; ~0.6 s on this VM's quiet epochs): divide
+                # two rounds' per-query times by their host_index ratio to
+                # cancel host drift the CPU calibration can't see
+                "host_index_sec": host_index,
                 "contended": contended_before or contended_after,
             }
         )
@@ -354,6 +396,7 @@ def main() -> None:
                 "n_queries": len(results),
                 "lake_microbatch": results.get("lake_microbatch"),
                 "point_query": results.get("point_query"),
+                "host_index_sec": host_index,
                 "contended": contended_before or contended_after,
             }
         )
