@@ -264,6 +264,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        test_simhash_chunk_join_is_complete)
 #   in:  g49_leakage_safe_split (held-out-split decontamination composing
 #        the exact g32 prefix join with the g09/g12 hash-split mechanism)
+# Round-10 re-certification swap (the fencing change must get a fresh
+# driver row; witness for the rotated-out slot in parens):
+#   out: a01b (green r9; e12_stream_stream_join_kinesis_source consumes
+#        the SAME kinesis_sim streaming source — per-shard offsets,
+#        envelope decode — in-window, and the reshard-lineage invariants
+#        stay pinned in tests/test_streaming.py's three dedicated reshard
+#        tests: full-lineage batch read, parent-drains-before-children,
+#        crash recovery near the split boundary)
+#   in:  a21_write_audit_publish (stage/publish gained the writer fencing
+#        token this round — the WAP path re-certifies under a hard oracle
+#        the same round its commit protocol changed)
 DRIVER_WINDOW: list[str] = [
     # D — relational core (11)
     "d01_projection",
@@ -285,7 +296,6 @@ DRIVER_WINDOW: list[str] = [
     "b04b_bloom_first_seen",
     "b12_stream_progress",
     # A — sources/sinks/lake maintenance (9)
-    "a01b_kinesis_reshard",
     "a05_manifest_time_travel",
     "a09_dlq_split",
     "a11_raw_backup",
@@ -293,6 +303,7 @@ DRIVER_WINDOW: list[str] = [
     "a18_orphan_vacuum",
     "a19_deletion_vectors",
     "a20_zone_map_pruning",
+    "a21_write_audit_publish",
     "a22_manifest_integrity",
     # O — CDC family (1)
     "o08_stream_scd2",

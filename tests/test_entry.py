@@ -63,6 +63,8 @@ def test_driver_window_covers_every_family():
         "c06_time_partition_cols",
         # registered AND windowed in round 10
         "g48_persistent_ivf", "g49_leakage_safe_split",
+        # re-certified the round its commit protocol gained the fencing
+        "a21_write_audit_publish",
     }
     assert rotated_in <= set(window)
     rotated_out = {
@@ -73,6 +75,7 @@ def test_driver_window_covers_every_family():
         "g18b_token_topk_sketch", "g19_dedup_keepers", "g30_bm25_score",
         "g32_setsim_prefix_join", "g36_token_budget_sample",
         "g47_length_bucketing", "g02c_dedup_simhash",
+        "a01b_kinesis_reshard",
     }
     assert rotated_out & set(window) == set()
     # with this window, every registered query has had a driver slot
