@@ -106,8 +106,10 @@ def build_ivf_index(
 ) -> int:
     """Train centroids on a bounded sample, assign the whole corpus in one
     Arrow map pass, and commit the index store. Re-running rebuilds in
-    place (atomic for the centroids; the cells store is reset to batch=0).
-    Returns the number of cells."""
+    place (the cells store is reset to batch=0). Commit protocol: _meta.json
+    is removed FIRST and rewritten LAST, so a crash mid-(re)build leaves a
+    store every reader refuses as uncommitted — never a stale meta pointing
+    at half-swapped centroids/cells. Returns the number of cells."""
     spark = corpus.sparkSession
     cent = train_ivf_centroids(corpus, nlist, train_rows, vec_col, id_col)
     base = corpus.select(id_col, vec_col)
@@ -119,6 +121,10 @@ def build_ivf_index(
         "row_schema": base.schema.json(),
     }
     os.makedirs(index_dir, exist_ok=True)
+    # uncommit an existing index before touching its store: readers treat
+    # a missing meta as "no index", which is exactly right mid-rebuild
+    if os.path.exists(_meta_path(index_dir)):
+        os.remove(_meta_path(index_dir))
     # Arrow-path createDataFrame + repartition(1): a row-list local
     # relation coalesced to 1 pays seconds of per-row plumbing for this
     # 32-row table (measured 5-6 s vs 0.4 s)
@@ -214,38 +220,94 @@ def knn_ivf_indexed(
     nprobe: int = 4,
     query_id_col: str = "query_id",
     filter_ids: DataFrame | None = None,
+    queries_are_small: bool = True,
+    max_queries: int = 1 << 16,
 ) -> DataFrame:
     """ANN top-k against the STANDING index: no training, no corpus
     assignment — each query probes its nprobe nearest cells and only those
-    ``cell=C`` partitions are ever opened (the probed-cell list is a
-    bounded driver collect of <= nlist ints, the same planner-metadata
-    pattern as the g35 bucket collect).
+    ``cell=C`` partitions are ever opened.
+
+    ``queries_are_small`` (the pairs_are_small convention) picks the probe
+    strategy:
+    - True (the serving default): the query vectors are collected under the
+      explicit ``max_queries`` dial (raises above it) and the probe matmul
+      runs ONCE driver-side against the centroids already in hand — no
+      probe UDF in the plan at all, no extra Spark job for the probed-cell
+      list, and the (queries x nprobe) probe table is safely broadcast.
+    - False: queries stay distributed; the probe is the Arrow UDF, the
+      probed-cell list is one bounded collect (<= nlist distinct ints, the
+      g35 bucket-collect pattern), the join strategy is left to AQE (no
+      broadcast hint — the query side is declared large), and the probe
+      UDF evaluates twice (once under the probed-cell collect, once in the
+      returned plan — deterministic, so both agree).
 
     ``filter_ids`` (one id column named like the index's id_col) applies a
     metadata PRE-filter: qualifying ids semi-join the probed cells BEFORE
     any distance work, so top-k is exact over the qualifying subset of the
-    probed cells — the g41 composition its docstring promises, without the
-    unbounded recall loss of post-filtering an unfiltered top-k.
-
-    The probe UDF evaluates twice (once under the probed-cell collect,
-    once in the returned plan) — deterministic, so both agree; the matmul
-    is O(queries x nlist), noise next to one avoided cell scan."""
+    probed cells — the g41 composition, without the unbounded recall loss
+    of post-filtering an unfiltered top-k."""
     meta = _load_meta(index_dir)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     cent = _load_centroids(spark, index_dir, meta["nlist"])
-    probe = probe_cells_udf(cent, nprobe)
-    qdf = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        F.explode(probe(F.col(vec_col))).alias("cell"),
-    )
-    # bounded driver collect: <= nlist distinct cell ids — exactly the
-    # partition-pruning key list a planner holds
-    probed = [r[0] for r in qdf.select("cell").distinct().collect()]
+    if queries_are_small:
+        # bounded driver collect: the explicit-dial convention of the IVF
+        # training sample (and the max_reference eval-set probe)
+        qrows = queries.select(query_id_col, vec_col).limit(max_queries + 1).collect()
+        if len(qrows) > max_queries:
+            raise ValueError(
+                f"query set exceeds max_queries={max_queries}; pass "
+                "queries_are_small=False to keep the probe distributed"
+            )
+        if not qrows:
+            raise ValueError("knn_ivf_indexed: query set is empty")
+        import pandas as pd
+
+        qx = np.array([r[1] for r in qrows], dtype=np.float64)
+        if qx.ndim != 2 or qx.shape[1] != int(meta["dim"]):
+            raise ValueError(
+                f"query embedding dim {qx.shape[1] if qx.ndim == 2 else '?'} "
+                f"does not match the index's centroid dim {meta['dim']}"
+            )
+        u = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+        top = np.argsort(-(u @ cent.T), axis=1)[:, : min(nprobe, len(cent))]
+        probed = sorted({int(c) for c in top.reshape(-1)})
+        reps = top.shape[1]
+        qpdf = pd.DataFrame(
+            {
+                query_id_col: [r[0] for r in qrows for _ in range(reps)],
+                "__qvec": [r[1] for r in qrows for _ in range(reps)],
+                "cell": top.astype("int32").reshape(-1),
+            }
+        )
+        # __qvec keeps the INDEX's exact element type (float stays float)
+        # so cosine scores are bit-identical to the in-plan probe path
+        vec_type = T.StructType.fromJson(json.loads(meta["row_schema"]))[
+            vec_col
+        ].dataType
+        qdf = spark.createDataFrame(
+            qpdf,
+            T.StructType(
+                [
+                    T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+                    T.StructField("__qvec", vec_type),
+                    T.StructField("cell", T.IntegerType()),
+                ]
+            ),
+        )
+        qside = F.broadcast(qdf)
+    else:
+        probe = probe_cells_udf(cent, nprobe)
+        qdf = queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            F.explode(probe(F.col(vec_col))).alias("cell"),
+        )
+        # bounded driver collect: <= nlist distinct cell ids — exactly the
+        # partition-pruning key list a planner holds
+        probed = [r[0] for r in qdf.select("cell").distinct().collect()]
+        qside = qdf  # AQE decides the join strategy for a large query set
     cells = read_ivf_cells(spark, index_dir, cells=probed)
     if filter_ids is not None:
         cells = cells.join(filter_ids.select(id_col), id_col, "left_semi")
-    cand = cells.join(F.broadcast(qdf), "cell").filter(
-        F.col(id_col) != F.col(query_id_col)
-    )
+    cand = cells.join(qside, "cell").filter(F.col(id_col) != F.col(query_id_col))
     return cosine_topk_from_candidates(cand, k, vec_col, id_col, query_id_col)

@@ -176,35 +176,59 @@ def knn_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    index_dir: str | None = None,
+    queries_are_small: bool = True,
 ) -> DataFrame:
-    """ANN top-k with an IVF (inverted-file) index: train nlist spherical
-    k-means centroids on a sample, assign every corpus vector to its nearest
-    centroid (one Arrow-batched matmul pass — no shuffle), then search each
-    query only inside its nprobe closest cells.
+    """ANN top-k with an IVF (inverted-file) index — the ONE-SHOT form of
+    the standing store in operators/ivf_index.py, and since round 11 a
+    thin delegation to it so the one-shot and serving paths share kernels
+    end-to-end (train / assign / probe / top-k are literally the same
+    functions): build_ivf_index trains nlist spherical k-means centroids
+    on the bounded train_rows sample and assigns the corpus in one
+    Arrow-batched matmul pass (no shuffle before the cell-clustered
+    write); knn_ivf_indexed then opens only each query's nprobe probed
+    ``cell=C`` partitions.
 
-    Scale shape: centroids broadcast to executors inside the UDF closures;
-    the corpus is partition-pruned to probed cells by an equi-join on
-    cluster id. nprobe/nlist is the recall dial — recall vs knn_bruteforce
-    is measured in tests/test_ext.py. The only collect is the bounded
-    train_rows centroid-training sample. This is the AD-HOC form (train +
-    assign + probe in one job, right for a single curation pass); repeated
-    serving should build the index ONCE with
-    operators/ivf_index.build_ivf_index and probe it with knn_ivf_indexed,
-    which skips the corpus assignment entirely."""
-    cent = train_ivf_centroids(corpus, nlist, train_rows, vec_col, id_col)
-    nearest_cell = nearest_cell_udf(cent)
-    assigned = corpus.select(
-        F.col(id_col), F.col(vec_col), nearest_cell(F.col(vec_col)).alias("__cell")
-    )
-    qdf = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        F.explode(probe_cells_udf(cent, nprobe)(F.col(vec_col))).alias("__cell"),
-    )
-    cand = assigned.join(F.broadcast(qdf), "__cell").filter(
-        F.col(id_col) != F.col(query_id_col)
-    )
-    return cosine_topk_from_candidates(cand, k, vec_col, id_col, query_id_col)
+    ``index_dir=None`` (the ad-hoc default) builds into a temp dir and
+    drops it after the result is MATERIALIZED (eager localCheckpoint cuts
+    the lineage off the temp files — the result is k x |queries| rows, the
+    final answer's own size). Passing an ``index_dir`` keeps the store for
+    reuse and returns the lazy plan (the caller owns the lifecycle — the
+    right call at 100 TB, where the build is the expensive half).
+    nprobe/nlist is the recall dial — recall vs knn_bruteforce is measured
+    in tests/test_ext.py."""
+    import shutil
+    import tempfile
+
+    from aws_kinesis_spark.operators.ivf_index import build_ivf_index, knn_ivf_indexed
+
+    spark = corpus.sparkSession
+    ephemeral = index_dir is None
+    idx = tempfile.mkdtemp(prefix="kinesis_ivf_") if ephemeral else index_dir
+    try:
+        build_ivf_index(
+            corpus,
+            idx,
+            nlist=nlist,
+            train_rows=train_rows,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+        out = knn_ivf_indexed(
+            spark,
+            idx,
+            queries,
+            k=k,
+            nprobe=nprobe,
+            query_id_col=query_id_col,
+            queries_are_small=queries_are_small,
+        )
+        if ephemeral:
+            out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        if ephemeral:
+            shutil.rmtree(idx, ignore_errors=True)
 
 
 def max_sim_vs_reference(

@@ -1973,20 +1973,28 @@ def g48_persistent_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the FULL corpus asserted in-plan, so the check also proves the
     appended quarter is searchable (a probe that missed the incremental
     batch would lose every neighbor living there)."""
+    import shutil
     import tempfile
 
     em = load(spark, sf_dir, "embeddings")
     idx = tempfile.mkdtemp(prefix="kinesis_g48_")
-    build_ivf_index(em.filter(F.col("vec_id") % 4 != 3), idx, nlist=32)
-    update_ivf_index(em.filter(F.col("vec_id") % 4 == 3), idx)
-    queries = em.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return _ann_recall_check(
-        knn_ivf_indexed(spark, idx, queries, k=10, nprobe=8),
-        knn_bruteforce(em, queries, k=10),
-        min_recall=0.5,
-    )
+    try:
+        build_ivf_index(em.filter(F.col("vec_id") % 4 != 3), idx, nlist=32)
+        update_ivf_index(em.filter(F.col("vec_id") % 4 == 3), idx)
+        queries = em.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        # materialize the one-row verdict (eager localCheckpoint) so the
+        # corpus-sized temp store is reclaimed NOW, not leaked to /tmp on
+        # every harness run (ADVICE r10) — the returned frame no longer
+        # reads the index files
+        return _ann_recall_check(
+            knn_ivf_indexed(spark, idx, queries, k=10, nprobe=8),
+            knn_bruteforce(em, queries, k=10),
+            min_recall=0.5,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
 
 
 @register(

@@ -1142,18 +1142,37 @@ def publish_staged_batch(
     re-staged this batch_id after us (its flush purged and replaced our
     data files too) — publishing would bless the other writer's batch
     under our audit, so raise instead. Passing None skips the check (a
-    single-writer pipeline that never fences)."""
+    single-writer pipeline that never fences).
+
+    The fence has a TOCTOU window the token alone cannot see: a concurrent
+    stager that finished run_lake_batch (purging/rewriting this batch's
+    data files) but has not yet renamed its manifest into ``_staged/``
+    leaves our token intact while our entries point at superseded files.
+    So after the token check every listed file is re-validated to EXIST
+    before the rename — a purge-then-restage always deletes our files
+    first, so a vanished entry is the fence trip. The residual race
+    (re-stage lands between this existence sweep and the rename) is
+    accepted: closing it needs a real lock service, which the local-FS
+    protocol stands in for (reference README.md:429-430)."""
     name = f"manifest-{batch_id:010d}.json"
     src = os.path.join(lake_dir, "_staged", name)
     dst = os.path.join(lake_dir, "_manifests", name)
     if writer is not None:
         with open(src) as fh:
-            staged_writer = json.load(fh).get("writer")
+            payload = json.load(fh)
+        staged_writer = payload.get("writer")
         if staged_writer != writer:
             raise RuntimeError(
                 f"publish_staged_batch: fenced out of batch {batch_id} — "
                 f"staged manifest belongs to writer {staged_writer!r}, "
                 f"not {writer!r} (a concurrent stager superseded this one)"
+            )
+        gone = [e["url"] for e in payload["entries"] if not os.path.exists(e["url"])]
+        if gone:
+            raise RuntimeError(
+                f"publish_staged_batch: fenced out of batch {batch_id} — "
+                f"{len(gone)} staged file(s) no longer exist (a concurrent "
+                f"stager purged them mid-publish): {gone[:3]}"
             )
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     os.replace(src, dst)

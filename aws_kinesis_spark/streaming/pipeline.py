@@ -704,9 +704,19 @@ def start_dedup_ingest(
             from urllib.parse import unquote, urlparse
 
             try:
-                in_bytes = sum(
-                    os.path.getsize(unquote(urlparse(p).path) if "://" in p else p)
-                    for p in batch_df.inputFiles()
+                in_files = batch_df.inputFiles()
+                # a non-file source returns an EMPTY list (not an
+                # exception): without metadata it must take the trickle
+                # branch below, whose row-count gate bounds the broadcast
+                # — in_bytes=0 would otherwise flip a coverage-warmed
+                # stream to bulk with batch_is_small force-true
+                in_bytes = (
+                    sum(
+                        os.path.getsize(unquote(urlparse(p).path) if "://" in p else p)
+                        for p in in_files
+                    )
+                    if in_files
+                    else None
                 )
             except (OSError, ValueError):
                 in_bytes = None

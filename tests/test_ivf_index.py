@@ -56,16 +56,48 @@ def test_build_then_probe_matches_recall_floor(spark, em, index):
 
 def test_probe_runs_no_corpus_assignment_and_prunes_partitions(spark, em, index):
     """THE standing-index contract: a probe must not re-assign the corpus.
-    The plan may contain exactly ONE Arrow UDF evaluation — the query-side
-    cell probe — and the cells scan must carry a PartitionFilters entry on
-    ``cell`` (the probed-cell pruning), i.e. repeated queries pay
-    O(probed cells), never O(corpus)."""
-    got = knn_ivf_indexed(spark, index, _queries(em), k=10, nprobe=4)
+    On the serving default (queries_are_small=True) the probe matmul runs
+    driver-side against the in-hand centroids, so the plan contains ZERO
+    Python evaluations (r10's single probe-UDF double-eval is gone — one
+    fewer Spark job per repeated probe), and the cells scan must carry a
+    PartitionFilters entry on ``cell`` (the probed-cell pruning), i.e.
+    repeated queries pay O(probed cells), never O(corpus)."""
+    sc = spark.sparkContext
+    sc.setJobGroup("ivf-probe-build", "probe construction")
+    try:
+        got = knn_ivf_indexed(spark, index, _queries(em), k=10, nprobe=4)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
     plan = _plan(got)
     assert "PartitionFilters: [cell" in plan, plan
     # simple mode prints each physical node exactly once
     simple = _plan(got, "simple")
+    assert simple.count("ArrowEvalPython") == 0, simple
+    assert simple.count("BatchEvalPython") == 0, simple
+    # job-count lock: constructing the probe runs only the two bounded
+    # driver collects (centroid load + query collect, the latter may take
+    # an extra scale-up round under CollectLimit) — never a corpus job
+    jobs = spark.sparkContext.statusTracker().getJobIdsForGroup("ivf-probe-build")
+    assert len(jobs) <= 3, f"probe construction launched {len(jobs)} jobs"
+
+
+def test_distributed_probe_keeps_single_udf_and_skips_broadcast(spark, em, index):
+    """queries_are_small=False: the probe stays the Arrow UDF (exactly one
+    eval node in the returned plan), partition pruning still applies, and
+    the query side carries NO forced broadcast hint — a large query set
+    must be allowed to shuffle (ADVICE r10)."""
+    got = knn_ivf_indexed(
+        spark, index, _queries(em), k=10, nprobe=4, queries_are_small=False
+    )
+    plan = _plan(got)
+    assert "PartitionFilters: [cell" in plan, plan
+    simple = _plan(got, "simple")
     assert simple.count("ArrowEvalPython") == 1, simple
+    # same answers as the driver-side probe path
+    small = knn_ivf_indexed(spark, index, _queries(em), k=10, nprobe=4)
+    g = {(r.query_id, r.neighbor_id, r.cos_sim) for r in got.collect()}
+    s = {(r.query_id, r.neighbor_id, r.cos_sim) for r in small.collect()}
+    assert g == s
 
 
 def test_update_appends_without_touching_existing_batches(spark, em, tmp_path):
@@ -142,6 +174,30 @@ def test_rebuild_resets_store_atomically(spark, em, tmp_path):
     build_ivf_index(em.filter(F.col("vec_id") < 50), idx, nlist=8)
     update_ivf_index(em.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 80)), idx)
     build_ivf_index(em, idx, nlist=16)  # full rebuild over the same dir
+    ids = read_ivf_cells(spark, idx).select("vec_id")
+    assert ids.count() == ids.distinct().count() == em.count()
+
+
+def test_interrupted_rebuild_leaves_index_uncommitted(spark, em, tmp_path, monkeypatch):
+    """ADVICE r10: a crash mid-rebuild must not leave the OLD meta standing
+    over a half-swapped centroids/cells store — the meta is removed first,
+    so readers see 'no index' until the rebuild recommits."""
+    import aws_kinesis_spark.operators.ivf_index as ivf
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(em, idx, nlist=8)
+
+    def boom(*a, **k):
+        raise RuntimeError("crash mid-rebuild")
+
+    monkeypatch.setattr(ivf, "_write_cells_batch", boom)
+    with pytest.raises(RuntimeError, match="crash mid-rebuild"):
+        build_ivf_index(em, idx, nlist=16)
+    monkeypatch.undo()
+    with pytest.raises(FileNotFoundError):
+        read_ivf_cells(spark, idx)
+    # a fresh build over the same dir recovers the store completely
+    build_ivf_index(em, idx, nlist=16)
     ids = read_ivf_cells(spark, idx).select("vec_id")
     assert ids.count() == ids.distinct().count() == em.count()
 

@@ -1146,3 +1146,28 @@ def test_wap_concurrent_stagers_fence_single_winner(spark, envelope, tmp_path):
     # published, nothing staged) rather than silent double-publish
     with pytest.raises(FileNotFoundError):
         publish_staged_batch(lake, 5, writer=s_b.writer)
+
+
+def test_wap_publish_refuses_when_staged_files_vanished(spark, envelope, tmp_path):
+    """ADVICE r10 (the TOCTOU the token cannot see): a concurrent stager
+    that has purged/rewritten the batch's data files but NOT yet renamed
+    its manifest into _staged/ leaves the first writer's token intact —
+    its publish must still refuse, because its entries now point at
+    superseded storage. The existence sweep after the token check is that
+    refusal."""
+    import json as _json
+
+    from aws_kinesis_spark.sources.lake import publish_staged_batch, stage_lake_batch
+
+    lake = str(tmp_path / "lake")
+    s = stage_lake_batch(envelope.limit(40), lake, batch_id=7, raw_backup=False)
+    staged = os.path.join(lake, "_staged", "manifest-0000000007.json")
+    with open(staged) as fh:
+        first = _json.load(fh)["entries"][0]["url"]
+    os.remove(first)  # the concurrent stager's purge, mid-flush
+    with pytest.raises(RuntimeError, match="no longer exist"):
+        publish_staged_batch(lake, 7, writer=s.writer)
+    # nothing published under the stale audit
+    assert not os.path.exists(
+        os.path.join(lake, "_manifests", "manifest-0000000007.json")
+    )

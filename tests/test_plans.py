@@ -398,6 +398,10 @@ def test_collect_sites_whitelisted():
         ("operators/ivf_index.py", "probed"),         # <= nlist probed-cell
                                                       # ids: partition-pruning
                                                       # keys, g35 pattern
+        ("operators/ivf_index.py", "max_queries"),    # <= max_queries query
+                                                      # vectors (explicit dial,
+                                                      # raises above it): the
+                                                      # driver-side probe path
     }
     hits = []
     for py in pkg.rglob("*.py"):
