@@ -275,65 +275,134 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #   in:  a21_write_audit_publish (stage/publish gained the writer fencing
 #        token this round — the WAP path re-certifies under a hard oracle
 #        the same round its commit protocol changed)
+# Round-11 rotation (40 swapped — the FRESHNESS round, VERDICT r10 #1:
+# every query whose last hard driver row predates round 5 rotates in —
+# that is the complete 39-query r2–r4 backlog (d03/d04/d05/d08b/d10/d10c/
+# d11/d12/d13/d14/d14b/d14c/d15b/d18/d19/d20/d21/d22/d23/d24/d28, b01/
+# b02b/b07, c07/c08/c09, a07/a12, e01/e02/e05, g03/g03e/g04/g05/g07/g09/
+# g14) plus g03c, whose knn_ivf path was REWRITTEN this round to delegate
+# to the standing IVF store (similarity.py:knn_ivf) and must re-certify
+# under a hard row the round its kernel changed. Kept in-window: exactly
+# the round-11 churned code paths — a19 (perf work, pipeline_queries),
+# a21 (publish existence fence, lake.py), e08 + g35 + o08 (streaming/
+# pipeline.py: sourceless trickle gate + per-trigger listing work), g41 +
+# g48 (ivf_index.py: crash-safe rebuild, driver-side probe, temp-store
+# reclamation) — and f02/f03/f04, the sole hard certificates of the F2/
+# F3/F4 surfaces. Every rotated-out slot is green in CORRECTNESS_r10 (the
+# freshest possible row — the g02c precedent) and re-runs in the local
+# differential suite every CI pass; named witnesses:
+#   out: d01 (projection inside d03's pruned scan + every incoming
+#        select), d02 (d03 pruned filter + d22 point lookup), d09 (e01
+#        tumbling hourly = the same time-bucketed agg; d14 rollup), d16
+#        (g04 text stats + c07 concat keys), d17 (d03's date predicate +
+#        e01/e02 event-time windows + c07's time components), d30 (green
+#        r10; native-UnionLoop plan lock runs every CI pass,
+#        tests/test_plans.py:test_recursive_hierarchy_uses_union_loop),
+#        d31 (d14/d14b/d14c = the same D14 reshape family), d32 (d13
+#        window functions + d15b's bin/sequence machinery), d34 (d15b =
+#        same D15 temporal-join family — the r7 precedent reversed), d36
+#        (d10c runs the EXACT percentile twin the sketch is certified
+#        against), d39 (d13 windows + d05 hash joins; green r10), c06
+#        (c07 = same C6/C7 time/key derivation family; d03 consumes the
+#        partition cols), c14 (c09 = same C9 format-roundtrip family —
+#        the r5 precedent), b03 (b01 keyed partition order = same
+#        ordered-keyed shuffle family), b04b (d10 exact distinct + e05
+#        stateful stream dedup = the B4 exactly-once mechanism's two
+#        halves), b12 (green r10; per-trigger numInputRows oracle pinned
+#        in tests/test_streaming.py), a05 (a12 reads the same manifest
+#        protocol; a21 commits it), a09 (e08 keeps the lake fan-out path;
+#        DLQ zero-records-lost invariants pinned in tests/test_lake.py),
+#        a11 (a12 = same run_lake_batch surface incl. raw branch), a15
+#        (a12 lake roundtrip reads evolved manifests; green r10), a18
+#        (a19 = same leaf-rewrite/remap machinery — the r9 precedent),
+#        a20 (d03 partition-pruned scan + a12; zone-map invariants pinned
+#        in tests/test_lake.py), a22 (a21's publish now RUNS the
+#        manifest-entry existence validation in-line — this round's
+#        fence), g02/g02b (g05 embedding near-dup + g35's standing
+#        band index = the G2 family; kernels untouched since their r10
+#        rows), g07b (g07 = same Arrow multimodal plumbing — the r7
+#        precedent reversed), g10 (g05 near-dup clustering consumer +
+#        g35 keeper verdicts; CC invariants pinned in tests/test_ext.py),
+#        g16 (g04 = same G4 text-analysis family), g20 (g35 = streaming
+#        form of the same standing banded index — the r7 precedent),
+#        g27 (g05 runs the same cosine kernels; zero-shuffle plan lock
+#        runs every CI pass, test_embedding_decontaminate_streams),
+#        g37 (green r10; PPJoin prefix machinery pinned in
+#        tests/test_ext.py; g35's candidate bounds in-window), g38 (g05 =
+#        same within-cluster cosine task; f02 = the applyInPandas
+#        surface), g40 (g09 = same deterministic-hash split family — the
+#        r9 precedent reversed), g45/g46 (g04 = same G4 token-statistics
+#        family), g49 (g09 hash split + g05 embedding decontamination =
+#        both halves, in-window), e04 (e01/e02 = watermarked windowed
+#        aggs over the same source), e06 (e05 = stateful streaming
+#        family; buffer joint-bound test pinned in
+#        tests/test_streaming.py), e12 (e01/e02/b07 consume the same
+#        kinesis_sim source + offsets; reshard tests pinned), f01 (g48/
+#        g03c's nearest-cell assignment IS a scalar pandas_udf in-window;
+#        g14's quantize kernel likewise)
+#   in:  d03, d04, d05, d08b, d10, d10c, d11, d12, d13, d14, d14b, d14c,
+#        d15b, d18, d19, d20, d21, d22, d23, d24, d28, b01, b02b, b07,
+#        c07, c08, c09, a07, a12, e01, e02, e05, g03, g03c, g03e, g04,
+#        g05, g07, g09, g14
 DRIVER_WINDOW: list[str] = [
-    # D — relational core (11)
-    "d01_projection",
-    "d02_filter_predicate",
-    "d09_tumbling_hourly_agg",
-    "d16_string_functions",
-    "d17_datetime_functions",
-    "d30_recursive_hierarchy",
-    "d31_unpivot",
-    "d32_gap_fill",
-    "d34_asof_tolerance",
-    "d36_approx_percentile_check",
-    "d39_cohort_retention",
-    # C — record transforms (2)
-    "c06_time_partition_cols",
-    "c14_gzip_jsonl_roundtrip",
+    # D — relational core (21): the r2–r4 freshness backlog, complete
+    "d03_time_pruned_filter",
+    "d04_limit",
+    "d05_join_star",
+    "d08b_stats_aggregates",
+    "d10_distinct",
+    "d10c_percentiles",
+    "d11_sort_topn",
+    "d12_latest_per_key",
+    "d13_window_functions",
+    "d14_rollup",
+    "d14b_cube",
+    "d14c_grouping_sets",
+    "d15b_range_join_binned",
+    "d18_math_functions",
+    "d19_array_functions",
+    "d20_json_functions",
+    "d21_conditional_null",
+    "d22_golden_point_lookup",
+    "d23_correlated_scalar_subquery",
+    "d24_exists_subquery",
+    "d28_relational_division",
+    # C — record transforms (3)
+    "c07_composite_key",
+    "c08_hashing",
+    "c09_orc_roundtrip",
     # B — streaming-core batch analogues (3)
-    "b03_sequence_numbering",
-    "b04b_bloom_first_seen",
-    "b12_stream_progress",
-    # A — sources/sinks/lake maintenance (9)
-    "a05_manifest_time_travel",
-    "a09_dlq_split",
-    "a11_raw_backup",
-    "a15_schema_evolution",
-    "a18_orphan_vacuum",
+    "b01_keyed_partition_order",
+    "b02b_salted_join",
+    "b07_replay_from_offset",
+    # A — sources/sinks/lake maintenance (4)
+    "a07_staging_upsert",
+    "a12_lake_roundtrip",
     "a19_deletion_vectors",
-    "a20_zone_map_pruning",
     "a21_write_audit_publish",
-    "a22_manifest_integrity",
     # O — CDC family (1)
     "o08_stream_scd2",
-    # G — LLM-data-pipeline operators (16)
-    "g02_dedup_minhash_lsh",
-    "g02b_dedup_ngram_jaccard",
-    "g07b_multimodal_features",
-    "g10_dedup_clusters",
-    "g16_pii_scrub",
-    "g20_incremental_dedup",
-    "g27_embedding_decontaminate",
-    "g35_stream_dedup_ingest",
-    "g37_containment_dedup",
-    "g38_semdedup",
-    "g40_stratified_sample",
-    "g41_filtered_knn",
-    "g45_vocab_coverage",
-    "g46_bpe_pair_stats",
-    "g48_persistent_ivf",
-    "g49_leakage_safe_split",
     # E — streaming semantics, batch-equivalent oracle form (4)
-    "e04_stream_late_data",
-    "e06_stream_stateful_buffer",
+    "e01_stream_tumbling_hourly",
+    "e02_stream_sliding_window",
+    "e05_stream_dedup",
     "e08_stream_lake_path",
-    "e12_stream_stream_join_kinesis_source",
-    # F — UDF/UDAF/UDTF surface (4)
-    "f01_scalar_pandas_udf",
+    # F — UDF/UDAF/UDTF surface (3)
     "f02_grouped_map",
     "f03_grouped_agg_udaf",
     "f04_python_udtf",
+    # G — LLM-data-pipeline operators (11)
+    "g03_knn_bruteforce",
+    "g03c_knn_ivf_ann",
+    "g03e_knn_join",
+    "g04_text_stats",
+    "g05_embedding_neardup",
+    "g07_multimodal_meta",
+    "g09_train_split",
+    "g14_quantize_embeddings",
+    "g35_stream_dedup_ingest",
+    "g41_filtered_knn",
+    "g48_persistent_ivf",
 ]
 
 

@@ -34,48 +34,66 @@ def test_driver_window_covers_every_family():
     # every window query must carry a full DuckDB oracle (hash-match check)
     assert all(n in o for n in window), [n for n in window if n not in o]
     # every operator family lands inside the hard-signal window (floors
-    # track the round-10 re-certification rotation: a 10->9 with a17/a23/
-    # a24 retired on the a05/a20/a22 witnesses, g 18->16 with seven G
-    # slots retired on in-window family witnesses while five churned G
-    # queries rotate back in, f covers all four F operators — see the
-    # registry.py rotation log for every named witness)
+    # track the round-11 FRESHNESS rotation: the complete 39-query r2–r4
+    # backlog rotates in (d 11->21, c 2->3, b/e hold at 3/4, a 9->4 with
+    # the lake-maintenance family retired on its r10 rows + a12/a21
+    # witnesses, g 16->11, f 4->3 with f01 witnessed by the in-window
+    # nearest-cell scalar pandas_udf) plus g03c, re-certifying the round
+    # its knn_ivf kernel was rewritten to delegate to the standing store
+    # — see the registry.py rotation log for every named witness)
     for prefix, minimum in [
-        ("d", 10), ("c", 2), ("b", 3), ("a", 9), ("o", 1),
-        ("g", 16), ("e", 4), ("f", 4),
+        ("d", 21), ("c", 3), ("b", 3), ("a", 4), ("o", 1),
+        ("g", 11), ("e", 4), ("f", 3),
     ]:
         got = sum(1 for n in window if n.startswith(prefix))
         assert got >= minimum, f"family {prefix}: {got} < {minimum}"
     # window curation must not drop any registered query entirely
     assert set(q) == set(registry.REGISTRY)
-    # round-10 rotation: the RE-certification round — fresh driver rows
-    # for queries whose code paths churned since their last row, the
-    # longest-stale r2/r3 rows, and the new persistent-IVF query
+    # round-11 rotation: the freshness round — every query whose last
+    # hard driver row predated round 5 gets a fresh one, and the round's
+    # churned code paths (a19/a21/e08/o08/g35/g41/g48, plus g03c's
+    # rewritten kernel) stay/come in for re-certification
     rotated_in = {
-        # churned code paths (r9 flush salt / dedup kernels / pipeline)
-        "a05_manifest_time_travel", "a18_orphan_vacuum",
-        "e08_stream_lake_path", "g02_dedup_minhash_lsh",
-        "g02b_dedup_ngram_jaccard", "g10_dedup_clusters",
-        "g20_incremental_dedup",
-        # longest-stale r2/r3 driver rows
-        "d01_projection", "d02_filter_predicate",
-        "d09_tumbling_hourly_agg", "d16_string_functions",
-        "d17_datetime_functions", "b03_sequence_numbering",
-        "c06_time_partition_cols",
-        # registered AND windowed in round 10
-        "g48_persistent_ivf", "g49_leakage_safe_split",
-        # re-certified the round its commit protocol gained the fencing
-        "a21_write_audit_publish",
+        # the complete r2–r4 freshness backlog (VERDICT r10 #1)
+        "d03_time_pruned_filter", "d04_limit", "d05_join_star",
+        "d08b_stats_aggregates", "d10_distinct", "d10c_percentiles",
+        "d11_sort_topn", "d12_latest_per_key", "d13_window_functions",
+        "d14_rollup", "d14b_cube", "d14c_grouping_sets",
+        "d15b_range_join_binned", "d18_math_functions",
+        "d19_array_functions", "d20_json_functions",
+        "d21_conditional_null", "d22_golden_point_lookup",
+        "d23_correlated_scalar_subquery", "d24_exists_subquery",
+        "d28_relational_division", "b01_keyed_partition_order",
+        "b02b_salted_join", "b07_replay_from_offset",
+        "c07_composite_key", "c08_hashing", "c09_orc_roundtrip",
+        "a07_staging_upsert", "a12_lake_roundtrip",
+        "e01_stream_tumbling_hourly", "e02_stream_sliding_window",
+        "e05_stream_dedup", "g03_knn_bruteforce", "g03e_knn_join",
+        "g04_text_stats", "g05_embedding_neardup", "g07_multimodal_meta",
+        "g09_train_split", "g14_quantize_embeddings",
+        # rewritten this round: knn_ivf now delegates to the IVF store
+        "g03c_knn_ivf_ann",
     }
     assert rotated_in <= set(window)
     rotated_out = {
-        "d07_set_ops", "d33_histogram", "d35_percentile_profile",
-        "d38_funnel_steps", "b02_salted_aggregation",
-        "a17_snapshot_diff", "a23_zorder_clustering",
-        "a24_symlink_manifest_export", "g03c_knn_ivf_ann",
-        "g18b_token_topk_sketch", "g19_dedup_keepers", "g30_bm25_score",
-        "g32_setsim_prefix_join", "g36_token_budget_sample",
-        "g47_length_bucketing", "g02c_dedup_simhash",
-        "a01b_kinesis_reshard",
+        "d01_projection", "d02_filter_predicate",
+        "d09_tumbling_hourly_agg", "d16_string_functions",
+        "d17_datetime_functions", "d30_recursive_hierarchy",
+        "d31_unpivot", "d32_gap_fill", "d34_asof_tolerance",
+        "d36_approx_percentile_check", "d39_cohort_retention",
+        "c06_time_partition_cols", "c14_gzip_jsonl_roundtrip",
+        "b03_sequence_numbering", "b04b_bloom_first_seen",
+        "b12_stream_progress", "a05_manifest_time_travel",
+        "a09_dlq_split", "a11_raw_backup", "a15_schema_evolution",
+        "a18_orphan_vacuum", "a20_zone_map_pruning",
+        "a22_manifest_integrity", "g02_dedup_minhash_lsh",
+        "g02b_dedup_ngram_jaccard", "g07b_multimodal_features",
+        "g10_dedup_clusters", "g16_pii_scrub", "g20_incremental_dedup",
+        "g27_embedding_decontaminate", "g37_containment_dedup",
+        "g38_semdedup", "g40_stratified_sample", "g45_vocab_coverage",
+        "g46_bpe_pair_stats", "g49_leakage_safe_split",
+        "e04_stream_late_data", "e06_stream_stateful_buffer",
+        "e12_stream_stream_join_kinesis_source", "f01_scalar_pandas_udf",
     }
     assert rotated_out & set(window) == set()
     # with this window, every registered query has had a driver slot
