@@ -428,6 +428,37 @@ def start_scd2_maintenance(
     )
 
 
+def _batch_input_bytes(checkpoint_dir: str, batch_id: int) -> int | None:
+    """Input bytes of a FILE-SOURCE micro-batch, from DRIVER METADATA only
+    (no Spark job): the file source's own write-ahead log for this batch
+    (``<checkpoint>/sources/0/<batch_id>``, one JSON line per input file)
+    names the exact files; their on-disk sizes are the batch's bytes.
+    ``batch_df.inputFiles()`` cannot supply this — for a streaming file
+    source the micro-batch plan is not a plain file scan and it returns an
+    EMPTY list (measured, Spark 4). Any source without a file WAL (kinesis,
+    rate, memory) -> None, and the caller must fall back to a row-count
+    gate. Raises nothing: unreadable/absent WAL is None."""
+    import json as _json
+    from urllib.parse import unquote, urlparse
+
+    wal = os.path.join(checkpoint_dir, "sources", "0", str(batch_id))
+    try:
+        paths = []
+        with open(wal) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or not line.startswith("{"):
+                    continue
+                p = _json.loads(line).get("path", "")
+                if p:
+                    paths.append(unquote(urlparse(p).path) if "://" in p else p)
+        if not paths:
+            return None
+        return sum(os.path.getsize(p) for p in paths)
+    except (OSError, ValueError):
+        return None
+
+
 def _index_dirs(root: str, upto_exclusive: int | None = None) -> list[str]:
     """Live directories of a standing index store: the newest ``compact=M``
     plus every ``batch=N`` with N > M (and N < upto_exclusive when given).
@@ -675,8 +706,20 @@ def start_dedup_ingest(
             docs = keep(batch_df)
             # the file source delivers the batch as one partition per input
             # file — spread the Arrow signing kernel across the executors
-            # (a 2 KB/doc shuffle buys a parallelism-times-faster UDF pass)
-            sign_par = spark.sparkContext.defaultParallelism
+            # (a 2 KB/doc shuffle buys a parallelism-times-faster UDF pass).
+            # The spread is BYTE-PROPORTIONAL (~256 KB of input per signing
+            # task, floor 4): an explicit repartition(N) is pinned —
+            # AQE cannot coalesce REPARTITION_BY_NUM — so sizing it to the
+            # cluster for a KB-scale trickle batch would pin dozens of
+            # near-empty tasks into every downstream stage of the trigger.
+            # A GB-scale batch still fans to the full parallelism.
+            par = spark.sparkContext.defaultParallelism
+            in_bytes = _batch_input_bytes(checkpoint_dir, batch_id)
+            sign_par = (
+                par
+                if in_bytes is None
+                else min(par, max(4, in_bytes // (256 << 10)))
+            )
             bb = keep(
                 band_rows(docs.repartition(sign_par)).withColumn(
                     "bucket", F.pmod("bh", F.lit(n_buckets)).cast("int")
@@ -697,31 +740,22 @@ def start_dedup_ingest(
                 )
 
             # Trigger shape from DRIVER METADATA only (no Spark job): the
-            # micro-batch's input bytes, which the file source listed
-            # already. A batch carrying >= 64 KB of documents per bucket
-            # on average touches ~every bucket, so bucket-pruning the
-            # standing read buys nothing there.
-            from urllib.parse import unquote, urlparse
-
-            try:
-                in_files = batch_df.inputFiles()
-                # a non-file source returns an EMPTY list (not an
-                # exception): without metadata it must take the trickle
-                # branch below, whose row-count gate bounds the broadcast
-                # — in_bytes=0 would otherwise flip a coverage-warmed
-                # stream to bulk with batch_is_small force-true
-                in_bytes = (
-                    sum(
-                        os.path.getsize(unquote(urlparse(p).path) if "://" in p else p)
-                        for p in in_files
-                    )
-                    if in_files
-                    else None
-                )
-            except (OSError, ValueError):
-                in_bytes = None
-            bulk = in_bytes is not None and (
-                in_bytes >= n_buckets * (64 << 10) or _coverage["frac"] >= 0.75
+            # micro-batch's input bytes via the file source's WAL for this
+            # batch (see _batch_input_bytes — inputFiles() is empty for
+            # streaming file sources). A batch carrying >= 64 KB of
+            # documents per bucket on average touches ~every bucket, so
+            # bucket-pruning the standing read buys nothing there. A
+            # sourceless batch (no WAL -> None) always takes the trickle
+            # branch, whose row-count gate bounds the broadcast.
+            # an EMPTY standing index (first trigger, or restart before
+            # anything landed) makes both trickle collects pure waste:
+            # there is no standing read to prune and no prior corpus to
+            # fetch — run it as one action. The probe is one listdir, and
+            # stable mid-compaction (compacting never empties a store).
+            has_standing = bool(_index_dirs(bands_dir, upto_exclusive=batch_id))
+            bulk = not has_standing or (
+                in_bytes is not None
+                and (in_bytes >= n_buckets * (64 << 10) or _coverage["frac"] >= 0.75)
             )
             # the bands write ALWAYS overlaps the candidate/verify chain
             # (nothing in this trigger reads this batch's bands dir; the
@@ -734,7 +768,9 @@ def start_dedup_ingest(
                 # both useless — skip them; serial chain = candidates +
                 # corpus write only
                 batch_buckets = None  # standing read stays unpruned
-                batch_is_small = in_bytes <= (64 << 20)
+                # no byte metadata (sourceless first trigger) -> no forced
+                # broadcast; AQE decides from runtime stats
+                batch_is_small = in_bytes is not None and in_bytes <= (64 << 20)
             else:
                 # TRICKLE batch (or a non-file source with no byte
                 # metadata): one bounded collect (<= n_buckets rows,
