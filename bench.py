@@ -95,6 +95,10 @@ HEADLINE = [
     # headline the round they land
     "g48_persistent_ivf",
     "g49_leakage_safe_split",
+    # round-11 addition: the one-shot IVF path now delegates to the
+    # standing store (build + driver-side probe + temp-store drop) — its
+    # cost joins the headline the round the kernel was rewritten
+    "g03c_knn_ivf_ann",
 ]
 
 

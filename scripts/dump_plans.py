@@ -312,9 +312,11 @@ def main() -> None:
         "knn_ivf_indexed (g48 probe stage)",
         "The standing-index probe: `PartitionFilters: [cell IN (...)]` on "
         "the cells scan — only the nprobe probed cell partitions open — and "
-        "exactly ONE `ArrowEvalPython` (the query-side probe UDF): the "
-        "corpus is never re-assigned, so repeated kNN pays O(probed cells), "
-        "not O(corpus).",
+        "ZERO Python evaluations (the serving default runs the probe matmul "
+        "driver-side against the in-hand centroids under the `max_queries` "
+        "dial; `queries_are_small=False` keeps a large query set distributed "
+        "via one Arrow probe UDF): the corpus is never re-assigned, so "
+        "repeated kNN pays O(probed cells), not O(corpus).",
         knn_ivf_indexed(
             spark,
             ivf_dir,

@@ -1560,3 +1560,36 @@ def test_dedup_ingest_survives_crash_and_resume(spark, tmp_path):
     # every landed doc exactly once (replay overwrote, never duplicated)
     corpus = read_dedup_corpus(spark, idx)
     assert corpus.count() == corpus.select("doc_id").distinct().count()
+
+
+def test_batch_input_bytes_reads_source_wal(tmp_path):
+    """_batch_input_bytes: the trigger-shape metadata comes from the file
+    source's WAL (inputFiles() is EMPTY for streaming micro-batches —
+    measured, Spark 4). Parses v1 JSON-line entries, sums on-disk sizes,
+    and returns None for absent/contentless WALs (sourceless batches must
+    take the row-count-gated trickle branch)."""
+    import json as _json
+
+    from aws_kinesis_spark.streaming.pipeline import _batch_input_bytes
+
+    ck = tmp_path / "ckpt"
+    (ck / "sources" / "0").mkdir(parents=True)
+    f1 = tmp_path / "a.parquet"
+    f2 = tmp_path / "b b.parquet"  # space: URL-quoting must round-trip
+    f1.write_bytes(b"x" * 1000)
+    f2.write_bytes(b"y" * 234)
+    wal = ck / "sources" / "0" / "7"
+    wal.write_text(
+        "v1\n"
+        + _json.dumps({"path": f1.as_uri(), "timestamp": 1, "batchId": 7})
+        + "\n"
+        + _json.dumps({"path": f2.as_uri(), "timestamp": 2, "batchId": 7})
+        + "\n"
+    )
+    assert _batch_input_bytes(str(ck), 7) == 1234
+    # absent batch file / missing checkpoint -> None (never raises)
+    assert _batch_input_bytes(str(ck), 8) is None
+    assert _batch_input_bytes(str(tmp_path / "nope"), 0) is None
+    # WAL present but no entries (version line only) -> None
+    (ck / "sources" / "0" / "9").write_text("v1\n")
+    assert _batch_input_bytes(str(ck), 9) is None
