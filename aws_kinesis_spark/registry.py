@@ -344,6 +344,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        d15b, d18, d19, d20, d21, d22, d23, d24, d28, b01, b02b, b07,
 #        c07, c08, c09, a07, a12, e01, e02, e05, g03, g03c, g03e, g04,
 #        g05, g07, g09, g14
+# Post-r11 freshness ledger (for the round-12 rotation): latest-hard-row
+# distribution is r11:50 r10:40 r9:16 r8:14 r6:26 r5:18 — nothing older
+# than r5 remains. The r5 block (18: a01, a10, b04, b05, c01, c13, d08,
+# d15, d26, d27, e10, g01, g04b, g06, g07d, g11, g12, o04) is the next
+# rotation's natural incoming set, then the r6 block (26).
 DRIVER_WINDOW: list[str] = [
     # D — relational core (21): the r2–r4 freshness backlog, complete
     "d03_time_pruned_filter",
