@@ -1872,11 +1872,21 @@ def a24_symlink_manifest_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     # producers landing separate buffers would have
     from concurrent.futures import ThreadPoolExecutor
 
+    # each half-envelope is a pure function of orders — parquet fixture
+    # per sf_dir (g35/a19 precedent); each flush's two consumers re-scan
+    # cheap parquet instead of re-synthesizing
+    halves = [
+        _envelope_fixture(
+            spark, sf_dir, f"a24fix{i}",
+            lambda i=i: synthesize_envelope(o.filter(F.col("o_orderkey") % 2 == i)),
+        )
+        for i in range(2)
+    ]
     with ThreadPoolExecutor(max_workers=2) as pool:
         futs = [
             pool.submit(
                 run_lake_batch,
-                synthesize_envelope(o.filter(F.col("o_orderkey") % 2 == i)),
+                halves[i],
                 lake, batch_id=i, raw_backup=False, files_per_partition=16,
             )
             for i in range(2)
