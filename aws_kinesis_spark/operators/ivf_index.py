@@ -53,14 +53,6 @@ _CENTROIDS = "_centroids"
 _CELLS = "cells"
 
 
-def _write_atomic_dir(df: DataFrame, final: str) -> None:
-    tmp = final + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    df.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(final, ignore_errors=True)
-    os.replace(tmp, final)
-
-
 def _meta_path(index_dir: str) -> str:
     return os.path.join(index_dir, _META)
 
@@ -70,12 +62,42 @@ def _load_meta(index_dir: str) -> dict:
         return json.load(f)
 
 
-def _load_centroids(spark: SparkSession, index_dir: str, nlist: int) -> np.ndarray:
-    """Driver-side centroid load — bounded by nlist rows (the same
-    explicit-dial collect convention as the training sample)."""
-    cent_df = spark.read.parquet(os.path.join(index_dir, _CENTROIDS))
-    rows = cent_df.orderBy("cell").limit(nlist).collect()
-    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+def _write_centroids(cent: np.ndarray, index_dir: str) -> None:
+    """Centroids are DRIVER metadata (nlist x dim — the stored model, the
+    vector analogue of a zone-map stats file): written with pyarrow
+    directly, so a build spends no Spark job on an nlist-row table. Same
+    tmp-dir + atomic-rename commit as every other store object."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    final = os.path.join(index_dir, _CENTROIDS)
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    table = pa.table(
+        {
+            "cell": pa.array(range(len(cent)), pa.int32()),
+            "centroid": pa.array(
+                [c.tolist() for c in cent], pa.list_(pa.float64())
+            ),
+        }
+    )
+    pq.write_table(table, os.path.join(tmp, "part-0.parquet"))
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(tmp, final)
+
+
+def _load_centroids(index_dir: str, nlist: int) -> np.ndarray:
+    """Driver-side centroid load — nlist rows of planner metadata, read
+    with pyarrow directly (no Spark collect job on the probe path; `_`-
+    prefixed files like Spark's _SUCCESS are ignored per the hadoop
+    convention, so stores written by earlier Spark-writing builds read
+    identically)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(index_dir, _CENTROIDS)).to_pydict()
+    rows = sorted(zip(t["cell"], t["centroid"]))[:nlist]
+    return np.array([c for _, c in rows], dtype=np.float64)
 
 
 def _cells_schema(meta: dict) -> T.StructType:
@@ -125,18 +147,7 @@ def build_ivf_index(
     # a missing meta as "no index", which is exactly right mid-rebuild
     if os.path.exists(_meta_path(index_dir)):
         os.remove(_meta_path(index_dir))
-    # Arrow-path createDataFrame + repartition(1): a row-list local
-    # relation coalesced to 1 pays seconds of per-row plumbing for this
-    # 32-row table (measured 5-6 s vs 0.4 s)
-    import pandas as pd
-
-    cent_pdf = pd.DataFrame(
-        {"cell": range(len(cent)), "centroid": [c.tolist() for c in cent]}
-    )
-    cent_df = spark.createDataFrame(
-        cent_pdf, "cell int, centroid array<double>"
-    ).repartition(1)
-    _write_atomic_dir(cent_df, os.path.join(index_dir, _CENTROIDS))
+    _write_centroids(cent, index_dir)
 
     cells_dir = os.path.join(index_dir, _CELLS)
     shutil.rmtree(cells_dir, ignore_errors=True)
@@ -159,9 +170,8 @@ def update_ivf_index(
     maintenance posture) and append them as a new batch dir. Idempotent per
     batch_id: a replayed append overwrites its own dir and converges.
     Returns the batch id written."""
-    spark = new_vectors.sparkSession
     meta = _load_meta(index_dir)
-    cent = _load_centroids(spark, index_dir, meta["nlist"])
+    cent = _load_centroids(index_dir, meta["nlist"])
     cells_dir = os.path.join(index_dir, _CELLS)
     if batch_id is None:
         # compact=M supersedes batches <= M, and _index_dirs only reads
@@ -248,7 +258,7 @@ def knn_ivf_indexed(
     of post-filtering an unfiltered top-k."""
     meta = _load_meta(index_dir)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    cent = _load_centroids(spark, index_dir, meta["nlist"])
+    cent = _load_centroids(index_dir, meta["nlist"])
     if queries_are_small:
         # bounded driver collect: the explicit-dial convention of the IVF
         # training sample (and the max_reference eval-set probe)

@@ -393,8 +393,6 @@ def test_collect_sites_whitelisted():
                                                       # + batch size, trickle
                                                       # path only)
         ("streaming/pipeline.py", "cand_buckets"),    # <= n_buckets ints
-        ("operators/ivf_index.py", "nlist"),          # <= nlist centroid rows
-                                                      # (the stored model)
         ("operators/ivf_index.py", "probed"),         # <= nlist probed-cell
                                                       # ids: partition-pruning
                                                       # keys, g35 pattern
