@@ -502,3 +502,59 @@ def test_bpe_pair_stats_match_naive(spark_session, docs):
     finally:
         tables.load = orig
     assert got == [(p, c) for p, c in expected]
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.lists(
+                st.floats(
+                    min_value=-1.0, max_value=1.0,
+                    allow_nan=False, allow_infinity=False, width=32,
+                ),
+                min_size=4, max_size=4,
+            ),
+        ),
+        min_size=4, max_size=24,
+        unique_by=lambda t: t[0],
+    ),
+    split=st.integers(min_value=0, max_value=3),
+)
+def test_ivf_store_full_probe_equals_bruteforce(spark_session, vecs, split, tmp_path_factory):
+    """PROPERTY (the g48 store contract over arbitrary corpora): build the
+    store on one subset, append the rest through incremental maintenance,
+    and a FULL probe (nprobe = nlist) must return exactly the brute-force
+    top-k — same pairs, same scores — and the store must hold every id
+    exactly once. Any drift means the build/append/probe chain dropped,
+    duplicated or mis-scored a vector."""
+    import numpy as np
+
+    from aws_kinesis_spark.operators.ivf_index import (
+        build_ivf_index,
+        knn_ivf_indexed,
+        read_ivf_cells,
+        update_ivf_index,
+    )
+    from aws_kinesis_spark.operators.similarity import knn_bruteforce
+
+    # zero vectors have no cosine direction — give every vector mass on a
+    # tail dimension so norms are bounded away from 0
+    rows = [(i, [*v, 1.0]) for i, v in vecs]
+    df = spark_session.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    idx = str(tmp_path_factory.mktemp("ivf_prop"))
+    base = df.filter(F.col("vec_id") % 4 != split)
+    rest = df.filter(F.col("vec_id") % 4 == split)
+    nlist = 4
+    build_ivf_index(base if base.count() else df, idx, nlist=nlist, train_rows=64)
+    if base.count() and rest.count():
+        update_ivf_index(rest, idx)
+    ids = read_ivf_cells(spark_session, idx).select("vec_id")
+    assert ids.count() == ids.distinct().count() == df.count()
+    queries = df.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = knn_ivf_indexed(spark_session, idx, queries, k=5, nprobe=nlist)
+    exact = knn_bruteforce(df, queries, k=5)
+    g = {(r.query_id, r.neighbor_id, r.cos_sim) for r in got.collect()}
+    e = {(r.query_id, r.neighbor_id, r.cos_sim) for r in exact.collect()}
+    assert g == e
