@@ -559,9 +559,10 @@ def test_rename_sites_enumerated_against_s3_translation_table():
         ("sources/lake.py", "build_zone_maps"),         # stats-table marker
         ("sources/lake.py", "update_zone_maps"),        # stats-table marker
                                                         # (incremental swap)
-        ("operators/ivf_index.py", "_write_atomic_dir"),  # centroid-table
+        ("operators/ivf_index.py", "_write_centroids"),  # centroid-table
                                                         # swap (stats-table
-                                                        # marker discipline)
+                                                        # marker discipline,
+                                                        # pyarrow-written)
         ("operators/ivf_index.py", "build_ivf_index"),  # meta-last PUT flips
                                                         # the index readable
         ("streaming/pipeline.py", "flush"),             # _CURRENT pointer CAS
