@@ -44,6 +44,7 @@ from aws_kinesis_spark.operators.similarity import (
     cosine_topk_from_candidates,
     nearest_cell_udf,
     probe_cells_udf,
+    probe_top_cells,
     train_ivf_centroids,
 )
 from aws_kinesis_spark.streaming.pipeline import _index_dirs, _read_index_dirs
@@ -108,14 +109,26 @@ def _cells_schema(meta: dict) -> T.StructType:
 
 
 def _write_cells_batch(assigned: DataFrame, cells_dir: str, batch_id: int) -> None:
-    # cluster by cell so each batch lands ~one file per cell (a probe's
-    # open cost is O(probed cells), not O(writer parallelism x cells))
+    """One batch dir, committed ATOMICALLY (write to ``batch=N.tmp``, one
+    rename): a crash mid-append must not leave a torn batch visible under
+    a committed meta — unlike the g35 stores, an update_ivf_index caller
+    has no streaming checkpoint forcing a replay that would overwrite it.
+    ``.tmp``-suffixed dirs are invisible to _index_dirs and to the
+    auto-numbering listdir, and a stale one is reclaimed by the next write
+    of the same batch id. Clustered by cell so each batch lands ~one file
+    per cell (a probe's open cost is O(probed cells), not
+    O(writer parallelism x cells))."""
+    final = os.path.join(cells_dir, f"batch={batch_id}")
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
     (
         assigned.repartition(F.col("cell"))
         .write.partitionBy("cell")
         .mode("overwrite")
-        .parquet(os.path.join(cells_dir, f"batch={batch_id}"))
+        .parquet(tmp)
     )
+    shutil.rmtree(final, ignore_errors=True)  # replay overwrites, atomically
+    os.replace(tmp, final)
 
 
 def build_ivf_index(
@@ -269,37 +282,50 @@ def knn_ivf_indexed(
                 "queries_are_small=False to keep the probe distributed"
             )
         if not qrows:
-            raise ValueError("knn_ivf_indexed: query set is empty")
+            # same semantics as the distributed path and the pre-store
+            # kernels: an empty query batch returns an empty top-k
+            id_type = T.StructType.fromJson(json.loads(meta["row_schema"]))[
+                id_col
+            ].dataType
+            return spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField(
+                            query_id_col, queries.schema[query_id_col].dataType
+                        ),
+                        T.StructField("neighbor_id", id_type),
+                        T.StructField("cos_sim", T.DoubleType()),
+                    ]
+                ),
+            )
         import pandas as pd
 
-        qx = np.array([r[1] for r in qrows], dtype=np.float64)
-        if qx.ndim != 2 or qx.shape[1] != int(meta["dim"]):
-            raise ValueError(
-                f"query embedding dim {qx.shape[1] if qx.ndim == 2 else '?'} "
-                f"does not match the index's centroid dim {meta['dim']}"
-            )
-        u = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
-        top = np.argsort(-(u @ cent.T), axis=1)[:, : min(nprobe, len(cent))]
+        # the SHARED probe kernel (similarity.probe_top_cells) — the same
+        # normalize+matmul+argsort the Arrow UDF runs, so both strategies
+        # agree by construction
+        top = probe_top_cells(
+            np.array([r[1] for r in qrows], dtype=np.float64), cent, nprobe
+        )
         probed = sorted({int(c) for c in top.reshape(-1)})
         reps = top.shape[1]
         qpdf = pd.DataFrame(
             {
                 query_id_col: [r[0] for r in qrows for _ in range(reps)],
                 "__qvec": [r[1] for r in qrows for _ in range(reps)],
-                "cell": top.astype("int32").reshape(-1),
+                "cell": top.reshape(-1),
             }
         )
-        # __qvec keeps the INDEX's exact element type (float stays float)
-        # so cosine scores are bit-identical to the in-plan probe path
-        vec_type = T.StructType.fromJson(json.loads(meta["row_schema"]))[
-            vec_col
-        ].dataType
+        # __qvec keeps the QUERY table's own element type — exactly what
+        # the distributed path's `F.col(vec_col).alias("__qvec")` carries,
+        # so cosine scores match across strategies even when the query
+        # type differs from the index's stored type
         qdf = spark.createDataFrame(
             qpdf,
             T.StructType(
                 [
                     T.StructField(query_id_col, queries.schema[query_id_col].dataType),
-                    T.StructField("__qvec", vec_type),
+                    T.StructField("__qvec", queries.schema[vec_col].dataType),
                     T.StructField("cell", T.IntegerType()),
                 ]
             ),

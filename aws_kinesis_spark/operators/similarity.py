@@ -103,17 +103,31 @@ def train_ivf_centroids(
     return _spherical_kmeans(train, nlist=min(nlist, len(train)))
 
 
-def _unit_batch(vecs: pd.Series, cent: np.ndarray) -> np.ndarray:
-    """Arrow batch -> L2-normalized matrix, with a NAMED dim check (a
+def _unit_rows(x: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """(n x dim) float matrix -> L2-normalized, with a NAMED dim check (a
     mismatched embedding otherwise dies in a cryptic BLAS shape error
     deep in an executor)."""
-    x = np.array(vecs.tolist(), dtype=np.float64)
     if x.ndim != 2 or x.shape[1] != cent.shape[1]:
         raise ValueError(
             f"embedding dim {x.shape[1] if x.ndim == 2 else '?'} does not "
             f"match the index's centroid dim {cent.shape[1]}"
         )
     return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+
+def _unit_batch(vecs: pd.Series, cent: np.ndarray) -> np.ndarray:
+    """Arrow batch -> L2-normalized matrix (see _unit_rows)."""
+    return _unit_rows(np.array(vecs.tolist(), dtype=np.float64), cent)
+
+
+def probe_top_cells(x: np.ndarray, cent: np.ndarray, nprobe: int) -> np.ndarray:
+    """THE probe kernel (normalize + matmul + argsort, ties by cell id via
+    argsort stability): top-nprobe nearest cells per row. The single
+    implementation behind both the Arrow probe UDF and knn_ivf_indexed's
+    driver-side probe — the two strategies must agree by construction."""
+    u = _unit_rows(x, cent)
+    top = np.argsort(-(u @ cent.T), axis=1)[:, : min(nprobe, len(cent))]
+    return top.astype(np.int32)
 
 
 def nearest_cell_udf(cent: np.ndarray):
@@ -129,16 +143,16 @@ def nearest_cell_udf(cent: np.ndarray):
 
 
 def probe_cells_udf(cent: np.ndarray, nprobe: int):
-    """Arrow-batched top-nprobe cell probe for the QUERY side — the same
-    broadcast-centroid matmul as assignment, so the query table is never
-    collected and can be arbitrarily large."""
-    n_cells = len(cent)
+    """Arrow-batched top-nprobe cell probe for the QUERY side — wraps the
+    shared probe_top_cells kernel, so the query table is never collected
+    and can be arbitrarily large."""
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def probe_cells(vecs: pd.Series) -> pd.Series:
-        x = _unit_batch(vecs, cent)
-        top = np.argsort(-(x @ cent.T), axis=1)[:, : min(nprobe, n_cells)]
-        return pd.Series([t.tolist() for t in top.astype(np.int32)])
+        top = probe_top_cells(
+            np.array(vecs.tolist(), dtype=np.float64), cent, nprobe
+        )
+        return pd.Series([t.tolist() for t in top])
 
     return probe_cells
 

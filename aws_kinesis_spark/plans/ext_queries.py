@@ -1965,8 +1965,10 @@ def g48_persistent_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     no retrain, new batch dir only — the FAISS ``add`` / zone-map-update
     posture), then answer kNN from the store alone: knn_ivf_indexed runs
     NO training and NO corpus assignment, it opens only the nprobe probed
-    ``cell=C`` partitions (partition pruning + single query-side probe UDF
-    plan-locked in tests/test_ivf_index.py).
+    ``cell=C`` partitions — the serving default runs the probe matmul
+    driver-side against the in-hand centroids, so the probe plan carries
+    ZERO Python evaluations (partition pruning and the no-UDF plan locked
+    in tests/test_ivf_index.py).
 
     Driver-checkable oracle form: same (n_exact, recall_ok) shape as
     g03b/g03c — aggregate recall@10 >= 0.5 vs the brute-force twin over

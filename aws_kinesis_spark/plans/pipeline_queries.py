@@ -37,7 +37,12 @@ def _envelope_fixture(spark, sf_dir: str, name: str, build) -> "DataFrame":
     key = (name, sf_dir)
     path = _ENV_FIXTURES.get(key)
     if path is None or not os.path.isdir(path):
-        path = os.path.join(_scratch(name), "env")
+        # the sf tag keeps each scale factor's fixture at its OWN path — a
+        # shared path would let a second sf_dir's build silently replace
+        # the data behind the first one's cache entry (one process runs
+        # multiple scale factors: bench warmup vs timed dir, test suites)
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        path = os.path.join(_scratch(f"{name}-{tag}"), "env")
         build().write.mode("overwrite").parquet(path)
         _ENV_FIXTURES[key] = path
     return spark.read.parquet(path)

@@ -441,7 +441,13 @@ def _batch_input_bytes(checkpoint_dir: str, batch_id: int) -> int | None:
     import json as _json
     from urllib.parse import unquote, urlparse
 
-    wal = os.path.join(checkpoint_dir, "sources", "0", str(batch_id))
+    src_dir = os.path.join(checkpoint_dir, "sources", "0")
+    # every compactInterval-th batch (default 10) is logged as
+    # "<id>.compact" — a COMPACTED log holding the whole history, so
+    # entries must be filtered to THIS batch's id either way
+    wal = os.path.join(src_dir, str(batch_id))
+    if not os.path.exists(wal):
+        wal = os.path.join(src_dir, f"{batch_id}.compact")
     try:
         paths = []
         with open(wal) as fh:
@@ -449,8 +455,9 @@ def _batch_input_bytes(checkpoint_dir: str, batch_id: int) -> int | None:
                 line = line.strip()
                 if not line or not line.startswith("{"):
                     continue
-                p = _json.loads(line).get("path", "")
-                if p:
+                entry = _json.loads(line)
+                p = entry.get("path", "")
+                if p and entry.get("batchId") == batch_id:
                     paths.append(unquote(urlparse(p).path) if "://" in p else p)
         if not paths:
             return None
@@ -474,7 +481,9 @@ def _index_dirs(root: str, upto_exclusive: int | None = None) -> list[str]:
     base = max(compacts) if compacts else -1
     out = [os.path.join(root, f"compact={base}")] if base >= 0 else []
     for d in names:
-        if not d.startswith("batch="):
+        # ".tmp"-suffixed dirs are in-flight atomic writes (IVF cell
+        # appends) — invisible until their commit rename
+        if not d.startswith("batch=") or d.endswith(".tmp"):
             continue
         n = int(d.split("=")[1])
         if n > base and (upto_exclusive is None or n < upto_exclusive):

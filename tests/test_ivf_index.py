@@ -178,6 +178,46 @@ def test_rebuild_resets_store_atomically(spark, em, tmp_path):
     assert ids.count() == ids.distinct().count() == em.count()
 
 
+def test_interrupted_append_stays_invisible(spark, em, tmp_path, monkeypatch):
+    """Round-11 review: a crash mid-append must not leave a torn batch
+    visible under the committed meta — the tmp-dir write is invisible to
+    readers until its one commit rename, and the next auto-numbered append
+    does not skip past the torn attempt's id."""
+    import aws_kinesis_spark.operators.ivf_index as ivf
+
+    idx = str(tmp_path / "ivf")
+    half = em.filter(F.col("vec_id") % 2 == 0)
+    rest = em.filter(F.col("vec_id") % 2 == 1)
+    build_ivf_index(half, idx, nlist=8)
+    n_before = read_ivf_cells(spark, idx).count()
+
+    real_replace = os.replace
+
+    def crash_before_commit(src, dst):
+        if "batch=1" in str(dst):
+            raise RuntimeError("crash before the append's commit rename")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(ivf.os, "replace", crash_before_commit)
+    with pytest.raises(RuntimeError, match="commit rename"):
+        update_ivf_index(rest, idx)
+    monkeypatch.undo()
+    # the torn attempt is invisible: same content as before the crash
+    assert read_ivf_cells(spark, idx).count() == n_before
+    # the retried append lands under the SAME id and completes the store
+    assert update_ivf_index(rest, idx) == 1
+    ids = read_ivf_cells(spark, idx).select("vec_id")
+    assert ids.count() == ids.distinct().count() == em.count()
+
+
+def test_empty_query_set_returns_empty_topk(spark, em, index):
+    """An empty query batch returns an empty top-k frame (same semantics
+    as the distributed path and the pre-store kernels), not an error."""
+    got = knn_ivf_indexed(spark, index, _queries(em, 0), k=5, nprobe=4)
+    assert got.count() == 0
+    assert set(got.columns) == {"query_id", "neighbor_id", "cos_sim"}
+
+
 def test_interrupted_rebuild_leaves_index_uncommitted(spark, em, tmp_path, monkeypatch):
     """ADVICE r10: a crash mid-rebuild must not leave the OLD meta standing
     over a half-swapped centroids/cells store — the meta is removed first,

@@ -1171,3 +1171,29 @@ def test_wap_publish_refuses_when_staged_files_vanished(spark, envelope, tmp_pat
     assert not os.path.exists(
         os.path.join(lake, "_manifests", "manifest-0000000007.json")
     )
+
+
+def test_envelope_fixture_keeps_scale_factors_apart(spark):
+    """Regression (round-11 review): one process runs MULTIPLE scale
+    factors (bench warms at sf0.001 then times at sf0.1; suites mix smoke
+    and correctness dirs). Each (query, sf_dir) fixture must keep its own
+    path — a shared path lets a later sf_dir's build replace the data
+    behind an earlier cache entry, silently serving the wrong corpus."""
+    from aws_kinesis_spark.plans.pipeline_queries import _envelope_fixture
+    from aws_kinesis_spark.sources.envelope import synthesize_envelope
+    from aws_kinesis_spark.tables import load
+
+    sfs = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    counts = {}
+    for sf in sfs:  # build both, in order
+        o = load(spark, sf, "orders")
+        counts[sf] = _envelope_fixture(
+            spark, sf, "fixture_iso_test", lambda o=o: synthesize_envelope(o)
+        ).count()
+    for sf in sfs:  # re-read AFTER the other sf built: must be unchanged
+        o = load(spark, sf, "orders")
+        env = _envelope_fixture(
+            spark, sf, "fixture_iso_test", lambda o=o: synthesize_envelope(o)
+        )
+        assert env.count() == counts[sf] == o.count()
+    assert counts[sfs[0]] != counts[sfs[1]]  # the two scales really differ

@@ -563,6 +563,9 @@ def test_rename_sites_enumerated_against_s3_translation_table():
                                                         # swap (stats-table
                                                         # marker discipline,
                                                         # pyarrow-written)
+        ("operators/ivf_index.py", "_write_cells_batch"),  # atomic cell-batch
+                                                        # append (tmp dir ->
+                                                        # one commit rename)
         ("operators/ivf_index.py", "build_ivf_index"),  # meta-last PUT flips
                                                         # the index readable
         ("streaming/pipeline.py", "flush"),             # _CURRENT pointer CAS

@@ -1593,3 +1593,13 @@ def test_batch_input_bytes_reads_source_wal(tmp_path):
     # WAL present but no entries (version line only) -> None
     (ck / "sources" / "0" / "9").write_text("v1\n")
     assert _batch_input_bytes(str(ck), 9) is None
+    # every compactInterval-th batch lands as "<id>.compact" and holds the
+    # WHOLE history — only THIS batch's entries may count
+    (ck / "sources" / "0" / "10.compact").write_text(
+        "v1\n"
+        + _json.dumps({"path": f1.as_uri(), "timestamp": 1, "batchId": 7})
+        + "\n"
+        + _json.dumps({"path": f2.as_uri(), "timestamp": 3, "batchId": 10})
+        + "\n"
+    )
+    assert _batch_input_bytes(str(ck), 10) == 234
