@@ -129,6 +129,24 @@ def apply_cdc(
     same-seq tombstone silently resurrects the key), then by op for a
     total order that is identical across runs/partitions.
     """
+    return collapse_cdc(cdc, keys, seq_col, op_col, delete_op).filter(
+        F.col(op_col) != delete_op
+    )
+
+
+def collapse_cdc(
+    cdc: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """The winning (rank-1) record per key under apply_cdc's exact order —
+    TOMBSTONES INCLUDED. A consumer that needs both the surviving state
+    AND the deleted-key set (the warehouse merge) derives them from ONE
+    collapse, so both sides share the same delete-wins tie-break: deriving
+    the delete set from a second window with a different order lost tied
+    tombstones and resurrected their keys (round-11 review)."""
     w = Window.partitionBy(*keys).orderBy(
         F.desc(seq_col), F.desc((F.col(op_col) == delete_op).cast("int")), F.desc(op_col)
     )
@@ -136,7 +154,6 @@ def apply_cdc(
         cdc.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
-        .filter(F.col(op_col) != delete_op)
     )
 
 

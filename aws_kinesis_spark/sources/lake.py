@@ -83,12 +83,21 @@ def _list_parquet_files(root: str) -> list[str]:
     return sorted(out)
 
 
-def write_manifest(lake_dir: str, batch_id: int, files: list[str], n_records: int) -> str:
+def write_manifest(
+    lake_dir: str,
+    batch_id: int,
+    files: list[str],
+    n_records: int,
+    subdir: str = "_manifests",
+) -> str:
     """Atomic manifest commit (README.md:291-303, 514-523): entries[] lists
     the exact object URLs; the manifest appears only after all data files
     are durable (write-to-temp + atomic rename mirrors the reference's
-    ordered-two-PUT protocol, README.md:413-421). Idempotent per batch_id."""
-    manifest_dir = os.path.join(lake_dir, "_manifests")
+    ordered-two-PUT protocol, README.md:413-421). Idempotent per batch_id.
+    ``subdir="_staged"`` parks the manifest for WAP staging instead of
+    publishing it — the batch is then invisible to every manifest reader
+    until publish_staged_batch's rename."""
+    manifest_dir = os.path.join(lake_dir, subdir)
     os.makedirs(manifest_dir, exist_ok=True)
     payload = {
         "batchId": batch_id,
@@ -134,6 +143,7 @@ def run_lake_batch(
     raw_backup: bool = True,
     dynamic_tables: bool = False,
     files_per_partition: int = 1,
+    manifest_subdir: str = "_manifests",
 ) -> FlushStats:
     """One buffer flush through the lake path (README.md:266-303):
     decode -> DLQ split -> partitioned snappy parquet -> manifest -> backup.
@@ -231,7 +241,7 @@ def run_lake_batch(
         if raw_f is not None:
             raw_f.result()  # manifest-last: backup is durable before commit
 
-    manifest = write_manifest(lake_dir, batch_id, files, n_ok)
+    manifest = write_manifest(lake_dir, batch_id, files, n_ok, subdir=manifest_subdir)
     return FlushStats(
         batch_id=batch_id,
         n_ok=n_ok,
@@ -287,10 +297,29 @@ def read_incremental(
     table. File-level pruning: each manifest lists only its own batch's
     objects, so the diff is a manifest union, no data listing or scan of
     prior commits at any size. A range holding only empty batches yields an
-    empty delta (schema from the latest non-empty commit), not an error."""
+    empty delta (schema from the latest non-empty commit), not an error.
+
+    Batch-id GAPS are legal: drop_staged_batch retracts an audited-and-
+    failed stage forever, so a missing manifest whose id was never
+    published reads as a zero-file batch. A manifest missing because the
+    batch is still parked in ``_staged/`` raises instead — skipping it
+    would silently drop the batch from every consumer that checkpoints
+    past it once it publishes (round-11 review)."""
     files: list[str] = []
     for b in range(after_batch + 1, upto_batch + 1):
-        files.extend(e["url"] for e in read_manifest(lake_dir, b)["entries"])
+        try:
+            files.extend(e["url"] for e in read_manifest(lake_dir, b)["entries"])
+        except FileNotFoundError:
+            staged = os.path.join(
+                lake_dir, "_staged", f"manifest-{b:010d}.json"
+            )
+            if os.path.exists(staged):
+                raise RuntimeError(
+                    f"read_incremental: batch {b} is staged but unpublished — "
+                    "a consistent delta through it does not exist yet "
+                    "(publish or drop the stage first)"
+                )
+            continue  # dropped stage: the batch never existed to readers
     if not files:
         return _empty_like_lake(spark, lake_dir)
     return spark.read.parquet(*files)
@@ -335,6 +364,11 @@ def vacuum_orphans(lake_dir: str, older_than_seconds: float = 3600.0) -> VacuumS
     in flight (tests, single-writer maintenance windows)."""
     import time
 
+    # heal any stranded compaction swap FIRST: after a swap-window crash
+    # the partition's only copy lives in <leaf>.compact.old — unreferenced
+    # by any manifest and old-mtimed, i.e. exactly what the orphan sweep
+    # below would otherwise delete (round-11 review)
+    _heal_compaction_crashes(lake_dir)
     cutoff = time.time() - older_than_seconds
     referenced: set[str] = set()
     # staged (write-audit-publish) manifests count as references: a batch
@@ -418,7 +452,12 @@ def expire_partitions(
                 if f.endswith(".parquet"):
                     n_files += 1
                     n_bytes += os.path.getsize(os.path.join(dirpath, f))
-    expired_set = set(expired_dirs)
+    # realpath-normalize WHILE the dirs still exist: manifests may record
+    # urls under a different spelling of lake_dir (absolute vs relative vs
+    # symlinked) than this sweep was invoked with — a raw string compare
+    # would silently skip the rewrite and leave dangling entries (the same
+    # defense vacuum_orphans and _remap_partitions_in_manifests carry)
+    expired_set = {os.path.realpath(d) for d in expired_dirs}
     for d in expired_dirs:
         shutil.rmtree(d, ignore_errors=True)
         # prune now-empty parents up to (not including) data/
@@ -427,10 +466,16 @@ def expire_partitions(
             os.rmdir(parent)
             parent = os.path.dirname(parent)
 
-    # drop dangling entries from manifests (atomic rewrite, same protocol)
+    # drop dangling entries from manifests (atomic rewrite, same protocol).
+    # _staged is swept too: the WAP protocol treats staged manifests as
+    # first-class references (vacuum, remap do the same), so an aged-out
+    # staged batch must not keep listing deleted files — its audit and any
+    # unfenced publish would otherwise act on a manifest of ghosts
     n_rewritten = 0
-    manifest_dir = os.path.join(lake_dir, "_manifests")
-    if os.path.isdir(manifest_dir) and expired_set:
+    for sub in ("_manifests", "_staged"):
+        manifest_dir = os.path.join(lake_dir, sub)
+        if not os.path.isdir(manifest_dir) or not expired_set:
+            continue
         for name in sorted(os.listdir(manifest_dir)):
             if not name.startswith("manifest-") or not name.endswith(".json"):
                 continue
@@ -438,7 +483,9 @@ def expire_partitions(
             with open(path) as fh:
                 payload = json.load(fh)
             kept = [
-                e for e in payload["entries"] if os.path.dirname(e["url"]) not in expired_set
+                e
+                for e in payload["entries"]
+                if os.path.realpath(os.path.dirname(e["url"])) not in expired_set
             ]
             if len(kept) == len(payload["entries"]):
                 continue
@@ -456,6 +503,30 @@ def expire_partitions(
         n_bytes=n_bytes,
         n_manifests_rewritten=n_rewritten,
     )
+
+
+def _heal_compaction_crashes(lake_dir: str) -> int:
+    """Run recover_compaction for every leaf with a stranded
+    ``.compact.old`` / ``.compact.tmp`` sibling under data/. Maintenance
+    passes (vacuum, whole-lake compaction, retention) call this FIRST: a
+    crash in _rewrite_leaf's swap window leaves the partition's ONLY copy
+    in ``.compact.old`` — a walk that misreads that dir as a live leaf
+    would compact it under the wrong name, and a vacuum would delete the
+    unreferenced old-mtime files: unrecoverable loss (round-11 review).
+    Returns leaves healed."""
+    data_dir = os.path.join(lake_dir, "data")
+    healed = 0
+    if not os.path.isdir(data_dir):
+        return 0
+    for dirpath, dirs, _files in os.walk(data_dir):
+        for d in list(dirs):
+            if d.endswith((".compact.old", ".compact.tmp")):
+                base = d[: -len(".compact.old")]  # both suffixes same length
+                sub = os.path.relpath(os.path.join(dirpath, base), lake_dir)
+                if recover_compaction(lake_dir, sub):
+                    healed += 1
+                dirs.remove(d)  # healed away — don't descend
+    return healed
 
 
 def compact_lake(
@@ -478,11 +549,14 @@ def compact_lake(
     leaf) and zone maps invalidated once at the end."""
     from concurrent.futures import ThreadPoolExecutor
 
+    _heal_compaction_crashes(lake_dir)  # a stranded swap must not walk as a leaf
     data_dir = os.path.join(lake_dir, "data")
     leaves: list[str] = []
     for dirpath, dirs, files in os.walk(data_dir):
         if dirs:
             continue  # only leaf partitions hold data files
+        if dirpath.endswith((".compact.old", ".compact.tmp")):
+            continue  # a CONCURRENT sweep's in-flight swap — never a leaf
         if sum(1 for f in files if f.endswith(".parquet")) >= min_files:
             leaves.append(os.path.relpath(dirpath, lake_dir))
     if not leaves:
@@ -1062,19 +1136,25 @@ def stage_lake_batch(
     batch as its own."""
     import uuid
 
-    stats = run_lake_batch(env, lake_dir, batch_id=batch_id, **kwargs)
-    manifest_dir = os.path.join(lake_dir, "_manifests")
+    # the manifest lands DIRECTLY in _staged/ (round-11 review): routing it
+    # through _manifests/ first opened a window where the unaudited batch
+    # was visible to every manifest reader — and a crash in that window
+    # left it permanently published with no staged manifest to drop
     staged_dir = os.path.join(lake_dir, "_staged")
-    os.makedirs(staged_dir, exist_ok=True)
+    stats = run_lake_batch(
+        env, lake_dir, batch_id=batch_id, manifest_subdir="_staged", **kwargs
+    )
     name = f"manifest-{batch_id:010d}.json"
     staged = os.path.join(staged_dir, name)
-    os.replace(os.path.join(manifest_dir, name), staged)
     token = uuid.uuid4().hex
     with open(staged) as fh:
         payload = json.load(fh)
     payload["writer"] = token
-    tmp = staged + ".tmp"
-    with open(tmp, "w") as fh:
+    # unique tmp name (mkstemp): two stagers racing on the same batch_id
+    # must each install a WHOLE manifest — a shared fixed tmp path could
+    # interleave truncate+writes into torn JSON neither fence can read
+    fd, tmp = tempfile.mkstemp(dir=staged_dir, suffix=".tmp")
+    with os.fdopen(fd, "w") as fh:
         json.dump(payload, fh)
     os.replace(tmp, staged)
     return FlushStats(**{**stats.__dict__, "writer": token})

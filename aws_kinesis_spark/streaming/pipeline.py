@@ -69,6 +69,8 @@ def start_lake_path(
     """
 
     def flush(batch_df: DataFrame, batch_id: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         spark = batch_df.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         purge_batch(lake_dir, batch_id)
@@ -76,22 +78,35 @@ def start_lake_path(
         ok, bad = split_errors(decoded)
         ok = with_partition_cols(ok.drop("data")).withColumn("batch", F.lit(batch_id))
         data_dir = os.path.join(lake_dir, "data")
-        (
-            ok.repartition(*PARTITION_COLS)
-            .write.mode("overwrite")
-            .partitionBy("batch", *PARTITION_COLS)
-            .option("compression", "snappy")
-            .parquet(data_dir)
-        )
-        if bad.limit(1).count():
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            # the raw input count needs no decode — overlap it with the write
+            n_in_f = pool.submit(batch_df.count)
             (
-                bad.select("data", "partition_key", "sequence_number", "arrival_ts")
+                ok.repartition(*PARTITION_COLS)
                 .write.mode("overwrite")
-                .parquet(os.path.join(lake_dir, "errors", f"batch={batch_id}"))
+                .partitionBy("batch", *PARTITION_COLS)
+                .option("compression", "snappy")
+                .parquet(data_dir)
             )
-        batch_root = os.path.join(data_dir, f"batch={batch_id}")
-        files = _list_parquet_files(batch_root)
-        write_manifest(lake_dir, batch_id, files, n_records=-1)
+            batch_root = os.path.join(data_dir, f"batch={batch_id}")
+            files = _list_parquet_files(batch_root)
+            import pyarrow.parquet as pq
+
+            n_ok = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            # DLQ accounting by subtraction (run_lake_batch's discipline,
+            # round-11 review): probing `bad` directly re-ran the FULL
+            # base64+JSON decode over every record on each clean trigger —
+            # the common case — where input-count minus footer-count is
+            # two pieces of metadata the trigger already holds
+            if n_in_f.result() - n_ok:
+                (
+                    bad.select("data", "partition_key", "sequence_number", "arrival_ts")
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(lake_dir, "errors", f"batch={batch_id}"))
+                )
+        # footer-true record count: streaming batches' manifests now pass
+        # validate_manifest's count check instead of opting out with -1
+        write_manifest(lake_dir, batch_id, files, n_records=n_ok)
 
     writer = env_stream.writeStream.foreachBatch(flush).option(
         "checkpointLocation", checkpoint_dir
@@ -175,7 +190,7 @@ def start_warehouse_upsert(
     """
     import json as _json
 
-    from aws_kinesis_spark.operators.upsert import apply_cdc, staging_upsert
+    from aws_kinesis_spark.operators.upsert import collapse_cdc, staging_upsert
 
     os.makedirs(table_dir, exist_ok=True)
     schema = "id LONG, status STRING, sequence_number DECIMAL(38,0)"
@@ -183,14 +198,17 @@ def start_warehouse_upsert(
     def flush(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         decoded = decode_envelope(batch_df).filter(~F.col("_corrupt"))
-        latest = apply_cdc(decoded, ["id"], "sequence_number").select(
+        # ONE delete-wins collapse feeds BOTH sides (round-11 review): a
+        # second window ordered without the tombstone tie-break let a
+        # same-sequence-number U beat the D into rank 1, so the delete
+        # vanished from the delete set while apply_cdc's side also dropped
+        # the key — the stale current row silently resurrected. Bonus: one
+        # shuffle instead of two.
+        collapsed = collapse_cdc(decoded, ["id"], "sequence_number")
+        latest = collapsed.filter(F.col("op") != "D").select(
             "id", "status", "sequence_number"
         )
-        deletes = (
-            apply_cdc(decoded, ["id"], "sequence_number", delete_op="__none__")
-            .filter(F.col("op") == "D")
-            .select("id")
-        )
+        deletes = collapsed.filter(F.col("op") == "D").select("id")
         prev = [
             int(d[1:])
             for d in os.listdir(table_dir)
@@ -842,11 +860,27 @@ def start_dedup_ingest(
             # — skip it: the whole trigger then runs as ONE Spark action.
             if bulk:
                 cand_buckets = None
+                # bytes bound the BATCH, not the candidate-pair count (hot
+                # LSH buckets can explode pairs regardless of batch size)
+                # — the bulk path has no free pair count, so never force
+                # the pairs broadcast there; AQE sizes that join from
+                # runtime stats
+                pairs_small = False
             else:
                 cand_idb = cand.select(
                     F.pmod("id_a", F.lit(n_buckets)).cast("int").alias("idb")
                 )
-                cand_buckets = [r[0] for r in cand_idb.distinct().collect()]
+                cand_buckets_n = cand_idb.groupBy("idb").count().collect()
+                cand_buckets = [r["idb"] for r in cand_buckets_n]
+                # the same bounded collect now also yields the TRUE pair
+                # count, so the verify broadcast is gated on the thing
+                # that actually rides it (round-11 review): a small batch
+                # of boilerplate-heavy docs against a hot standing bucket
+                # can emit pairs way beyond the batch-size gate
+                pairs_small = (
+                    batch_is_small
+                    and sum(r["count"] for r in cand_buckets_n) <= 2_000_000
+                )
             texts = docs.select("doc_id", "text")
             prior_corpus = _read_index_dirs(
                 spark,
@@ -865,7 +899,7 @@ def start_dedup_ingest(
                     texts,
                     threshold=threshold,
                     keep=keep,
-                    pairs_are_small=batch_is_small,
+                    pairs_are_small=pairs_small,
                 )
                 .select(F.col("id_b").alias("doc_id"))
                 .distinct()

@@ -1197,3 +1197,130 @@ def test_envelope_fixture_keeps_scale_factors_apart(spark):
         )
         assert env.count() == counts[sf] == o.count()
     assert counts[sfs[0]] != counts[sfs[1]]  # the two scales really differ
+
+
+def test_vacuum_heals_compaction_crash_instead_of_deleting_backup(spark, envelope, tmp_path):
+    """Round-11 review (data-loss hole): a crash in _rewrite_leaf's swap
+    window leaves the partition's ONLY copy in <leaf>.compact.old —
+    unreferenced and old-mtimed, exactly what the orphan sweep would have
+    deleted. vacuum_orphans must heal the swap first (restore the leaf),
+    then sweep; zero rows may be lost."""
+    import shutil as _sh
+
+    from aws_kinesis_spark.sources.lake import (
+        read_via_manifest,
+        run_lake_batch,
+        vacuum_orphans,
+    )
+
+    lake = str(tmp_path / "lake")
+    run_lake_batch(envelope.limit(60), lake, batch_id=0, raw_backup=False)
+    before = read_via_manifest(spark, lake, 0).count()
+    # simulate the swap-window crash: live leaf renamed to trash, new dir
+    # never landed
+    data = os.path.join(lake, "data")
+    leaf = os.path.dirname(
+        next(
+            os.path.join(dp, f)
+            for dp, _d, fs in os.walk(data)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+    )
+    os.replace(leaf, leaf + ".compact.old")
+    stats = vacuum_orphans(lake, older_than_seconds=0)
+    assert os.path.isdir(leaf), "swap not healed before the sweep"
+    assert read_via_manifest(spark, lake, 0).count() == before
+    assert stats.n_orphans == 0  # the backup was never treated as orphans
+
+
+def test_compact_lake_skips_inflight_swap_dirs(spark, envelope, tmp_path):
+    """compact_lake must never treat a stranded .compact.old dir as a live
+    leaf (it would compact the trash copy under the wrong name): the sweep
+    heals the crash first and the healed leaf compacts under its own name."""
+    from aws_kinesis_spark.sources.lake import (
+        compact_lake,
+        read_via_manifest,
+        run_lake_batch,
+    )
+
+    lake = str(tmp_path / "lake")
+    run_lake_batch(
+        envelope.limit(80), lake, batch_id=0, raw_backup=False, files_per_partition=4
+    )
+    before = read_via_manifest(spark, lake, 0).count()
+    data = os.path.join(lake, "data")
+    leaf = os.path.dirname(
+        next(
+            os.path.join(dp, f)
+            for dp, _d, fs in os.walk(data)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+    )
+    os.replace(leaf, leaf + ".compact.old")
+    results = compact_lake(spark, lake, min_files=2)
+    assert not any(".compact." in sub for sub, _b, _a in results)
+    assert not os.path.exists(leaf + ".compact.old")
+    assert read_via_manifest(spark, lake, 0).count() == before
+
+
+def test_staged_batch_never_touches_published_manifests(spark, envelope, tmp_path, monkeypatch):
+    """Round-11 review: staging must park the manifest DIRECTLY in
+    _staged/ — the old route through _manifests/ opened a window where the
+    unaudited batch was visible (and a crash left it published forever).
+    Simulated crash right after the flush: _manifests stays empty."""
+    import aws_kinesis_spark.sources.lake as L
+
+    lake = str(tmp_path / "lake")
+    real_replace = os.replace
+    hits = {"n": 0}
+
+    def crash_on_token_install(src, dst):
+        # 1st replace on the staged name = write_manifest's commit (allow);
+        # 2nd = the fencing-token install (crash there)
+        if str(dst).endswith("manifest-0000000003.json") and "_staged" in str(dst):
+            hits["n"] += 1
+            if hits["n"] == 2:
+                raise RuntimeError("crash before the token lands")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(L.os, "replace", crash_on_token_install)
+    with pytest.raises(RuntimeError, match="token"):
+        L.stage_lake_batch(envelope.limit(30), lake, batch_id=3, raw_backup=False)
+    monkeypatch.undo()
+    # the half-staged batch is invisible to every manifest reader...
+    assert not os.path.exists(
+        os.path.join(lake, "_manifests", "manifest-0000000003.json")
+    )
+    # ...and retractable: the tokenless staged manifest can be dropped
+    assert os.path.exists(os.path.join(lake, "_staged", "manifest-0000000003.json"))
+    L.drop_staged_batch(lake, 3)
+    assert not os.path.exists(os.path.join(lake, "_staged", "manifest-0000000003.json"))
+
+
+def test_read_incremental_tolerates_dropped_batches_but_not_staged(spark, envelope, tmp_path):
+    """Round-11 review: drop_staged_batch creates legal batch-id gaps — an
+    incremental read treats them as zero-file batches instead of crashing
+    forever. A batch still parked in _staged raises (skipping it would
+    silently drop it from checkpointed consumers once it publishes)."""
+    from aws_kinesis_spark.sources.lake import (
+        drop_staged_batch,
+        publish_staged_batch,
+        read_incremental,
+        run_lake_batch,
+        stage_lake_batch,
+    )
+
+    lake = str(tmp_path / "lake")
+    run_lake_batch(envelope.limit(20), lake, batch_id=0, raw_backup=False)
+    stage_lake_batch(envelope.limit(10), lake, batch_id=1, raw_backup=False)
+    drop_staged_batch(lake, 1)  # gap at id 1, forever
+    run_lake_batch(envelope.limit(30), lake, batch_id=2, raw_backup=False)
+    assert read_incremental(spark, lake, after_batch=0, upto_batch=2).count() == 30
+    # a STAGED-but-unpublished batch in range refuses the read
+    s = stage_lake_batch(envelope.limit(5), lake, batch_id=3, raw_backup=False)
+    with pytest.raises(RuntimeError, match="staged but unpublished"):
+        read_incremental(spark, lake, after_batch=0, upto_batch=3)
+    publish_staged_batch(lake, 3, writer=s.writer)
+    assert read_incremental(spark, lake, after_batch=2, upto_batch=3).count() == 5

@@ -1603,3 +1603,29 @@ def test_batch_input_bytes_reads_source_wal(tmp_path):
         + "\n"
     )
     assert _batch_input_bytes(str(ck), 10) == 234
+
+
+def test_warehouse_merge_tied_delete_does_not_resurrect(spark):
+    """Round-11 review: a tombstone sharing its sequence number with an
+    update must delete the key through the WAREHOUSE merge. Deriving the
+    delete set from a second window ordered without the delete-wins
+    tie-break let the U row win rank 1, dropping the D from the delete set
+    while apply_cdc's side also dropped the key — the stale current row
+    resurrected. One collapse_cdc now feeds both sides."""
+    from aws_kinesis_spark.operators.upsert import collapse_cdc, staging_upsert
+
+    current = spark.createDataFrame(
+        [(5, "OLD", 1)], "id LONG, status STRING, sequence_number LONG"
+    )
+    batch = spark.createDataFrame(
+        [(5, "U", "NEW", 7), (5, "D", None, 7), (6, "U", "KEEP", 7)],
+        "id LONG, op STRING, status STRING, sequence_number LONG",
+    )
+    collapsed = collapse_cdc(batch, ["id"], "sequence_number")
+    latest = collapsed.filter(F.col("op") != "D").select(
+        "id", "status", "sequence_number"
+    )
+    deletes = collapsed.filter(F.col("op") == "D").select("id")
+    merged = staging_upsert(current, latest, ["id"]).join(deletes, ["id"], "left_anti")
+    rows = {(r.id, r.status) for r in merged.collect()}
+    assert rows == {(6, "KEEP")}, rows  # 5 deleted, not resurrected as OLD
