@@ -49,11 +49,27 @@ def _spread(docs: DataFrame) -> DataFrame:
     return docs.repartition(target)
 
 
+def _band_hash_array(num_hashes: int, bands: int) -> F.Column:
+    """The banding expression: array of ``bands`` xxhash64 values, band b
+    hashing signature columns h{b*r}..h{b*r+r-1}. ONE definition for every
+    Column-form consumer (batch LSH + incremental index) — band_rows keeps
+    a value-identical parsed-SQL twin for per-trigger plan-build latency
+    and documents the equivalence in place; cross-path candidate agreement
+    is pinned by the g20/g35 differential oracles."""
+    r = num_hashes // bands
+    return F.array(
+        *[F.xxhash64(*[f"h{b * r + j}" for j in range(r)]) for b in range(bands)]
+    )
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """G1: exact dedup by content hash — keeper is the smallest id per hash
-    group (deterministic), with the group size recorded."""
+    group (deterministic), with the group size recorded. sha-256, not md5:
+    md5 chosen-prefix collisions are practically constructible, and a web
+    corpus can carry crafted colliding blobs — "exact" dedup must not
+    merge distinct documents an adversary paired up (round-11 review)."""
     return (
-        docs.withColumn("__h", F.md5(F.col(text_col)))
+        docs.withColumn("__h", F.sha2(F.col(text_col), 256))
         .groupBy("__h")
         .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
         .drop("__h")
@@ -198,10 +214,17 @@ def minhash_signatures(
     projection, so signatures cost zero shuffles and never leave the scan
     stage. At 100 TB this is the difference between a map-only pass and
     shuffling billions of exploded shingle rows through a 64-aggregate
-    hash agg."""
+    hash agg.
+
+    Docs too short to shingle (< shingle_n tokens) are EXCLUDED here, not
+    just in the dedup entry points: a shingle-less doc would get the
+    identical all-sentinel signature, and a corpus's worth of them banded
+    into ONE bucket of every band turns the candidate self-join quadratic
+    (round-11 review — the standalone signatures->lsh_candidate_pairs
+    composition is public API)."""
     sets = docs.select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")
-    )
+    ).filter(F.size("__sh") > 0)
     return _signatures_from_shingle_sets(sets, id_col, num_hashes)
 
 
@@ -258,10 +281,7 @@ def lsh_candidate_pairs(
     with localCheckpoint before the self-join — otherwise the optimizer sees
     the entire upstream signature plan twice and analysis time dwarfs the
     (tiny) bucket-join itself."""
-    r = num_hashes // bands
-    band_arr = F.array(
-        *[F.xxhash64(*[f"h{b * r + j}" for j in range(r)]) for b in range(bands)]
-    )
+    band_arr = _band_hash_array(num_hashes, bands)
     stacked = signatures.select(
         id_col, F.posexplode(band_arr).alias("band", "bh")
     ).localCheckpoint(eager=True)
@@ -488,8 +508,6 @@ def embedding_neardup(
     lambdas — 130 s -> ~2 s at sf0.1. Candidate generation for >1e7 docs
     moves to the sign-bucket LSH in operators/similarity.py; this exact
     form is the oracle and the verify stage."""
-    import numpy as np
-    import pandas as pd
 
     spark = embeddings.sparkSession
     bp = [
@@ -699,7 +717,6 @@ def dedup_keepers(
     corpus is never shuffled at all; either way the window's shuffle volume
     is O(near-dup docs), not O(corpus) — the previous plan shuffled every
     row through the window."""
-    from pyspark.sql import Window
 
     from aws_kinesis_spark.functions.text import quality_score
 
@@ -751,10 +768,7 @@ def incremental_minhash_dedup(
     sets = _checkpointed_shingle_sets(docs, text_col, id_col, shingle_n)
     sigs = _signatures_from_shingle_sets(sets, id_col, num_hashes)
 
-    r = num_hashes // bands
-    band_arr = F.array(
-        *[F.xxhash64(*[f"h{b * r + j}" for j in range(r)]) for b in range(bands)]
-    )
+    band_arr = _band_hash_array(num_hashes, bands)
     flagged = sigs.join(docs.select(id_col, is_new.alias("__new")), id_col)
     stacked = flagged.select(
         id_col, "__new", F.posexplode(band_arr).alias("band", "bh")

@@ -39,16 +39,13 @@ def knn_bruteforce(
         F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
     )
     pairs = corpus.join(F.broadcast(q), F.col(id_col) != F.col("__qid"))
-    scored = pairs.select(
-        F.col("__qid").alias(query_id_col),
-        F.col(id_col).alias("neighbor_id"),
-        cosine("__qvec", vec_col).alias("__cos"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select(query_id_col, "neighbor_id", (F.round("__cos", 4) + F.lit(0.0)).alias("cos_sim"))
+    return cosine_topk_from_candidates(
+        pairs.withColumnRenamed("__qid", query_id_col),
+        k,
+        vec_col,
+        id_col,
+        query_id_col,
+        dedup=False,  # the cross join emits each (query, neighbor) once
     )
 
 
@@ -91,11 +88,17 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
 ) -> np.ndarray:
     """Train IVF cell centroids on a BOUNDED sample (the one collect of the
-    IVF family, capped at train_rows rows), sorted by id driver-side so the
-    seeded k-means sees an identical matrix regardless of partition
-    planning — the index (and therefore recall) is reproducible across
-    cluster layouts."""
-    sample = corpus.select(id_col, vec_col).limit(train_rows).collect()
+    IVF family, capped at train_rows rows). The sample is the top
+    train_rows rows by xxhash64(id) — a deterministic pseudo-random
+    subset, so the seeded k-means sees an identical matrix regardless of
+    partition planning (a bare limit() takes whatever partitions scan
+    first — round-11 review) and the index (and therefore recall) is
+    reproducible across cluster layouts. TakeOrdered keeps it one
+    per-partition heap + driver merge, never a global sort."""
+    ordered = corpus.select(id_col, vec_col).orderBy(
+        F.xxhash64(F.col(id_col)), F.col(id_col)
+    )
+    sample = ordered.limit(train_rows).collect()
     sample.sort(key=lambda r: r[0])
     train = np.array([r[1] for r in sample], dtype=np.float64)
     if not len(train):
@@ -121,12 +124,14 @@ def _unit_batch(vecs: pd.Series, cent: np.ndarray) -> np.ndarray:
 
 
 def probe_top_cells(x: np.ndarray, cent: np.ndarray, nprobe: int) -> np.ndarray:
-    """THE probe kernel (normalize + matmul + argsort, ties by cell id via
-    argsort stability): top-nprobe nearest cells per row. The single
-    implementation behind both the Arrow probe UDF and knn_ivf_indexed's
-    driver-side probe — the two strategies must agree by construction."""
+    """THE probe kernel (normalize + matmul + stable argsort, so ties
+    break toward the LOWER cell id — matching nearest_cell's argmax
+    first-wins rule; the default quicksort is NOT stable): top-nprobe
+    nearest cells per row. The single implementation behind both the
+    Arrow probe UDF and knn_ivf_indexed's driver-side probe — the two
+    strategies must agree by construction."""
     u = _unit_rows(x, cent)
-    top = np.argsort(-(u @ cent.T), axis=1)[:, : min(nprobe, len(cent))]
+    top = np.argsort(-(u @ cent.T), axis=1, kind="stable")[:, : min(nprobe, len(cent))]
     return top.astype(np.int32)
 
 
@@ -163,15 +168,21 @@ def cosine_topk_from_candidates(
     vec_col: str,
     id_col: str,
     query_id_col: str,
+    dedup: bool = True,
 ) -> DataFrame:
-    """Shared IVF tail: score (query, candidate) rows by cosine JVM-side
-    and keep the deterministic per-query top-k (cosine desc, neighbor id
-    asc). Expects ``__qvec`` alongside the candidate's vec_col."""
+    """THE shared kNN tail (brute force, LSH, IVF — one ranking contract):
+    score (query, candidate) rows by cosine JVM-side and keep the
+    deterministic per-query top-k (cosine desc, neighbor id asc). Expects
+    ``__qvec`` alongside the candidate's vec_col. ``dedup=False`` skips
+    the (query, neighbor) dropDuplicates shuffle for generators whose
+    pairs are unique by construction (the brute-force cross join)."""
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
         cosine("__qvec", vec_col).alias("__cos"),
-    ).dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    if dedup:
+        scored = scored.dropDuplicates([query_id_col, "neighbor_id"])
     w = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -320,6 +331,24 @@ def knn_lsh(
     at ~4x candidate pruning; real clustered embeddings do much better.
     Candidates are found via an equi-join on (table, bucket) — the corpus
     shuffles once on bucket id, never all-pairs."""
+    if probe_hamming > 2:
+        raise ValueError(
+            f"probe_hamming={probe_hamming} is not implemented (flip masks "
+            "cover radii 0-2); a silent cap would leave the recall dial "
+            "disconnected"
+        )
+    # the sign pattern reads dims [0, tables*bits): past-the-end element_at
+    # would yield NULL -> bit 0 for EVERY row (or throw under ANSI),
+    # silently collapsing the high tables into one all-corpus bucket — the
+    # exact cross-join blowup the bucketing exists to avoid. One bounded
+    # driver probe (1 row) validates the geometry up front.
+    first = corpus.select(vec_col).first()
+    lsh_dim = len(first[0]) if first and first[0] is not None else None
+    if lsh_dim is not None and tables * bits > lsh_dim:
+        raise ValueError(
+            f"tables*bits = {tables * bits} exceeds embedding dim {lsh_dim}; "
+            "lower tables/bits so every table reads real dimensions"
+        )
     bucket_cols = [
         sign_bucket_at(vec_col, t * bits, bits).alias(f"__b{t}") for t in range(tables)
     ]
@@ -365,16 +394,8 @@ def knn_lsh(
     cand = stacked.join(F.broadcast(q), ["__t", "__b"]).filter(
         F.col(id_col) != F.col("__qid")
     )
-    scored = cand.select(
-        F.col("__qid").alias(query_id_col),
-        F.col(id_col).alias("neighbor_id"),
-        cosine("__qvec", vec_col).alias("__cos"),
-    ).dropDuplicates([query_id_col, "neighbor_id"])
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select(query_id_col, "neighbor_id", (F.round("__cos", 4) + F.lit(0.0)).alias("cos_sim"))
+    return cosine_topk_from_candidates(
+        cand.withColumnRenamed("__qid", query_id_col), k, vec_col, id_col, query_id_col
     )
 
 
@@ -397,8 +418,6 @@ def knn_join(
     union of partial top-ks). The final stage is one window over n*B*k
     candidate rows. Shuffle volume is O(n*B*k), never O(n^2); B sizes a
     block pair to executor memory."""
-    import numpy as np
-    import pandas as pd
 
     spark = embeddings.sparkSession
     bp = [
@@ -485,8 +504,6 @@ def hard_negative_mining(
     below-threshold top-1 under the final total order (cos desc, id asc),
     so the global argmax is provably in the partial union; the final
     stage is one window + one semi join against the anchor set."""
-    import numpy as np
-    import pandas as pd
 
     spark = embeddings.sparkSession
     bp = [

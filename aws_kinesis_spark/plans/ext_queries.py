@@ -67,7 +67,7 @@ _DUCK_COSINE = """
     "g01_dedup_exact",
     oracle="""
         SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
-        FROM documents GROUP BY md5(text)
+        FROM documents GROUP BY sha256(text)
     """,
 )
 def g01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
