@@ -93,7 +93,10 @@ def build_bloom(
         bitmap = np.zeros(nbytes, dtype=np.uint8)
         saw = False
         for b in batches:
-            keys = b[key_col].to_numpy(dtype=np.int64, na_value=0)
+            # NULL keys are ABSENT, not key 0: na_value=0 alone would alias
+            # them with the literal key 0 (round-11 review)
+            col = b[key_col]
+            keys = col[col.notna()].to_numpy(dtype=np.int64, na_value=0)
             if not len(keys):
                 continue
             saw = True
@@ -137,7 +140,13 @@ def might_contain(
             return pd.Series([], dtype=bool)
         pos = _positions(k, num_bits, num_hashes)
         bits = (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
-        return pd.Series(bits.all(axis=1))
+        hit = bits.all(axis=1)
+        # a NULL key was never inserted (build skips nulls) — it must not
+        # probe as the literal key 0
+        null_mask = keys.isna().to_numpy()
+        if null_mask.any():
+            hit = hit & ~null_mask
+        return pd.Series(hit)
 
     return probe(F.col(key_col))
 
@@ -182,7 +191,16 @@ def first_seen(
     )
     definite_new = keyed.filter(~F.col("__might"))
     candidates = keyed.filter(F.col("__might"))
-    verified_new = candidates.join(
-        history.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+    # the exact verify touches ONLY the history keys a candidate could
+    # match: semi-join history down to the candidate keyset first (AQE
+    # broadcasts the small post-bloom candidate side, so history filters
+    # map-side without shuffling), then anti-join against that pruned set
+    # (<= |candidates| rows). The old direct anti-join DISTINCTed and
+    # shuffled the full history keyset — the exact cost the bloom prune
+    # exists to avoid, and what its own comment above forbids (round-11
+    # review).
+    seen = history.select(*key_cols).join(
+        candidates.select(*key_cols), on=key_cols, how="left_semi"
     )
+    verified_new = candidates.join(seen, on=key_cols, how="left_anti")
     return definite_new.unionByName(verified_new).drop("__bloom_key", "__might")

@@ -90,16 +90,26 @@ def merge_upsert(
     writes in place (v1 tables can't); callers persist the result — which is
     exactly the reference's staging-swap discipline. Both paths shuffle only
     on the key and broadcast the staging side when small."""
+    import uuid
+
+    from pyspark.errors import AnalysisException, ParseException
+
     target = spark.table(target_table)
-    view = f"__staging_{abs(hash((target_table, tuple(keys)))) % 10**8}"
+    # uuid view name: a (table, keys)-derived name let two concurrent
+    # merges against one table clobber each other's staging view mid-MERGE
+    # (and hash() is PYTHONHASHSEED-randomized across restarts)
+    view = f"__staging_{uuid.uuid4().hex}"
     staging.createOrReplaceTempView(view)
     sql = merge_into_sql(target_table, view, keys, target.columns, delete_op)
     try:
         spark.sql(sql)
         return spark.table(target_table)
-    except Exception:
+    except (AnalysisException, ParseException):
         # v1 catalog: MERGE INTO unsupported — rewrite to the equivalent
-        # relational plan (README.md:573-575 DELETE-USING + INSERT-SELECT)
+        # relational plan (README.md:573-575 DELETE-USING + INSERT-SELECT).
+        # ONLY planning-time errors take the fallback: an execution-time
+        # MERGE failure (cardinality violation, executor loss) must
+        # propagate, not silently re-run as a differently-shaped plan
         if delete_op:
             col, val = delete_op
             keep = staging.filter(F.col(col) != val).select(*target.columns)
@@ -146,9 +156,17 @@ def collapse_cdc(
     AND the deleted-key set (the warehouse merge) derives them from ONE
     collapse, so both sides share the same delete-wins tie-break: deriving
     the delete set from a second window with a different order lost tied
-    tombstones and resurrected their keys (round-11 review)."""
+    tombstones and resurrected their keys (round-11 review).
+
+    The final payload-hash term makes the order TOTAL even when two events
+    share key+seq+op with different payloads (a producer double-send with
+    drift): without it row_number picks a partition-order-dependent winner
+    and replays diverge."""
     w = Window.partitionBy(*keys).orderBy(
-        F.desc(seq_col), F.desc((F.col(op_col) == delete_op).cast("int")), F.desc(op_col)
+        F.desc(seq_col),
+        F.desc((F.col(op_col) == delete_op).cast("int")),
+        F.desc(op_col),
+        F.desc(F.xxhash64(F.struct(*[F.col(c) for c in cdc.columns]))),
     )
     return (
         cdc.withColumn("__rn", F.row_number().over(w))

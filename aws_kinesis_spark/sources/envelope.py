@@ -81,10 +81,24 @@ def synthesize_envelope(
             ).alias("metadata"),
         )
     )
+    # stride bound: the (epoch, orderkey) packing collides across epochs
+    # once orderkey >= 1e9 (TPC-H SF ≳ 170) — fail loudly instead of
+    # silently aliasing a later-epoch update with an unrelated earlier
+    # event (round-11 review; the oracles hardcode the same stride, so
+    # widening it is a coordinated fixture change, not a local one)
+    guarded_key = F.when(
+        F.col("o_orderkey") >= F.lit(1000000000),
+        F.raise_error(
+            F.lit(
+                "synthesize_envelope: o_orderkey exceeds the 1e9 epoch "
+                "stride — sequence numbers would collide across epochs"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("o_orderkey"))
     seq = (
         F.lit(SEQ_BASE).cast(T.DecimalType(38, 0))
         + (F.lit(epoch) * F.lit(1000000000)).cast(T.DecimalType(38, 0))
-        + F.col("o_orderkey").cast(T.DecimalType(38, 0))
+        + guarded_key.cast(T.DecimalType(38, 0))
     ).cast(T.DecimalType(38, 0))
     return orders.select(
         F.base64(payload.cast("binary")).cast("binary").alias("data"),
@@ -135,6 +149,27 @@ def decode_envelope(
     appends the full parsed struct as a ``payload`` column so fields beyond
     the flattened envelope stay queryable (schema evolution, SURVEY §1.5).
     """
+    if payload_schema is not None:
+        # fail with a NAMED contract error, not a deep AnalysisException:
+        # schema evolution is ADDITIVE — an inferred schema missing the
+        # stable envelope core (a corrupt-only sample window, or a producer
+        # that renamed the wrappers) cannot be decoded by this stage
+        def _struct_fields(name: str) -> set[str]:
+            names = {f.name: f.dataType for f in payload_schema.fields}
+            dt = names.get(name)
+            return {f.name for f in dt.fields} if isinstance(dt, T.StructType) else set()
+
+        missing = []
+        if not {"id", "status"} <= _struct_fields("data"):
+            missing.append("data.id/data.status")
+        if "op" not in _struct_fields("metadata"):
+            missing.append("metadata.op")
+        if missing:
+            raise ValueError(
+                "decode_envelope: payload schema lacks the stable envelope "
+                f"core {missing}; evolved payloads must keep it (new fields "
+                "ride in keep_payload=True's payload struct)"
+            )
     # try_to_binary returns NULL on malformed base64 (unbase64 would throw),
     # which is what routes bad records to the DLQ instead of failing the batch.
     parsed = F.from_json(

