@@ -92,7 +92,11 @@ def merge_upsert(
     on the key and broadcast the staging side when small."""
     import uuid
 
-    from pyspark.errors import AnalysisException, ParseException
+    from pyspark.errors import (
+        AnalysisException,
+        ParseException,
+        UnsupportedOperationException,
+    )
 
     target = spark.table(target_table)
     # uuid view name: a (table, keys)-derived name let two concurrent
@@ -104,7 +108,7 @@ def merge_upsert(
     try:
         spark.sql(sql)
         return spark.table(target_table)
-    except (AnalysisException, ParseException):
+    except (AnalysisException, ParseException, UnsupportedOperationException):
         # v1 catalog: MERGE INTO unsupported — rewrite to the equivalent
         # relational plan (README.md:573-575 DELETE-USING + INSERT-SELECT).
         # ONLY planning-time errors take the fallback: an execution-time
