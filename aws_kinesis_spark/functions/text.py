@@ -29,7 +29,11 @@ BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization."""
+    """SINGLE-SPACE tokenization — deliberately split(text, ' '), NOT \\s+:
+    the fixture corpus and every DuckDB oracle tokenize with
+    string_split(text, ' '), and the two engines must agree token-for-token.
+    chunk_documents uses \\s+ (and documents why); real-corpus callers who
+    need whitespace-class semantics should follow that form."""
     return F.split(text, " ")
 
 

@@ -70,9 +70,14 @@ def decode_media(payload: bytes, mime: str) -> object:
     )
 
 
-def extract_features(envelope: DataFrame, batch_size_hint: int = 10_000) -> DataFrame:
+def extract_features(envelope: DataFrame) -> DataFrame:
     """Feature extraction over media payloads via mapInPandas: Arrow-batched,
-    one output row per input row, fixed feature width.
+    one output row per input row, fixed feature width. (Arrow batch size is
+    governed by spark.sql.execution.arrow.maxRecordsPerBatch — the former
+    batch_size_hint parameter was dead and is gone, round-11 review.)
+
+    A NULL payload (missing media) yields NULL features/n_bytes — 1->1 is
+    preserved and missing is distinguishable from empty.
 
     DETERMINISTIC FAKE standing in for the stubbed decoder: features are the
     first N_FEATURES byte values of the payload (zero-padded). The batch
@@ -81,16 +86,19 @@ def extract_features(envelope: DataFrame, batch_size_hint: int = 10_000) -> Data
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                [int(b) for b in (payload[:N_FEATURES] or b"").ljust(N_FEATURES, b"\0")]
-                for payload in pdf["payload"]
-            ]
+            feats: list = []
+            nbytes: list = []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    feats.append(None)
+                    nbytes.append(None)
+                else:
+                    feats.append(
+                        [int(b) for b in payload[:N_FEATURES].ljust(N_FEATURES, b"\0")]
+                    )
+                    nbytes.append(len(payload))
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "features": feats,
-                }
+                {"doc_id": pdf["doc_id"], "n_bytes": nbytes, "features": feats}
             )
 
     return envelope.mapInPandas(_extract, FEATURE_SCHEMA)
@@ -122,7 +130,11 @@ def resize_media(envelope: DataFrame, width: int = 16, height: int = 16) -> Data
                     "doc_id": pdf["doc_id"],
                     "width": width,
                     "height": height,
-                    "thumb": [bytes(p[:n_out]) for p in pdf["payload"]],
+                    # NULL payload -> NULL thumb (missing media, 1->1 kept)
+                    "thumb": [
+                        None if p is None else bytes(p[:n_out])
+                        for p in pdf["payload"]
+                    ],
                 }
             )
 
@@ -154,6 +166,8 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # missing media: zero frames, natural for 1->N
                 for k in range(max_frames):
                     off = k * stride * FRAME_SIZE
                     if off >= len(payload):

@@ -75,9 +75,22 @@ def salted_join(
     exactly the one dim replica carrying its salt. AQE's skew-join handles
     moderate skew automatically; explicit salting is the knob for the
     pathological single-key case."""
-    src = salt_source or fact.columns[0]
+    if salt_source == key:
+        raise ValueError(
+            "salt_source must differ from the join key: hashing the key "
+            "gives every row of a hot key the SAME salt — zero mitigation"
+        )
+    # default: row-content hash over ALL columns — deterministic/replayable
+    # and varying within a hot key whenever any other column does. The old
+    # first-column fallback could silently BE the join key (round-11
+    # review), paying the dim replication for no spread.
+    salt_expr = (
+        F.xxhash64(*[F.col(c) for c in fact.columns])
+        if salt_source is None
+        else F.xxhash64(F.col(salt_source))
+    )
     salted_fact = fact.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(src)), F.lit(salts)).cast("int")
+        "__salt", F.pmod(salt_expr, F.lit(salts)).cast("int")
     )
     replicated_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
@@ -106,6 +119,12 @@ def zorder_key(cols: list, bits: int = 16):
     inputs into [0, 2^bits): the key uses bits*ndims bits of a long, so
     2 dims at 16 bits fits comfortably."""
     ndims = len(cols)
+    if bits * ndims > 63:
+        raise ValueError(
+            f"zorder_key: bits*ndims = {bits * ndims} exceeds a long's 63 "
+            "value bits — interleaved bits would land in the sign bit and "
+            "corrupt the sort order; lower bits or drop a dimension"
+        )
     key = F.lit(0).cast("long")
     for d, c in enumerate(cols):
         col = (F.col(c) if isinstance(c, str) else c).cast("long")

@@ -71,6 +71,13 @@ def pack_sequences(
     window-partition size; bins are (shard, bin_id) pairs so packing
     parallelizes across shards exactly like the training loader reads them.
     """
+    if budget < 1 or n_shards < 1:
+        # ANSI is off in this engine, so floor(x/0) and pmod(x, 0) would
+        # yield NULL bins/shards for EVERY row instead of erroring
+        raise ValueError(
+            f"pack_sequences: budget ({budget}) and n_shards ({n_shards}) "
+            "must be >= 1"
+        )
     shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("long")
     tok = token_count(F.col(text_col)).cast("long")
     w = (

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -106,13 +107,29 @@ def start_continuous_rollup(
         # (repartition(1) would serialize every version through one task)
         # and readers prune to the days they query.
         vdir = os.path.join(rollup_dir, f"v{batch_id}")
+        # REPLAY-SAFE swap (round-11 review): a replayed batch used to
+        # overwrite v{N} in place while _CURRENT still pointed at it —
+        # a concurrent reader resolved the pointer into a half-deleted
+        # dir. Same two-rename + crash-heal protocol as the lake's leaf
+        # compaction: write beside, swap, sweep.
+        vtmp, vold = vdir + ".tmp", vdir + ".old"
+        if os.path.exists(vold):  # heal a prior crashed swap
+            if not os.path.exists(vdir):
+                os.replace(vold, vdir)
+            else:
+                shutil.rmtree(vold, ignore_errors=True)
+        shutil.rmtree(vtmp, ignore_errors=True)
         (
             combined.withColumn("day", F.to_date("hour_start"))
             .repartition("day")
             .write.mode("overwrite")
             .partitionBy("day")
-            .parquet(vdir)
+            .parquet(vtmp)
         )
+        if os.path.exists(vdir):
+            os.replace(vdir, vold)
+        os.replace(vtmp, vdir)
+        shutil.rmtree(vold, ignore_errors=True)
         tmp = os.path.join(rollup_dir, f"._CURRENT.{batch_id}")
         with open(tmp, "w") as fh:
             json.dump({"version": batch_id}, fh)
