@@ -29,7 +29,6 @@ def entry(spark: SparkSession) -> DataFrame:
     one-line use case "real-time fraud alert + hourly analytics on every
     order change" (README.md:38) as a batch plan — JSON props parse ->
     hot-path predicate -> hourly tumbling aggregation."""
-    from aws_kinesis_spark.plans.relational import d09_tumbling_hourly_agg
     from pyspark.sql import functions as F
 
     from aws_kinesis_spark.tables import load

@@ -45,7 +45,9 @@ def get_spark(app_name: str = "aws-kinesis-spark", cpus: str | None = None) -> S
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.shuffle.spill.compress", "true")
+        # (a former "spark.sql.shuffle.spill.compress" line was a no-op —
+        # the real key is spark.shuffle.spill.compress, already true by
+        # default; deleted rather than fixed to avoid restating defaults)
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -70,6 +70,12 @@ def kinesis_reader_options(mode: str, **options: str) -> dict[str, str]:
             "mode='polling' must not set consumerArn (that selects EFO); "
             "use mode='efo' to opt into push delivery"
         )
+    if not out.get("streamName"):
+        raise ValueError(
+            "streamName= is required in every consumer mode — a reader "
+            "with no stream configured would only fail later inside the "
+            "connector with a less actionable error"
+        )
     return out
 
 
@@ -94,14 +100,35 @@ def stream_source(
     ship external jars). The returned schema is ENVELOPE_SCHEMA either way
     (the connector's data/partitionKey/sequenceNumber/
     approximateArrivalTimestamp map 1:1, SURVEY.md §1.2).
+
+    Payload contract: ``data`` carries base64 TEXT bytes — the reference's
+    producers put base64-encoded JSON as the record payload itself
+    (README.md:100 "Every record arrives base64-encoded", 144: the
+    transform decodes ``Buffer.from(r.data, 'base64')``), so the bytes the
+    connector delivers ARE that base64 text and decode_envelope's
+    try_to_binary(..., 'base64') applies identically to both kinds.
     """
     if kind == "file":
         if path is None:
             raise ValueError("kind='file' requires path=")
+        if kinesis_options:
+            raise ValueError(
+                f"kind='file' does not take kinesis options "
+                f"{sorted(kinesis_options)} — silently absorbing them would "
+                "let a mis-set kind run tests against the wrong contract"
+            )
         return envelope_stream(
             spark, path, max_files_per_trigger, max_bytes_per_trigger
         )
     if kind == "kinesis":
+        if path is not None or max_files_per_trigger or max_bytes_per_trigger:
+            raise ValueError(
+                "kind='kinesis' does not take path/max_files_per_trigger/"
+                "max_bytes_per_trigger — the file-source backpressure dials "
+                "do not translate (use pollRecords/maxFetchRate connector "
+                "options); dropping them silently would unbound production "
+                "micro-batches a caller tuned in tests"
+            )
         opts = kinesis_reader_options(mode, **kinesis_options)
         reader = (reader_factory or _default_reader_factory)(spark)
         for k, v in opts.items():
@@ -113,7 +140,14 @@ def stream_source(
                 "CAST(sequenceNumber AS DECIMAL(38,0)) AS sequence_number",
                 "approximateArrivalTimestamp AS arrival_ts",
             )
-        except Exception as e:  # connector jar absent in this environment
+        except Exception as e:
+            # ONLY the missing-data-source failure is rebranded with the
+            # actionable classpath hint; every other connector error (bad
+            # region, missing stream, auth) propagates untouched — a
+            # catch-all here sent operators chasing --packages for what
+            # was really a credentials problem (round-11 review)
+            if "Failed to find" not in str(e) and "data source" not in str(e).lower():
+                raise
             raise RuntimeError(
                 "Kinesis connector not on the classpath; launch with the "
                 "spark-sql-kinesis connector package, or use kind='file' "

@@ -24,8 +24,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view, giving users the raw-SQL
     interface the reference delegates to Athena/Redshift/DuckDB
     (README.md:164, 441-456): any ANSI SQL string over the lake tables runs
-    through Catalyst exactly as §3.3 describes."""
+    through Catalyst exactly as §3.3 describes.
+
+    Tables whose parquet file is ABSENT are skipped with a warning instead
+    of failing the whole session: a query over orders must not die because
+    the fixture dir predates the embeddings table (round-11 review). The
+    view registration itself is lazy — load() only reads the footer."""
+    import os
+    import sys
+
     for name in TABLES:
+        if not os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            print(
+                f"register_views: WARNING — {name}.parquet absent under "
+                f"{sf_dir}; view not registered",
+                file=sys.stderr,
+            )
+            continue
         load(spark, sf_dir, name).createOrReplaceTempView(name)
 
 

@@ -262,17 +262,21 @@ def bench_point_query(spark, tmp: str) -> float:
     """BASELINE (b): partition-pruned point query over the lake
     (README.md:164, 554-559: 2 s Athena)."""
     lake = os.path.join(tmp, "events_lake")
-    ev = load(spark, SF_DIR, "events")
-    (
-        ev.withColumn("year", F.year("ts"))
-        .withColumn("month", F.month("ts"))
-        .withColumn("day", F.dayofmonth("ts"))
-        .withColumn("hour", F.hour("ts"))
-        .repartition("day", "hour")
-        .write.mode("overwrite")
-        .partitionBy("year", "month", "day", "hour")
-        .parquet(lake)
-    )
+    if not os.path.isdir(lake):
+        # build ONCE per bench run: only the pruned read is the measured
+        # operation — rebuilding the whole partitioned lake on every
+        # min-of-3 repetition was pure wasted wall-clock
+        ev = load(spark, SF_DIR, "events")
+        (
+            ev.withColumn("year", F.year("ts"))
+            .withColumn("month", F.month("ts"))
+            .withColumn("day", F.dayofmonth("ts"))
+            .withColumn("hour", F.hour("ts"))
+            .repartition("day", "hour")
+            .write.mode("overwrite")
+            .partitionBy("year", "month", "day", "hour")
+            .parquet(lake)
+        )
     t0 = time.perf_counter()
     rows = (
         spark.read.parquet(lake)
@@ -281,7 +285,7 @@ def bench_point_query(spark, tmp: str) -> float:
         .limit(5)
         .collect()
     )
-    assert rows is not None
+    assert len(rows) > 0, "point query returned no rows — the pruned scan measured nothing"
     return time.perf_counter() - t0
 
 
@@ -320,7 +324,12 @@ def main() -> None:
     # real-sized input).
     warm_sf = "/root/testdata/sf0.001"
     for name in HEADLINE:
-        if name not in qmap or not os.path.isdir(warm_sf):
+        if name not in qmap:
+            print(f"bench: WARNING — HEADLINE query {name} not in the "
+                  "registry; it is NOT being measured (rename/typo?)",
+                  file=sys.stderr)
+            continue
+        if not os.path.isdir(warm_sf):
             continue
         try:
             _noop_write(qmap[name](spark, warm_sf))
