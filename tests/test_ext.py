@@ -962,3 +962,27 @@ def test_leakage_safe_split_leaves_zero_cross_split_neardups(spark):
     )
     assert cross.count() == 0
     kept.unpersist()
+
+
+def test_multimodal_kernels_handle_null_payloads(spark):
+    """Round-11 review: a NULL media payload (missing media) used to crash
+    all three Arrow kernels with a TypeError. 1->1 shapes emit NULL
+    features/thumb (missing stays distinguishable from empty); the 1->N
+    frame sampler emits zero frames for it."""
+    from aws_kinesis_spark.operators.multimodal import (
+        extract_features,
+        resize_media,
+        sample_frames,
+    )
+
+    env = spark.createDataFrame(
+        [(1, b"abcdef" * 64, "image/png"), (2, None, "image/png")],
+        "doc_id LONG, payload BINARY, mime STRING",
+    )
+    feats = {r.doc_id: r for r in extract_features(env).collect()}
+    assert feats[1].features is not None and feats[1].n_bytes == 384
+    assert feats[2].features is None and feats[2].n_bytes is None
+    thumbs = {r.doc_id: r.thumb for r in resize_media(env).collect()}
+    assert thumbs[1] is not None and thumbs[2] is None
+    frames = sample_frames(env).collect()
+    assert {r.doc_id for r in frames} == {1}  # null payload -> zero frames

@@ -1629,3 +1629,54 @@ def test_warehouse_merge_tied_delete_does_not_resurrect(spark):
     merged = staging_upsert(current, latest, ["id"]).join(deletes, ["id"], "left_anti")
     rows = {(r.id, r.status) for r in merged.collect()}
     assert rows == {(6, "KEEP")}, rows  # 5 deleted, not resurrected as OLD
+
+
+def test_rollup_replay_swaps_versions_without_a_torn_window(spark, tmp_path):
+    """Round-11 review: a REPLAYED batch (checkpoint commit lost after the
+    pointer landed) must not rewrite the version dir _CURRENT points at in
+    place — readers resolving the pointer mid-overwrite saw a half-deleted
+    dir. The swap now lands beside and renames in; a reader's view before
+    and after the replay is the same complete version, and a crash-stranded
+    .old dir heals on the next flush."""
+    import shutil as _sh
+
+    from aws_kinesis_spark.streaming.rollup import read_rollup, start_continuous_rollup
+
+    inp = str(tmp_path / "events")
+    ev = load(spark, SF, "events")
+    ev.repartition(2).write.mode("overwrite").parquet(inp)
+    rollup = str(tmp_path / "rollup")
+    q = start_continuous_rollup(
+        event_stream(spark, inp, max_files_per_trigger=1),
+        rollup,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    before = read_rollup(spark, rollup).count()
+    assert before > 0
+    # simulate the lost checkpoint commit: wipe the checkpoint, replay the
+    # whole stream into the SAME rollup dir — every batch id is a replay
+    q2 = start_continuous_rollup(
+        event_stream(spark, inp, max_files_per_trigger=1),
+        rollup,
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(300)
+    assert read_rollup(spark, rollup).count() == before
+    # no stranded swap dirs survive a completed replay
+    leftovers = [d for d in os.listdir(rollup) if d.endswith((".tmp", ".old"))]
+    assert leftovers == [], leftovers
+    # a crash-stranded trash copy heals: fabricate the swap-window state
+    # (live dir renamed away, .old holds the only copy) and replay again
+    import json as _json
+
+    v = _json.load(open(os.path.join(rollup, "_CURRENT")))["version"]
+    vdir = os.path.join(rollup, f"v{v}")
+    os.replace(vdir, vdir + ".old")
+    q3 = start_continuous_rollup(
+        event_stream(spark, inp, max_files_per_trigger=1),
+        rollup,
+        str(tmp_path / "ckpt3"),
+    )
+    q3.awaitTermination(300)
+    assert read_rollup(spark, rollup).count() == before
