@@ -67,9 +67,10 @@ def salted_join(
 ) -> DataFrame:
     """B2 join form (reference README.md:84-86 hot-key salting): when one
     join key dominates, a plain shuffle join puts the whole hot key on one
-    reducer. Salt the fact side (deterministic hash of a row-unique column —
-    replayable, unlike rand()) and replicate the dim side `salts` times, so
-    the hot key spreads across `salts` reducers.
+    reducer. Salt the fact side (hash of a caller-named row-unique column —
+    replayable, unlike rand(); the default adds a per-row physical component
+    so spread never degenerates) and replicate the dim side `salts` times,
+    so the hot key spreads across `salts` reducers.
 
     Result is row-identical to `fact.join(dim, key)`: every fact row meets
     exactly the one dim replica carrying its salt. AQE's skew-join handles
@@ -80,12 +81,22 @@ def salted_join(
             "salt_source must differ from the join key: hashing the key "
             "gives every row of a hot key the SAME salt — zero mitigation"
         )
-    # default: row-content hash over ALL columns — deterministic/replayable
-    # and varying within a hot key whenever any other column does. The old
-    # first-column fallback could silently BE the join key (round-11
-    # review), paying the dim replication for no spread.
+    # default: row-content hash over ALL columns PLUS a per-row physical
+    # component (partition id + in-partition ordinal). Content alone
+    # degenerates to hash(key) when the fact's other columns are constant
+    # or functionally determined by the key — or the fact is key-only —
+    # the same zero-mitigation pathology the explicit salt_source==key
+    # guard rejects (round-12 review). The physical component guarantees
+    # spread regardless of content; the salt value itself need not be
+    # replay-stable because the join RESULT is salt-invariant (every fact
+    # row meets exactly the one replica carrying its salt, whatever the
+    # salt is). Callers needing a replay-stable salt pass salt_source.
     salt_expr = (
-        F.xxhash64(*[F.col(c) for c in fact.columns])
+        F.xxhash64(
+            *[F.col(c) for c in fact.columns],
+            F.spark_partition_id(),
+            F.monotonically_increasing_id(),
+        )
         if salt_source is None
         else F.xxhash64(F.col(salt_source))
     )

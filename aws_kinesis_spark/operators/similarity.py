@@ -320,6 +320,7 @@ def knn_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    validate_geometry: bool = True,
 ) -> DataFrame:
     """ANN top-k with multi-table LSH (OR-amplification): table t buckets on
     the sign pattern of dims [t*bits, (t+1)*bits); a point is a candidate if
@@ -341,14 +342,23 @@ def knn_lsh(
     # would yield NULL -> bit 0 for EVERY row (or throw under ANSI),
     # silently collapsing the high tables into one all-corpus bucket — the
     # exact cross-join blowup the bucketing exists to avoid. One bounded
-    # driver probe (1 row) validates the geometry up front.
-    first = corpus.select(vec_col).first()
-    lsh_dim = len(first[0]) if first and first[0] is not None else None
-    if lsh_dim is not None and tables * bits > lsh_dim:
-        raise ValueError(
-            f"tables*bits = {tables * bits} exceeds embedding dim {lsh_dim}; "
-            "lower tables/bits so every table reads real dimensions"
+    # driver probe (first non-NULL vector — a NULL first row used to skip
+    # the check entirely, round-12 review) validates the geometry up front;
+    # hot paths that already know their dim pass validate_geometry=False to
+    # skip the eager plan-construction-time job.
+    if validate_geometry:
+        first = (
+            corpus.filter(F.col(vec_col).isNotNull())
+            .select(F.size(vec_col).alias("__d"))
+            .first()
         )
+        lsh_dim = first["__d"] if first is not None else None
+        if lsh_dim is not None and tables * bits > lsh_dim:
+            raise ValueError(
+                f"tables*bits = {tables * bits} exceeds embedding dim "
+                f"{lsh_dim}; lower tables/bits so every table reads real "
+                "dimensions"
+            )
     bucket_cols = [
         sign_bucket_at(vec_col, t * bits, bits).alias(f"__b{t}") for t in range(tables)
     ]

@@ -47,6 +47,29 @@ def _default_reader_factory(spark: SparkSession):
     return spark.readStream.format("kinesis")
 
 
+def _is_missing_datasource(e: Exception) -> bool:
+    """True only for the connector-jar-missing failure (Spark's
+    DATA_SOURCE_NOT_FOUND error class or a JVM ClassNotFoundException),
+    NOT for other connector errors that merely mention 'data source' in
+    their message (e.g. DATA_SOURCE_OPTION validation failures)."""
+    for getter in ("getCondition", "getErrorClass"):
+        fn = getattr(e, getter, None)
+        if fn is None:
+            continue
+        try:
+            cond = fn()
+        except Exception:
+            continue
+        if cond is not None:
+            return "DATA_SOURCE_NOT_FOUND" in cond
+    msg = str(e)
+    return (
+        "DATA_SOURCE_NOT_FOUND" in msg
+        or "ClassNotFoundException" in msg
+        or ("Failed to find" in msg and "data source" in msg.lower())
+    )
+
+
 def kinesis_reader_options(mode: str, **options: str) -> dict[str, str]:
     """Validate and translate consumer-mode options to connector options.
 
@@ -143,10 +166,16 @@ def stream_source(
         except Exception as e:
             # ONLY the missing-data-source failure is rebranded with the
             # actionable classpath hint; every other connector error (bad
-            # region, missing stream, auth) propagates untouched — a
-            # catch-all here sent operators chasing --packages for what
-            # was really a credentials problem (round-11 review)
-            if "Failed to find" not in str(e) and "data source" not in str(e).lower():
+            # region, missing stream, auth, bad option) propagates
+            # untouched — a catch-all here sent operators chasing
+            # --packages for what was really a credentials problem
+            # (round-11 review). Matched on the SPECIFIC error condition:
+            # Spark's DATA_SOURCE_NOT_FOUND error class (via
+            # getCondition/getErrorClass when available) or a JVM
+            # ClassNotFoundException — a loose 'data source' substring also
+            # caught DATA_SOURCE_OPTION_* / bad-option errors (round-12
+            # review).
+            if not _is_missing_datasource(e):
                 raise
             raise RuntimeError(
                 "Kinesis connector not on the classpath; launch with the "

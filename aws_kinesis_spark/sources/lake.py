@@ -456,8 +456,26 @@ def expire_partitions(
     # urls under a different spelling of lake_dir (absolute vs relative vs
     # symlinked) than this sweep was invoked with — a raw string compare
     # would silently skip the rewrite and leave dangling entries (the same
-    # defense vacuum_orphans and _remap_partitions_in_manifests carry)
+    # defense vacuum_orphans and _remap_partitions_in_manifests carry).
+    # Entry urls are resolved PRE-DELETE too (round-12 review): realpath
+    # cannot resolve a symlinked component once the subtree it traverses
+    # is gone, so a post-delete resolve would miss expired_set and leave
+    # the entry dangling.
     expired_set = {os.path.realpath(d) for d in expired_dirs}
+    entry_dir_real: dict[str, str] = {}
+    if expired_dirs:
+        for sub in ("_manifests", "_staged"):
+            manifest_dir = os.path.join(lake_dir, sub)
+            if not os.path.isdir(manifest_dir):
+                continue
+            for name in os.listdir(manifest_dir):
+                if not name.startswith("manifest-") or not name.endswith(".json"):
+                    continue
+                with open(os.path.join(manifest_dir, name)) as fh:
+                    for e in json.load(fh)["entries"]:
+                        d = os.path.dirname(e["url"])
+                        if d not in entry_dir_real:
+                            entry_dir_real[d] = os.path.realpath(d)
     for d in expired_dirs:
         shutil.rmtree(d, ignore_errors=True)
         # prune now-empty parents up to (not including) data/
@@ -485,7 +503,11 @@ def expire_partitions(
             kept = [
                 e
                 for e in payload["entries"]
-                if os.path.realpath(os.path.dirname(e["url"])) not in expired_set
+                if entry_dir_real.get(
+                    os.path.dirname(e["url"]),
+                    os.path.realpath(os.path.dirname(e["url"])),
+                )
+                not in expired_set
             ]
             if len(kept) == len(payload["entries"]):
                 continue

@@ -32,21 +32,43 @@ ROLLUP_SCHEMA = (
 )
 
 
-def _current_version(rollup_dir: str) -> int | None:
+def _current_dir(rollup_dir: str) -> str | None:
+    """Resolve the _CURRENT pointer to a version dir NAME (None before the
+    first commit). Older pointers carry only ``version``; replay-attempt
+    pointers carry an explicit ``dir`` (``v{N}_{attempt}``)."""
     ptr = os.path.join(rollup_dir, _POINTER)
     if not os.path.exists(ptr):
         return None
     with open(ptr) as fh:
-        return json.load(fh)["version"]
+        payload = json.load(fh)
+    return payload.get("dir") or f"v{payload['version']}"
+
+
+def _committed_version_dirs(rollup_dir: str) -> dict[int, str]:
+    """batch_id -> committed dir name. Attempt dirs (``v{N}_{k}``) are
+    written complete-then-renamed, so the HIGHEST attempt present for a
+    batch id is its last committed state; ``.tmp`` staging dirs are never
+    complete and are skipped."""
+    best: dict[int, tuple[int, str]] = {}
+    for d in os.listdir(rollup_dir):
+        if not d.startswith("v") or d.endswith(".tmp") or d.endswith(".old"):
+            continue
+        bid, _, att = d[1:].partition("_")
+        if not bid.isdigit() or (att and not att.isdigit()):
+            continue
+        key, a = int(bid), int(att) if att else 0
+        if key not in best or a > best[key][0]:
+            best[key] = (a, d)
+    return {k: v[1] for k, v in best.items()}
 
 
 def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
     """Read the current committed rollup version (empty frame before the
     first commit)."""
-    v = _current_version(rollup_dir)
-    if v is None:
+    d = _current_dir(rollup_dir)
+    if d is None:
         return spark.createDataFrame([], ROLLUP_SCHEMA)
-    return spark.read.parquet(os.path.join(rollup_dir, f"v{v}")).select(
+    return spark.read.parquet(os.path.join(rollup_dir, d)).select(
         "hour_start", "event_type", "n_events", "sum_value"
     )
 
@@ -80,16 +102,13 @@ def start_continuous_rollup(
         # combine against the newest version OLDER than this batch — not the
         # pointer: if batch N committed its version but the checkpoint write
         # failed, the replayed batch N would otherwise double-count itself
-        prev = [
-            int(d[1:])
-            for d in os.listdir(rollup_dir)
-            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id
-        ]
+        committed = _committed_version_dirs(rollup_dir)
+        prev = [b for b in committed if b < batch_id]
         if prev:
             # select away the day partition column so the combine schema
             # stays the logical rollup schema
             current = spark.read.parquet(
-                os.path.join(rollup_dir, f"v{max(prev)}")
+                os.path.join(rollup_dir, committed[max(prev)])
             ).select("hour_start", "event_type", "n_events", "sum_value")
         else:
             current = spark.createDataFrame([], ROLLUP_SCHEMA)
@@ -101,23 +120,26 @@ def start_continuous_rollup(
                 F.sum("sum_value").alias("sum_value"),
             )
         )
-        # version = batchId so a replayed batch rewrites its own version
+        # version = batchId so a replayed batch supersedes its own version
         # instead of double-counting (README.md:204 zero-duplicates).
         # Partitioned by day: writers parallelize across time buckets
         # (repartition(1) would serialize every version through one task)
         # and readers prune to the days they query.
+        #
+        # REPLAY via POINTER SWAP (round-12 review): the round-11 two-rename
+        # protocol had a window between os.replace(vdir, vold) and
+        # os.replace(vtmp, vdir) where _CURRENT resolved to a missing dir —
+        # a concurrent reader failed outright, and a crash there broke
+        # readers until the same batch id replayed. Now a replayed batch
+        # writes under a FRESH name (v{N}_{attempt}) and _CURRENT flips to
+        # it — the exact protocol of the initial flush; the live dir is
+        # never renamed away, so readers always resolve a complete version.
         vdir = os.path.join(rollup_dir, f"v{batch_id}")
-        # REPLAY-SAFE swap (round-11 review): a replayed batch used to
-        # overwrite v{N} in place while _CURRENT still pointed at it —
-        # a concurrent reader resolved the pointer into a half-deleted
-        # dir. Same two-rename + crash-heal protocol as the lake's leaf
-        # compaction: write beside, swap, sweep.
-        vtmp, vold = vdir + ".tmp", vdir + ".old"
-        if os.path.exists(vold):  # heal a prior crashed swap
-            if not os.path.exists(vdir):
-                os.replace(vold, vdir)
-            else:
-                shutil.rmtree(vold, ignore_errors=True)
+        attempt = 0
+        while os.path.exists(vdir):
+            attempt += 1
+            vdir = os.path.join(rollup_dir, f"v{batch_id}_{attempt}")
+        vtmp = vdir + ".tmp"
         shutil.rmtree(vtmp, ignore_errors=True)
         (
             combined.withColumn("day", F.to_date("hour_start"))
@@ -126,14 +148,18 @@ def start_continuous_rollup(
             .partitionBy("day")
             .parquet(vtmp)
         )
-        if os.path.exists(vdir):
-            os.replace(vdir, vold)
         os.replace(vtmp, vdir)
-        shutil.rmtree(vold, ignore_errors=True)
         tmp = os.path.join(rollup_dir, f"._CURRENT.{batch_id}")
         with open(tmp, "w") as fh:
-            json.dump({"version": batch_id}, fh)
+            json.dump({"version": batch_id, "dir": os.path.basename(vdir)}, fh)
         os.replace(tmp, os.path.join(rollup_dir, _POINTER))  # atomic commit
+        # sweep superseded attempts of THIS batch only after the pointer
+        # flip (other versions stay: the replay combine reads them)
+        for k in range(attempt):
+            stale = os.path.join(
+                rollup_dir, f"v{batch_id}" + (f"_{k}" if k else "")
+            )
+            shutil.rmtree(stale, ignore_errors=True)
 
     return (
         events.writeStream.foreachBatch(flush)

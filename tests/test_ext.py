@@ -82,6 +82,34 @@ def test_ann_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"ANN recall too low: {recall:.2f}"
 
 
+def test_lsh_geometry_probe_skips_nulls_and_is_optional(spark):
+    """Round-12 review: the geometry probe sampled corpus.first() — a NULL
+    vector in the first row skipped the tables*bits<=dim check entirely,
+    silently collapsing the high tables into one all-corpus bucket. The
+    probe now samples the first NON-NULL vector (still raises on bad
+    geometry even when row 1 is NULL), and hot paths can opt out."""
+    import pytest as _pytest
+
+    em = load(spark, SF, "embeddings")
+    dim = len(em.select("embedding").first()[0])
+    # prepend a NULL-vector row so the naive first() sample would be NULL
+    null_row = em.limit(1).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        *[c for c in em.columns if c not in ("vec_id", "embedding")],
+    ).select(*em.columns)
+    corpus = null_row.unionByName(em)
+    queries = em.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with _pytest.raises(ValueError, match="exceeds embedding dim"):
+        knn_lsh(corpus, queries, k=5, tables=dim, bits=8)
+    # valid geometry still runs through the NULL row
+    assert knn_lsh(corpus, queries, k=5).count() > 0
+    # opt-out skips the probe: bad geometry is the caller's contract then
+    knn_lsh(em, queries, k=5, validate_geometry=False)
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     """IVF ANN: probing 8/32 cells must reach >=50% top-10 recall on the
     (near-orthogonal random) fixture while scanning ~1/4 of the corpus;

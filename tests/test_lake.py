@@ -322,6 +322,57 @@ def test_retention_expiry_removes_old_partitions_and_heals_manifests(
     assert ex2.n_partitions == 0 and ex2.n_manifests_rewritten == 0
 
 
+def test_retention_expiry_heals_entries_recorded_through_deleted_symlinks(
+    spark, envelope, tmp_path
+):
+    """Round-12 review: a manifest entry whose url traverses a symlink that
+    lives INSIDE the expired subtree cannot be realpath-resolved after the
+    rmtree (the link component is gone) — a post-delete resolve missed
+    expired_set and the ghost entry survived. Entry urls are now resolved
+    against a pre-delete mapping, so the entry is dropped."""
+    import datetime as dt
+    import shutil as sh
+
+    from aws_kinesis_spark.sources.lake import expire_partitions
+
+    lake = str(tmp_path / "lake")
+    run_lake_batch(envelope, lake, batch_id=0, raw_backup=False)
+
+    batch_root = os.path.join(lake, "data", "batch=0")
+    live_leaf = next(
+        dp for dp, _d, fs in os.walk(batch_root)
+        if any(f.endswith(".parquet") for f in fs)
+    )
+    old_leaf = os.path.join(batch_root, "year=2020", "month=1", "day=2", "hour=5")
+    sh.copytree(live_leaf, old_leaf)
+    # a symlink INSIDE the expired leaf pointing back at it — the manifest
+    # records the planted files THROUGH the link
+    link = os.path.join(old_leaf, "alias")
+    os.symlink(old_leaf, link)
+    planted = [
+        os.path.join(link, f) for f in os.listdir(old_leaf) if f.endswith(".parquet")
+    ]
+    assert planted and all(os.path.exists(p) for p in planted)
+    mpath = os.path.join(lake, "_manifests", "manifest-0000000000.json")
+    with open(mpath) as fh:
+        manifest = json.load(fh)
+    n_live = len(manifest["entries"])
+    manifest["entries"] += [{"url": p} for p in planted]
+    with open(mpath, "w") as fh:
+        json.dump(manifest, fh)
+
+    ex = expire_partitions(
+        lake, retention_hours=24 * 365, now=dt.datetime(2021, 6, 1)
+    )
+    assert ex.n_partitions == 1
+    assert not os.path.exists(old_leaf)
+    # the symlink-recorded entries were dropped, not left dangling
+    assert ex.n_manifests_rewritten == 1
+    healed = read_manifest(lake, 0)
+    assert len(healed["entries"]) == n_live
+    assert all(os.path.exists(e["url"]) for e in healed["entries"])
+
+
 def test_merge_upsert_fallback_matches_merge_semantics(spark, tmp_path):
     """A7 MERGE INTO variant: on this v1 catalog the ANSI MERGE is
     unsupported, so merge_upsert must fall back to the equivalent

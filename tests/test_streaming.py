@@ -345,6 +345,49 @@ def test_kinesis_branch_contract(spark):
             streamName="s", endpointUrl="http://x",
         )
 
+    # classpath-hint gate (round-12 review): ONLY the missing-data-source
+    # failure gets rebranded; a connector error that merely mentions 'data
+    # source' in its message (e.g. a DATA_SOURCE_OPTION validation error)
+    # must propagate untouched
+    class FailingReader(FakeReader):
+        def __init__(self, exc):
+            self._exc = exc
+
+        def load(self):
+            raise self._exc
+
+    def failing_factory(exc):
+        return lambda s: FailingReader(exc)
+
+    opt_err = RuntimeError(
+        "[DATA_SOURCE_OPTION_IS_REQUIRED] data source option 'streamName' "
+        "is required"
+    )
+    with pytest.raises(RuntimeError, match="DATA_SOURCE_OPTION_IS_REQUIRED"):
+        stream_source(
+            spark, kind="kinesis", mode="polling",
+            reader_factory=failing_factory(opt_err),
+            streamName="s", region="r",
+        )
+    missing = RuntimeError(
+        "[DATA_SOURCE_NOT_FOUND] Failed to find the data source: kinesis"
+    )
+    with pytest.raises(RuntimeError, match="connector not on the classpath"):
+        stream_source(
+            spark, kind="kinesis", mode="polling",
+            reader_factory=failing_factory(missing),
+            streamName="s", region="r",
+        )
+    cnf = RuntimeError(
+        "java.lang.ClassNotFoundException: kinesis.DefaultSource"
+    )
+    with pytest.raises(RuntimeError, match="connector not on the classpath"):
+        stream_source(
+            spark, kind="kinesis", mode="polling",
+            reader_factory=failing_factory(cnf),
+            streamName="s", region="r",
+        )
+
 
 def test_watermark_drops_late_data(spark, tmp_path):
     """E4 (README.md:48, 156): append-mode windowed agg with a 30 min
@@ -1632,13 +1675,14 @@ def test_warehouse_merge_tied_delete_does_not_resurrect(spark):
 
 
 def test_rollup_replay_swaps_versions_without_a_torn_window(spark, tmp_path):
-    """Round-11 review: a REPLAYED batch (checkpoint commit lost after the
-    pointer landed) must not rewrite the version dir _CURRENT points at in
-    place — readers resolving the pointer mid-overwrite saw a half-deleted
-    dir. The swap now lands beside and renames in; a reader's view before
-    and after the replay is the same complete version, and a crash-stranded
-    .old dir heals on the next flush."""
-    import shutil as _sh
+    """Round-12 review: the round-11 two-rename replay swap had a window
+    where _CURRENT pointed at a missing v{N} (live dir renamed to .old
+    before the fresh copy renamed in) — a concurrent reader failed
+    outright, and a crash there broke readers until the same batch id
+    replayed. The replay now lands under a FRESH dir name (v{N}_{attempt})
+    and the pointer flips to it — the live dir is never renamed away, so
+    every pointer state ever committed resolves to a complete version."""
+    import json as _json
 
     from aws_kinesis_spark.streaming.rollup import read_rollup, start_continuous_rollup
 
@@ -1654,6 +1698,12 @@ def test_rollup_replay_swaps_versions_without_a_torn_window(spark, tmp_path):
     q.awaitTermination(300)
     before = read_rollup(spark, rollup).count()
     assert before > 0
+    ptr_before = _json.load(open(os.path.join(rollup, "_CURRENT")))
+    dir_before = ptr_before.get("dir") or f"v{ptr_before['version']}"
+    # fabricate a crash-stranded staging dir from an interrupted replay —
+    # the only incomplete state the new protocol can leave behind; it must
+    # never shadow a committed version and must be swept by the re-attempt
+    os.makedirs(os.path.join(rollup, dir_before + "_1.tmp", "garbage"))
     # simulate the lost checkpoint commit: wipe the checkpoint, replay the
     # whole stream into the SAME rollup dir — every batch id is a replay
     q2 = start_continuous_rollup(
@@ -1663,16 +1713,19 @@ def test_rollup_replay_swaps_versions_without_a_torn_window(spark, tmp_path):
     )
     q2.awaitTermination(300)
     assert read_rollup(spark, rollup).count() == before
-    # no stranded swap dirs survive a completed replay
+    ptr_after = _json.load(open(os.path.join(rollup, "_CURRENT")))
+    dir_after = ptr_after.get("dir") or f"v{ptr_after['version']}"
+    # the pointer flipped to a fresh attempt dir (never rewritten in place)
+    # and resolves to a complete, readable version
+    assert dir_after != dir_before, dir_after
+    assert os.path.isdir(os.path.join(rollup, dir_after))
+    assert ptr_after["version"] == ptr_before["version"]
+    # no stranded staging dirs survive a completed replay, and superseded
+    # attempts of replayed batches were swept after their pointer flips
     leftovers = [d for d in os.listdir(rollup) if d.endswith((".tmp", ".old"))]
     assert leftovers == [], leftovers
-    # a crash-stranded trash copy heals: fabricate the swap-window state
-    # (live dir renamed away, .old holds the only copy) and replay again
-    import json as _json
-
-    v = _json.load(open(os.path.join(rollup, "_CURRENT")))["version"]
-    vdir = os.path.join(rollup, f"v{v}")
-    os.replace(vdir, vdir + ".old")
+    assert not os.path.exists(os.path.join(rollup, dir_before))
+    # a third replay keeps the count stable and the pointer always live
     q3 = start_continuous_rollup(
         event_stream(spark, inp, max_files_per_trigger=1),
         rollup,
