@@ -344,66 +344,117 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        d15b, d18, d19, d20, d21, d22, d23, d24, d28, b01, b02b, b07,
 #        c07, c08, c09, a07, a12, e01, e02, e05, g03, g03c, g03e, g04,
 #        g05, g07, g09, g14
-# Post-r11 freshness ledger (for the round-12 rotation): latest-hard-row
-# distribution is r11:50 r10:40 r9:16 r8:14 r6:26 r5:18 — nothing older
-# than r5 remains. The r5 block (18: a01, a10, b04, b05, c01, c13, d08,
-# d15, d26, d27, e10, g01, g04b, g06, g07d, g11, g12, o04) is the next
-# rotation's natural incoming set, then the r6 block (26).
+# Post-r11 freshness ledger: latest-hard-row distribution was r11:50
+# r10:40 r9:16 r8:14 r6:26 r5:18 — nothing older than r5 remained. The r5
+# block (18) was the round-12 rotation's incoming set.
+# Round-12 rotation (21 swapped — the complete r5 freshness backlog (18:
+# a01, a10, b04, b05, c01, c13, d08, d15, d26, d27, e10, g01, g04b, g06,
+# g07d, g11, g12, o04) PLUS the three paths whose code churned this round
+# and must re-certify the round they changed: e09 (the rollup replay
+# protocol was rewritten to a pointer swap, streaming/rollup.py), a16
+# (expire_partitions gained pre-delete entry-url resolution, lake.py),
+# g03b (knn_lsh's geometry probe was rewritten NULL-safe, similarity.py).
+# Kept in-window: b02b (salted_join's default salt changed this round),
+# a19 + g35 (the two standing perf targets — their BENCH_r12 rows must
+# pair with fresh hard correctness rows), g41/g48/g03c (ivf_index.py
+# churned this round: distributed-probe query caching). Every rotated-out
+# slot is green in CORRECTNESS_r11 — the freshest possible row — and
+# re-runs in the local differential suite every CI pass; named witnesses:
+#   out: d03 (d22 partition-pruned point lookup stays in-window + incoming
+#        g06's pushdown-locked filter; incoming a10 discovers/prunes the
+#        same hive layout), d04 (d11 sort_topn = TakeOrdered IS sort+limit),
+#        d08b (incoming d08 = same D8 aggregation family), d13 (incoming
+#        d26 sessionization + d27 rolling window = the D13 window-function
+#        family — the round-4 witness pair reversed), d14b/d14c (d14
+#        rollup stays = same D14 grouping family), d15b (incoming d15
+#        asof join = same D15 temporal-join family — the r7 d29/d34
+#        precedent), d18 (g14 quantize = floor/abs/divide in-row math —
+#        the round-4 precedent), d20 (incoming c01 = from_json/to_json
+#        roundtrip — the round-4 precedent), d21 (incoming g06 =
+#        conditional + null handling — the r5 precedent), c08 (incoming
+#        g04b concat+md5 fingerprint + incoming g12's md5-hex-threshold =
+#        the same C8 hashing surface), c09 (incoming c13 = same C9
+#        format-roundtrip family — the r5 precedent), b01 (incoming b04's
+#        keyed sequence dedup + b02b's keyed salted shuffle = the B1
+#        keyed-shuffle family — the round-4 precedent), b07 (incoming a01:
+#        kinesis_sim replay-from-offset IS the b07 mechanism — the r5
+#        precedent), a07 (incoming o04 = keyed LWW upsert — the r5
+#        precedent), a21 (a12 reads the same committed-manifest protocol +
+#        incoming a16 rewrites manifests atomically; the WAP
+#        stage/audit/publish + fence invariants stay pinned in
+#        tests/test_lake.py — the r9 a14/a18 precedent), o08 (incoming
+#        o04 = same CDC decode/collapse family — the r6 precedent
+#        reversed; SCD2 kill/resume invariants pinned in
+#        tests/test_streaming.py), e05 (g35 stays = the same E5 dedup
+#        mechanism in its standing-index streaming form + incoming b04
+#        exactly-once core), e08 (incoming e09 is a foreachBatch lake
+#        pipeline — re-certifying the exact protocol that changed this
+#        round — + g35 stays = foreachBatch multi-sink — the r7
+#        precedent), g04 (incoming g04b/g06 = same G4/G6 text
+#        stats/quality family), g09 (incoming g12 = same
+#        md5-hex-threshold split mechanism — the round-4 precedent)
+#   in:  a01, a10, a16, b04, b05, c01, c13, d08, d15, d26, d27, e09,
+#        e10, g01, g03b, g04b, g06, g07d, g11, g12, o04
+# Post-r12 freshness ledger (for the round-13 rotation): the r6 block
+# (26: a03, a14, c12, d14d, d29, e03, e07, e11, e13, g03d, g04c, g04d,
+# g07c, g08, g13, g15, g18, g22, g23, g24, g25, g26, o05, o06 + the two
+# r6 rows a16/e09 just re-certified here) is the next incoming set, then
+# the r8 block.
 DRIVER_WINDOW: list[str] = [
-    # D — relational core (21): the r2–r4 freshness backlog, complete
-    "d03_time_pruned_filter",
-    "d04_limit",
+    # D — relational core (15)
     "d05_join_star",
-    "d08b_stats_aggregates",
+    "d08_agg_pricing_summary",
     "d10_distinct",
     "d10c_percentiles",
     "d11_sort_topn",
     "d12_latest_per_key",
-    "d13_window_functions",
     "d14_rollup",
-    "d14b_cube",
-    "d14c_grouping_sets",
-    "d15b_range_join_binned",
-    "d18_math_functions",
+    "d15_asof_join",
     "d19_array_functions",
-    "d20_json_functions",
-    "d21_conditional_null",
     "d22_golden_point_lookup",
     "d23_correlated_scalar_subquery",
     "d24_exists_subquery",
+    "d26_sessionization",
+    "d27_rolling_time_window",
     "d28_relational_division",
     # C — record transforms (3)
+    "c01_envelope_roundtrip",
     "c07_composite_key",
-    "c08_hashing",
-    "c09_orc_roundtrip",
+    "c13_csv_roundtrip",
     # B — streaming-core batch analogues (3)
-    "b01_keyed_partition_order",
     "b02b_salted_join",
-    "b07_replay_from_offset",
-    # A — sources/sinks/lake maintenance (4)
-    "a07_staging_upsert",
+    "b04_dedup_by_sequence",
+    "b05_bucketed_join",
+    # A — sources/sinks/lake maintenance (5)
+    "a01_kinesis_sim_source",
+    "a10_catalog_partition_discovery",
     "a12_lake_roundtrip",
+    "a16_retention_expiry",
     "a19_deletion_vectors",
-    "a21_write_audit_publish",
     # O — CDC family (1)
-    "o08_stream_scd2",
+    "o04_cdc_apply",
     # E — streaming semantics, batch-equivalent oracle form (4)
     "e01_stream_tumbling_hourly",
     "e02_stream_sliding_window",
-    "e05_stream_dedup",
-    "e08_stream_lake_path",
+    "e09_continuous_rollup",
+    "e10_stream_stream_join",
     # F — UDF/UDAF/UDTF surface (3)
     "f02_grouped_map",
     "f03_grouped_agg_udaf",
     "f04_python_udtf",
-    # G — LLM-data-pipeline operators (11)
+    # G — LLM-data-pipeline operators (16)
+    "g01_dedup_exact",
     "g03_knn_bruteforce",
+    "g03b_knn_lsh_ann",
     "g03c_knn_ivf_ann",
     "g03e_knn_join",
-    "g04_text_stats",
+    "g04b_fingerprint",
     "g05_embedding_neardup",
+    "g06_quality_filter",
     "g07_multimodal_meta",
-    "g09_train_split",
+    "g07d_multimodal_frame_sample",
+    "g11_sequence_packing",
+    "g12_stratified_sample",
     "g14_quantize_embeddings",
     "g35_stream_dedup_ingest",
     "g41_filtered_knn",

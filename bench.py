@@ -138,38 +138,70 @@ def _calibration_cost(spark) -> float:
     return min(one() for _ in range(3))
 
 
-def _host_index_cost(spark) -> float:
-    """Workload-shaped host speed index: a shuffle, an Arrow pandas-UDF
-    pass, and a small parquet write — the resources (disk, python
-    workers, scheduler) the headline queries actually contend on. The
-    pure-CPU probe above missed a measured ~20% whole-run inflation that
-    hit exactly these. Published in the output JSON so round-over-round
-    per-query comparisons can NORMALIZE by the ratio of host indices
-    instead of misreading host drift as regression. First run is a
-    warmup (codegen + python-worker spin-up), excluded from the min."""
-    @F.pandas_udf("long")
-    def _probe_udf(x: pd.Series) -> pd.Series:
-        return x * 2
+# Reference canary cost on a QUIET epoch of this VM: BENCH_r10's
+# host_index_sec (0.6414 s, calibration 0.132 s, contended=false). Every
+# later run publishes its interleaved canary stats as a RATIO against this
+# number, so a reader can normalize cross-round per-query comparisons by
+# the observed epoch drift instead of misreading it as regression.
+CANARY_REF_SEC = 0.6414
 
-    def one() -> float:
-        tmp = tempfile.mkdtemp(prefix="kinesis_cal_")
-        t0 = time.perf_counter()
-        (
-            spark.range(0, 2_000_000, numPartitions=32)
-            .withColumn("k", F.pmod("id", F.lit(64)))
-            .repartition("k")
-            .withColumn("v", _probe_udf("id"))
-            .groupBy("k")
-            .agg(F.sum("v").alias("s"))
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        dt = time.perf_counter() - t0
-        shutil.rmtree(tmp, ignore_errors=True)
-        return dt
+# Host timing noise on this shared VM comes in multi-minute EPOCHS (round-11
+# measured untouched queries drifting uniformly 1.1-1.5x while a single
+# end-of-run host-index sample moved only +3% — one sample point cannot see
+# drift that happened DURING the run). The canary is therefore sampled
+# INTERLEAVED through the timed loop (one sample every few queries), and
+# min/median/max over all samples are published: the median tracks the
+# run's typical epoch, the min its best, max-min the in-run drift.
+_CANARY_SAMPLES: list[float] = []
+_CANARY_UDF = None
 
-    one()  # warmup
-    return min(one() for _ in range(3))
+
+def _canary_once(spark) -> float:
+    """One workload-shaped canary sample: a shuffle, an Arrow pandas-UDF
+    pass, and a small parquet write — the resources (disk, python workers,
+    scheduler) the headline queries actually contend on."""
+    global _CANARY_UDF
+    if _CANARY_UDF is None:
+        @F.pandas_udf("long")
+        def _probe_udf(x: pd.Series) -> pd.Series:
+            return x * 2
+
+        _CANARY_UDF = _probe_udf
+
+    tmp = tempfile.mkdtemp(prefix="kinesis_cal_")
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 2_000_000, numPartitions=32)
+        .withColumn("k", F.pmod("id", F.lit(64)))
+        .repartition("k")
+        .withColumn("v", _CANARY_UDF("id"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    dt = time.perf_counter() - t0
+    shutil.rmtree(tmp, ignore_errors=True)
+    _CANARY_SAMPLES.append(dt)
+    return dt
+
+
+def _canary_stats() -> dict:
+    s = sorted(_CANARY_SAMPLES)
+    if not s:
+        return {}
+    med = s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+    return {
+        "n_samples": len(s),
+        "min": round(s[0], 4),
+        "median": round(med, 4),
+        "max": round(s[-1], 4),
+        "ref_r10_sec": CANARY_REF_SEC,
+        # divide this round's per-query times by ratio_vs_r10_median to
+        # cancel epoch drift when comparing against round-10-era numbers
+        "ratio_vs_r10_median": round(med / CANARY_REF_SEC, 4),
+        "ratio_vs_r10_min": round(s[0] / CANARY_REF_SEC, 4),
+    }
 
 
 def _calibrate(spark, label: str, retry: bool) -> tuple[float, bool]:
@@ -338,10 +370,16 @@ def main() -> None:
             # but a failure here usually predicts one there — say so.
             print(f"bench: warmup failed for {name}: {exc!r}", file=sys.stderr)
 
-    for name in HEADLINE:
-        if name not in qmap:
-            continue
+    _canary_once(spark)  # warmup (codegen + python-worker fork), kept:
+    _CANARY_SAMPLES.clear()  # ...but excluded from the published stats
+    measured = [n for n in HEADLINE if n in qmap]
+    for i, name in enumerate(measured):
         results[name] = round(bench_query(spark, name, qmap[name]), 4)
+        # interleaved canary: one sample every ~6 queries tracks epoch
+        # drift DURING the run (a single end-of-run sample missed a
+        # measured uniform 1.17x drift in round 11)
+        if i % 6 == 5:
+            _canary_once(spark)
 
     tmp = tempfile.mkdtemp(prefix="kinesis_bench_")
     try:
@@ -362,7 +400,13 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
     cal_after, contended_after = _calibrate(spark, "post-run", retry=False)
-    host_index = round(_host_index_cost(spark), 4)
+    for _ in range(3):  # final canary samples (the old end-of-run probe)
+        _canary_once(spark)
+    canary = _canary_stats()
+    # host_index_sec kept for backward-compatible cross-round reads: now
+    # the min over ALL interleaved samples (strictly more samples than the
+    # old end-of-run min-of-3)
+    host_index = canary["min"]
 
     total = round(sum(results.values()), 4)
     print(
@@ -391,6 +435,12 @@ def main() -> None:
                 # two rounds' per-query times by their host_index ratio to
                 # cancel host drift the CPU calibration can't see
                 "host_index_sec": host_index,
+                # epoch-noise normalizer: the same probe sampled
+                # INTERLEAVED through the run, as a ratio vs the stored
+                # round-10 quiet-epoch reference — multiply a target (or
+                # divide a measurement) by ratio_vs_r10_median before
+                # comparing against round-10-era numbers
+                "canary": canary,
                 "contended": contended_before or contended_after,
             }
         )
@@ -410,6 +460,10 @@ def main() -> None:
                 "lake_microbatch": results.get("lake_microbatch"),
                 "point_query": results.get("point_query"),
                 "host_index_sec": host_index,
+                "canary_ratio_vs_r10_median": canary.get("ratio_vs_r10_median"),
+                "canary_ratio_vs_r10_min": canary.get("ratio_vs_r10_min"),
+                "g35_stream_dedup_ingest": results.get("g35_stream_dedup_ingest"),
+                "a19_deletion_vectors": results.get("a19_deletion_vectors"),
                 "contended": contended_before or contended_after,
             }
         )

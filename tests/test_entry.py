@@ -34,66 +34,49 @@ def test_driver_window_covers_every_family():
     # every window query must carry a full DuckDB oracle (hash-match check)
     assert all(n in o for n in window), [n for n in window if n not in o]
     # every operator family lands inside the hard-signal window (floors
-    # track the round-11 FRESHNESS rotation: the complete 39-query r2–r4
-    # backlog rotates in (d 11->21, c 2->3, b/e hold at 3/4, a 9->4 with
-    # the lake-maintenance family retired on its r10 rows + a12/a21
-    # witnesses, g 16->11, f 4->3 with f01 witnessed by the in-window
-    # nearest-cell scalar pandas_udf) plus g03c, re-certifying the round
-    # its knn_ivf kernel was rewritten to delegate to the standing store
-    # — see the registry.py rotation log for every named witness)
+    # track the round-12 FRESHNESS rotation: the complete 18-query r5
+    # backlog rotates in plus the three paths whose code churned this
+    # round (e09 rollup pointer-swap, a16 expire_partitions pre-delete
+    # resolution, g03b NULL-safe geometry probe): d 21->15, c holds at 3,
+    # b holds at 3, a 4->5, o holds at 1, e holds at 4, f holds at 3,
+    # g 11->16 — see the registry.py rotation log for every named witness)
     for prefix, minimum in [
-        ("d", 21), ("c", 3), ("b", 3), ("a", 4), ("o", 1),
-        ("g", 11), ("e", 4), ("f", 3),
+        ("d", 15), ("c", 3), ("b", 3), ("a", 5), ("o", 1),
+        ("g", 16), ("e", 4), ("f", 3),
     ]:
         got = sum(1 for n in window if n.startswith(prefix))
         assert got >= minimum, f"family {prefix}: {got} < {minimum}"
     # window curation must not drop any registered query entirely
     assert set(q) == set(registry.REGISTRY)
-    # round-11 rotation: the freshness round — every query whose last
-    # hard driver row predated round 5 gets a fresh one, and the round's
-    # churned code paths (a19/a21/e08/o08/g35/g41/g48, plus g03c's
-    # rewritten kernel) stay/come in for re-certification
+    # round-12 rotation: the complete r5 freshness backlog + this round's
+    # churned paths come in; the two standing perf targets (a19, g35) and
+    # the ivf_index.py churn consumers (g41/g48/g03c) stay in-window
     rotated_in = {
-        # the complete r2–r4 freshness backlog (VERDICT r10 #1)
-        "d03_time_pruned_filter", "d04_limit", "d05_join_star",
-        "d08b_stats_aggregates", "d10_distinct", "d10c_percentiles",
-        "d11_sort_topn", "d12_latest_per_key", "d13_window_functions",
-        "d14_rollup", "d14b_cube", "d14c_grouping_sets",
-        "d15b_range_join_binned", "d18_math_functions",
-        "d19_array_functions", "d20_json_functions",
-        "d21_conditional_null", "d22_golden_point_lookup",
-        "d23_correlated_scalar_subquery", "d24_exists_subquery",
-        "d28_relational_division", "b01_keyed_partition_order",
-        "b02b_salted_join", "b07_replay_from_offset",
-        "c07_composite_key", "c08_hashing", "c09_orc_roundtrip",
-        "a07_staging_upsert", "a12_lake_roundtrip",
-        "e01_stream_tumbling_hourly", "e02_stream_sliding_window",
-        "e05_stream_dedup", "g03_knn_bruteforce", "g03e_knn_join",
-        "g04_text_stats", "g05_embedding_neardup", "g07_multimodal_meta",
-        "g09_train_split", "g14_quantize_embeddings",
-        # rewritten this round: knn_ivf now delegates to the IVF store
-        "g03c_knn_ivf_ann",
+        # the complete r5 freshness backlog (VERDICT r11 #3)
+        "a01_kinesis_sim_source", "a10_catalog_partition_discovery",
+        "b04_dedup_by_sequence", "b05_bucketed_join",
+        "c01_envelope_roundtrip", "c13_csv_roundtrip",
+        "d08_agg_pricing_summary", "d15_asof_join", "d26_sessionization",
+        "d27_rolling_time_window", "e10_stream_stream_join",
+        "g01_dedup_exact", "g04b_fingerprint", "g06_quality_filter",
+        "g07d_multimodal_frame_sample", "g11_sequence_packing",
+        "g12_stratified_sample", "o04_cdc_apply",
+        # churned this round: rollup replay protocol, expire_partitions
+        # entry resolution, knn_lsh geometry probe
+        "e09_continuous_rollup", "a16_retention_expiry",
+        "g03b_knn_lsh_ann",
     }
     assert rotated_in <= set(window)
     rotated_out = {
-        "d01_projection", "d02_filter_predicate",
-        "d09_tumbling_hourly_agg", "d16_string_functions",
-        "d17_datetime_functions", "d30_recursive_hierarchy",
-        "d31_unpivot", "d32_gap_fill", "d34_asof_tolerance",
-        "d36_approx_percentile_check", "d39_cohort_retention",
-        "c06_time_partition_cols", "c14_gzip_jsonl_roundtrip",
-        "b03_sequence_numbering", "b04b_bloom_first_seen",
-        "b12_stream_progress", "a05_manifest_time_travel",
-        "a09_dlq_split", "a11_raw_backup", "a15_schema_evolution",
-        "a18_orphan_vacuum", "a20_zone_map_pruning",
-        "a22_manifest_integrity", "g02_dedup_minhash_lsh",
-        "g02b_dedup_ngram_jaccard", "g07b_multimodal_features",
-        "g10_dedup_clusters", "g16_pii_scrub", "g20_incremental_dedup",
-        "g27_embedding_decontaminate", "g37_containment_dedup",
-        "g38_semdedup", "g40_stratified_sample", "g45_vocab_coverage",
-        "g46_bpe_pair_stats", "g49_leakage_safe_split",
-        "e04_stream_late_data", "e06_stream_stateful_buffer",
-        "e12_stream_stream_join_kinesis_source", "f01_scalar_pandas_udf",
+        "d03_time_pruned_filter", "d04_limit", "d08b_stats_aggregates",
+        "d13_window_functions", "d14b_cube", "d14c_grouping_sets",
+        "d15b_range_join_binned", "d18_math_functions",
+        "d20_json_functions", "d21_conditional_null",
+        "c08_hashing", "c09_orc_roundtrip",
+        "b01_keyed_partition_order", "b07_replay_from_offset",
+        "a07_staging_upsert", "a21_write_audit_publish",
+        "o08_stream_scd2", "e05_stream_dedup", "e08_stream_lake_path",
+        "g04_text_stats", "g09_train_split",
     }
     assert rotated_out & set(window) == set()
     # with this window, every registered query has had a driver slot
