@@ -257,12 +257,12 @@ def knn_ivf_indexed(
       runs ONCE driver-side against the centroids already in hand — no
       probe UDF in the plan at all, no extra Spark job for the probed-cell
       list, and the (queries x nprobe) probe table is safely broadcast.
-    - False: queries stay distributed; the probe is the Arrow UDF, the
-      probed-cell list is one bounded collect (<= nlist distinct ints, the
-      g35 bucket-collect pattern), the join strategy is left to AQE (no
-      broadcast hint — the query side is declared large), and the probe
-      UDF evaluates twice (once under the probed-cell collect, once in the
-      returned plan — deterministic, so both agree).
+    - False: queries stay distributed; the probe is the Arrow UDF
+      evaluated ONCE (the probed-cell collect materializes the persisted
+      probe table the returned plan then reads), the probed-cell list is
+      one bounded collect (<= nlist distinct ints, the g35 bucket-collect
+      pattern), and the join strategy is left to AQE (no broadcast hint —
+      the query side is declared large).
 
     ``filter_ids`` (one id column named like the index's id_col) applies a
     metadata PRE-filter: qualifying ids semi-join the probed cells BEFORE
@@ -337,7 +337,14 @@ def knn_ivf_indexed(
             F.col(query_id_col),
             F.col(vec_col).alias("__qvec"),
             F.explode(probe(F.col(vec_col))).alias("cell"),
-        )
+        ).persist()  # MEMORY_AND_DISK: the (queries x nprobe) probe table
+        # The probed-cell collect below materializes the cache, so the
+        # probe UDF evaluates ONCE — the returned plan reads the cached
+        # probe table instead of re-running the Arrow pass (round-11
+        # review: the double evaluation was a documented deterministic
+        # cost; now it's gone). The cache is LRU-evictable (worst case =
+        # recompute, the old behavior) and session-scoped; long-lived
+        # callers cycling many large query sets can clearCache().
         # bounded driver collect: <= nlist distinct cell ids — exactly the
         # partition-pruning key list a planner holds
         probed = [r[0] for r in qdf.select("cell").distinct().collect()]

@@ -321,6 +321,27 @@ def bench_point_query(spark, tmp: str) -> float:
     return time.perf_counter() - t0
 
 
+def bench_ivf_second_probe(spark, tmp: str) -> float:
+    """The SERVING claim of the standing IVF store (VERDICT r11 #5):
+    repeated probes against an already-built index pay no training and no
+    corpus assignment — only the driver-side matmul plus the probed-cell
+    partition reads. The build and a first probe happen ONCE, untimed
+    (g48/g03c already time build+probe fused); this times probe #2+."""
+    from aws_kinesis_spark.operators.ivf_index import build_ivf_index, knn_ivf_indexed
+
+    idx = os.path.join(tmp, "ivf_standing")
+    em = load(spark, SF_DIR, "embeddings")
+    queries = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    if not os.path.isdir(idx):
+        build_ivf_index(em, idx, nlist=32)
+        _noop_write(knn_ivf_indexed(spark, idx, queries, k=10, nprobe=8))
+    t0 = time.perf_counter()
+    _noop_write(knn_ivf_indexed(spark, idx, queries, k=10, nprobe=8))
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("aws-kinesis-spark-bench", cpus=cpus)
@@ -396,6 +417,10 @@ def main() -> None:
         results["point_query"] = round(
             _best_of("point_query", lambda: bench_point_query(spark, tmp)), 4
         )
+        results["ivf_second_probe"] = round(
+            _best_of("ivf_second_probe", lambda: bench_ivf_second_probe(spark, tmp)),
+            4,
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -464,6 +489,7 @@ def main() -> None:
                 "canary_ratio_vs_r10_min": canary.get("ratio_vs_r10_min"),
                 "g35_stream_dedup_ingest": results.get("g35_stream_dedup_ingest"),
                 "a19_deletion_vectors": results.get("a19_deletion_vectors"),
+                "ivf_second_probe": results.get("ivf_second_probe"),
                 "contended": contended_before or contended_after,
             }
         )
