@@ -175,7 +175,19 @@ def run_lake_batch(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     purge_batch(lake_dir, batch_id)
 
-    decoded = decode_envelope(env)
+    # Spread the DECODE, not just the write: the partition columns derive
+    # from the decoded rows, so the key-computing map stage runs on the
+    # INPUT's split layout — and a buffered flush usually arrives as ONE
+    # object, serializing the whole base64+JSON chain on one task no
+    # matter how the landing repartition is shaped (measured: the decode
+    # dominated the flush at sf0.1). Round-robin to the caller's own
+    # parallelism dial; the extra batch-sized exchange is cheap next to a
+    # serial decode, file CONTENTS stay deterministic because the landing
+    # layout is keyed by (partition cols, salt) downstream, and the raw
+    # backup below intentionally keeps the UNspread env (its byte-fidelity
+    # contract covers records, and a backup should mirror arrival shape).
+    spread = env.repartition(files_per_partition) if files_per_partition > 1 else env
+    decoded = decode_envelope(spread)
     ok, bad = split_errors(decoded)
     # the lake stores decoded columns; the raw payload lives in the backup
     ok = with_partition_cols(ok.drop("data")).withColumn("batch", F.lit(batch_id))

@@ -550,7 +550,13 @@ def _sweep_superseded_dirs(root: str, upto: int) -> None:
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
 
-def _compact_store(spark: SparkSession, root: str, part_col: str, upto: int) -> int:
+def _compact_store(
+    spark: SparkSession,
+    root: str,
+    part_col: str,
+    upto: int,
+    driver_fold_max_bytes: int = 128 << 20,
+) -> int:
     """Fold one standing store's per-batch directories at or below
     ``upto`` (plus any older compaction) into ``compact=<upto>``, keeping
     the hash-partition layout. Bounds the per-read listing/open cost to
@@ -558,7 +564,16 @@ def _compact_store(spark: SparkSession, root: str, part_col: str, upto: int) -> 
     write-to-tmp + atomic-rename commit as every lake object; idempotent
     (a replayed request against an existing compaction only finishes the
     sweep). Shared by the dedup-ingest index (bands/corpus) and the
-    persistent IVF index (cells)."""
+    persistent IVF index (cells).
+
+    Compaction is a SMALL-FILES problem: the dirs being folded are
+    ``compact_every`` micro-batches of metadata-scale rows, and it runs
+    INSIDE a live trigger (g35 overlaps it, but awaits the result before
+    the standing listing — its wall time is trigger latency). When the
+    fold's total bytes fit under ``driver_fold_max_bytes`` the fold runs
+    driver-side via pyarrow (zero Spark jobs — the same centroid-IO
+    reasoning as the IVF store); above the dial it stays a clustered
+    Spark rewrite, which is the right tool once folds carry real data."""
     import shutil
 
     srcs = _index_dirs(root, upto_exclusive=upto + 1)
@@ -568,21 +583,55 @@ def _compact_store(spark: SparkSession, root: str, part_col: str, upto: int) -> 
         return 0
     if len(srcs) <= 1:
         return 0
-    cols_df = spark.read.parquet(srcs[0])
-    cols = [c for c in cols_df.columns if c != part_col] + [part_col]
-    merged = _read_index_dirs(spark, srcs, cols)
     tmp = final + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    # cluster on the partition value before writing: one file per
-    # bucket instead of files x source-dirs — every later reader opens
-    # the compacted store, so open count is paid per read while this
-    # shuffle is paid once per compaction
-    merged.repartition(F.col(part_col)).write.partitionBy(part_col).mode(
-        "overwrite"
-    ).parquet(tmp)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for s in srcs
+        for dp, _dirs, fs in os.walk(s)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    if total_bytes <= driver_fold_max_bytes:
+        _fold_store_driver_side(srcs, tmp, part_col)
+    else:
+        cols_df = spark.read.parquet(srcs[0])
+        cols = [c for c in cols_df.columns if c != part_col] + [part_col]
+        merged = _read_index_dirs(spark, srcs, cols)
+        # cluster on the partition value before writing: one file per
+        # bucket instead of files x source-dirs — every later reader opens
+        # the compacted store, so open count is paid per read while this
+        # shuffle is paid once per compaction
+        merged.repartition(F.col(part_col)).write.partitionBy(part_col).mode(
+            "overwrite"
+        ).parquet(tmp)
     os.replace(tmp, final)
     _sweep_superseded_dirs(root, upto)
     return 1
+
+
+def _fold_store_driver_side(srcs: list[str], tmp: str, part_col: str) -> None:
+    """Metadata-scale fold: read the hive-partitioned source dirs and
+    rewrite them as ONE hive-partitioned dir with pyarrow — no Spark jobs
+    on the trigger's critical path. Produces the same layout the Spark
+    rewrite does (one file per partition value, snappy parquet, hive dir
+    names) so readers cannot tell which path folded the store."""
+    import pyarrow as pa
+    import pyarrow.dataset as pds
+
+    tables = [
+        pds.dataset(s, format="parquet", partitioning="hive").to_table()
+        for s in srcs
+    ]
+    table = pa.concat_tables(tables, promote_options="permissive")
+    part_field = table.schema.field(part_col)
+    pds.write_dataset(
+        table,
+        tmp,
+        format="parquet",
+        partitioning=pds.partitioning(pa.schema([part_field]), flavor="hive"),
+        existing_data_behavior="overwrite_or_ignore",
+    )
 
 
 def compact_dedup_index(spark: SparkSession, index_dir: str, upto: int) -> int:
