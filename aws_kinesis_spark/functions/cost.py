@@ -86,8 +86,24 @@ def lake_cost_report(
                 continue
             with open(os.path.join(manifest_dir, name)) as fh:
                 m = json.load(fh)
+            n_records = m["recordCount"]
+            if n_records is not None and n_records < 0:
+                # retention/delete rewrites reset recordCount to -1
+                # ("unknown") — feeding that into the rate math produced
+                # NEGATIVE ingest/transform dollars (round-12 review).
+                # Recount from the surviving entries' parquet footers:
+                # O(files) driver metadata, the same planner-grade reads
+                # run_lake_batch uses for its own count.
+                import pyarrow.parquet as pq
+
+                n_records = 0
+                for e in m["entries"]:
+                    try:
+                        n_records += pq.ParquetFile(e["url"]).metadata.num_rows
+                    except (OSError, FileNotFoundError):
+                        pass  # dangling entry: count what exists
             rows.append(
-                (m["batchId"], m["recordCount"], m["totalBytes"], len(m["entries"]))
+                (m["batchId"], n_records, m["totalBytes"], len(m["entries"]))
             )
     base = spark.createDataFrame(
         rows, "batch_id LONG, n_records LONG, n_bytes LONG, n_files LONG"

@@ -83,14 +83,31 @@ def detect_language(text: Column | str, toks: Column | None = None) -> Column:
 
 def distinct_ratio(text: Column | str, toks: Column | None = None) -> Column:
     t = toks if toks is not None else tokens(text)
-    return F.size(F.array_distinct(t)).cast("double") / F.size(t)
+    # guard the empty token array (callers may pass pre-filtered toks):
+    # ANSI mode makes the bare division a DIVIDE_BY_ZERO query killer
+    return (
+        F.when(
+            F.size(t) > 0, F.size(F.array_distinct(t)).cast("double") / F.size(t)
+        )
+        .when(F.size(t) == 0, F.lit(0.0))
+    )
 
 
 def punct_ratio(text: Column | str) -> Column:
-    """Fraction of characters that are not [a-z0-9space]."""
+    """Fraction of characters that are not [a-z0-9space]. An empty string
+    has no characters and no punctuation -> 0.0 (a bare division would
+    DIVIDE_BY_ZERO under this engine's ANSI mode, killing the whole scan
+    on the first empty doc — round-12 review)."""
     return (
-        F.length(F.regexp_replace(F.lower(text), "[a-z0-9 ]", "")).cast("double")
-        / F.length(text)
+        F.when(
+            F.length(text) > 0,
+            F.length(F.regexp_replace(F.lower(text), "[a-z0-9 ]", "")).cast(
+                "double"
+            )
+            / F.length(text),
+        )
+        .when(F.length(text) == 0, F.lit(0.0))
+        # NULL text stays NULL (the pre-fix behavior for NULLs)
     )
 
 
@@ -101,7 +118,12 @@ def quality_score(text: Column | str, toks: Column | None = None) -> Column:
     t = toks if toks is not None else tokens(text)
     n = F.size(t).cast("double")
     len_score = F.least(F.lit(1.0), n / F.lit(100.0))
-    stop = stopword_hits(text, "en", t).cast("double") / n
+    # n >= 1 when t came from tokens() (split('', ' ') -> ['']), but a
+    # caller-passed pre-filtered toks can be empty — and ANSI turns the
+    # bare division into a query-killing DIVIDE_BY_ZERO (round-12 review)
+    stop = F.when(
+        n > 0, stopword_hits(text, "en", t).cast("double") / n
+    ).otherwise(F.lit(0.0))
     stop_score = F.least(F.lit(1.0), stop * F.lit(5.0))
     clean_score = F.lit(1.0) - punct_ratio(text)
     return F.round(

@@ -48,6 +48,12 @@ def asof_join(
     by = list(by)
     out_cols = [f"{c}{suffix}" for c in value_cols]
 
+    # a NULL right_ts sorts NULLS FIRST in the carry window, so its struct
+    # would be carried as a "match" for every later left row — but a NULL
+    # timestamp satisfies no `right_ts <= left_ts` predicate (the DuckDB
+    # ASOF oracle agrees: e.ts >= p.ts is false for NULL). Drop such rows
+    # up front (round-12 review).
+    right = right.filter(F.col(right_ts).isNotNull())
     r = right.select(
         *by,
         F.col(right_ts).alias("__ts"),

@@ -143,7 +143,14 @@ def token_topk_spacesaving(
     summaries = docs.select(text_col).mapInPandas(
         summarize,
         schema="part_id INT, token STRING, n_est LONG, err LONG, floor LONG",
-    )
+    ).localCheckpoint(eager=True)
+    # the checkpoint materializes the corpus scan + Python SpaceSaving
+    # pass ONCE for its two consumers below (total_floor and per_token) —
+    # unmaterialized, each ran the full scan independently, doubling the
+    # most expensive stage AND letting nondeterministic intra-partition
+    # row order hand the two consumers DIFFERENT summaries, breaking the
+    # bound-preserving merge math (round-12 review). The summary table is
+    # O(partitions x capacity) rows — safe to pin.
     total_floor = summaries.select("part_id", "floor").distinct().agg(
         F.coalesce(F.sum("floor"), F.lit(0)).alias("total_floor")
     )

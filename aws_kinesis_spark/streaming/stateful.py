@@ -62,7 +62,10 @@ def make_buffer_fn(max_records: int, max_bytes: int):
             else pd.DataFrame(columns=["sequence_number", "n_bytes"])
         )
         batch = batch.sort_values("sequence_number") if len(batch) else batch
-        for sz in batch["n_bytes"]:
+        # a NULL payload arrives as NaN in the Arrow batch; int(NaN) raises
+        # and kills the streaming query — count such records as 0 bytes
+        # (they still occupy a record slot) instead (round-12 review)
+        for sz in batch["n_bytes"].fillna(0):
             count += 1
             nbytes += int(sz)
             if count >= max_records or nbytes >= max_bytes:
@@ -165,6 +168,10 @@ def run_running_count(
     ev_stream: DataFrame, checkpoint_dir: str, sink_table: str, timeout_s: int = 300
 ) -> None:
     """E6 (transformWithState flavor): per-user running event count.
+    Raises TimeoutError if the backlog does not drain within ``timeout_s``
+    (the query is stopped first) — silently returning on timeout left an
+    orphaned query running against a half-filled memory sink with no
+    handle to stop it (round-12 review).
 
     transformWithState requires the RocksDB state store (the provider conf is
     swapped in for this query and restored after) AND a working
@@ -198,7 +205,12 @@ def run_running_count(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"running-count stream did not drain in {timeout_s}s; "
+                f"sink table {sink_table!r} holds a partial result"
+            )
     finally:
         if prev is None:
             spark.conf.unset(key)

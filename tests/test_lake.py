@@ -459,6 +459,19 @@ def test_lake_cost_report_accounts_for_actual_files(spark, envelope, tmp_path):
     assert row["total_usd"] > 0
     assert row["total_usd"] >= row["ingest_usd"] + row["storage_usd_month"]
 
+    # round-12 review: a retention/delete rewrite resets recordCount to -1
+    # ("unknown") — the report must recount from the surviving entries'
+    # footers, never price a NEGATIVE record count into the dollar math
+    mpath = os.path.join(lake, "_manifests", "manifest-0000000000.json")
+    with open(mpath) as fh:
+        m = json.load(fh)
+    m["recordCount"] = -1
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    row2 = lake_cost_report(spark, lake).collect()[0]
+    assert row2["n_records"] == stats.n_ok  # recounted, not -1
+    assert row2["ingest_usd"] >= 0 and row2["total_usd"] > 0
+
 
 def test_dynamic_schema_inference_and_evolution(spark, tmp_path):
     """SURVEY §1.5 (README.md:163, 545-549): schemas are observed, not

@@ -128,6 +128,70 @@ def test_asof_join_null_field_not_backfilled(spark_session):
     assert out[0]["price_r"] is None
 
 
+def test_asof_join_null_right_ts_never_matches(spark_session):
+    """D15 regression (round-12 review): a right row with a NULL timestamp
+    satisfies no `right_ts <= left_ts` predicate (DuckDB's ASOF agrees),
+    but NULLS-FIRST ordering in the carry window made it the carried match
+    for every left row with no earlier real right row."""
+    import datetime as dt
+
+    from aws_kinesis_spark.operators.asof import asof_join
+
+    base = dt.datetime(2025, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)
+    right = spark_session.createDataFrame(
+        [(1, None, 100, "ghost"), (1, t(40), 200, "late")],
+        "k LONG, ts TIMESTAMP, price INT, tag STRING",
+    )
+    left = spark_session.createDataFrame(
+        [(1, t(30), 7)], "k LONG, ts TIMESTAMP, lid LONG"
+    )
+    out = asof_join(
+        left, right, by=["k"], left_ts="ts", right_ts="ts",
+        value_cols=["price", "tag"], suffix="_r",
+    ).collect()
+    assert len(out) == 1
+    # no real right row at/before t=30 -> NULL match, not the ghost
+    assert out[0]["tag_r"] is None and out[0]["price_r"] is None
+
+
+def test_text_quality_functions_survive_empty_text(spark_session):
+    """Round-12 review: an empty-string doc made punct_ratio (and any
+    pre-filtered empty token array) divide by zero — a QUERY-KILLING error
+    under this engine's ANSI mode, not a quiet NULL. Empty docs must score
+    with defined values; NULL text stays NULL."""
+    from pyspark.sql import functions as F
+
+    from aws_kinesis_spark.functions.text import (
+        distinct_ratio,
+        punct_ratio,
+        quality_score,
+    )
+
+    df = spark_session.createDataFrame(
+        [("",), ("hello world hello",), (None,)], "text string"
+    )
+    rows = {
+        r["text"]: r
+        for r in df.select(
+            "text",
+            punct_ratio("text").alias("p"),
+            distinct_ratio("text").alias("d"),
+            quality_score("text").alias("q"),
+        ).collect()
+    }
+    assert rows[""]["p"] == 0.0
+    assert rows[""]["q"] is not None and 0.0 <= rows[""]["q"] <= 1.0
+    assert rows[None]["p"] is None  # NULL text keeps NULL semantics
+    assert rows["hello world hello"]["q"] > 0.0
+    # caller-passed EMPTY token array (the pre-filtered case)
+    e = df.limit(1).select(
+        distinct_ratio("text", F.array().cast("array<string>")).alias("d"),
+        quality_score("text", F.array().cast("array<string>")).alias("q"),
+    ).collect()[0]
+    assert e["d"] == 0.0 and e["q"] is not None
+
+
 _hash_arrays = st.lists(
     st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=12),
     min_size=1,

@@ -231,6 +231,30 @@ def test_stateful_buffer_carries_state_across_batches(spark, tmp_path):
     assert all(len([1 for (s, _f) in got if s == sh]) == 5 for sh in range(4))
 
 
+def test_stateful_buffer_counts_null_payload_as_zero_bytes():
+    """Round-12 review: a NULL data payload arrives in the Arrow batch as
+    NaN; int(NaN) raised inside applyInPandasWithState and killed the
+    whole streaming query. A NULL-payload record must count as a record
+    with 0 bytes, not a query crash."""
+    import pandas as pd
+
+    from aws_kinesis_spark.streaming.stateful import make_buffer_fn
+
+    class FakeState:
+        exists = False
+        def update(self, v): self.value = v
+
+    fn = make_buffer_fn(max_records=2, max_bytes=1 << 40)
+    pdf = pd.DataFrame(
+        {"sequence_number": [1, 2, 3], "n_bytes": [10.0, float("nan"), 5.0]}
+    )
+    state = FakeState()
+    out = pd.concat(list(fn((0,), iter([pdf]), state)))
+    # records 1+2 complete the first flush (10 + 0 bytes); record 3 buffers
+    assert list(out.itertuples(index=False, name=None)) == [(0, 0, 2, 10)]
+    assert state.value == (1, 5, 1)
+
+
 def test_stream_source_factory(spark, env_input):
     """A1: the source factory builds the file replay stream; the kinesis
     path fails with a clear actionable error when the connector is absent."""
