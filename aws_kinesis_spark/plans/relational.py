@@ -177,7 +177,9 @@ def d07_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         hi.union(urgent).distinct().withColumn("op", F.lit("union"))
         .unionByName(hi.intersect(urgent).withColumn("op", F.lit("intersect")))
-        .unionByName(hi.exceptAll(urgent).distinct().withColumn("op", F.lit("except")))
+        # subtract() IS EXCEPT DISTINCT — exceptAll().distinct() built the
+        # bag-difference plan plus a second aggregation for the same rows
+        .unionByName(hi.subtract(urgent).withColumn("op", F.lit("except")))
     )
 
 
@@ -399,17 +401,20 @@ def d14b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
                substring(p_name, 1, 8)                          AS name_pfx,
                length(p_name)                                   AS name_len,
                concat_ws('-', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
-               regexp_extract(p_type, '([a-z]+)$', 1)           AS type_last,
+               regexp_extract(p_name, '([a-z]+)$', 1)           AS name_last,
                replace(p_name, ' ', '_')                        AS name_us,
                lpad(CAST(p_partkey AS VARCHAR), 10, '0')        AS key_pad,
-               (p_type LIKE '%brushed%')                        AS is_brushed,
-               trim('  pad  ')                                  AS trimmed
+               (p_name LIKE '%red%')                            AS has_red,
+               trim('  ' || p_brand || '  ')                    AS brand_trim
         FROM part
     """,
 )
 def d16_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String scalar surface (README.md:85, 130, 224): concat/substr/regexp/
-    case/pad/like — all JVM-side, whole-stage-codegen friendly."""
+    case/pad/like — all JVM-side, whole-stage-codegen friendly. The regexp,
+    LIKE, and trim columns run over p_name/p_brand, which VARY on the
+    fixture — pointed at p_type (all-uppercase) and a literal they were
+    vacuous constants, differentially proving nothing (round-12 review)."""
     p = load(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -418,11 +423,11 @@ def d16_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("p_name", 1, 8).alias("name_pfx"),
         F.length("p_name").alias("name_len"),
         F.concat_ws("-", F.col("p_brand"), F.col("p_size").cast("string")).alias("brand_size"),
-        F.regexp_extract("p_type", "([a-z]+)$", 1).alias("type_last"),
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("name_last"),
         F.regexp_replace("p_name", " ", "_").alias("name_us"),
         F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_pad"),
-        F.col("p_type").like("%brushed%").alias("is_brushed"),
-        F.trim(F.lit("  pad  ")).alias("trimmed"),
+        F.col("p_name").like("%red%").alias("has_red"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("brand_trim"),
     )
 
 
@@ -475,7 +480,7 @@ def d17_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(power(l_quantity, 2), 4)                AS qty_sq,
                l_orderkey % 7                                AS key_mod,
                round(sqrt(l_extendedprice), 4)               AS price_sqrt,
-               CAST(l_quantity AS INT)                       AS qty_int
+               CAST(trunc(l_quantity) AS INT)                AS qty_int
         FROM lineitem
     """,
 )
@@ -493,6 +498,10 @@ def d18_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow("l_quantity", 2), 4).alias("qty_sq"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
         F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        # cast(double as int) TRUNCATES in Spark but rounds half-to-even
+        # in DuckDB — the oracle pins truncation explicitly via trunc()
+        # so the twin stays equivalent for non-integral quantities too
+        # (round-12 review; the fixture happens to be integral today)
         F.col("l_quantity").cast("int").alias("qty_int"),
     )
 
@@ -611,7 +620,7 @@ def d14c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                o_orderstatus AS status,
                EXTRACT(hour FROM o_orderdate)::INT AS hour
         FROM orders
-        WHERE o_orderkey = 98
+        WHERE o_orderkey = 98 AND EXTRACT(hour FROM o_orderdate)::INT = 0
     """,
 )
 def d22_golden_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -619,12 +628,19 @@ def d22_golden_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     processed_at FROM cdc.orders WHERE hour=14 LIMIT 1` returning one known
     row): decode the CDC envelope into the lake shape, point-look-up one id
     inside one hour partition. processed_at is wall-clock (README.md:145) so
-    the deterministic twin projects the partition hour instead."""
+    the deterministic twin keys the hour off arrival_ts instead — the
+    fixture's envelope carries date-grain arrivals (FIXTURES.md §2), so the
+    selected hour partition is 0; the hour PREDICATE still evaluates in the
+    plan on both engines (a regression in hour() extraction empties the
+    result), where it used to be projected but never filtered on
+    (round-12 review)."""
     from aws_kinesis_spark.sources.envelope import decode_envelope, synthesize_envelope
 
     env = synthesize_envelope(load(spark, sf_dir, "orders"))
     lake = decode_envelope(env).withColumn("hour", F.hour("arrival_ts"))
-    return lake.filter(F.col("id") == 98).select("id", "status", "hour")
+    return lake.filter((F.col("id") == 98) & (F.col("hour") == 0)).select(
+        "id", "status", "hour"
+    )
 
 
 @register(
@@ -1156,15 +1172,23 @@ def d36_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("double")
     eps = 1.0 / 1000
+    # The tight interpolated band is only a VALID bound once the group is
+    # large enough that the sketch's rank guarantee (eps*n) dominates the
+    # ±1 discrete-element slop — percentile_approx returns a data ELEMENT,
+    # and for a tiny group both candidate elements can sit outside the
+    # interpolated 0.498..0.502 band (round-12 review; guaranteed from
+    # roughly n >= 2000, enforced at 5000 for margin). Small groups fall
+    # back to the membership bound the sketch does guarantee: the element
+    # lies within the group's [min, max].
+    approx = F.percentile_approx(price, F.lit(0.5), F.lit(1000))
+    tight = approx.between(
+        F.percentile(price, F.lit(0.5 - 2 * eps)),
+        F.percentile(price, F.lit(0.5 + 2 * eps)),
+    )
+    loose = approx.between(F.min(price), F.max(price))
     return li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        (
-            F.percentile_approx(price, F.lit(0.5), F.lit(1000))
-            .between(
-                F.percentile(price, F.lit(0.5 - 2 * eps)),
-                F.percentile(price, F.lit(0.5 + 2 * eps)),
-            )
-        ).alias("within_bounds"),
+        F.when(F.count("*") >= 5000, tight).otherwise(loose).alias("within_bounds"),
     )
 
 

@@ -80,7 +80,11 @@ def _median_price(price: pd.Series) -> float:
     # custom UDAF body (F3). Median is selection + one midpoint average, so
     # it is bit-exact across engines regardless of accumulation order —
     # unlike a float sum, which would wobble under Spark's partial aggs.
-    return float(np.median(price.to_numpy()))
+    # NULLs are dropped to match SQL median semantics (np.median would
+    # propagate NaN through the whole group — round-12 review); an
+    # all-NULL group yields NULL like the oracle's median() does.
+    vals = price.dropna().to_numpy()
+    return float(np.median(vals)) if len(vals) else None
 
 
 @pandas_udf(LongType())

@@ -123,6 +123,30 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
 
 
+def test_approx_percentile_check_holds_on_tiny_groups(spark, tmp_path):
+    """Round-12 review: d36's within_bounds claim used the tight
+    interpolated band unconditionally, but percentile_approx returns a
+    data ELEMENT — for a 2-row group both candidate elements can sit
+    outside the interpolated 0.498..0.502 band, flipping the oracle's
+    hard-coded `true`. Tiny groups now take the membership bound the
+    sketch actually guarantees."""
+    from aws_kinesis_spark.plans.relational import d36_approx_percentile_check
+
+    # craft a lineitem with one 2-row group of extreme spread — the exact
+    # shape that broke the interpolated band
+    li = spark.createDataFrame(
+        [("Z", 1.0), ("Z", 100.0)] + [("N", float(i)) for i in range(100)],
+        "l_returnflag string, l_extendedprice double",
+    )
+    sf = str(tmp_path / "sf")
+    import os as _os
+    _os.makedirs(sf, exist_ok=True)
+    li.coalesce(1).write.mode("overwrite").parquet(_os.path.join(sf, "lineitem.parquet"))
+    rows = {r["l_returnflag"]: r for r in d36_approx_percentile_check(spark, sf).collect()}
+    assert rows["Z"]["n"] == 2 and rows["Z"]["within_bounds"] is True
+    assert rows["N"]["within_bounds"] is True
+
+
 def test_salted_join_default_salt_spreads_key_only_fact(spark):
     """Round-12 review: the default all-columns content salt degenerates to
     hash(key) when the fact is key-only (or its other columns are constant)
