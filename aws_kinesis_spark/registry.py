@@ -395,6 +395,19 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        md5-hex-threshold split mechanism — the round-4 precedent)
 #   in:  a01, a10, a16, b04, b05, c01, c13, d08, d15, d26, d27, e09,
 #        e10, g01, g03b, g04b, g06, g07d, g11, g12, o04
+# Round-12 late swap (2 more churned paths re-certify the round they
+# changed — the relational-review fixes altered d16's column set (the
+# vacuous regexp/LIKE/trim columns now run over varying p_name/p_brand)
+# and d36's within_bounds construction (small-group membership bound);
+# witness for each rotated-out slot in parens):
+#   out: d19 (g14 quantize = the same transform/array in-row surface —
+#        the round-4 witness reversed; g03's F.aggregate dot products and
+#        g11's packing arrays are further in-window array consumers),
+#        d28 (d23 correlated-scalar + d24 EXISTS = the same subquery
+#        machinery relational division compiles to — division IS the
+#        double-NOT-EXISTS form; both stay in-window)
+#   in:  d16 (columns changed this round), d36 (bound construction
+#        changed this round)
 # Post-r12 freshness ledger (for the round-13 rotation): the r6 block
 # (26: a03, a14, c12, d14d, d29, e03, e07, e11, e13, g03d, g04c, g04d,
 # g07c, g08, g13, g15, g18, g22, g23, g24, g25, g26, o05, o06 + the two
@@ -410,13 +423,13 @@ DRIVER_WINDOW: list[str] = [
     "d12_latest_per_key",
     "d14_rollup",
     "d15_asof_join",
-    "d19_array_functions",
+    "d16_string_functions",
     "d22_golden_point_lookup",
     "d23_correlated_scalar_subquery",
     "d24_exists_subquery",
     "d26_sessionization",
     "d27_rolling_time_window",
-    "d28_relational_division",
+    "d36_approx_percentile_check",
     # C — record transforms (3)
     "c01_envelope_roundtrip",
     "c07_composite_key",

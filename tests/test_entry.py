@@ -62,16 +62,20 @@ def test_driver_window_covers_every_family():
         "g07d_multimodal_frame_sample", "g11_sequence_packing",
         "g12_stratified_sample", "o04_cdc_apply",
         # churned this round: rollup replay protocol, expire_partitions
-        # entry resolution, knn_lsh geometry probe
+        # entry resolution, knn_lsh geometry probe, and the two
+        # relational-review queries whose values/construction changed
+        # (d16 columns, d36 bound)
         "e09_continuous_rollup", "a16_retention_expiry",
-        "g03b_knn_lsh_ann",
+        "g03b_knn_lsh_ann", "d16_string_functions",
+        "d36_approx_percentile_check",
     }
     assert rotated_in <= set(window)
     rotated_out = {
         "d03_time_pruned_filter", "d04_limit", "d08b_stats_aggregates",
         "d13_window_functions", "d14b_cube", "d14c_grouping_sets",
         "d15b_range_join_binned", "d18_math_functions",
-        "d20_json_functions", "d21_conditional_null",
+        "d19_array_functions", "d20_json_functions",
+        "d21_conditional_null", "d28_relational_division",
         "c08_hashing", "c09_orc_roundtrip",
         "b01_keyed_partition_order", "b07_replay_from_offset",
         "a07_staging_upsert", "a21_write_audit_publish",
