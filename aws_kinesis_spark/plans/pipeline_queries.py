@@ -40,8 +40,15 @@ def _envelope_fixture(spark, sf_dir: str, name: str, build) -> "DataFrame":
         # the sf tag keeps each scale factor's fixture at its OWN path — a
         # shared path would let a second sf_dir's build silently replace
         # the data behind the first one's cache entry (one process runs
-        # multiple scale factors: bench warmup vs timed dir, test suites)
-        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        # multiple scale factors: bench warmup vs timed dir, test suites).
+        # The tag hashes the FULL resolved sf_dir, not just its basename:
+        # two sf dirs named alike (/data/small/run vs /data/big/run) would
+        # otherwise share one path and the second build would clobber the
+        # first behind its still-live cache entry (round-12 review)
+        import hashlib
+
+        base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        tag = f"{base}-{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}"
         path = os.path.join(_scratch(f"{name}-{tag}"), "env")
         build().write.mode("overwrite").parquet(path)
         _ENV_FIXTURES[key] = path
@@ -640,6 +647,12 @@ def d15b_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("p_ts"),
         bin_of("ts").alias("bin"),
     )
+    # No distinct needed: the error side's two exploded bins are DISTINCT
+    # values and the purchase carries one bin, so each (error, purchase)
+    # pair can meet on at most one bin — a dedup here was a full extra
+    # shuffle over the join output for zero effect (round-12 review;
+    # contrast d29, where multi-bin intervals genuinely double-hit and the
+    # distinct is load-bearing).
     return (
         errors.join(purchases, ["user_id", "bin"])
         .filter(
@@ -647,7 +660,6 @@ def d15b_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("p_ts") >= F.col("e_ts") - F.expr("INTERVAL 10 MINUTES"))
         )
         .select("error_id", "purchase_id", "user_id")
-        .distinct()
     )
 
 

@@ -6,7 +6,9 @@ engine produces exactly the batch-SQL answer.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -27,20 +29,80 @@ from aws_kinesis_spark.streaming.pipeline import (
 from aws_kinesis_spark.tables import load
 
 
+_TMP_ROOT = tempfile.mkdtemp(prefix=f"kinesis_stream_{os.getpid()}_")
+atexit.register(shutil.rmtree, _TMP_ROOT, ignore_errors=True)
+
+
 def _tmp(prefix: str) -> str:
-    return tempfile.mkdtemp(prefix=f"kinesis_{prefix}_")
+    """Per-invocation scratch (checkpoints, sinks, per-call indexes):
+    deterministic per (process, prefix), WIPED on reuse, and the whole
+    root removed at interpreter exit — a bench/differential loop
+    re-invoking a streaming query overwrites one tree instead of leaking
+    an events-sized fixture + checkpoint per invocation (the
+    pipeline_queries._scratch discipline; round-12 review). Callers must
+    fully materialize results before re-invoking the same query. Fixture
+    dirs that must SURVIVE reuse use a unique per-(kind, sf) prefix plus
+    an isdir-checked cache, so they are only re-entered on rebuild."""
+    d = os.path.join(_TMP_ROOT, prefix)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _sf_tag(sf_dir: str) -> str:
+    """Collision-proof per-sf_dir fixture tag: basename for readability
+    plus a hash of the FULL resolved path (two sf dirs named alike must
+    not share a fixture path — the _envelope_fixture precedent)."""
+    import hashlib
+
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"{base}-{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}"
+
+
+def _drain(q, timeout_s: int = 300) -> None:
+    """Fully drain an availableNow query before its sink is read.
+    awaitTermination(timeout) returns False on timeout — it does NOT
+    raise — so ignoring the return read a PARTIAL sink as the query's
+    answer (a spurious correctness divergence) while the orphaned query
+    kept running and mutating it (round-12 review). Stop and fail loudly
+    instead: a timeout here is a host problem, not a wrong answer."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query did not drain within {timeout_s}s; the sink "
+            "holds a partial result"
+        )
 
 
 # per-process cache of g35's deterministic arrival fixture (sf_dir -> path)
 _G35_FIXTURES: dict[str, str] = {}
 
 
+def _stamp_hive_dir_mtimes(inp: str) -> None:
+    """Pin file-source arrival order = hive-dir order: dir q=i's files get
+    mtime i*1000, so the oldest-first file source replays the quarters in
+    order even though ONE write job landed them all. Shared by g35 and b12
+    (round-12 review: two inline copies of the protocol drift when one is
+    fixed)."""
+    for qdir in sorted(d for d in os.listdir(inp) if d.startswith("q=")):
+        i = int(qdir.split("=")[1])
+        for f in os.listdir(os.path.join(inp, qdir)):
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(inp, qdir, f), (i * 1000, i * 1000))
+
+# per-process cache of the sentinel fixtures ((variant, sf_dir) -> (path, n))
+_SENTINEL_FIXTURES: dict[tuple[str, str], tuple[str, int]] = {}
+
+
 def _events_with_flush_sentinel(
-    spark: SparkSession, sf_dir: str, root: str
+    spark: SparkSession,
+    sf_dir: str,
+    variant: str = "flush",
+    sentinel_rows=None,
 ) -> tuple[str, int]:
-    """Write the events fixture plus a far-future '__flush' sentinel event
-    in a strictly LATER file-source batch (explicit mtimes, same technique
-    as e04's golden trace).
+    """Write the events fixture plus far-future sentinel event(s) in a
+    strictly LATER file-source batch (explicit mtimes, same technique as
+    e04's golden trace).
 
     This is what lets e01-e03 run in APPEND output mode — the scale-safe
     form where the watermark closes each window exactly once — yet still
@@ -50,22 +112,42 @@ def _events_with_flush_sentinel(
     (input_dir, n_fixture_files) so the caller can set maxFilesPerTrigger
     = n_fixture_files, putting the sentinel in its own micro-batch (the
     watermark used to emit batch N's windows is the one computed from data
-    through batch N-1)."""
+    through batch N-1).
+
+    ``sentinel_rows`` (a callable of the far-future timestamp returning
+    EVENTS_SCHEMA tuples) customizes the sentinel set — e11's outer join
+    needs one per stream side, and sharing this builder keeps the
+    arrival-order-pinning protocol in ONE place (round-12 review: an
+    inline copy would drift when the technique is fixed here). The fixture
+    is a pure function of (variant, sf_dir) and cached per process — the
+    input dir is read-only to every consumer (checkpoints live in each
+    call's own scratch), so rebuilding it per invocation just charged the
+    measured streaming operator for input prep."""
     import datetime as dt
 
-    inp = os.path.join(root, "events")
+    key = (variant, sf_dir)
+    hit = _SENTINEL_FIXTURES.get(key)
+    if hit is not None and os.path.isdir(hit[0]):
+        return hit
+    inp = os.path.join(_tmp(f"evfix-{variant}-{_sf_tag(sf_dir)}"), "events")
     ev = load(spark, sf_dir, "events")
     ev.repartition(3).write.mode("overwrite").parquet(inp)
     fixture = {f for f in os.listdir(inp) if f.endswith(".parquet")}
     for f in fixture:
         os.utime(os.path.join(inp, f), (1_700_000_000, 1_700_000_000))
-    sentinel_ts = ev.agg(F.max("ts")).first()[0] + dt.timedelta(days=365)
-    spark.createDataFrame(
-        [(-1, sentinel_ts, -1, "__flush", 0.0, "{}")], EVENTS_SCHEMA
-    ).repartition(1).write.mode("append").parquet(inp)
+    far = ev.agg(F.max("ts")).first()[0] + dt.timedelta(days=365)
+    rows = (
+        sentinel_rows(far)
+        if sentinel_rows is not None
+        else [(-1, far, -1, "__flush", 0.0, "{}")]
+    )
+    spark.createDataFrame(rows, EVENTS_SCHEMA).repartition(1).write.mode(
+        "append"
+    ).parquet(inp)
     for f in os.listdir(inp):
         if f.endswith(".parquet") and f not in fixture:
             os.utime(os.path.join(inp, f), (1_700_000_100, 1_700_000_100))
+    _SENTINEL_FIXTURES[key] = (inp, len(fixture))
     return inp, len(fixture)
 
 
@@ -86,7 +168,7 @@ def e01_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly rollup — in APPEND mode: each window is emitted once when the
     watermark closes it (the flush sentinel closes the trailing windows)."""
     root = _tmp("e01")
-    inp, nfiles = _events_with_flush_sentinel(spark, sf_dir, root)
+    inp, nfiles = _events_with_flush_sentinel(spark, sf_dir)
     tbl = f"e01_{uuid.uuid4().hex[:8]}"
     q = start_windowed_agg(
         event_stream(spark, inp, max_files_per_trigger=nfiles),
@@ -94,7 +176,7 @@ def e01_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl,
         window_duration="1 hour",
     )
-    q.awaitTermination(300)
+    _drain(q)
     return (
         spark.table(tbl)
         .filter(F.col("event_type") != "__flush")
@@ -125,7 +207,7 @@ def e02_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     key is shared with real events (no event_type in the key), so its two
     far-future window rows can never collide with a real window anyway."""
     root = _tmp("e02")
-    inp, nfiles = _events_with_flush_sentinel(spark, sf_dir, root)
+    inp, nfiles = _events_with_flush_sentinel(spark, sf_dir)
     tbl = f"e02_{uuid.uuid4().hex[:8]}"
     q = start_windowed_agg(
         event_stream(spark, inp, max_files_per_trigger=nfiles),
@@ -134,7 +216,7 @@ def e02_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_duration="2 hours",
         slide="1 hour",
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.table(tbl).select(
         F.col("w.start").alias("window_start"), "n_events", "sum_value"
     )
@@ -174,7 +256,7 @@ def e03_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the flush sentinel, whose user_id=-1 session stays open and never
     emits) closes every real session exactly once."""
     root = _tmp("e03")
-    inp, nfiles = _events_with_flush_sentinel(spark, sf_dir, root)
+    inp, nfiles = _events_with_flush_sentinel(spark, sf_dir)
     tbl = f"e03_{uuid.uuid4().hex[:8]}"
     q = start_windowed_agg(
         event_stream(spark, inp, max_files_per_trigger=nfiles),
@@ -182,7 +264,7 @@ def e03_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl,
         session_gap="30 minutes",
     )
-    q.awaitTermination(300)
+    _drain(q)
     return (
         spark.table(tbl)
         .filter(F.col("user_id") != -1)
@@ -270,7 +352,7 @@ def e04_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.table(tbl).select(F.col("w.start").alias("window_start"), "n_events")
 
 
@@ -325,7 +407,7 @@ def e06_stream_stateful_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shards=4,
         max_records=500,
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.table(tbl)
 
 
@@ -367,7 +449,7 @@ def e07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(root, "ckpt"),
         tbl,
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.table(tbl)
 
 
@@ -397,7 +479,7 @@ def e09_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(root, "rollup"),
         os.path.join(root, "ckpt"),
     )
-    q.awaitTermination(300)
+    _drain(q)
     out = read_rollup(spark, os.path.join(root, "rollup"))
     return out.select(
         "hour_start", "event_type", "n_events", F.round("sum_value", 4).alias("sum_value")
@@ -421,14 +503,25 @@ def e05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     inp = os.path.join(root, "input")
     env = synthesize_envelope(load(spark, sf_dir, "orders"))
     env.repartition(2).write.mode("overwrite").parquet(inp)
+    # explicit mtimes pin micro-batch order = write order (the e01-e04
+    # technique): with a 365-day dedup watermark against a multi-year
+    # arrival_ts span, an mtime TIE between the two writes could mix both
+    # copies' files into batch 1 — advancing the watermark before batch 2's
+    # first occurrences arrive, which then drop as late (round-12 review)
+    first = {f for f in os.listdir(inp) if f.endswith(".parquet")}
+    for f in first:
+        os.utime(os.path.join(inp, f), (1_700_000_000, 1_700_000_000))
     env.repartition(2).write.mode("append").parquet(inp)  # replayed producer batch
+    for f in os.listdir(inp):
+        if f.endswith(".parquet") and f not in first:
+            os.utime(os.path.join(inp, f), (1_700_000_100, 1_700_000_100))
     tbl = f"e05_{uuid.uuid4().hex[:8]}"
     q = start_stream_dedup(
         envelope_stream(spark, inp, max_files_per_trigger=2),
         os.path.join(root, "ckpt"),
         tbl,
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.table(tbl).select("id", "status", "op")
 
 
@@ -458,7 +551,7 @@ def e08_stream_lake_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         lake,
         os.path.join(root, "ckpt"),
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.read.parquet(os.path.join(lake, "data")).select(
         "id", "status", "op", "partition_key"
     )
@@ -533,7 +626,7 @@ def e10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.table(tbl)
 
 
@@ -560,26 +653,21 @@ def e11_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH streams (the join watermark is the min of the two sides) push the
     watermark past every real click so all outer rows flush; the
     sentinels' own rows are filtered out. Oracle is the batch left join."""
-    import datetime as dt
-
     root = _tmp("e11")
-    inp = os.path.join(root, "events")
-    ev = load(spark, sf_dir, "events")
-    ev.repartition(3).write.mode("overwrite").parquet(inp)
-    fixture = {f for f in os.listdir(inp) if f.endswith(".parquet")}
-    for f in fixture:
-        os.utime(os.path.join(inp, f), (1_700_000_000, 1_700_000_000))
-    far = ev.agg(F.max("ts")).first()[0] + dt.timedelta(days=365)
-    spark.createDataFrame(
-        [(-1, far, -1, "click", 0.0, "{}"), (-2, far, -1, "purchase", 0.0, "{}")],
-        EVENTS_SCHEMA,
-    ).repartition(1).write.mode("append").parquet(inp)
-    for f in os.listdir(inp):
-        if f.endswith(".parquet") and f not in fixture:
-            os.utime(os.path.join(inp, f), (1_700_000_100, 1_700_000_100))
+    # the shared sentinel builder, with one far-future sentinel per stream
+    # side (the join watermark is the min of the two sides' watermarks)
+    inp, nfiles = _events_with_flush_sentinel(
+        spark,
+        sf_dir,
+        variant="e11",
+        sentinel_rows=lambda far: [
+            (-1, far, -1, "click", 0.0, "{}"),
+            (-2, far, -1, "purchase", 0.0, "{}"),
+        ],
+    )
 
     clicks = (
-        event_stream(spark, inp, max_files_per_trigger=len(fixture))
+        event_stream(spark, inp, max_files_per_trigger=nfiles)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
@@ -589,7 +677,7 @@ def e11_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("click_ts", "1 hour")
     )
     purchases = (
-        event_stream(spark, inp, max_files_per_trigger=len(fixture))
+        event_stream(spark, inp, max_files_per_trigger=nfiles)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -620,7 +708,7 @@ def e11_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.table(tbl).filter(F.col("user_id") != -1)
 
 
@@ -842,7 +930,7 @@ def o08_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_dir,
         os.path.join(root, "ckpt"),
     )
-    q.awaitTermination(300)
+    _drain(q)
     dim = read_warehouse_table(spark, table_dir)
     return dim.filter(F.col("op") != "D").select(
         "id",
@@ -897,7 +985,10 @@ def g35_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the streaming ingest itself — always starts from an empty state
     inp = _G35_FIXTURES.get(sf_dir)
     if inp is None or not os.path.isdir(inp):
-        inp = os.path.join(_tmp("g35fix"), "input")
+        # sf-tagged fixture prefix: _tmp wipes on prefix reuse, so a
+        # second sf_dir building under the SAME prefix would clobber the
+        # first fixture behind its still-live cache entry
+        inp = os.path.join(_tmp(f"g35fix-{_sf_tag(sf_dir)}"), "input")
         hi = d.agg(F.max("doc_id").alias("m")).first()["m"] + 1
         # ONE write job lands all four arrival quarters (hive dirs q=0..3);
         # per-dir mtimes then pin arrival order = id order (the file source
@@ -909,13 +1000,7 @@ def g35_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .mode("overwrite")
             .parquet(inp)
         )
-        for qdir in sorted(os.listdir(inp)):
-            if not qdir.startswith("q="):
-                continue
-            i = int(qdir.split("=")[1])
-            for f in os.listdir(os.path.join(inp, qdir)):
-                if f.endswith(".parquet"):
-                    os.utime(os.path.join(inp, qdir, f), (i * 1000, i * 1000))
+        _stamp_hive_dir_mtimes(inp)
         _G35_FIXTURES[sf_dir] = inp
     stream = (
         spark.readStream.schema(d.schema)
@@ -932,7 +1017,7 @@ def g35_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = start_dedup_ingest(
         stream, idx, os.path.join(root, "ckpt"), n_buckets=16, compact_every=2
     )
-    q.awaitTermination(300)
+    _drain(q)
     corpus = read_dedup_corpus(spark, idx)
     return corpus.filter(F.col("kept")).select("doc_id", "source", "lang")
 
@@ -975,11 +1060,7 @@ def b12_stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("overwrite")
         .parquet(inp)
     )
-    for qdir in sorted(d for d in os.listdir(inp) if d.startswith("q=")):
-        i = int(qdir.split("=")[1])
-        for f in os.listdir(os.path.join(inp, qdir)):
-            if f.endswith(".parquet"):
-                os.utime(os.path.join(inp, qdir, f), (i * 1000, i * 1000))
+    _stamp_hive_dir_mtimes(inp)
     stream = (
         spark.readStream.schema(o.schema)
         .option("maxFilesPerTrigger", 1)
@@ -992,7 +1073,7 @@ def b12_stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    _drain(query)
     # number the DATA batches after dropping no-data progress events: a
     # leading or interleaved zero-row trigger (timing-dependent with
     # availableNow) must not shift the quarter ids the oracle expects
