@@ -55,12 +55,21 @@ _DUCK_SHINGLES = """
            FROM toks)
 """
 
-_DUCK_COSINE = """
-    list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
-              for i in range(1, len(a.embedding) + 1)])
-    / nullif(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in a.embedding]))
-             * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in b.embedding])), 0)
+def _duck_cos(lhs: str, rhs: str) -> str:
+    """Sequential double-precision cosine between two aliased embedding
+    columns (Spark's zip_with/aggregate and DuckDB's list comprehension
+    produce bit-identical doubles). ONE definition parameterized over the
+    aliases — a second verbatim copy used to live near g38 and would have
+    drifted from any precision/NULL fix applied here (round-12 review)."""
+    return f"""
+    list_sum([CAST({lhs}.embedding[i] AS DOUBLE) * CAST({rhs}.embedding[i] AS DOUBLE)
+              for i in range(1, len({lhs}.embedding) + 1)])
+    / nullif(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in {lhs}.embedding]))
+             * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in {rhs}.embedding])), 0)
 """
+
+
+_DUCK_COSINE = _duck_cos("a", "b")
 
 
 @register(
@@ -306,8 +315,13 @@ def g05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(0.3 * least(1.0, len(w) / 100.0)
                      + 0.3 * (len(list_distinct(w))::DOUBLE / len(w))
                      + 0.2 * least(1.0, (en_hits::DOUBLE / len(w)) * 5.0)
-                     + 0.2 * (1.0 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
-                                    / length(text)), 4) AS quality
+                     -- empty-text guard mirrors the Spark twin's: its
+                     -- punct_ratio scores '' as 0.0 while a bare division
+                     -- here yields NULL (round-12 review)
+                     + 0.2 * (1.0 - CASE WHEN length(text) > 0
+                                    THEN length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                                         / length(text)
+                                    ELSE 0.0 END), 4) AS quality
         FROM t
     """,
 )
@@ -404,9 +418,14 @@ def g06_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT doc_id,
                'text/plain' AS mime,
-               octet_length(text::BLOB) AS n_bytes,
+               -- encode(), not ::BLOB: the string->blob CAST throws on any
+               -- non-ASCII character; encode() is DuckDB's UTF-8 encoder
+               octet_length(encode(text)) AS n_bytes,
                source,
-               upper(hex(encode(substring(text, 1, 4)))) AS head_hex
+               -- BYTE slice, not char slice: the operator slices the UTF-8
+               -- payload, and a multibyte char desyncs the two (round-12
+               -- review; 2 hex chars per byte, so 4 bytes = 8 hex chars)
+               upper(substr(hex(encode(text)), 1, 8)) AS head_hex
         FROM documents
     """,
 )
@@ -427,9 +446,14 @@ def g07_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g07b_multimodal_features",
     oracle="""
         SELECT doc_id,
-               length(text)::BIGINT AS n_bytes,
+               octet_length(encode(text))::BIGINT AS n_bytes,
+               -- BYTE values, not codepoints: the operator reads raw UTF-8
+               -- bytes of the payload; ord()/length() were char semantics
+               -- that only matched on an all-ASCII fixture (round-12
+               -- review). Byte i = 2 hex chars at (i-1)*2+1.
                array_to_string(
-                   [CASE WHEN i <= length(text) THEN ord(substring(text, i, 1))
+                   [CASE WHEN i <= octet_length(encode(text))
+                         THEN ('0x' || substr(hex(encode(text)), (i-1)*2+1, 2))::INT
                          ELSE 0 END FOR i IN range(1, 9)], ',') AS features_csv
         FROM documents
     """,
@@ -452,7 +476,8 @@ def g07b_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g07c_multimodal_resize",
     oracle="""
         SELECT doc_id, 16 AS width, 16 AS height,
-               upper(hex(encode(substring(text, 1, 32)))) AS thumb_hex
+               -- first 32 BYTES of the payload (64 hex chars), not 32 chars
+               upper(substr(hex(encode(text)), 1, 64)) AS thumb_hex
         FROM documents
     """,
 )
@@ -472,10 +497,13 @@ def g07c_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g07d_multimodal_frame_sample",
     oracle="""
         SELECT doc_id, k AS frame_idx,
-               upper(hex(encode(substring(text, k * 64 + 1, 16)))) AS frame_hex
+               -- frame k = payload BYTES k*64+1 .. k*64+16 (hex offsets x2),
+               -- gated on the BYTE length — the char-based gate could even
+               -- emit a different frame COUNT per doc (round-12 review)
+               upper(substr(hex(encode(text)), k * 128 + 1, 32)) AS frame_hex
         FROM documents
         CROSS JOIN (SELECT unnest(range(4)) AS k)
-        WHERE k * 64 < length(text)
+        WHERE k * 64 < octet_length(encode(text))
     """,
 )
 def g07d_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,17 +549,23 @@ def g04d_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = d.count()
+    # n_docs folds IN-PLAN as a broadcast one-row aggregate (the g26/g30
+    # scalar-stats convention) — an eager d.count() here ran a full extra
+    # documents scan at plan-construction time, even for callers that only
+    # wanted the plan (round-12 review)
+    n = d.agg(F.count("*").alias("__n_docs"))
     # join strategy for the df table is LEFT TO AQE (same posture as g26's
     # unigram frequency join): at sf scale it picks broadcast from runtime
     # stats; a web-scale vocabulary (1e8+ terms) exceeds any driver and AQE
     # falls back to a shuffled hash join — forcing F.broadcast here would
     # OOM the driver on exactly that input (VERDICT r5 #2).
-    scored = tf.join(df, "term").select(
+    scored = tf.join(df, "term").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "term",
         F.round(
-            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
+            F.col("tf")
+            * (F.log((F.col("__n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            4,
         ).alias("tfidf"),
     )
     from pyspark.sql import Window
@@ -1045,8 +1079,10 @@ def g18b_token_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                                (len(list_filter(w, x -> x IN
                                     ('the','a','of','and','to','in','is','it')))::DOUBLE
                                 / len(w)) * 5.0)
-                         + 0.2 * (1.0 - length(regexp_replace(lower(text),
-                                     '[a-z0-9 ]', '', 'g'))::DOUBLE / length(text)),
+                         + 0.2 * (1.0 - CASE WHEN length(text) > 0
+                                   THEN length(regexp_replace(lower(text),
+                                     '[a-z0-9 ]', '', 'g'))::DOUBLE / length(text)
+                                   ELSE 0.0 END),
                          4) AS quality
             FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
         )
@@ -1358,7 +1394,11 @@ def g26_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
              a AS (SELECT * FROM embeddings WHERE vec_id % 100 <> 0)
         SELECT a.vec_id,
                round(max({_DUCK_COSINE}), 4) + 0.0 AS max_ref_sim,
-               max({_DUCK_COSINE}) >= 0.4 AS contaminated
+               -- flag on the ROUNDED value: the operator emits (and the
+               -- Spark flag compares) the 4-dp max_ref_sim, so a true max
+               -- in [0.39995, 0.4) flags on one engine and not the other
+               -- if the oracle compares unrounded (round-12 review)
+               round(max({_DUCK_COSINE}), 4) >= 0.4 AS contaminated
         FROM a CROSS JOIN b
         GROUP BY a.vec_id
     """,
@@ -1387,7 +1427,7 @@ def g27_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "g28_source_overlap",
     oracle=f"""
-        WITH {_DUCK_SHINGLES.replace("SELECT doc_id,", "SELECT doc_id, source,").replace("sh AS (SELECT doc_id,", "sh AS (SELECT doc_id, source,")}
+        WITH {_DUCK_SHINGLES.replace("SELECT doc_id,", "SELECT doc_id, source,")}
         , pairs AS (
             SELECT a.source AS sa, b.source AS sb
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -1791,18 +1831,6 @@ def g36_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(variate < F.col("keep_f"))
         .select("doc_id", "source", "n_tokens", F.round("keep_f", 6).alias("keep_f"))
     )
-
-
-def _duck_cos(lhs: str, rhs: str) -> str:
-    """_DUCK_COSINE with parameterized table aliases (same sequential
-    double-precision reduction, so Spark's zip_with/aggregate and DuckDB's
-    list comprehension produce bit-identical doubles)."""
-    return f"""
-    list_sum([CAST({lhs}.embedding[i] AS DOUBLE) * CAST({rhs}.embedding[i] AS DOUBLE)
-              for i in range(1, len({lhs}.embedding) + 1)])
-    / nullif(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in {lhs}.embedding]))
-             * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in {rhs}.embedding])), 0)
-"""
 
 
 @register(

@@ -126,6 +126,51 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
 
 
+def test_multimodal_oracles_are_byte_exact_on_multibyte_text(spark, tmp_path):
+    """Round-12 review: the g07-family oracles sliced/measured TEXT by
+    characters (substring/length/ord) while the operators work on raw
+    UTF-8 payload BYTES — equivalent only on an all-ASCII fixture, and the
+    old text::BLOB cast threw outright on non-ASCII. The oracles now use
+    encode()+hex byte arithmetic; this pins byte-exactness on a corpus
+    with 2- and 3-byte characters."""
+    import hashlib
+
+    import duckdb
+
+    from aws_kinesis_spark import registry
+
+    sf = str(tmp_path / "mb")
+    spark.createDataFrame(
+        [
+            (1, "héllo wörld ünïcode", "web", "de", 19),
+            (2, "plain ascii text here", "web", "en", 21),
+            (3, "中文文本测试 one two three four five six seven eight", "crawl", "zh", 30),
+        ],
+        "doc_id long, text string, source string, lang string, n_chars int",
+    ).coalesce(1).write.mode("overwrite").parquet(sf + "/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    q, o = registry.queries(), registry.oracles()
+
+    def h(df):
+        cols = sorted(df.columns)
+        d = df[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        return hashlib.md5(d.to_csv(index=False).encode()).hexdigest()
+
+    for name in (
+        "g07_multimodal_meta",
+        "g07b_multimodal_features",
+        "g07c_multimodal_resize",
+        "g07d_multimodal_frame_sample",
+    ):
+        sdf = q[name](spark, sf).toPandas()
+        odf = con.execute(o[name]).df()
+        assert len(sdf) == len(odf), name
+        assert h(sdf) == h(odf), name
+
+
 def test_multimodal_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG", "image/png")
