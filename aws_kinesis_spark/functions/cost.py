@@ -100,8 +100,13 @@ def lake_cost_report(
                 for e in m["entries"]:
                     try:
                         n_records += pq.ParquetFile(e["url"]).metadata.num_rows
-                    except (OSError, FileNotFoundError):
-                        pass  # dangling entry: count what exists
+                    except (OSError, ValueError):
+                        # dangling OR corrupt entry: count what exists.
+                        # pyarrow's ArrowInvalid ('magic bytes not found' on
+                        # a truncated crash survivor — exactly the lakes
+                        # where -1 rewrites happen) subclasses ValueError,
+                        # not OSError (round-12 review)
+                        pass
             rows.append(
                 (m["batchId"], n_records, m["totalBytes"], len(m["entries"]))
             )

@@ -337,14 +337,16 @@ def knn_ivf_indexed(
             F.col(query_id_col),
             F.col(vec_col).alias("__qvec"),
             F.explode(probe(F.col(vec_col))).alias("cell"),
-        ).persist()  # MEMORY_AND_DISK: the (queries x nprobe) probe table
-        # The probed-cell collect below materializes the cache, so the
-        # probe UDF evaluates ONCE — the returned plan reads the cached
-        # probe table instead of re-running the Arrow pass (round-11
-        # review: the double evaluation was a documented deterministic
-        # cost; now it's gone). The cache is LRU-evictable (worst case =
-        # recompute, the old behavior) and session-scoped; long-lived
-        # callers cycling many large query sets can clearCache().
+        ).localCheckpoint(eager=True)
+        # The eager local checkpoint materializes the (queries x nprobe)
+        # probe table ONCE and CUTS LINEAGE: the probed-cell collect and
+        # the returned plan both read the checkpointed blocks, so the
+        # probe UDF evaluates exactly once (round-11 review: the double
+        # evaluation was a documented deterministic cost; now it's gone).
+        # Unlike .persist() — whose cache entry outlives the call until an
+        # explicit unpersist, leaking one relation per probe in a serving
+        # loop (round-12 review) — checkpoint blocks are freed by the
+        # ContextCleaner as soon as the returned DataFrame is unreachable.
         # bounded driver collect: <= nlist distinct cell ids — exactly the
         # partition-pruning key list a planner holds
         probed = [r[0] for r in qdf.select("cell").distinct().collect()]

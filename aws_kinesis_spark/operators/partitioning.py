@@ -67,10 +67,10 @@ def salted_join(
 ) -> DataFrame:
     """B2 join form (reference README.md:84-86 hot-key salting): when one
     join key dominates, a plain shuffle join puts the whole hot key on one
-    reducer. Salt the fact side (hash of a caller-named row-unique column —
-    replayable, unlike rand(); the default adds a per-row physical component
-    so spread never degenerates) and replicate the dim side `salts` times,
-    so the hot key spreads across `salts` reducers.
+    reducer. Salt the fact side (a DETERMINISTIC hash — of a caller-named
+    row-unique column, or of all columns by default — replayable across
+    task retries, unlike rand() or physical row ids) and replicate the dim
+    side `salts` times, so the hot key spreads across `salts` reducers.
 
     Result is row-identical to `fact.join(dim, key)`: every fact row meets
     exactly the one dim replica carrying its salt. AQE's skew-join handles
@@ -81,22 +81,26 @@ def salted_join(
             "salt_source must differ from the join key: hashing the key "
             "gives every row of a hot key the SAME salt — zero mitigation"
         )
-    # default: row-content hash over ALL columns PLUS a per-row physical
-    # component (partition id + in-partition ordinal). Content alone
-    # degenerates to hash(key) when the fact's other columns are constant
-    # or functionally determined by the key — or the fact is key-only —
-    # the same zero-mitigation pathology the explicit salt_source==key
-    # guard rejects (round-12 review). The physical component guarantees
-    # spread regardless of content; the salt value itself need not be
-    # replay-stable because the join RESULT is salt-invariant (every fact
-    # row meets exactly the one replica carrying its salt, whatever the
-    # salt is). Callers needing a replay-stable salt pass salt_source.
-    salt_expr = (
-        F.xxhash64(
-            *[F.col(c) for c in fact.columns],
-            F.spark_partition_id(),
-            F.monotonically_increasing_id(),
+    # default: row-content hash over ALL columns — DETERMINISTIC, which a
+    # join key must be: a nondeterministic component (partition id /
+    # monotonic id / rand) re-evaluates differently when a shuffle-map
+    # task retries, routing the recomputed rows to different reducers
+    # than the original attempt's already-fetched blocks — rows joined
+    # twice or zero times (round-12 review; Spark only guards round-robin
+    # repartition against this, not join keys). The content hash
+    # degenerates to hash(key) when every non-key column is constant or
+    # functionally determined by the key — silent zero mitigation — so a
+    # key-only fact (the provable case) is rejected up front, and callers
+    # whose non-key columns don't vary within the hot key must pass a
+    # row-unique salt_source (sequence number, event id).
+    if salt_source is None and [c for c in fact.columns] == [key]:
+        raise ValueError(
+            "fact has no non-key column to salt on: the default content "
+            "hash would equal hash(key) — zero mitigation; pass a "
+            "row-unique salt_source or add a distinguishing column"
         )
+    salt_expr = (
+        F.xxhash64(*[F.col(c) for c in fact.columns])
         if salt_source is None
         else F.xxhash64(F.col(salt_source))
     )

@@ -450,11 +450,15 @@ def g07_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- BYTE values, not codepoints: the operator reads raw UTF-8
                -- bytes of the payload; ord()/length() were char semantics
                -- that only matched on an all-ASCII fixture (round-12
-               -- review). Byte i = 2 hex chars at (i-1)*2+1.
+               -- review). Byte i = 2 hex chars at (i-1)*2+1. NULL text
+               -- yields NULL features like the NULL-safe operator kernel
+               -- (the CASE's ELSE 0 would otherwise zero-fill it).
+               CASE WHEN text IS NULL THEN NULL ELSE
                array_to_string(
                    [CASE WHEN i <= octet_length(encode(text))
                          THEN ('0x' || substr(hex(encode(text)), (i-1)*2+1, 2))::INT
-                         ELSE 0 END FOR i IN range(1, 9)], ',') AS features_csv
+                         ELSE 0 END FOR i IN range(1, 9)], ',')
+               END AS features_csv
         FROM documents
     """,
 )

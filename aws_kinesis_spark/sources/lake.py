@@ -180,13 +180,23 @@ def run_lake_batch(
     # INPUT's split layout — and a buffered flush usually arrives as ONE
     # object, serializing the whole base64+JSON chain on one task no
     # matter how the landing repartition is shaped (measured: the decode
-    # dominated the flush at sf0.1). Round-robin to the caller's own
-    # parallelism dial; the extra batch-sized exchange is cheap next to a
-    # serial decode, file CONTENTS stay deterministic because the landing
-    # layout is keyed by (partition cols, salt) downstream, and the raw
-    # backup below intentionally keeps the UNspread env (its byte-fidelity
-    # contract covers records, and a backup should mirror arrival shape).
-    spread = env.repartition(files_per_partition) if files_per_partition > 1 else env
+    # dominated the flush at sf0.1). Round-robin to CLUSTER parallelism —
+    # NOT to files_per_partition, which dials output-file fan-out per hive
+    # dir and would cap a 10 GB flush's decode at 2 cores when the caller
+    # set files_per_partition=2 to limit small files (round-12 review).
+    # The extra batch-sized exchange is cheap next to a serial decode,
+    # file CONTENTS stay deterministic because the landing layout is keyed
+    # by (partition cols, salt) downstream, and the raw backup below
+    # intentionally keeps the UNspread env (its byte-fidelity contract
+    # covers records, and a backup should mirror arrival shape). Gated on
+    # files_per_partition > 1 — the caller's declaration that this flush
+    # is big enough to fan out (a KB-scale trickle batch should not pin
+    # defaultParallelism near-empty tasks, the g35 lesson).
+    spread = (
+        env.repartition(spark.sparkContext.defaultParallelism)
+        if files_per_partition > 1
+        else env
+    )
     decoded = decode_envelope(spread)
     ok, bad = split_errors(decoded)
     # the lake stores decoded columns; the raw payload lives in the backup

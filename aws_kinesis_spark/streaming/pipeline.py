@@ -555,7 +555,7 @@ def _compact_store(
     root: str,
     part_col: str,
     upto: int,
-    driver_fold_max_bytes: int = 128 << 20,
+    driver_fold_max_bytes: int = 32 << 20,
 ) -> int:
     """Fold one standing store's per-batch directories at or below
     ``upto`` (plus any older compaction) into ``compact=<upto>``, keeping
@@ -570,10 +570,15 @@ def _compact_store(
     ``compact_every`` micro-batches of metadata-scale rows, and it runs
     INSIDE a live trigger (g35 overlaps it, but awaits the result before
     the standing listing — its wall time is trigger latency). When the
-    fold's total bytes fit under ``driver_fold_max_bytes`` the fold runs
-    driver-side via pyarrow (zero Spark jobs — the same centroid-IO
-    reasoning as the IVF store); above the dial it stays a clustered
-    Spark rewrite, which is the right tool once folds carry real data."""
+    fold's total ON-DISK bytes fit under ``driver_fold_max_bytes`` the
+    fold runs driver-side via pyarrow (zero Spark jobs — the same
+    centroid-IO reasoning as the IVF store); above the dial it stays a
+    clustered Spark rewrite, which is the right tool once folds carry
+    real data. The dial measures COMPRESSED parquet, but the fold holds
+    the decompressed Arrow table (transiently twice, across concat) in
+    driver memory — the 32 MB default leaves ~10-20x decompression
+    headroom so the peak stays in the low hundreds of MB; size it to your
+    driver, not to what Spark could shuffle."""
     import shutil
 
     srcs = _index_dirs(root, upto_exclusive=upto + 1)

@@ -99,6 +99,33 @@ def start_continuous_rollup(
                 "sum_value",
             )
         )
+        # sweep attempts SUPERSEDED by a later attempt of the same batch —
+        # deferred here from the superseding flush (a grace period of one
+        # trigger) so a reader that resolved the pre-flip pointer an
+        # instant earlier finishes its read before the dir vanishes; an
+        # immediate post-flip rmtree re-created the torn-read window the
+        # pointer swap exists to close (round-12 review). Per batch id the
+        # kept dir is the POINTER's dir when the pointer references that
+        # batch (attempt names recycle after sweeps, so "highest attempt"
+        # alone could evict the live dir), else any one attempt — every
+        # attempt of a batch id holds identical content (the flush is a
+        # pure function of the committed prefix + the batch, both
+        # content-stable), so the choice only affects names. Readers
+        # holding a plan across multiple trigger intervals still need
+        # read-side retry — documented, not solved here.
+        ptr_dir = _current_dir(rollup_dir)
+        for bid, keep_dir in _committed_version_dirs(rollup_dir).items():
+            if ptr_dir is not None and (
+                ptr_dir == f"v{bid}" or ptr_dir.startswith(f"v{bid}_")
+            ):
+                keep_dir = ptr_dir
+            for d in os.listdir(rollup_dir):
+                if (
+                    d != keep_dir
+                    and (d == f"v{bid}" or d.startswith(f"v{bid}_"))
+                    and not d.endswith(".tmp")
+                ):
+                    shutil.rmtree(os.path.join(rollup_dir, d), ignore_errors=True)
         # combine against the newest version OLDER than this batch — not the
         # pointer: if batch N committed its version but the checkpoint write
         # failed, the replayed batch N would otherwise double-count itself
@@ -153,13 +180,6 @@ def start_continuous_rollup(
         with open(tmp, "w") as fh:
             json.dump({"version": batch_id, "dir": os.path.basename(vdir)}, fh)
         os.replace(tmp, os.path.join(rollup_dir, _POINTER))  # atomic commit
-        # sweep superseded attempts of THIS batch only after the pointer
-        # flip (other versions stay: the replay combine reads them)
-        for k in range(attempt):
-            stale = os.path.join(
-                rollup_dir, f"v{batch_id}" + (f"_{k}" if k else "")
-            )
-            shutil.rmtree(stale, ignore_errors=True)
 
     return (
         events.writeStream.foreachBatch(flush)

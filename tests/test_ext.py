@@ -145,6 +145,7 @@ def test_multimodal_oracles_are_byte_exact_on_multibyte_text(spark, tmp_path):
             (1, "héllo wörld ünïcode", "web", "de", 19),
             (2, "plain ascii text here", "web", "en", 21),
             (3, "中文文本测试 one two three four five six seven eight", "crawl", "zh", 30),
+            (4, None, "web", "en", 0),  # NULL payload: NULL-safe both sides
         ],
         "doc_id long, text string, source string, lang string, n_chars int",
     ).coalesce(1).write.mode("overwrite").parquet(sf + "/documents.parquet")

@@ -147,30 +147,30 @@ def test_approx_percentile_check_holds_on_tiny_groups(spark, tmp_path):
     assert rows["N"]["within_bounds"] is True
 
 
-def test_salted_join_default_salt_spreads_key_only_fact(spark):
-    """Round-12 review: the default all-columns content salt degenerates to
-    hash(key) when the fact is key-only (or its other columns are constant)
-    — every row of a hot key got the SAME salt, zero mitigation, silently.
-    The default now mixes in a per-row physical component, so even a
-    key-only hot fact spreads across all `salts` replicas, and the join
-    result stays identical to the unsalted join."""
+def test_salted_join_default_salt_is_deterministic_and_spreads(spark):
+    """Round-12 review (two passes): a key-only fact makes the default
+    all-columns content salt equal hash(key) — zero mitigation — and MUST
+    be rejected loudly; but the salt must also stay DETERMINISTIC (no
+    physical row ids: a shuffle-map retry re-evaluating a nondeterministic
+    join key routes recomputed rows to different reducers than the first
+    attempt's fetched blocks — rows joined twice or zero times). A fact
+    with any row-unique column spreads its hot key via the content hash."""
+    import pytest as _pytest
+
     from aws_kinesis_spark.operators.partitioning import salted_join
 
-    # 2000 rows of ONE hot key, fact is key-only — the degenerate shape
-    fact = spark.range(2000).select(F.lit(7).alias("k"))
     dim = spark.createDataFrame([(7, "hot")], "k int, name string")
+    # key-only hot fact: the provable degenerate shape is rejected
+    key_only = spark.range(2000).select(F.lit(7).alias("k"))
+    with _pytest.raises(ValueError, match="no non-key column"):
+        salted_join(key_only, dim, "k", salts=8)
+    # a row-unique column restores spread — and the salt is pure content
+    # hash, so it is identical on recomputation
+    fact = spark.range(2000).select(F.lit(7).alias("k"), F.col("id").alias("rid"))
     out = salted_join(fact, dim, "k", salts=8)
     assert out.count() == 2000
-    # measure the spread the salt actually produced: re-derive the salt the
-    # operator assigns and count distinct values over the hot key
     salted = fact.withColumn(
-        "__salt",
-        F.pmod(
-            F.xxhash64(
-                F.col("k"), F.spark_partition_id(), F.monotonically_increasing_id()
-            ),
-            F.lit(8),
-        ),
+        "__salt", F.pmod(F.xxhash64(F.col("k"), F.col("rid")), F.lit(8))
     )
     n_salts = salted.select("__salt").distinct().count()
     assert n_salts == 8, f"hot key spread across only {n_salts}/8 salts"

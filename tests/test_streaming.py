@@ -1744,12 +1744,17 @@ def test_rollup_replay_swaps_versions_without_a_torn_window(spark, tmp_path):
     assert dir_after != dir_before, dir_after
     assert os.path.isdir(os.path.join(rollup, dir_after))
     assert ptr_after["version"] == ptr_before["version"]
-    # no stranded staging dirs survive a completed replay, and superseded
-    # attempts of replayed batches were swept after their pointer flips
+    # no stranded staging dirs survive a completed replay; superseded
+    # attempts sweep with a ONE-TRIGGER grace period (the next flush), so
+    # the final batch's old attempt is still on disk here — a reader that
+    # resolved the pre-flip pointer can finish its read (round-12 review:
+    # an immediate post-flip rmtree re-created the torn-read window)
     leftovers = [d for d in os.listdir(rollup) if d.endswith((".tmp", ".old"))]
     assert leftovers == [], leftovers
-    assert not os.path.exists(os.path.join(rollup, dir_before))
+    assert os.path.exists(os.path.join(rollup, dir_before))
     # a third replay keeps the count stable and the pointer always live
+    # (attempt names recycle after the deferred sweeps — the invariant is
+    # that every pointer ever committed resolves, not which names remain)
     q3 = start_continuous_rollup(
         event_stream(spark, inp, max_files_per_trigger=1),
         rollup,
@@ -1757,3 +1762,7 @@ def test_rollup_replay_swaps_versions_without_a_torn_window(spark, tmp_path):
     )
     q3.awaitTermination(300)
     assert read_rollup(spark, rollup).count() == before
+    # the final pointer resolves to an existing complete dir
+    ptr_final = _json.load(open(os.path.join(rollup, "_CURRENT")))
+    dir_final = ptr_final.get("dir") or f"v{ptr_final['version']}"
+    assert os.path.isdir(os.path.join(rollup, dir_final))
