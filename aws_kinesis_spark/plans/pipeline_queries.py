@@ -2015,7 +2015,14 @@ def a11_raw_backup(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = _envelope_fixture(spark, sf_dir, "a11fix", _tainted)
     lake = os.path.join(_scratch("a11_backup"), "lake")
     run_lake_batch(env, lake, batch_id=0, raw_backup=True, files_per_partition=32)
-    back = spark.read.parquet(os.path.join(lake, "raw", "batch=0"))
+    # spread the certificate's re-decode: the backup mirrors arrival shape
+    # (one object per flush), so scanning it yields ONE partition and the
+    # whole base64+JSON verification chain would run on a single core —
+    # the same serial-decode trap run_lake_batch itself closed this round
+    # (interleaved A/B: 4.39 -> 4.08 s min at sf0.1)
+    back = spark.read.parquet(os.path.join(lake, "raw", "batch=0")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     dec = decode_envelope(back)
     return dec.agg(
         F.count("*").alias("n_backup"),
