@@ -50,6 +50,12 @@ def get_spark(app_name: str = "aws-kinesis-spark", cpus: str | None = None) -> S
         # default; deleted rather than fixed to avoid restating defaults)
     )
     spark = builder.getOrCreate()
+    # getOrCreate RETURNS AN EXISTING SESSION UNCHANGED — if another
+    # component built one first, every builder config above (including
+    # the UTC timezone every oracle comparison depends on) was silently
+    # skipped (round-12 review). configure() re-applies the
+    # runtime-settable subset idempotently either way.
+    configure(spark)
     spark.sparkContext.setLogLevel("WARN")
     return spark
 

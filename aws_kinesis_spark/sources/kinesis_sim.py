@@ -47,7 +47,13 @@ from aws_kinesis_spark.sources.envelope import SEQ_BASE
 
 _STATUS = ["O", "F", "P"]
 _OPS = ["I", "U", "D"]
-_EPOCH = dt.datetime(2025, 11, 7, 12, 0, 0)
+# tz-AWARE: PySpark's Arrow converter interprets a naive datetime in the
+# host OS zone (value.astimezone(utc)), so a naive epoch shifted every
+# arrival_ts by the host's UTC offset on non-UTC machines — silently
+# breaking the source's byte-determinism contract and every oracle
+# comparison over arrival_ts (round-12 review; verified +5 h under
+# TZ=America/New_York). Instant in UTC = the documented 12:00:00Z.
+_EPOCH = dt.datetime(2025, 11, 7, 12, 0, 0, tzinfo=dt.timezone.utc)
 
 
 class _ShardPartition(InputPartition):
@@ -227,6 +233,14 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
     ):
         if consumer_mode not in ("polling", "efo"):
             raise ValueError(f"unknown consumerMode: {consumer_mode!r}")
+        if poll_records <= 0:
+            # a zero cap made every poll return end == start, so the query
+            # drained "successfully" with zero records delivered — and a
+            # negative value regressed committed offsets (round-12 review)
+            raise ValueError(
+                f"pollRecords must be >= 1, got {poll_records} — a "
+                "non-positive cap silently exhausts the stream at offset 0"
+            )
         self.topo = _Topology(n_shards, records_per_shard, split_at, merge_at)
         self.poll_records = poll_records
         self.consumer_mode = consumer_mode
@@ -245,6 +259,17 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
 
     def _next_offset(self, sid: int, cur: int, start: dict) -> int:
         for parent in self.topo.parents_of(sid):
+            if str(parent) not in start:
+                # a checkpoint written under a different topology (e.g.
+                # restarted with new shards/splitAtRecord options) lacks
+                # the parent's offset — fail with the actual cause, not a
+                # bare KeyError escaping from read() (round-12 review)
+                raise ValueError(
+                    f"checkpoint offsets have no entry for shard {parent} "
+                    f"(parent of {sid}): the checkpoint predates this "
+                    "stream topology — use a fresh checkpoint when "
+                    "changing shards/splitAtRecord/mergeAtRecord"
+                )
             if int(start[str(parent)]) < self.topo.shard_len(parent):
                 # Kinesis reshard contract: a child shard may not be consumed
                 # until its closed parent(s) are fully drained — this

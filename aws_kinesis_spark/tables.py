@@ -44,10 +44,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+# sf_dir whose views are CURRENTLY registered, per session — a temp view
+# survives for the session, so re-registering on every run_sql call paid
+# 10 parquet footer reads + a configure() round of fixed overhead per
+# invocation, landing inside bench's timed region for the subquery
+# queries (round-12 review). Keyed by the current dir (not a seen-set):
+# the view NAMES are session-global, so switching sf_dirs must
+# re-register — a seen-set would silently leave the other dir's views up.
+_VIEWS_FOR_SESSION: dict[int, str] = {}
+
+
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     """The interactive SQL entry point (SURVEY.md §3.3): register the lake
-    views, then parse/analyze/optimize/execute the query with Catalyst."""
-    register_views(spark, sf_dir)
+    views (once per session+sf_dir switch), then
+    parse/analyze/optimize/execute the query with Catalyst."""
+    if _VIEWS_FOR_SESSION.get(id(spark)) != sf_dir:
+        register_views(spark, sf_dir)
+        _VIEWS_FOR_SESSION[id(spark)] = sf_dir
     return spark.sql(sql)
 
 
