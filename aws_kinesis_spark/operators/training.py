@@ -232,3 +232,70 @@ def chunk_documents(
         F.array_join(F.slice(F.col("__t"), s, chunk_len), " ").alias("chunk_text"),
         chunk_len.cast("bigint").alias("n_tokens"),
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int,
+    hex_chars: int = 2,
+) -> DataFrame:
+    """Exact per-key frequency cap WITHOUT a per-key global sort: keep the
+    first ``k`` rows of every key in deterministic hash order — result-
+    identical to ``row_number() OVER (PARTITION BY key ORDER BY
+    md5(cast(id AS string)), id) <= k``, the CCNet/RefinedWeb "at most K
+    documents per domain" step — but skew-safe at 100 TB where a hot key
+    (a crawl's top domain) would serialize that window's sort onto one
+    task.
+
+    Two-phase hash-bucket cutoff:
+      1. Bucket every row by the first ``hex_chars`` hex chars of
+         md5(id) — the bucket integer orders exactly like the md5 string
+         prefix, so bucket-ascending is a prefix of the (md5, id) order
+         the cap is defined over. One map-side-combinable count per
+         (key, bucket) and a cumulative sum over each key's <= 16^hex_chars
+         count rows locate, per key, which buckets fall wholly inside the
+         cap (cum <= k) and the single boundary bucket the k-th rank lands
+         in (start < k < cum), with its remaining quota k - start.
+      2. Join the rows to the surviving cutoffs on (key, bucket) — at most
+         min(16^hex_chars, k) rows per key, so AQE broadcasts it — and
+         rank WITHIN the bucket only: rows in dropped buckets die at the
+         map-side join before any shuffle, and the ranking window's
+         partitions are (key, bucket) slices — a hot key's sort shrinks by
+         the bucket fan-out and the shuffle moves ~keys*k rows, not the
+         table.
+
+    Deterministic and seedless (the g09/g40 md5 trick), so a backfill
+    re-run keeps the identical row set on any partitioning."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if not 1 <= hex_chars <= 4:
+        raise ValueError(f"hex_chars must be in [1, 4], got {hex_chars}")
+    hx = F.md5(F.col(id_col).cast("string"))
+    bucket = F.conv(F.substring(hx, 1, hex_chars), 16, 10).cast("int")
+    rows = df.withColumn("__hx", hx).withColumn("__b", bucket)
+    counts = rows.groupBy(key_col, "__b").agg(F.count("*").alias("__n"))
+    wcum = (
+        Window.partitionBy(key_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cuts = (
+        counts.withColumn("__cum", F.sum("__n").over(wcum))
+        .withColumn("__start", F.col("__cum") - F.col("__n"))
+        .filter(F.col("__start") < k)
+        .select(
+            key_col,
+            "__b",
+            (F.col("__cum") <= k).alias("__full"),
+            (F.lit(k) - F.col("__start")).alias("__quota"),
+        )
+    )
+    wb = Window.partitionBy(key_col, "__b").orderBy("__hx", id_col)
+    return (
+        rows.join(cuts, [key_col, "__b"])
+        .withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__full") | (F.col("__rn") <= F.col("__quota")))
+        .select(*df.columns)
+    )

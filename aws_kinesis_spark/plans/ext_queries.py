@@ -2214,3 +2214,87 @@ def g47_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tok").cast("bigint").alias("max_len"),
         )
     )
+
+
+@register(
+    "g50_source_cap",
+    oracle="""
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= 10
+    """,
+)
+def g50_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-mixture: per-source FREQUENCY CAP — keep at most 10 documents per
+    source in deterministic hash order, the CCNet/RefinedWeb "at most K
+    pages per domain" over-representation guard. Same selection semantics
+    as g40's exact-N quota, but computed by the SKEW-SAFE two-phase
+    hash-bucket cutoff (operators/training.py:cap_per_key): per-(key,
+    bucket) counts + a cumulative cutoff locate each key's boundary
+    bucket, rows in dropped buckets die at a map-side broadcast join
+    before any shuffle, and ranking happens per (key, bucket) slice — so
+    a hot domain with 100M pages never serializes a full per-key sort
+    onto one task, the failure mode the plain window (g40) hits at
+    100 TB. The oracle is the plain-window form: both must agree row for
+    row."""
+    from aws_kinesis_spark.operators.training import cap_per_key
+
+    d = load(spark, sf_dir, "documents")
+    return cap_per_key(d, key_col="source", id_col="doc_id", k=10).select(
+        "doc_id", "source"
+    )
+
+
+@register(
+    "g51_per_source_quality_gate",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), med AS (
+            SELECT source, quantile_cont(n_tokens, 0.5) AS src_median
+            FROM scored GROUP BY source
+        )
+        SELECT s.doc_id, s.source, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+               round(m.src_median, 4) + 0.0 AS src_median
+        FROM scored s JOIN med m USING (source)
+        WHERE s.n_tokens > m.src_median
+    """,
+)
+def g51_per_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6+: RELATIVE quality gate — keep documents scoring strictly above
+    their OWN source's median (token count here; any quality score in
+    production), the per-source calibrated threshold FineWeb/CCNet apply
+    instead of one global cutoff (g06): a boilerplate-heavy source and a
+    clean one get different bars, so no source is wholesale deleted or
+    wholesale kept by a global constant.
+
+    Scale: pass 1 partial-aggregates the per-source median (exact here;
+    the 100 TB swap is approx_percentile's mergeable t-digest, accuracy
+    certified in d36); the per-source thresholds are a sources-sized
+    frame BROADCAST back onto the scan, so the gate itself is map-only —
+    the corpus never shuffles. Median interpolation is IEEE-exact on
+    integer token counts in both engines ((a+b)/2 on exactly-representable
+    doubles), so the strict > boundary cannot de-synchronize."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    med = scored.groupBy("source").agg(
+        F.expr("percentile(n_tokens, 0.5)").alias("src_median")
+    )
+    return (
+        scored.join(F.broadcast(med), "source")
+        .filter(F.col("n_tokens") > F.col("src_median"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round("src_median", 4).alias("src_median"),
+        )
+    )

@@ -408,18 +408,30 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        double-NOT-EXISTS form; both stay in-window)
 #   in:  d16 (columns changed this round), d36 (bound construction
 #        changed this round)
+# Round-12 new registrations (2 new queries registered AND windowed the
+# same round, the r9/r10 precedent; witness for each rotated-out slot in
+# parens — both rotated-out slots carry green r11 rows, the freshest
+# possible, and keep running in the local differential suite):
+#   out: d10 (g01 stays in-window = distinct by collision-resistant
+#        content hash, the same D10 dedup mechanism; d10c's percentile
+#        distinct-value machinery also stays), d11 (d12 stays in-window =
+#        the windowed rank/top-per-key family, and incoming g50 IS
+#        ordered-rank + limit per key — sort+limit re-certified through
+#        the skew-safe form)
+#   in:  g50 (NEW: per-source frequency cap via the two-phase hash-bucket
+#        cutoff, operators/training.py:cap_per_key), g51 (NEW: per-source
+#        relative quality gate — per-group median threshold broadcast
+#        back over the scan)
 # Post-r12 freshness ledger (for the round-13 rotation): the r6 block
 # (26: a03, a14, c12, d14d, d29, e03, e07, e11, e13, g03d, g04c, g04d,
 # g07c, g08, g13, g15, g18, g22, g23, g24, g25, g26, o05, o06 + the two
 # r6 rows a16/e09 just re-certified here) is the next incoming set, then
 # the r8 block.
 DRIVER_WINDOW: list[str] = [
-    # D — relational core (15)
+    # D — relational core (13)
     "d05_join_star",
     "d08_agg_pricing_summary",
-    "d10_distinct",
     "d10c_percentiles",
-    "d11_sort_topn",
     "d12_latest_per_key",
     "d14_rollup",
     "d15_asof_join",
@@ -455,7 +467,7 @@ DRIVER_WINDOW: list[str] = [
     "f02_grouped_map",
     "f03_grouped_agg_udaf",
     "f04_python_udtf",
-    # G — LLM-data-pipeline operators (16)
+    # G — LLM-data-pipeline operators (18)
     "g01_dedup_exact",
     "g03_knn_bruteforce",
     "g03b_knn_lsh_ann",
@@ -472,6 +484,8 @@ DRIVER_WINDOW: list[str] = [
     "g35_stream_dedup_ingest",
     "g41_filtered_knn",
     "g48_persistent_ivf",
+    "g50_source_cap",
+    "g51_per_source_quality_gate",
 ]
 
 

@@ -99,6 +99,9 @@ HEADLINE = [
     # standing store (build + driver-side probe + temp-store drop) — its
     # cost joins the headline the round the kernel was rewritten
     "g03c_knn_ivf_ann",
+    # round-12 addition: the skew-safe per-key cap joins the headline the
+    # round its kernel (cap_per_key's two-phase hash-bucket cutoff) lands
+    "g50_source_cap",
 ]
 
 

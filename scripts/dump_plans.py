@@ -250,6 +250,15 @@ SHOWCASE = [
         "(the certification harness — that part does buffer values); the "
         "production profile runs the sketch alone.",
     ),
+    (
+        "g50_source_cap",
+        "Skew-safe per-key cap: partial counts per (key, md5-prefix "
+        "bucket), the cutoff table broadcasts (`BroadcastHashJoin`) so "
+        "dropped buckets die map-side, and the `row_number` window "
+        "partitions by (key, bucket) — a hot key never pays one serial "
+        "full sort; the ranking exchange moves ~keys*K rows, not the "
+        "table.",
+    ),
 ]
 
 

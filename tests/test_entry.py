@@ -39,10 +39,12 @@ def test_driver_window_covers_every_family():
     # round (e09 rollup pointer-swap, a16 expire_partitions pre-delete
     # resolution, g03b NULL-safe geometry probe): d 21->15, c holds at 3,
     # b holds at 3, a 4->5, o holds at 1, e holds at 4, f holds at 3,
-    # g 11->16 — see the registry.py rotation log for every named witness)
+    # g 11->16 — see the registry.py rotation log for every named witness.
+    # The round-12 NEW registrations (g50/g51, windowed the round they
+    # registered) take the d10/d11 slots: d 15->13, g 16->18.
     for prefix, minimum in [
-        ("d", 15), ("c", 3), ("b", 3), ("a", 5), ("o", 1),
-        ("g", 16), ("e", 4), ("f", 3),
+        ("d", 13), ("c", 3), ("b", 3), ("a", 5), ("o", 1),
+        ("g", 18), ("e", 4), ("f", 3),
     ]:
         got = sum(1 for n in window if n.startswith(prefix))
         assert got >= minimum, f"family {prefix}: {got} < {minimum}"
@@ -68,6 +70,8 @@ def test_driver_window_covers_every_family():
         "e09_continuous_rollup", "a16_retention_expiry",
         "g03b_knn_lsh_ann", "d16_string_functions",
         "d36_approx_percentile_check",
+        # NEW this round, windowed the round they registered
+        "g50_source_cap", "g51_per_source_quality_gate",
     }
     assert rotated_in <= set(window)
     rotated_out = {
@@ -81,6 +85,10 @@ def test_driver_window_covers_every_family():
         "a07_staging_upsert", "a21_write_audit_publish",
         "o08_stream_scd2", "e05_stream_dedup", "e08_stream_lake_path",
         "g04_text_stats", "g09_train_split",
+        # round-12 late swap for the two NEW registrations (witnesses:
+        # g01 in-window = distinct-by-content-hash; d12 in-window +
+        # incoming g50 = ordered rank + limit per key)
+        "d10_distinct", "d11_sort_topn",
     }
     assert rotated_out & set(window) == set()
     # with this window, every registered query has had a driver slot
@@ -96,7 +104,7 @@ def test_registry_counts_pinned():
 
     registry._ensure_loaded()
     assert len(registry.DRIVER_WINDOW) == 50
-    assert len(registry.REGISTRY) == 164, len(registry.REGISTRY)
+    assert len(registry.REGISTRY) == 166, len(registry.REGISTRY)
     assert len(set(registry.DRIVER_WINDOW)) == 50  # no duplicate slots
     # round 7 closed the rows-only dead end: every registered query now
     # carries a DuckDB twin (the sketch/ANN paths via deterministic

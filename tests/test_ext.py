@@ -1060,3 +1060,49 @@ def test_multimodal_kernels_handle_null_payloads(spark):
     assert thumbs[1] is not None and thumbs[2] is None
     frames = sample_frames(env).collect()
     assert {r.doc_id for r in frames} == {1}  # null payload -> zero frames
+
+
+def test_cap_per_key_matches_plain_window(spark):
+    """The two-phase hash-bucket cutoff (g50's kernel) must be row-identical
+    to the plain-window definition it replaces — on a SKEWED frame whose
+    hot key spans many buckets (the case the operator exists for) and
+    whose tail keys are smaller than k (cap is a no-op there)."""
+    from pyspark.sql import Window
+
+    from aws_kinesis_spark.operators.training import cap_per_key
+
+    rows = [("hot", i) for i in range(500)] + [
+        (f"tail{j}", 1000 + 10 * j + i) for j in range(5) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["k", "id"]).repartition(7)
+    for k, hex_chars in ((10, 2), (1, 1), (499, 2), (500, 2), (501, 3)):
+        got = {
+            (r.k, r.id)
+            for r in cap_per_key(
+                df, key_col="k", id_col="id", k=k, hex_chars=hex_chars
+            ).collect()
+        }
+        w = Window.partitionBy("k").orderBy(
+            F.md5(F.col("id").cast("string")), F.col("id")
+        )
+        want = {
+            (r.k, r.id)
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .collect()
+        }
+        assert got == want, (k, hex_chars, len(got), len(want))
+    # tail keys (3 rows each) survive any k >= 3 untouched
+    got10 = cap_per_key(df, key_col="k", id_col="id", k=10)
+    assert got10.filter(F.col("k") != "hot").count() == 15
+    assert got10.filter(F.col("k") == "hot").count() == 10
+
+
+def test_cap_per_key_rejects_bad_dials(spark):
+    from aws_kinesis_spark.operators.training import cap_per_key
+
+    df = spark.createDataFrame([("a", 1)], ["k", "id"])
+    with pytest.raises(ValueError, match="k must be positive"):
+        cap_per_key(df, key_col="k", id_col="id", k=0)
+    with pytest.raises(ValueError, match="hex_chars"):
+        cap_per_key(df, key_col="k", id_col="id", k=1, hex_chars=5)

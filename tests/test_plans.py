@@ -766,3 +766,19 @@ def test_verify_broadcast_hint_removes_pair_exchanges(spark):
         p_small,
         p_big,
     )
+
+
+def test_source_cap_ranks_per_bucket_behind_broadcast_cutoffs(spark):
+    """G50: the skew-safe cap must (a) broadcast the cutoff table so rows
+    in dropped buckets die at a map-side join, and (b) partition the
+    ranking window by (key, bucket) — a window partitioned by the key
+    alone would re-create the hot-key serial sort the operator exists to
+    avoid."""
+    plan = _plan(queries()["g50_source_cap"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the row_number spec must carry BOTH partition columns
+    assert "windowspecdefinition(source" in plan
+    rn = [l for l in plan.splitlines() if "row_number()" in l]
+    assert rn and all("__b" in l for l in rn), rn
+    # and the count pass must partial-aggregate (map-side combine)
+    assert "partial_count" in plan
