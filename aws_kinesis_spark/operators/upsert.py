@@ -204,8 +204,16 @@ def net_changes(
     over the increment only — cost proportional to the delta, never the
     retained log."""
     window_events = cdc.filter(F.col(seq_col) > F.lit(from_seq))
+    # same payload-hash final term as collapse_cdc: two events sharing
+    # key+seq+op with drifted payloads (producer double-send) must pick
+    # the SAME net row on every replay — without it row_number's winner is
+    # partition-order-dependent (the exact defect the round-11 review
+    # fixed in collapse_cdc; this path had the same hole)
     w = Window.partitionBy(*keys).orderBy(
-        F.desc(seq_col), F.desc((F.col(op_col) == delete_op).cast("int")), F.desc(op_col)
+        F.desc(seq_col),
+        F.desc((F.col(op_col) == delete_op).cast("int")),
+        F.desc(op_col),
+        F.desc(F.xxhash64(F.struct(*[F.col(c) for c in cdc.columns]))),
     )
     return (
         window_events.withColumn("__rn", F.row_number().over(w))
@@ -268,9 +276,15 @@ def scd2_history(
     (NULL = still open), __is_current. Sequence ties order the delete LAST
     (the exact mirror of apply_cdc's delete-wins collapse: the tombstone
     closes the same-seq update's version rather than being closed by it),
-    then by op — deterministic across runs."""
+    then by op, then by payload hash — the same total-order final term as
+    collapse_cdc, so two same-key+seq+op events with drifted payloads
+    chain identically on every replay instead of swapping version order
+    with partition luck."""
     w = Window.partitionBy(*keys).orderBy(
-        F.asc(seq_col), F.asc((F.col(op_col) == delete_op).cast("int")), F.asc(op_col)
+        F.asc(seq_col),
+        F.asc((F.col(op_col) == delete_op).cast("int")),
+        F.asc(op_col),
+        F.asc(F.xxhash64(F.struct(*[F.col(c) for c in cdc.columns]))),
     )
     nxt = F.lead(seq_col).over(w)
     out = (
@@ -284,6 +298,25 @@ def scd2_history(
         # rebuild chains from state alone
         return out
     return out.filter(F.col(op_col) != delete_op)
+
+
+def _dedup_events(
+    df: DataFrame, klist: Sequence[str], seq_col: str, op_col: str
+) -> DataFrame:
+    """One row per (key, seq, op) event identity, DETERMINISTICALLY: a
+    byte-identical replayed event collapses regardless of which copy wins,
+    but a drifted payload (producer re-send with changed values) must keep
+    the SAME copy on every run — ``dropDuplicates`` keeps a
+    partition-order-dependent one; rank by the payload hash instead (the
+    collapse_cdc total-order term)."""
+    w = Window.partitionBy(*klist, seq_col, op_col).orderBy(
+        F.desc(F.xxhash64(F.struct(*[F.col(c) for c in df.columns])))
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def scd2_merge_increment(
@@ -311,11 +344,13 @@ def scd2_merge_increment(
     vcols = ["__valid_from", "__valid_to", "__is_current"]
     klist = list(keys)
     if versions is None:
-        src = batch.dropDuplicates(klist + [seq_col, op_col])
+        src = _dedup_events(batch, klist, seq_col, op_col)
         return scd2_history(src, keys, seq_col, op_col, delete_op, keep_deletes=True)
     touched = batch.select(*klist).distinct()
     untouched = versions.join(touched, klist, "left_anti")
     prior_events = versions.join(touched, klist, "left_semi").drop(*vcols)
-    src = prior_events.unionByName(batch).dropDuplicates(klist + [seq_col, op_col])
+    src = _dedup_events(
+        prior_events.unionByName(batch), klist, seq_col, op_col
+    )
     rebuilt = scd2_history(src, keys, seq_col, op_col, delete_op, keep_deletes=True)
     return untouched.unionByName(rebuilt)

@@ -422,6 +422,20 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        cutoff, operators/training.py:cap_per_key), g51 (NEW: per-source
 #        relative quality gate — per-group median threshold broadcast
 #        back over the scan)
+# Round-12 churn re-entry (1 swap — the CDC/SCD2 determinism hardening
+# added collapse_cdc's payload-hash total-order term to net_changes,
+# scd2_history, and the scd2_merge_increment event dedup; provably
+# output-neutral on the fixture surface (every synthesized sequence
+# number is unique, so the new final order term never fires — the
+# differential suite re-verified o04-o08 locally), but the kernels
+# changed, so their streaming consumer re-certifies under a hard row the
+# round they changed; o05/o06 re-certify in the already-planned r13
+# rotation (they sit in the r6 incoming block)):
+#   out: g03e (g03 stays in-window = the same blocked brute-force kNN
+#        kernel, and g41 stays = the same kNN-join shape against a query
+#        table; g03e's latest hard row is r11, the freshest possible)
+#   in:  o08 (stream SCD2 maintenance = scd2_merge_increment +
+#        scd2_history + _dedup_events, all three changed paths)
 # Post-r12 freshness ledger (for the round-13 rotation): the r6 block
 # (26: a03, a14, c12, d14d, d29, e03, e07, e11, e13, g03d, g04c, g04d,
 # g07c, g08, g13, g15, g18, g22, g23, g24, g25, g26, o05, o06 + the two
@@ -456,8 +470,9 @@ DRIVER_WINDOW: list[str] = [
     "a12_lake_roundtrip",
     "a16_retention_expiry",
     "a19_deletion_vectors",
-    # O — CDC family (1)
+    # O — CDC family (2)
     "o04_cdc_apply",
+    "o08_stream_scd2",
     # E — streaming semantics, batch-equivalent oracle form (4)
     "e01_stream_tumbling_hourly",
     "e02_stream_sliding_window",
@@ -467,12 +482,11 @@ DRIVER_WINDOW: list[str] = [
     "f02_grouped_map",
     "f03_grouped_agg_udaf",
     "f04_python_udtf",
-    # G — LLM-data-pipeline operators (18)
+    # G — LLM-data-pipeline operators (17)
     "g01_dedup_exact",
     "g03_knn_bruteforce",
     "g03b_knn_lsh_ann",
     "g03c_knn_ivf_ann",
-    "g03e_knn_join",
     "g04b_fingerprint",
     "g05_embedding_neardup",
     "g06_quality_filter",

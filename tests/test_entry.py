@@ -41,10 +41,12 @@ def test_driver_window_covers_every_family():
     # b holds at 3, a 4->5, o holds at 1, e holds at 4, f holds at 3,
     # g 11->16 — see the registry.py rotation log for every named witness.
     # The round-12 NEW registrations (g50/g51, windowed the round they
-    # registered) take the d10/d11 slots: d 15->13, g 16->18.
+    # registered) take the d10/d11 slots: d 15->13, g 16->18; the CDC/SCD2
+    # determinism hardening re-enters o08 in g03e's slot (g03/g41 stay as
+    # the kNN-kernel witnesses): g 18->17, o 1->2.
     for prefix, minimum in [
-        ("d", 13), ("c", 3), ("b", 3), ("a", 5), ("o", 1),
-        ("g", 18), ("e", 4), ("f", 3),
+        ("d", 13), ("c", 3), ("b", 3), ("a", 5), ("o", 2),
+        ("g", 17), ("e", 4), ("f", 3),
     ]:
         got = sum(1 for n in window if n.startswith(prefix))
         assert got >= minimum, f"family {prefix}: {got} < {minimum}"
@@ -72,6 +74,8 @@ def test_driver_window_covers_every_family():
         "d36_approx_percentile_check",
         # NEW this round, windowed the round they registered
         "g50_source_cap", "g51_per_source_quality_gate",
+        # churn re-entry: the SCD2/net-changes determinism hardening
+        "o08_stream_scd2",
     }
     assert rotated_in <= set(window)
     rotated_out = {
@@ -83,12 +87,15 @@ def test_driver_window_covers_every_family():
         "c08_hashing", "c09_orc_roundtrip",
         "b01_keyed_partition_order", "b07_replay_from_offset",
         "a07_staging_upsert", "a21_write_audit_publish",
-        "o08_stream_scd2", "e05_stream_dedup", "e08_stream_lake_path",
+        "e05_stream_dedup", "e08_stream_lake_path",
         "g04_text_stats", "g09_train_split",
         # round-12 late swap for the two NEW registrations (witnesses:
         # g01 in-window = distinct-by-content-hash; d12 in-window +
         # incoming g50 = ordered rank + limit per key)
         "d10_distinct", "d11_sort_topn",
+        # round-12 churn re-entry: o08 returned to the window (its SCD2
+        # kernels changed), displacing g03e (g03/g41 stay as witnesses)
+        "g03e_knn_join",
     }
     assert rotated_out & set(window) == set()
     # with this window, every registered query has had a driver slot

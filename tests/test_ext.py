@@ -1106,3 +1106,31 @@ def test_cap_per_key_rejects_bad_dials(spark):
         cap_per_key(df, key_col="k", id_col="id", k=0)
     with pytest.raises(ValueError, match="hex_chars"):
         cap_per_key(df, key_col="k", id_col="id", k=1, hex_chars=5)
+
+
+def test_cdc_payload_tie_break_is_deterministic(spark):
+    """Two events sharing key+seq+op with DRIFTED payloads (producer
+    double-send) must pick the same winner on every run and any
+    partitioning — net_changes and the SCD2 event dedup now carry the
+    collapse_cdc payload-hash total-order term (this pinned the round-11
+    collapse_cdc fix; these paths had the same hole)."""
+    from aws_kinesis_spark.operators.upsert import (
+        net_changes,
+        scd2_merge_increment,
+    )
+
+    rows = [(1, "drift_a", "U", 10), (1, "drift_b", "U", 10)]
+    winners = set()
+    for parts in (1, 2, 7):
+        cdc = spark.createDataFrame(
+            rows, ["id", "status", "op", "seq"]
+        ).repartition(parts)
+        got = net_changes(cdc, ["id"], "seq", 0).collect()
+        assert len(got) == 1 and got[0]["__net_op"] == "UPSERT"
+        winners.add(got[0].status)
+        merged = scd2_merge_increment(None, cdc, ["id"], "seq")
+        cur = [r for r in merged.collect() if r["__is_current"]]
+        assert len(cur) == 1
+        winners.add("scd2:" + cur[0].status)
+    # one net winner and one scd2 winner across all partitionings
+    assert len(winners) == 2, winners
