@@ -622,3 +622,42 @@ def test_ivf_store_full_probe_equals_bruteforce(spark_session, vecs, split, tmp_
     g = {(r.query_id, r.neighbor_id, r.cos_sim) for r in got.collect()}
     e = {(r.query_id, r.neighbor_id, r.cos_sim) for r in exact.collect()}
     assert g == e
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    ),
+    k=st.integers(min_value=1, max_value=12),
+    hex_chars=st.integers(min_value=1, max_value=3),
+)
+def test_cap_per_key_equals_window_form(spark_session, rows, k, hex_chars):
+    """cap_per_key (g50's skew-safe two-phase cutoff) must equal the plain
+    row_number window it replaces for ANY key distribution, cap, and
+    bucket fan-out — the bucket-prefix ordering argument holds only if
+    bucket-ascending really is a prefix of the (md5, id) order."""
+    from pyspark.sql import Window
+
+    from aws_kinesis_spark.operators.training import cap_per_key
+
+    df = spark_session.createDataFrame(rows, ["k", "id"]).repartition(5)
+    got = {
+        (r.k, r.id)
+        for r in cap_per_key(
+            df, key_col="k", id_col="id", k=k, hex_chars=hex_chars
+        ).collect()
+    }
+    w = Window.partitionBy("k").orderBy(
+        F.md5(F.col("id").cast("string")), F.col("id")
+    )
+    want = {
+        (r.k, r.id)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .collect()
+    }
+    assert got == want
