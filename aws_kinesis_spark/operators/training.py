@@ -293,8 +293,22 @@ def cap_per_key(
         )
     )
     wb = Window.partitionBy(key_col, "__b").orderBy("__hx", id_col)
+    # NULL-SAFE join keys: window partitioning groups NULL keys together
+    # (one NULL stratum, capped like any other), but a plain equi-join
+    # never matches NULL = NULL — NULL-key rows would silently vanish
+    # instead of being capped, a semantic the result-identity contract
+    # with the window form forbids (round-12 review).
+    c = cuts.select(
+        F.col(key_col).alias("__ck"),
+        F.col("__b").alias("__cb"),
+        "__full",
+        "__quota",
+    )
     return (
-        rows.join(cuts, [key_col, "__b"])
+        rows.join(
+            c,
+            rows[key_col].eqNullSafe(c["__ck"]) & rows["__b"].eqNullSafe(c["__cb"]),
+        )
         .withColumn("__rn", F.row_number().over(wb))
         .filter(F.col("__full") | (F.col("__rn") <= F.col("__quota")))
         .select(*df.columns)

@@ -1134,3 +1134,30 @@ def test_cdc_payload_tie_break_is_deterministic(spark):
         winners.add("scd2:" + cur[0].status)
     # one net winner and one scd2 winner across all partitionings
     assert len(winners) == 2, winners
+
+
+def test_cap_per_key_keeps_null_key_stratum(spark):
+    """NULL keys form their own capped stratum, exactly as the window form
+    partitions them — a plain equi-join on the cutoffs would silently drop
+    every NULL-key row instead."""
+    from pyspark.sql import Window
+
+    from aws_kinesis_spark.operators.training import cap_per_key
+
+    rows = [("a", i) for i in range(6)] + [(None, 100 + i) for i in range(6)]
+    df = spark.createDataFrame(rows, "k string, id int").repartition(3)
+    got = {
+        (r.k, r.id)
+        for r in cap_per_key(df, key_col="k", id_col="id", k=3).collect()
+    }
+    w = Window.partitionBy("k").orderBy(
+        F.md5(F.col("id").cast("string")), F.col("id")
+    )
+    want = {
+        (r.k, r.id)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    }
+    assert got == want
+    assert sum(1 for k, _ in got if k is None) == 3
