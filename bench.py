@@ -251,11 +251,20 @@ def _calibrate(spark, label: str, retry: bool) -> tuple[float, bool]:
 # can separate noise from real regression.
 RUNS = 3
 
+# Per-query sample-count overrides for the HIGHEST-VARIANCE queries, where
+# min-of-3 under-samples: g35's 4-trigger streaming harness (~20 Spark
+# stages + 2 threaded writers per trigger) measured min-of-3 values of
+# 8.87 s and 10.71 s in back-to-back same-code same-epoch runs (round-12,
+# canary ratio 1.19 vs 1.17) — a 1.2x swing no single-pass plan shows. Two
+# extra samples (~20 s of bench wall) tighten the min toward the true
+# machine cost; every other query keeps N=3.
+RUNS_OVERRIDE: dict[str, int] = {"g35_stream_dedup_ingest": 5}
+
 SPREAD: dict[str, dict[str, float]] = {}
 
 
 def _best_of(name: str, f) -> float:
-    times = [f() for _ in range(RUNS)]
+    times = [f() for _ in range(RUNS_OVERRIDE.get(name, RUNS))]
     SPREAD[name] = {"min": round(min(times), 4), "max": round(max(times), 4)}
     return min(times)
 
@@ -462,6 +471,7 @@ def main() -> None:
                 "queries": results,
                 "sf": SF_DIR,
                 "runs_per_query": RUNS,
+                "runs_override": RUNS_OVERRIDE,
                 "agg": "min",
                 "spread": SPREAD,
                 # contention guard: calibration = fixed synthetic plan with a
