@@ -186,16 +186,33 @@ def update_ivf_index(
     meta = _load_meta(index_dir)
     cent = _load_centroids(index_dir, meta["nlist"])
     cells_dir = os.path.join(index_dir, _CELLS)
+    # compact=M supersedes batches <= M, and _index_dirs only reads batch
+    # dirs ABOVE the newest compaction — an append numbered at or below it
+    # would land INVISIBLE (written, never searchable, then swept by the
+    # next compaction's cleanup: silent data loss, round-12 review). The
+    # auto-numbering skips past it; an explicit replay id must clear it too.
+    newest_compact = max(
+        (
+            int(d.split("=")[1])
+            for d in os.listdir(cells_dir)
+            if d.startswith("compact=") and not d.endswith(".tmp")
+        ),
+        default=-1,
+    )
     if batch_id is None:
-        # compact=M supersedes batches <= M, and _index_dirs only reads
-        # batch dirs ABOVE the newest compaction — a fresh append must be
-        # numbered past both, or it would land invisible
         existing = [
             int(d.split("=")[1])
             for d in os.listdir(cells_dir)
             if d.split("=")[0] in ("batch", "compact") and not d.endswith(".tmp")
         ]
         batch_id = max(existing, default=-1) + 1
+    elif batch_id <= newest_compact:
+        raise ValueError(
+            f"batch_id={batch_id} is at or below the newest compaction "
+            f"(compact={newest_compact}): the append would be invisible to "
+            "every probe and swept by the next compaction — replays of a "
+            "compacted batch are already folded in; use a fresh id"
+        )
     assigned = new_vectors.select(meta["id_col"], meta["vec_col"]).withColumn(
         "cell", nearest_cell_udf(cent)(F.col(meta["vec_col"]))
     )

@@ -295,3 +295,24 @@ def test_full_probe_equals_bruteforce_exactly(spark, em, index):
     g = {(r.query_id, r.neighbor_id, r.cos_sim) for r in got.collect()}
     e = {(r.query_id, r.neighbor_id, r.cos_sim) for r in exact.collect()}
     assert g == e
+
+
+def test_update_rejects_batch_id_at_or_below_compaction(spark, em, tmp_path):
+    """An explicit batch_id at or below the newest compaction would write a
+    batch dir _index_dirs treats as superseded — appended vectors would be
+    invisible to every probe and swept by the next compaction. The update
+    must refuse loudly instead."""
+    import pytest as _pytest
+
+    from aws_kinesis_spark.operators.ivf_index import compact_ivf_index
+
+    idx = str(tmp_path / "ivf")
+    halves = [em.filter(F.col("vec_id") % 2 == r) for r in range(2)]
+    build_ivf_index(halves[0], idx, nlist=8)
+    update_ivf_index(halves[1], idx)  # batch=1
+    assert compact_ivf_index(spark, idx, upto=1) == 1
+    with _pytest.raises(ValueError, match="at or below the newest compaction"):
+        update_ivf_index(halves[1], idx, batch_id=1)
+    # and the store is untouched by the refused append
+    ids = read_ivf_cells(spark, idx).select("vec_id")
+    assert ids.count() == em.count()
