@@ -441,60 +441,110 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # g07c, g08, g13, g15, g18, g22, g23, g24, g25, g26, o05, o06 + the two
 # r6 rows a16/e09 just re-certified here) is the next incoming set, then
 # the r8 block.
+# Round-13 rotation (24 swapped — the COMPLETE r6 freshness backlog
+# rotates in, with o05/o06 — the only queries whose kernels changed in
+# r12 without a same-round hard row (the CDC/SCD2 determinism hardening)
+# — in regardless of slot pressure, per VERDICT r12 #1. Every rotated-out
+# slot carries a green CORRECTNESS_r12 row — the freshest possible — and
+# keeps re-running in the local 166-query differential suite every CI
+# pass; named witnesses in parens):
+#   out: d05 (b05 stays = co-located equi-join; incoming d29 = the join
+#        machinery in its interval form), d14 (incoming d14d pivot = the
+#        same D14 grouping family — the r12 witness pair reversed), d15
+#        (incoming d29 = the same D15 temporal/range-join family — the r7
+#        precedent), d16 (incoming g04d TF-IDF tokenization + g15
+#        repetition ratios = the regexp/split/lower string surface over
+#        documents), d26 (incoming e03 = session-window semantics in
+#        streaming form — the r12 witness pair reversed), d27 (e02 stays
+#        = sliding-window family; d12 stays = window-rank family), c01
+#        (incoming c12 = the same from_json/to_json codec roundtrip), c13
+#        (incoming c12 = the same C9 format-roundtrip family — the r5
+#        precedent), b02b (g50 stays = the skew-safe keyed-cutoff shuffle
+#        machinery; b04 stays = keyed shuffle core), a01 (incoming a03
+#        EFO consumer + incoming e13 reshard drain = both consume the
+#        same kinesis_sim source and reshard lineage), a16 (incoming a14
+#        lake compaction = the same atomic manifest-rewrite maintenance
+#        protocol), a19 (incoming a14 = the same atomic-commit lake
+#        protocol; a12 stays = committed read/write roundtrip; BOTH r11
+#        perf targets landed with fresh r12 hard rows so the standing
+#        hold lapses), o04 (incoming o05/o06 = the same CDC
+#        decode/collapse kernels — the r12 precedent reversed), o08
+#        (incoming o05 scd2_history IS the kernel o08 maintains;
+#        kill/resume invariants pinned in tests/test_streaming.py), e09
+#        (g35 stays = foreachBatch multi-sink lake pipeline — the r7/r12
+#        precedent), e10 (incoming e11 = stream-stream OUTER join, the
+#        strictly-stronger same-family form), g01 (incoming g25 span
+#        dedup = content-hash dedup over rolling k-grams; b04 stays =
+#        exactly-once keyed dedup core), g03 (incoming g03d = the same
+#        brute-force cosine top-k kernel plus vote), g03b (g35 stays =
+#        the banded-LSH standing-index mechanism; g41/g48 stay = bucketed
+#        ANN probes), g03c (g48 stays = g03c delegates to the same
+#        persistent IVF store code path), g04b (incoming g04c rolling
+#        fingerprint = the same G4 fingerprint family), g05 (f02 stays =
+#        the applyInPandas grouped surface g05's blocked matmul runs on;
+#        incoming g03d = the cosine kernel), g07 (incoming g07c resize +
+#        g07d stays = the same G5 Arrow plumbing including the meta
+#        columns), g12 (incoming g24 temperature mixture + g23
+#        leakage-safe split = the same md5-threshold keep-rate mechanism)
+#   in:  a03, a14, c12, d14d, d29, e03, e07, e11, e13, g03d, g04c, g04d,
+#        g07c, g08, g13, g15, g18, g22, g23, g24, g25, g26, o05, o06
+# Post-r13 freshness ledger (for the round-14 rotation): the r8 block
+# (13: a13, c10, d06, d10b, g14b, g17, g21, g28, g29, g31, g33, g34,
+# o07) is the next incoming set, then the r9 block.
 DRIVER_WINDOW: list[str] = [
-    # D — relational core (13)
-    "d05_join_star",
+    # D — relational core (9)
     "d08_agg_pricing_summary",
     "d10c_percentiles",
     "d12_latest_per_key",
-    "d14_rollup",
-    "d15_asof_join",
-    "d16_string_functions",
+    "d14d_pivot",
     "d22_golden_point_lookup",
     "d23_correlated_scalar_subquery",
     "d24_exists_subquery",
-    "d26_sessionization",
-    "d27_rolling_time_window",
+    "d29_interval_overlap_join",
     "d36_approx_percentile_check",
-    # C — record transforms (3)
-    "c01_envelope_roundtrip",
+    # C — record transforms (2)
     "c07_composite_key",
-    "c13_csv_roundtrip",
-    # B — streaming-core batch analogues (3)
-    "b02b_salted_join",
+    "c12_jsonl_roundtrip",
+    # B — streaming-core batch analogues (2)
     "b04_dedup_by_sequence",
     "b05_bucketed_join",
-    # A — sources/sinks/lake maintenance (5)
-    "a01_kinesis_sim_source",
+    # A — sources/sinks/lake maintenance (4)
+    "a03_efo_push_consumer",
     "a10_catalog_partition_discovery",
     "a12_lake_roundtrip",
-    "a16_retention_expiry",
-    "a19_deletion_vectors",
+    "a14_lake_compaction",
     # O — CDC family (2)
-    "o04_cdc_apply",
-    "o08_stream_scd2",
-    # E — streaming semantics, batch-equivalent oracle form (4)
+    "o05_scd2_history",
+    "o06_cdc_net_changes",
+    # E — streaming semantics, batch-equivalent oracle form (6)
     "e01_stream_tumbling_hourly",
     "e02_stream_sliding_window",
-    "e09_continuous_rollup",
-    "e10_stream_stream_join",
+    "e03_stream_session_window",
+    "e07_stream_static_join",
+    "e11_stream_stream_outer_join",
+    "e13_stream_reshard_drain",
     # F — UDF/UDAF/UDTF surface (3)
     "f02_grouped_map",
     "f03_grouped_agg_udaf",
     "f04_python_udtf",
-    # G — LLM-data-pipeline operators (17)
-    "g01_dedup_exact",
-    "g03_knn_bruteforce",
-    "g03b_knn_lsh_ann",
-    "g03c_knn_ivf_ann",
-    "g04b_fingerprint",
-    "g05_embedding_neardup",
+    # G — LLM-data-pipeline operators (22)
+    "g03d_knn_classify",
+    "g04c_rolling_fingerprint",
+    "g04d_tfidf_top_terms",
     "g06_quality_filter",
-    "g07_multimodal_meta",
+    "g07c_multimodal_resize",
     "g07d_multimodal_frame_sample",
+    "g08_label_centroids",
     "g11_sequence_packing",
-    "g12_stratified_sample",
+    "g13_decontaminate",
     "g14_quantize_embeddings",
+    "g15_repetition_filter",
+    "g18_token_topk",
+    "g22_corpus_stats",
+    "g23_leakage_safe_split",
+    "g24_temperature_mixture",
+    "g25_span_dedup",
+    "g26_unigram_logprob",
     "g35_stream_dedup_ingest",
     "g41_filtered_knn",
     "g48_persistent_ivf",

@@ -34,68 +34,52 @@ def test_driver_window_covers_every_family():
     # every window query must carry a full DuckDB oracle (hash-match check)
     assert all(n in o for n in window), [n for n in window if n not in o]
     # every operator family lands inside the hard-signal window (floors
-    # track the round-12 FRESHNESS rotation: the complete 18-query r5
-    # backlog rotates in plus the three paths whose code churned this
-    # round (e09 rollup pointer-swap, a16 expire_partitions pre-delete
-    # resolution, g03b NULL-safe geometry probe): d 21->15, c holds at 3,
-    # b holds at 3, a 4->5, o holds at 1, e holds at 4, f holds at 3,
-    # g 11->16 — see the registry.py rotation log for every named witness.
-    # The round-12 NEW registrations (g50/g51, windowed the round they
-    # registered) take the d10/d11 slots: d 15->13, g 16->18; the CDC/SCD2
-    # determinism hardening re-enters o08 in g03e's slot (g03/g41 stay as
-    # the kNN-kernel witnesses): g 18->17, o 1->2.
+    # track the round-13 FRESHNESS rotation: the complete 24-query r6
+    # backlog rotates in — the r6 block is G/E-heavy, so the family mix
+    # shifts with it: d 13->9, c 3->2, b 3->2, a 5->4, o holds at 2,
+    # e 4->6, f holds at 3, g 17->22 — see the registry.py rotation log
+    # for every named witness on the 24 rotated-out slots.
     for prefix, minimum in [
-        ("d", 13), ("c", 3), ("b", 3), ("a", 5), ("o", 2),
-        ("g", 17), ("e", 4), ("f", 3),
+        ("d", 9), ("c", 2), ("b", 2), ("a", 4), ("o", 2),
+        ("g", 22), ("e", 6), ("f", 3),
     ]:
         got = sum(1 for n in window if n.startswith(prefix))
         assert got >= minimum, f"family {prefix}: {got} < {minimum}"
     # window curation must not drop any registered query entirely
     assert set(q) == set(registry.REGISTRY)
-    # round-12 rotation: the complete r5 freshness backlog + this round's
-    # churned paths come in; the two standing perf targets (a19, g35) and
-    # the ivf_index.py churn consumers (g41/g48/g03c) stay in-window
+    # round-13 rotation: the COMPLETE r6 freshness backlog comes in, with
+    # o05/o06 (the r12-changed CDC/SCD2 kernels that deferred their hard
+    # row) in regardless of slot pressure — VERDICT r12 #1
     rotated_in = {
-        # the complete r5 freshness backlog (VERDICT r11 #3)
-        "a01_kinesis_sim_source", "a10_catalog_partition_discovery",
-        "b04_dedup_by_sequence", "b05_bucketed_join",
-        "c01_envelope_roundtrip", "c13_csv_roundtrip",
-        "d08_agg_pricing_summary", "d15_asof_join", "d26_sessionization",
-        "d27_rolling_time_window", "e10_stream_stream_join",
-        "g01_dedup_exact", "g04b_fingerprint", "g06_quality_filter",
-        "g07d_multimodal_frame_sample", "g11_sequence_packing",
-        "g12_stratified_sample", "o04_cdc_apply",
-        # churned this round: rollup replay protocol, expire_partitions
-        # entry resolution, knn_lsh geometry probe, and the two
-        # relational-review queries whose values/construction changed
-        # (d16 columns, d36 bound)
-        "e09_continuous_rollup", "a16_retention_expiry",
-        "g03b_knn_lsh_ann", "d16_string_functions",
-        "d36_approx_percentile_check",
-        # NEW this round, windowed the round they registered
-        "g50_source_cap", "g51_per_source_quality_gate",
-        # churn re-entry: the SCD2/net-changes determinism hardening
-        "o08_stream_scd2",
+        "a03_efo_push_consumer", "a14_lake_compaction",
+        "c12_jsonl_roundtrip", "d14d_pivot", "d29_interval_overlap_join",
+        "e03_stream_session_window", "e07_stream_static_join",
+        "e11_stream_stream_outer_join", "e13_stream_reshard_drain",
+        "g03d_knn_classify", "g04c_rolling_fingerprint",
+        "g04d_tfidf_top_terms", "g07c_multimodal_resize",
+        "g08_label_centroids", "g13_decontaminate",
+        "g15_repetition_filter", "g18_token_topk", "g22_corpus_stats",
+        "g23_leakage_safe_split", "g24_temperature_mixture",
+        "g25_span_dedup", "g26_unigram_logprob",
+        "o05_scd2_history", "o06_cdc_net_changes",
     }
     assert rotated_in <= set(window)
+    # every rotated-out slot holds a green CORRECTNESS_r12 row (the
+    # freshest possible) and keeps running in the differential suite;
+    # named witnesses in the registry.py round-13 rotation log
     rotated_out = {
-        "d03_time_pruned_filter", "d04_limit", "d08b_stats_aggregates",
-        "d13_window_functions", "d14b_cube", "d14c_grouping_sets",
-        "d15b_range_join_binned", "d18_math_functions",
-        "d19_array_functions", "d20_json_functions",
-        "d21_conditional_null", "d28_relational_division",
-        "c08_hashing", "c09_orc_roundtrip",
-        "b01_keyed_partition_order", "b07_replay_from_offset",
-        "a07_staging_upsert", "a21_write_audit_publish",
-        "e05_stream_dedup", "e08_stream_lake_path",
-        "g04_text_stats", "g09_train_split",
-        # round-12 late swap for the two NEW registrations (witnesses:
-        # g01 in-window = distinct-by-content-hash; d12 in-window +
-        # incoming g50 = ordered rank + limit per key)
-        "d10_distinct", "d11_sort_topn",
-        # round-12 churn re-entry: o08 returned to the window (its SCD2
-        # kernels changed), displacing g03e (g03/g41 stay as witnesses)
-        "g03e_knn_join",
+        "d05_join_star", "d14_rollup", "d15_asof_join",
+        "d16_string_functions", "d26_sessionization",
+        "d27_rolling_time_window",
+        "c01_envelope_roundtrip", "c13_csv_roundtrip",
+        "b02b_salted_join",
+        "a01_kinesis_sim_source", "a16_retention_expiry",
+        "a19_deletion_vectors",
+        "o04_cdc_apply", "o08_stream_scd2",
+        "e09_continuous_rollup", "e10_stream_stream_join",
+        "g01_dedup_exact", "g03_knn_bruteforce", "g03b_knn_lsh_ann",
+        "g03c_knn_ivf_ann", "g04b_fingerprint", "g05_embedding_neardup",
+        "g07_multimodal_meta", "g12_stratified_sample",
     }
     assert rotated_out & set(window) == set()
     # with this window, every registered query has had a driver slot
