@@ -267,11 +267,27 @@ def cap_per_key(
          table.
 
     Deterministic and seedless (the g09/g40 md5 trick), so a backfill
-    re-run keeps the identical row set on any partitioning."""
+    re-run keeps the identical row set on any partitioning.
+
+    PRECONDITION: ``df`` itself must be deterministic. The plan evaluates
+    ``df`` twice (the counts pass and the join/rank pass); a
+    nondeterministic input (rand()/uuid()/sample without a seed, a scan of
+    data mutating underneath) can desync the two passes and silently over-
+    or under-fill buckets. Persist or ``localCheckpoint(eager=True)`` such
+    inputs before calling (round-12 ADVICE)."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     if not 1 <= hex_chars <= 4:
         raise ValueError(f"hex_chars must be in [1, 4], got {hex_chars}")
+    reserved = {"__hx", "__b", "__rn", "__ck", "__cb", "__full", "__quota",
+                "__n", "__cum", "__start"}
+    clash = reserved & set(df.columns)
+    if clash:
+        # withColumn REPLACES same-named input columns, so a clash would
+        # corrupt the caller's data instead of failing (round-12 ADVICE)
+        raise ValueError(
+            f"df columns collide with cap_per_key temp names: {sorted(clash)}"
+        )
     hx = F.md5(F.col(id_col).cast("string"))
     bucket = F.conv(F.substring(hx, 1, hex_chars), 16, 10).cast("int")
     rows = df.withColumn("__hx", hx).withColumn("__b", bucket)

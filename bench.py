@@ -461,68 +461,99 @@ def main() -> None:
     # old end-of-run min-of-3)
     host_index = canary["min"]
 
+    full, compact = build_records(
+        results,
+        SPREAD,
+        canary,
+        {
+            "before": round(cal_before, 4),
+            "after": round(cal_after, 4),
+            "idle_budget": round(CALIBRATION_IDLE_S * CALIBRATION_FACTOR, 4),
+        },
+        contended_before or contended_after,
+    )
+    # Persist the COMPLETE record as a repo artifact. The driver's
+    # BENCH_rN.json keeps only a 2000-char stdout tail plus the json.loads
+    # of the last line it can see — BENCH_r09's parsed field is null
+    # because that round's only JSON line was front-truncated by exactly
+    # that cap, so the full 63-query spread dict (~4 KB) can never ride in
+    # the parsed line itself (VERDICT r12 #2 asked for it there; the cap
+    # makes the file the only lossless channel). BENCH_FULL.json is
+    # overwritten per run and committed per round, so every cross-round
+    # per-query ratio is computable from the git history of one file.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh)
+        fh.write("\n")
+    print(json.dumps(full))
+    # Emit the compact summary LAST so the driver's 2000-char tail always
+    # ends with one complete parseable JSON line (VERDICT r9 #3). It
+    # carries the canary stats verbatim plus the spreads of the slowest
+    # queries — everything else lives in BENCH_FULL.json.
+    print(json.dumps(compact))
+
+
+def build_records(
+    results: dict[str, float],
+    spread: dict[str, dict[str, float]],
+    canary: dict,
+    calibration: dict,
+    contended: bool,
+) -> tuple[dict, dict]:
+    """Build the (full, compact) output records. Pure so tests can pin the
+    compact line's size budget: the driver keeps only a 2000-char stdout
+    tail and json.loads the last line inside it, so the compact record
+    must serialize WELL under that cap (budget asserted at 1900 bytes in
+    tests/test_bench_record.py) or the round's parsed artifact silently
+    degrades to null, as happened in BENCH_r09."""
     total = round(sum(results.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "sf": SF_DIR,
-                "runs_per_query": RUNS,
-                "runs_override": RUNS_OVERRIDE,
-                "agg": "min",
-                "spread": SPREAD,
-                # contention guard: calibration = fixed synthetic plan with a
-                # known idle cost; contended=true means these timings carry
-                # host CPU-steal and must not be read as regressions
-                "calibration_sec": {
-                    "before": round(cal_before, 4),
-                    "after": round(cal_after, 4),
-                    "idle_budget": round(
-                        CALIBRATION_IDLE_S * CALIBRATION_FACTOR, 4
-                    ),
-                },
-                # workload-shaped host speed index (shuffle + Arrow UDF +
-                # parquet write; ~0.6 s on this VM's quiet epochs): divide
-                # two rounds' per-query times by their host_index ratio to
-                # cancel host drift the CPU calibration can't see
-                "host_index_sec": host_index,
-                # epoch-noise normalizer: the same probe sampled
-                # INTERLEAVED through the run, as a ratio vs the stored
-                # round-10 quiet-epoch reference — multiply a target (or
-                # divide a measurement) by ratio_vs_r10_median before
-                # comparing against round-10-era numbers
-                "canary": canary,
-                "contended": contended_before or contended_after,
-            }
-        )
-    )
-    # The driver captures only the TAIL of stdout; the full record above
-    # can be front-truncated once the query map grows. Emit a compact,
-    # self-contained summary LAST so the tail always ends with one
-    # complete parseable JSON line (VERDICT r9 "what's missing" #3).
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "sf": SF_DIR,
-                "n_queries": len(results),
-                "lake_microbatch": results.get("lake_microbatch"),
-                "point_query": results.get("point_query"),
-                "host_index_sec": host_index,
-                "canary_ratio_vs_r10_median": canary.get("ratio_vs_r10_median"),
-                "canary_ratio_vs_r10_min": canary.get("ratio_vs_r10_min"),
-                "g35_stream_dedup_ingest": results.get("g35_stream_dedup_ingest"),
-                "a19_deletion_vectors": results.get("a19_deletion_vectors"),
-                "ivf_second_probe": results.get("ivf_second_probe"),
-                "contended": contended_before or contended_after,
-            }
-        )
-    )
+    host_index = canary.get("min")
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "runs_per_query": RUNS,
+        "runs_override": RUNS_OVERRIDE,
+        "agg": "min",
+        "spread": spread,
+        # contention guard: calibration = fixed synthetic plan with a
+        # known idle cost; contended=true means these timings carry host
+        # CPU-steal and must not be read as regressions
+        "calibration_sec": calibration,
+        # workload-shaped host speed index (shuffle + Arrow UDF + parquet
+        # write; ~0.6 s on this VM's quiet epochs): divide two rounds'
+        # per-query times by their host_index ratio to cancel host drift
+        # the CPU calibration can't see
+        "host_index_sec": host_index,
+        # epoch-noise normalizer: the same probe sampled INTERLEAVED
+        # through the run, as a ratio vs the stored round-10 quiet-epoch
+        # reference — multiply a target (or divide a measurement) by
+        # ratio_vs_r10_median before comparing against round-10-era numbers
+        "canary": canary,
+        "contended": contended,
+    }
+    # The slowest queries are where a regression moves the headline; their
+    # spreads ride in the parsed line so tail-only readers still get them.
+    slowest = sorted(results, key=results.get, reverse=True)[:10]
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": SF_DIR,
+        "n_queries": len(results),
+        "lake_microbatch": results.get("lake_microbatch"),
+        "point_query": results.get("point_query"),
+        "host_index_sec": host_index,
+        "canary": canary,
+        "slowest_spread": {n: [spread[n]["min"], spread[n]["max"]]
+                           for n in slowest if n in spread},
+        "ivf_second_probe": results.get("ivf_second_probe"),
+        "full_record": "BENCH_FULL.json",
+        "contended": contended,
+    }
+    return full, compact
 
 
 if __name__ == "__main__":

@@ -1,0 +1,73 @@
+"""Pin the bench artifact contract (VERDICT r12 #2).
+
+The driver's BENCH_rN.json stores a 2000-char stdout tail and the
+json.loads of the last complete line inside it. BENCH_r09.parsed is null
+precisely because that round's only JSON line blew the cap. These tests
+pin both halves of the fix: the FULL record (every per-query spread + the
+canary stats) round-trips through BENCH_FULL.json, and the compact final
+line stays far enough under the tail cap that parsing can never degrade.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+TAIL_CAP = 2000          # the driver's observed stdout-tail truncation
+COMPACT_BUDGET = 1900    # leave slack for the trailing newline
+
+
+def _synthetic_inputs(n_queries: int):
+    # worst-case realistic shapes: long registry names, 4-decimal floats,
+    # double-digit seconds on the slow end
+    results = {
+        f"g{i:02d}_some_long_query_name_{i}": round(10.0 + i / 7.0, 4)
+        for i in range(n_queries)
+    }
+    spread = {
+        name: {"min": v, "max": round(v * 2.1037, 4)}
+        for name, v in results.items()
+    }
+    canary = {
+        "n_samples": 14,
+        "min": 0.6772,
+        "median": 0.7411,
+        "max": 1.2093,
+        "ref_r10_sec": 0.6414,
+        "ratio_vs_r10_median": 1.1554,
+        "ratio_vs_r10_min": 1.0558,
+    }
+    calibration = {"before": 0.1351, "after": 0.1402, "idle_budget": 0.525}
+    return results, spread, canary, calibration
+
+
+def test_full_record_carries_every_spread_and_roundtrips():
+    results, spread, canary, calibration = _synthetic_inputs(80)
+    full, compact = bench.build_records(results, spread, canary, calibration, False)
+    back = json.loads(json.dumps(full))
+    assert back["queries"] == results
+    assert back["spread"] == spread
+    assert back["canary"] == canary
+    assert back["calibration_sec"] == calibration
+    assert back["agg"] == "min"
+    assert isinstance(back["runs_override"], dict)  # json-safe passthrough
+    assert compact["full_record"] == "BENCH_FULL.json"
+
+
+def test_compact_line_fits_the_driver_tail_cap():
+    # 80 queries is ~1.3x today's headline count — the budget must hold as
+    # the headline grows, because only the 10 slowest ride in the line
+    results, spread, canary, calibration = _synthetic_inputs(80)
+    _, compact = bench.build_records(results, spread, canary, calibration, True)
+    line = json.dumps(compact)
+    assert len(line) < COMPACT_BUDGET, len(line)
+    assert len(line) < TAIL_CAP
+    back = json.loads(line)
+    assert back["n_queries"] == 80
+    assert len(back["slowest_spread"]) == 10
+    assert back["canary"]["ratio_vs_r10_min"] == 1.0558
+    # every slowest entry is [min, max] with min matching the headline value
+    for name, (mn, mx) in back["slowest_spread"].items():
+        assert mn == results[name]
+        assert mx >= mn
