@@ -15,6 +15,10 @@ Layout (mirrors the g35 batch=/compact= standing-store protocol)::
       _centroids/           # nlist rows (cell, centroid) — atomic tmp+rename
       cells/batch=0/cell=C/ # cell-partitioned assignments from the build
       cells/batch=N/cell=C/ # appends from update_ivf_index (idempotent per N)
+      tombs/batch=K/        # horizon-scoped delete tombstones
+                            # (delete_from_ivf_index; merge-on-read like
+                            # the lake's deletion vectors, applied
+                            # physically + cleared at compaction)
 
 Scale posture:
 - build/update assign vectors in ONE Arrow matmul map pass (no shuffle
@@ -52,6 +56,8 @@ from aws_kinesis_spark.streaming.pipeline import _index_dirs, _read_index_dirs
 _META = "_meta.json"
 _CENTROIDS = "_centroids"
 _CELLS = "cells"
+_TOMBS = "tombs"
+_TOMB_META = "_tomb_meta.json"
 
 
 def _meta_path(index_dir: str) -> str:
@@ -191,6 +197,11 @@ def update_ivf_index(
     # would land INVISIBLE (written, never searchable, then swept by the
     # next compaction's cleanup: silent data loss, round-12 review). The
     # auto-numbering skips past it; an explicit replay id must clear it too.
+    # SINGLE-WRITER assumption (round-12 ADVICE): this is a check-then-
+    # write, not a lock — a compact_ivf_index racing between this listdir
+    # and _write_cells_batch's rename could still supersede the in-flight
+    # append. The store's posture is one maintainer process (same as the
+    # dedup-ingest index); concurrent writers need external coordination.
     newest_compact = max(
         (
             int(d.split("=")[1])
@@ -220,36 +231,231 @@ def update_ivf_index(
     return batch_id
 
 
+def _newest_committed_cells(cells_dir: str) -> int:
+    """Newest committed cells number (batch= or compact=), -1 if none."""
+    names = os.listdir(cells_dir) if os.path.isdir(cells_dir) else []
+    nums = [
+        int(d.split("=")[1])
+        for d in names
+        if d.split("=")[0] in ("batch", "compact") and not d.endswith(".tmp")
+    ]
+    return max(nums, default=-1)
+
+
+def _tomb_batches(index_dir: str) -> list[tuple[int, str, int]]:
+    """Committed tombstone batches: (batch_id, path, horizon) ascending."""
+    root = os.path.join(index_dir, _TOMBS)
+    out: list[tuple[int, str, int]] = []
+    for d in os.listdir(root) if os.path.isdir(root) else []:
+        if not d.startswith("batch=") or d.endswith(".tmp"):
+            continue
+        path = os.path.join(root, d)
+        meta_path = os.path.join(path, _TOMB_META)
+        if not os.path.exists(meta_path):
+            continue  # torn dir (no committed meta) — invisible
+        with open(meta_path) as f:
+            horizon = json.load(f)["horizon"]
+        out.append((int(d.split("=")[1]), path, int(horizon)))
+    return sorted(out)
+
+
+def delete_from_ivf_index(
+    ids: DataFrame, index_dir: str, batch_id: int | None = None
+) -> int:
+    """Delete vectors from the standing index by id — the lifecycle op the
+    lake solves with deletion vectors (a19): MERGE-ON-READ tombstones, no
+    rewrite of any cell file on the delete path.
+
+    A tombstone batch records the ids plus the store's append HORIZON (the
+    newest committed cells number at delete time): a probe drops a stored
+    row only when ``row.src_batch <= tombstone.horizon``. That scoping
+    gives deletes the deletion-vector semantics rather than a global
+    id-ban: a vector re-appended AFTER the delete lands in a higher batch
+    and is served again, exactly as a lake row re-inserted after a DV
+    commit is. Physical removal happens at the next compaction
+    (compact_ivf_index applies tombstones while folding and clears the
+    fully-applied ones).
+
+    Commit protocol mirrors update_ivf_index: write to ``batch=N.tmp``,
+    one atomic rename (the in-dir ``_tomb_meta.json`` carries the horizon
+    and is written BEFORE the rename, so a torn dir is invisible to
+    readers). Idempotent per batch_id; single-writer posture (same as
+    appends). Returns the tombstone batch id."""
+    meta = _load_meta(index_dir)
+    id_col = meta["id_col"]
+    horizon = _newest_committed_cells(os.path.join(index_dir, _CELLS))
+    if horizon < 0:
+        raise ValueError(f"IVF index {index_dir} has no committed cells")
+    tombs_dir = os.path.join(index_dir, _TOMBS)
+    os.makedirs(tombs_dir, exist_ok=True)
+    if batch_id is None:
+        batch_id = max((b for b, _, _ in _tomb_batches(index_dir)), default=-1) + 1
+    final = os.path.join(tombs_dir, f"batch={batch_id}")
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        ids.select(id_col)
+        .distinct()
+        .withColumn("__horizon", F.lit(horizon).cast("int"))
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    with open(os.path.join(tmp, _TOMB_META), "w") as f:
+        json.dump({"horizon": horizon}, f)
+    shutil.rmtree(final, ignore_errors=True)  # replay overwrites, atomically
+    os.replace(tmp, final)
+    return batch_id
+
+
+def read_ivf_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """Live tombstones as (id_col, __horizon) — None when there are none.
+    Listing is one driver listdir; the per-batch horizon rides as a column
+    so the scoped anti-join needs no extra metadata join."""
+    batches = _tomb_batches(index_dir)
+    if not batches:
+        return None
+    meta = _load_meta(index_dir)
+    base = T.StructType.fromJson(json.loads(meta["row_schema"]))
+    schema = T.StructType(
+        [base[meta["id_col"]], T.StructField("__horizon", T.IntegerType())]
+    )
+    df = spark.read.schema(schema).parquet(*[p for _, p, _ in batches])
+    return df
+
+
 def compact_ivf_index(spark: SparkSession, index_dir: str, upto: int) -> int:
     """Fold the cells store's per-batch dirs at or below ``upto`` into one
     ``compact=<upto>`` dir (one file per cell), bounding a probe's
     listing/open cost to O(appends since last compaction) instead of
     O(index lifetime) — the same _compact_store commit (tmp + atomic
     rename, idempotent, crash-sweep) the dedup-ingest index uses.
-    Centroids are untouched; verdict-free metadata maintenance."""
-    from aws_kinesis_spark.streaming.pipeline import _compact_store
+    Centroids are untouched.
 
-    return _compact_store(spark, os.path.join(index_dir, _CELLS), "cell", upto)
+    With live tombstones the fold also APPLIES them (the merge-on-read
+    debt is paid here, once, instead of on every probe): rows whose source
+    batch is at or below a tombstone's horizon are dropped from the folded
+    output, and tombstone batches whose horizon is <= ``upto`` — now fully
+    applied, since every cells dir they could target was folded — are
+    cleared. Tombstones with horizon > ``upto`` stay live (they can still
+    target unfolded batches). A crash between the fold's rename and the
+    tombstone sweep is harmless: re-applying a cleared-pending tombstone
+    on read matches nothing (the rows are physically gone), and the next
+    compact call finishes the sweep. Tombstone-present folds always take
+    the Spark rewrite (a physical delete is real data work, not the
+    metadata-scale fold the driver-side path is for)."""
+    cells_dir = os.path.join(index_dir, _CELLS)
+    tomb_batches = _tomb_batches(index_dir)
+    if not tomb_batches:
+        from aws_kinesis_spark.streaming.pipeline import _compact_store
+
+        return _compact_store(spark, cells_dir, "cell", upto)
+
+    from aws_kinesis_spark.streaming.pipeline import _sweep_superseded_dirs
+
+    def _clear_applied() -> None:
+        for _b, path, horizon in tomb_batches:
+            if horizon <= upto:
+                shutil.rmtree(path, ignore_errors=True)
+
+    final = os.path.join(cells_dir, f"compact={upto}")
+    if os.path.exists(final):
+        _sweep_superseded_dirs(cells_dir, upto)
+        _clear_applied()  # crash-recovery: finish both sweeps
+        return 0
+    srcs = _index_dirs(cells_dir, upto_exclusive=upto + 1)
+    if not srcs:
+        return 0
+    meta = _load_meta(index_dir)
+    schema = _cells_schema(meta)
+    cols = [meta["id_col"], meta["vec_col"], "cell"]
+    # per-dir source tags scope the anti-join exactly like the read path
+    parts = []
+    for s in srcs:
+        n = int(os.path.basename(s).split("=")[1])
+        parts.append(
+            spark.read.schema(schema).parquet(s).select(*cols)
+            .withColumn("__src", F.lit(n).cast("int"))
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    tombs = read_ivf_tombstones(spark, index_dir)
+    t = tombs.select(
+        F.col(meta["id_col"]).alias("__tid"), F.col("__horizon").alias("__th")
+    )
+    live = merged.join(
+        t,
+        (F.col(meta["id_col"]) == F.col("__tid"))
+        & (F.col("__src") <= F.col("__th")),
+        "left_anti",
+    ).drop("__src")
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        live.repartition(F.col("cell"))
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    os.replace(tmp, final)
+    _sweep_superseded_dirs(cells_dir, upto)
+    _clear_applied()
+    return 1
 
 
 def read_ivf_cells(
-    spark: SparkSession, index_dir: str, cells: list[int] | None = None
+    spark: SparkSession,
+    index_dir: str,
+    cells: list[int] | None = None,
+    include_deleted: bool = False,
 ) -> DataFrame:
-    """The standing assignments across every live batch dir; ``cells``
+    """The LIVE standing assignments across every batch dir; ``cells``
     partition-prunes the read to those cell ids (pushed into every child
-    scan's PartitionFilters)."""
+    scan's PartitionFilters). Tombstones (delete_from_ivf_index) are
+    applied merge-on-read: a stored row dies when some tombstone covers
+    its id AND its source batch is at or below that tombstone's horizon —
+    so re-appends after a delete stay visible. The tombstone check is one
+    driver listdir when the store has never seen a delete (zero plan
+    change on the serving path); when tombstones exist the anti-join runs
+    AFTER partition pruning, over probed-cell rows only, with the
+    tombstone side sized O(deletes since last compaction) — AQE broadcasts
+    it. ``include_deleted=True`` skips the merge (the physical-store view
+    compaction and audits read)."""
     meta = _load_meta(index_dir)
-    df = _read_index_dirs(
-        spark,
-        _index_dirs(os.path.join(index_dir, _CELLS)),
-        cols=[meta["id_col"], meta["vec_col"], "cell"],
-        schema=_cells_schema(meta),
-    )
-    if df is None:
+    cols = [meta["id_col"], meta["vec_col"], "cell"]
+    schema = _cells_schema(meta)
+    dirs = _index_dirs(os.path.join(index_dir, _CELLS))
+    tombs = None if include_deleted else read_ivf_tombstones(spark, index_dir)
+    if tombs is None:
+        df = _read_index_dirs(spark, dirs, cols=cols, schema=schema)
+        if df is None:
+            raise ValueError(f"IVF index {index_dir} has no committed cells")
+        if cells is not None:
+            df = df.filter(F.col("cell").isin(cells))
+        return df
+    if not dirs:
         raise ValueError(f"IVF index {index_dir} has no committed cells")
+    parts = []
+    for s in dirs:
+        n = int(os.path.basename(s).split("=")[1])
+        parts.append(
+            spark.read.schema(schema).parquet(s).select(*cols)
+            .withColumn("__src", F.lit(n).cast("int"))
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
     if cells is not None:
         df = df.filter(F.col("cell").isin(cells))
-    return df
+    t = tombs.select(
+        F.col(meta["id_col"]).alias("__tid"), F.col("__horizon").alias("__th")
+    )
+    return df.join(
+        t,
+        (F.col(meta["id_col"]) == F.col("__tid"))
+        & (F.col("__src") <= F.col("__th")),
+        "left_anti",
+    ).drop("__src")
 
 
 def knn_ivf_indexed(

@@ -2298,3 +2298,63 @@ def g51_per_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("src_median", 4).alias("src_median"),
         )
     )
+
+
+@register(
+    "g52_ivf_delete",
+    oracle=f"""
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round({_DUCK_COSINE}, 4) + 0.0 AS cos_sim
+        FROM (SELECT * FROM embeddings WHERE vec_id < 5) a
+        JOIN (SELECT * FROM embeddings WHERE vec_id % 7 <> 3) b
+             ON b.vec_id <> a.vec_id
+        QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                   ORDER BY {_DUCK_COSINE} DESC, b.vec_id) <= 10
+    """,
+)
+def g52_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 lifecycle: DELETES against the standing IVF store — the op a
+    served vector index needs the day a source revokes documents (GDPR
+    erasure, licensing takedown, dedup-after-the-fact). Merge-on-read
+    tombstones, the vector analogue of the lake's deletion vectors (a19,
+    reference README.md:441-449's committed-state posture): no cell file
+    is rewritten on the delete path; a probe drops a stored row only when
+    a tombstone covers its id AND the row's source batch is at or below
+    the tombstone's append horizon, so later re-appends of the same id
+    are served again. Physical removal happens at the next compaction,
+    which also clears fully-applied tombstones
+    (operators/ivf_index.py:delete_from_ivf_index).
+
+    Hard-oracle form: build on the full corpus, delete vec_id % 7 == 3,
+    then probe with nprobe = nlist — the probed set is the whole live
+    store, so the result must EXACTLY equal brute-force cosine top-10
+    over the remaining corpus (same pairs, same rounded scores, cos desc /
+    id asc ranking). Any resurrection, over-delete, or scoring drift
+    breaks the value hash.
+
+    Scale: the delete writes one id-partitioned tombstone batch
+    (O(deleted ids), one atomic rename); the probe's anti-join runs after
+    partition pruning over probed-cell rows only, tombstone side sized
+    O(deletes since last compaction) — AQE broadcasts it; stores that
+    never saw a delete keep a byte-identical plan (one driver listdir)."""
+    import shutil
+    import tempfile
+
+    from aws_kinesis_spark.operators.ivf_index import delete_from_ivf_index
+
+    em = load(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="kinesis_g52_")
+    try:
+        nlist = 16
+        build_ivf_index(em, idx, nlist=nlist)
+        delete_from_ivf_index(em.filter(F.col("vec_id") % 7 == 3), idx)
+        queries = em.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        # eager localCheckpoint so the temp store is reclaimed now (the
+        # g48 convention): the returned frame no longer reads the index
+        return knn_ivf_indexed(
+            spark, idx, queries, k=10, nprobe=nlist
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)

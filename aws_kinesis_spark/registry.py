@@ -488,6 +488,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        leakage-safe split = the same md5-threshold keep-rate mechanism)
 #   in:  a03, a14, c12, d14d, d29, e03, e07, e11, e13, g03d, g04c, g04d,
 #        g07c, g08, g13, g15, g18, g22, g23, g24, g25, g26, o05, o06
+# Round-13 new registration (1 new query registered AND windowed the
+# same round, the r9/r10/r12 precedent):
+#   out: g41 (g48 stays in-window = the same standing-store probed-cell
+#        serving path; incoming g52 exercises the identical probe read
+#        path with the complementary tombstone anti-filter — g41's own
+#        filter_ids semi-join exactness stays pinned in
+#        tests/test_ivf_index.py::test_filtered_probe_is_exact_over_qualifying_subset;
+#        g41's latest hard row is r12, the freshest possible)
+#   in:  g52 (NEW: merge-on-read deletes against the persistent IVF
+#        store — horizon-scoped tombstones, applied+cleared at
+#        compaction; operators/ivf_index.py:delete_from_ivf_index)
 # Post-r13 freshness ledger (for the round-14 rotation): the r8 block
 # (13: a13, c10, d06, d10b, g14b, g17, g21, g28, g29, g31, g33, g34,
 # o07) is the next incoming set, then the r9 block.
@@ -546,10 +557,10 @@ DRIVER_WINDOW: list[str] = [
     "g25_span_dedup",
     "g26_unigram_logprob",
     "g35_stream_dedup_ingest",
-    "g41_filtered_knn",
     "g48_persistent_ivf",
     "g50_source_cap",
     "g51_per_source_quality_gate",
+    "g52_ivf_delete",
 ]
 
 

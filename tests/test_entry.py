@@ -62,6 +62,8 @@ def test_driver_window_covers_every_family():
         "g23_leakage_safe_split", "g24_temperature_mixture",
         "g25_span_dedup", "g26_unigram_logprob",
         "o05_scd2_history", "o06_cdc_net_changes",
+        # NEW this round, windowed the round it registered (IVF deletes)
+        "g52_ivf_delete",
     }
     assert rotated_in <= set(window)
     # every rotated-out slot holds a green CORRECTNESS_r12 row (the
@@ -80,6 +82,10 @@ def test_driver_window_covers_every_family():
         "g01_dedup_exact", "g03_knn_bruteforce", "g03b_knn_lsh_ann",
         "g03c_knn_ivf_ann", "g04b_fingerprint", "g05_embedding_neardup",
         "g07_multimodal_meta", "g12_stratified_sample",
+        # round-13 new registration g52 takes g41's slot (g48 stays =
+        # the same standing-store probed-cell path; filter_ids exactness
+        # pinned in tests/test_ivf_index.py)
+        "g41_filtered_knn",
     }
     assert rotated_out & set(window) == set()
     # with this window, every registered query has had a driver slot
@@ -95,7 +101,7 @@ def test_registry_counts_pinned():
 
     registry._ensure_loaded()
     assert len(registry.DRIVER_WINDOW) == 50
-    assert len(registry.REGISTRY) == 166, len(registry.REGISTRY)
+    assert len(registry.REGISTRY) == 167, len(registry.REGISTRY)
     assert len(set(registry.DRIVER_WINDOW)) == 50  # no duplicate slots
     # round 7 closed the rows-only dead end: every registered query now
     # carries a DuckDB twin (the sketch/ANN paths via deterministic

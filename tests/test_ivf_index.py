@@ -316,3 +316,146 @@ def test_update_rejects_batch_id_at_or_below_compaction(spark, em, tmp_path):
     # and the store is untouched by the refused append
     ids = read_ivf_cells(spark, idx).select("vec_id")
     assert ids.count() == em.count()
+
+
+def test_delete_hides_rows_and_full_probe_matches_bruteforce_remainder(
+    spark, em, index
+):
+    """Tombstone deletes are merge-on-read: after delete_from_ivf_index
+    the deleted ids vanish from reads and a FULL probe (nprobe = nlist)
+    equals brute force over the remaining corpus exactly."""
+    from aws_kinesis_spark.operators.ivf_index import delete_from_ivf_index
+
+    dead = em.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    delete_from_ivf_index(dead, index)
+    live = read_ivf_cells(spark, index).select("vec_id")
+    assert live.count() == em.count() - dead.count()
+    assert live.join(dead, "vec_id", "left_semi").count() == 0
+    got = knn_ivf_indexed(spark, index, _queries(em), k=10, nprobe=16)
+    remaining = em.join(dead, "vec_id", "left_anti")
+    exact = knn_bruteforce(remaining, _queries(em), k=10)
+    g = {(r.query_id, r.neighbor_id, r.cos_sim) for r in got.collect()}
+    e = {(r.query_id, r.neighbor_id, r.cos_sim) for r in exact.collect()}
+    assert g == e
+    # the physical store still holds every row (merge-on-read, no rewrite)
+    assert read_ivf_cells(spark, index, include_deleted=True).count() == em.count()
+
+
+def test_delete_is_horizon_scoped_so_reappends_survive(spark, em, tmp_path):
+    """The deletion-vector semantics: a tombstone only covers rows
+    appended at or before the delete's horizon. Re-appending a deleted
+    vector lands in a higher batch and is served again."""
+    from aws_kinesis_spark.operators.ivf_index import delete_from_ivf_index
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(em, idx, nlist=8)
+    dead = em.filter(F.col("vec_id") < 10).select("vec_id")
+    delete_from_ivf_index(dead, idx)  # horizon = 0
+    assert read_ivf_cells(spark, idx).count() == em.count() - dead.count()
+    update_ivf_index(em.filter(F.col("vec_id") < 10), idx)  # batch=1 > horizon
+    ids = read_ivf_cells(spark, idx).select("vec_id")
+    assert ids.count() == em.count()
+    assert ids.join(dead, "vec_id", "left_semi").count() == dead.count()
+
+
+def test_delete_replay_is_idempotent_and_tmp_dir_invisible(spark, em, tmp_path):
+    """A replayed tombstone batch overwrites its own dir and converges; a
+    torn .tmp tombstone dir (no committed rename) is invisible."""
+    import shutil
+
+    from aws_kinesis_spark.operators.ivf_index import delete_from_ivf_index
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(em, idx, nlist=8)
+    dead = em.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+    bid = delete_from_ivf_index(dead, idx, batch_id=0)
+    assert delete_from_ivf_index(dead, idx, batch_id=bid) == bid
+    n_live = em.count() - dead.count()
+    assert read_ivf_cells(spark, idx).count() == n_live
+    # simulate a torn write: copy the committed dir to a .tmp name
+    tombs = os.path.join(idx, "tombs")
+    shutil.copytree(os.path.join(tombs, "batch=0"), os.path.join(tombs, "batch=1.tmp"))
+    assert read_ivf_cells(spark, idx).count() == n_live  # unchanged
+
+
+def test_compaction_applies_tombstones_physically_and_clears_them(
+    spark, em, tmp_path
+):
+    """Folding with live tombstones pays the merge-on-read debt: the
+    compacted store physically drops covered rows, fully-applied
+    tombstones are cleared, and probe results are identical before and
+    after the fold."""
+    from aws_kinesis_spark.operators.ivf_index import (
+        compact_ivf_index,
+        delete_from_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    halves = [em.filter(F.col("vec_id") % 2 == r) for r in range(2)]
+    build_ivf_index(halves[0], idx, nlist=8)
+    update_ivf_index(halves[1], idx)  # batch=1
+    dead = em.filter(F.col("vec_id") % 6 == 1).select("vec_id")
+    delete_from_ivf_index(dead, idx)  # horizon = 1
+    before = {
+        (r.query_id, r.neighbor_id, r.cos_sim)
+        for r in knn_ivf_indexed(spark, idx, _queries(em), k=10, nprobe=8).collect()
+    }
+    assert compact_ivf_index(spark, idx, upto=1) == 1
+    # tombstones fully applied (horizon 1 <= upto 1) -> cleared
+    tombs = os.path.join(idx, "tombs")
+    assert not any(
+        d.startswith("batch=") for d in (os.listdir(tombs) if os.path.isdir(tombs) else [])
+    )
+    # physically gone, even on the raw store view
+    n_live = em.count() - dead.count()
+    assert read_ivf_cells(spark, idx, include_deleted=True).count() == n_live
+    after = {
+        (r.query_id, r.neighbor_id, r.cos_sim)
+        for r in knn_ivf_indexed(spark, idx, _queries(em), k=10, nprobe=8).collect()
+    }
+    assert after == before
+
+
+def test_partial_fold_keeps_future_horizon_tombstones_live(spark, em, tmp_path):
+    """A tombstone whose horizon is above the fold boundary must survive
+    the fold and keep covering the folded rows (the compacted dir's
+    number is <= the horizon), while the fold still drops rows covered by
+    its own range."""
+    from aws_kinesis_spark.operators.ivf_index import (
+        compact_ivf_index,
+        delete_from_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    thirds = [em.filter(F.col("vec_id") % 3 == r) for r in range(3)]
+    build_ivf_index(thirds[0], idx, nlist=8)
+    update_ivf_index(thirds[1], idx)  # batch=1
+    update_ivf_index(thirds[2], idx)  # batch=2
+    dead = em.filter(F.col("vec_id") % 4 == 2).select("vec_id")
+    delete_from_ivf_index(dead, idx)  # horizon = 2 (covers every batch)
+    n_live = em.count() - dead.count()
+    assert compact_ivf_index(spark, idx, upto=1) == 1  # folds batches 0,1 only
+    # horizon 2 > upto 1: the tombstone batch must still be live
+    tombs = os.path.join(idx, "tombs")
+    assert any(d.startswith("batch=") for d in os.listdir(tombs))
+    # the merged view is still exactly the live set (folded rows stay
+    # covered because compact=1 <= horizon 2; batch=2 rows are covered too)
+    live = read_ivf_cells(spark, idx).select("vec_id")
+    assert live.count() == n_live
+    assert live.join(dead, "vec_id", "left_semi").count() == 0
+    # a later full fold applies and clears it
+    assert compact_ivf_index(spark, idx, upto=2) == 1
+    assert not any(d.startswith("batch=") for d in os.listdir(tombs))
+    assert read_ivf_cells(spark, idx, include_deleted=True).count() == n_live
+
+
+def test_delete_requires_committed_cells(spark, em, tmp_path):
+    from aws_kinesis_spark.operators.ivf_index import delete_from_ivf_index
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(em, idx, nlist=8)
+    import shutil
+
+    shutil.rmtree(os.path.join(idx, "cells"))
+    with pytest.raises(ValueError, match="no committed cells"):
+        delete_from_ivf_index(em.select("vec_id"), idx)

@@ -621,6 +621,15 @@ def test_rename_sites_enumerated_against_s3_translation_table():
                                                         # one commit rename)
         ("operators/ivf_index.py", "build_ivf_index"),  # meta-last PUT flips
                                                         # the index readable
+        ("operators/ivf_index.py", "delete_from_ivf_index"),  # atomic
+                                                        # tombstone-batch
+                                                        # append (tmp dir ->
+                                                        # one commit rename)
+        ("operators/ivf_index.py", "compact_ivf_index"),  # tombstone-applying
+                                                        # fold commit (same
+                                                        # compact=<upto> key
+                                                        # PUT as
+                                                        # _compact_store)
         ("streaming/pipeline.py", "flush"),             # _CURRENT pointer CAS
         ("streaming/pipeline.py", "_compact_store"),    # batch-dir key PUT
                                                         # (compact_dedup_index
