@@ -102,6 +102,9 @@ HEADLINE = [
     # round-12 addition: the skew-safe per-key cap joins the headline the
     # round its kernel (cap_per_key's two-phase hash-bucket cutoff) lands
     "g50_source_cap",
+    # round-13 addition: IVF tombstone deletes (build + delete + full
+    # probe over the live store) join the headline the round they land
+    "g52_ivf_delete",
 ]
 
 

@@ -337,6 +337,30 @@ def main() -> None:
         ),
     )
 
+    from aws_kinesis_spark.operators.ivf_index import delete_from_ivf_index
+
+    delete_from_ivf_index(em.filter(F.col("vec_id") % 7 == 3), ivf_dir)
+    emit(
+        "knn_ivf_indexed with tombstones (g52 probe stage)",
+        "The probe after a delete: the cells scan keeps its "
+        "`PartitionFilters: [cell IN (...)]` pruning and zero Python "
+        "evaluations; the only addition is one `BroadcastHashJoin ... "
+        "LeftAnti` against the tombstone scan — sized O(deletes since "
+        "last compaction) — applied to probed-cell rows only, with the "
+        "horizon bound (`__src <= __horizon`) as the join's extra "
+        "condition so re-appends after the delete stay served. A store "
+        "with no tombstones never builds this join (one driver listdir).",
+        knn_ivf_indexed(
+            spark,
+            ivf_dir,
+            em.filter(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            k=10,
+            nprobe=4,
+        ),
+    )
+
 
 if __name__ == "__main__":
     main()

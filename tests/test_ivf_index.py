@@ -459,3 +459,25 @@ def test_delete_requires_committed_cells(spark, em, tmp_path):
     shutil.rmtree(os.path.join(idx, "cells"))
     with pytest.raises(ValueError, match="no committed cells"):
         delete_from_ivf_index(em.select("vec_id"), idx)
+
+
+def test_tombstoned_probe_keeps_pruning_and_adds_only_an_anti_join(spark, em, tmp_path):
+    """Plan lock for the delete path: with tombstones present the probe
+    plan must KEEP the probed-cell PartitionFilters and zero Python
+    evaluations, adding exactly one LeftAnti join (the horizon-scoped
+    tombstone merge) — and a store without tombstones must not build the
+    anti-join at all."""
+    from aws_kinesis_spark.operators.ivf_index import delete_from_ivf_index
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(em, idx, nlist=16)
+    clean = _plan(knn_ivf_indexed(spark, idx, _queries(em), k=10, nprobe=4), "simple")
+    assert "LeftAnti" not in clean, clean
+    delete_from_ivf_index(em.filter(F.col("vec_id") % 7 == 3), idx)
+    got = knn_ivf_indexed(spark, idx, _queries(em), k=10, nprobe=4)
+    plan = _plan(got)
+    assert "PartitionFilters: [cell" in plan, plan
+    simple = _plan(got, "simple")
+    assert simple.count("ArrowEvalPython") == 0, simple
+    assert simple.count("BatchEvalPython") == 0, simple
+    assert simple.count("LeftAnti") == 1, simple
