@@ -58,6 +58,8 @@ _CENTROIDS = "_centroids"
 _CELLS = "cells"
 _TOMBS = "tombs"
 _TOMB_META = "_tomb_meta.json"
+_TOMB_HWM = "_hwm.json"
+_APPLIED_TOMBS = "_applied_tombs.json"
 
 
 def _meta_path(index_dir: str) -> str:
@@ -259,6 +261,30 @@ def _tomb_batches(index_dir: str) -> list[tuple[int, str, int]]:
     return sorted(out)
 
 
+def _tomb_hwm(index_dir: str) -> int:
+    """High-water mark over CLEARED tombstone batch ids. Compaction bumps
+    it when it clears applied tombstones, and delete auto-numbering starts
+    past it — so a cleared id is never reused and a replayed compaction's
+    applied-tombstones manifest can never name a LATER tombstone."""
+    path = os.path.join(index_dir, _TOMBS, _TOMB_HWM)
+    if not os.path.exists(path):
+        return -1
+    with open(path) as f:
+        return int(json.load(f)["hwm"])
+
+
+def _bump_tomb_hwm(index_dir: str, cleared: list[int]) -> None:
+    if not cleared:
+        return
+    tombs_dir = os.path.join(index_dir, _TOMBS)
+    os.makedirs(tombs_dir, exist_ok=True)
+    hwm = max(_tomb_hwm(index_dir), *cleared)
+    tmp = os.path.join(tombs_dir, _TOMB_HWM + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"hwm": hwm}, f)
+    os.replace(tmp, os.path.join(tombs_dir, _TOMB_HWM))
+
+
 def delete_from_ivf_index(
     ids: DataFrame, index_dir: str, batch_id: int | None = None
 ) -> int:
@@ -288,8 +314,21 @@ def delete_from_ivf_index(
         raise ValueError(f"IVF index {index_dir} has no committed cells")
     tombs_dir = os.path.join(index_dir, _TOMBS)
     os.makedirs(tombs_dir, exist_ok=True)
+    # cleared tombstone ids are never reused (the _hwm.json high-water
+    # mark): a replayed compaction clears exactly the ids its committed
+    # manifest names, which is only sound if a cleared id cannot come back
+    # as a NEW, not-yet-applied delete
+    hwm = _tomb_hwm(index_dir)
     if batch_id is None:
-        batch_id = max((b for b, _, _ in _tomb_batches(index_dir)), default=-1) + 1
+        newest = max((b for b, _, _ in _tomb_batches(index_dir)), default=-1)
+        batch_id = max(newest, hwm) + 1
+    elif batch_id <= hwm:
+        raise ValueError(
+            f"tombstone batch_id={batch_id} is at or below the cleared "
+            f"high-water mark ({hwm}): that id's delete was already applied "
+            "and cleared by a compaction — a replayed compaction request "
+            "would clear this new batch WITHOUT applying it; use a fresh id"
+        )
     final = os.path.join(tombs_dir, f"batch={batch_id}")
     tmp = final + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -337,31 +376,54 @@ def compact_ivf_index(spark: SparkSession, index_dir: str, upto: int) -> int:
     output, and tombstone batches whose horizon is <= ``upto`` — now fully
     applied, since every cells dir they could target was folded — are
     cleared. Tombstones with horizon > ``upto`` stay live (they can still
-    target unfolded batches). A crash between the fold's rename and the
-    tombstone sweep is harmless: re-applying a cleared-pending tombstone
-    on read matches nothing (the rows are physically gone), and the next
-    compact call finishes the sweep. Tombstone-present folds always take
-    the Spark rewrite (a physical delete is real data work, not the
-    metadata-scale fold the driver-side path is for)."""
+    target unfolded batches). Clearing is driven by the fold's COMMITTED
+    manifest, not by recomputation: the compact dir carries
+    ``_applied_tombs.json`` naming exactly the tombstone batch ids the
+    fold applied, and a replayed request clears only those — a delete
+    issued AFTER the fold (whose horizon can equal ``upto`` when nothing
+    was appended since) is untouched, where a horizon-based re-sweep
+    would have cleared it WITHOUT applying it and resurrected its rows.
+    Cleared ids feed the tombstone high-water mark so they are never
+    reused. A crash between the fold's rename and the sweep is harmless:
+    re-applying a cleared-pending tombstone on read matches nothing (the
+    rows are physically gone), and the next compact call finishes the
+    sweep from the manifest. To physically apply deletes that arrived
+    after a compaction, fold again to a HIGHER number (auto-numbered
+    appends already skip past the old one). Single-writer recovery order:
+    after a crash, re-call compact BEFORE issuing new deletes — the
+    high-water-mark bump is the last sweep step, and a new delete slipped
+    into the crash window could otherwise reuse a cleared id the replay
+    still names. Tombstone-present folds always take the Spark rewrite
+    (a physical delete is real data work, not the metadata-scale fold
+    the driver-side path is for)."""
     cells_dir = os.path.join(index_dir, _CELLS)
     tomb_batches = _tomb_batches(index_dir)
+    final = os.path.join(cells_dir, f"compact={upto}")
+
+    from aws_kinesis_spark.streaming.pipeline import _sweep_superseded_dirs
+
+    def _clear_applied(applied_ids: list[int]) -> None:
+        by_id = {b: path for b, path, _ in tomb_batches}
+        for b in applied_ids:
+            if b in by_id:
+                shutil.rmtree(by_id[b], ignore_errors=True)
+        _bump_tomb_hwm(index_dir, applied_ids)
+
+    if os.path.exists(final):
+        # crash-recovery / replay: finish the sweeps. Clear ONLY the
+        # tombstones the committed fold says it applied — never the ones
+        # that arrived after it.
+        _sweep_superseded_dirs(cells_dir, upto)
+        manifest = os.path.join(final, _APPLIED_TOMBS)
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                _clear_applied(json.load(f)["applied"])
+        return 0
     if not tomb_batches:
         from aws_kinesis_spark.streaming.pipeline import _compact_store
 
         return _compact_store(spark, cells_dir, "cell", upto)
 
-    from aws_kinesis_spark.streaming.pipeline import _sweep_superseded_dirs
-
-    def _clear_applied() -> None:
-        for _b, path, horizon in tomb_batches:
-            if horizon <= upto:
-                shutil.rmtree(path, ignore_errors=True)
-
-    final = os.path.join(cells_dir, f"compact={upto}")
-    if os.path.exists(final):
-        _sweep_superseded_dirs(cells_dir, upto)
-        _clear_applied()  # crash-recovery: finish both sweeps
-        return 0
     srcs = _index_dirs(cells_dir, upto_exclusive=upto + 1)
     if not srcs:
         return 0
@@ -397,9 +459,14 @@ def compact_ivf_index(spark: SparkSession, index_dir: str, upto: int) -> int:
         .mode("overwrite")
         .parquet(tmp)
     )
+    # the manifest commits WITH the fold: exactly the fully-applied
+    # tombstone batches (horizon inside the folded range) this fold pays
+    applied = [b for b, _, horizon in tomb_batches if horizon <= upto]
+    with open(os.path.join(tmp, _APPLIED_TOMBS), "w") as f:
+        json.dump({"applied": applied}, f)
     os.replace(tmp, final)
     _sweep_superseded_dirs(cells_dir, upto)
-    _clear_applied()
+    _clear_applied(applied)
     return 1
 
 

@@ -481,3 +481,60 @@ def test_tombstoned_probe_keeps_pruning_and_adds_only_an_anti_join(spark, em, tm
     assert simple.count("ArrowEvalPython") == 0, simple
     assert simple.count("BatchEvalPython") == 0, simple
     assert simple.count("LeftAnti") == 1, simple
+
+
+def test_replayed_compaction_never_clears_a_post_fold_delete(spark, em, tmp_path):
+    """The resurrection bug (round-13 self-review): a delete issued AFTER
+    a compaction can carry horizon == that compaction's number. A
+    REPLAYED compact request at the same number must not clear it (the
+    fold never applied it) — clearing is driven by the fold's committed
+    _applied_tombs.json manifest, not by horizon recomputation."""
+    from aws_kinesis_spark.operators.ivf_index import (
+        compact_ivf_index,
+        delete_from_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    halves = [em.filter(F.col("vec_id") % 2 == r) for r in range(2)]
+    build_ivf_index(halves[0], idx, nlist=8)
+    update_ivf_index(halves[1], idx)  # batch=1
+    assert compact_ivf_index(spark, idx, upto=1) == 1  # clean fold, no tombs
+    dead = em.filter(F.col("vec_id") % 9 == 4).select("vec_id")
+    delete_from_ivf_index(dead, idx)  # horizon = 1 == the compaction number
+    n_live = em.count() - dead.count()
+    assert read_ivf_cells(spark, idx).count() == n_live
+    # replayed request at the same number: MUST leave the tombstone live
+    assert compact_ivf_index(spark, idx, upto=1) == 0
+    tombs = os.path.join(idx, "tombs")
+    assert any(d.startswith("batch=") for d in os.listdir(tombs))
+    assert read_ivf_cells(spark, idx).count() == n_live  # no resurrection
+    # folding to a HIGHER number applies and clears it
+    assert compact_ivf_index(spark, idx, upto=2) == 1
+    assert not any(d.startswith("batch=") for d in os.listdir(tombs))
+    assert read_ivf_cells(spark, idx, include_deleted=True).count() == n_live
+
+
+def test_cleared_tombstone_ids_are_never_reused(spark, em, tmp_path):
+    """After a fold clears tombstone batch 0, the next delete must
+    auto-number past it (the _hwm.json high-water mark), and an explicit
+    replay of the cleared id must be refused — otherwise a replayed
+    compaction manifest naming id 0 could clear the NEW delete without
+    applying it."""
+    from aws_kinesis_spark.operators.ivf_index import (
+        compact_ivf_index,
+        delete_from_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(em, idx, nlist=8)
+    update_ivf_index(em.limit(0), idx)  # batch=1 (empty — just a horizon bump)
+    first = em.filter(F.col("vec_id") % 11 == 0).select("vec_id")
+    assert delete_from_ivf_index(first, idx) == 0
+    assert compact_ivf_index(spark, idx, upto=1) == 1  # applies + clears 0
+    second = em.filter(F.col("vec_id") % 11 == 1).select("vec_id")
+    assert delete_from_ivf_index(second, idx) == 1  # NOT 0
+    with pytest.raises(ValueError, match="high-water mark"):
+        delete_from_ivf_index(second, idx, batch_id=0)
+    # the second delete stays live and effective
+    live = read_ivf_cells(spark, idx).select("vec_id")
+    assert live.join(second, "vec_id", "left_semi").count() == 0
