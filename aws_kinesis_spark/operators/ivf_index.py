@@ -305,7 +305,10 @@ def delete_from_ivf_index(
     Commit protocol mirrors update_ivf_index: write to ``batch=N.tmp``,
     one atomic rename (the in-dir ``_tomb_meta.json`` carries the horizon
     and is written BEFORE the rename, so a torn dir is invisible to
-    readers). Idempotent per batch_id; single-writer posture (same as
+    readers). Idempotent per batch_id — a replay of an already-committed
+    batch REUSES the committed dir's horizon rather than recomputing it
+    (recomputation after an intervening append would silently widen the
+    delete's scope onto re-appended rows); single-writer posture (same as
     appends). Returns the tombstone batch id."""
     meta = _load_meta(index_dir)
     id_col = meta["id_col"]
@@ -330,10 +333,21 @@ def delete_from_ivf_index(
             "would clear this new batch WITHOUT applying it; use a fresh id"
         )
     final = os.path.join(tombs_dir, f"batch={batch_id}")
+    committed_meta = os.path.join(final, _TOMB_META)
+    if os.path.exists(committed_meta):
+        # replay of a committed batch: converge to the ORIGINAL commit's
+        # horizon — the clock stopped when the delete first committed
+        with open(committed_meta) as f:
+            horizon = int(json.load(f)["horizon"])
     tmp = final + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
+    id_type = T.StructType.fromJson(json.loads(meta["row_schema"]))[id_col].dataType
     (
-        ids.select(id_col)
+        # cast to the index's stored id type: a caller frame with a
+        # narrower/wider id type would otherwise write a tombstone the
+        # row_schema read rejects at probe time, long after the delete
+        # "succeeded"
+        ids.select(F.col(id_col).cast(id_type).alias(id_col))
         .distinct()
         .withColumn("__horizon", F.lit(horizon).cast("int"))
         .write.mode("overwrite")
@@ -346,11 +360,18 @@ def delete_from_ivf_index(
     return batch_id
 
 
-def read_ivf_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+def read_ivf_tombstones(
+    spark: SparkSession,
+    index_dir: str,
+    batches: list[tuple[int, str, int]] | None = None,
+) -> DataFrame | None:
     """Live tombstones as (id_col, __horizon) — None when there are none.
     Listing is one driver listdir; the per-batch horizon rides as a column
-    so the scoped anti-join needs no extra metadata join."""
-    batches = _tomb_batches(index_dir)
+    so the scoped anti-join needs no extra metadata join. ``batches``
+    accepts a pre-listed _tomb_batches result so a caller that already
+    listed (compact_ivf_index) doesn't re-read every _tomb_meta.json."""
+    if batches is None:
+        batches = _tomb_batches(index_dir)
     if not batches:
         return None
     meta = _load_meta(index_dir)
@@ -360,6 +381,40 @@ def read_ivf_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None
     )
     df = spark.read.schema(schema).parquet(*[p for _, p, _ in batches])
     return df
+
+
+def _read_cells_src_tagged(
+    spark: SparkSession, dirs: list[str], meta: dict
+) -> DataFrame:
+    """Union the cells dirs with each row tagged by its source dir number
+    (``__src``) — the scoping key of the tombstone anti-join."""
+    schema = _cells_schema(meta)
+    cols = [meta["id_col"], meta["vec_col"], "cell"]
+    parts = []
+    for s in dirs:
+        n = int(os.path.basename(s).split("=")[1])
+        parts.append(
+            spark.read.schema(schema).parquet(s).select(*cols)
+            .withColumn("__src", F.lit(n).cast("int"))
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def _anti_join_tombstones(df: DataFrame, tombs: DataFrame, id_col: str) -> DataFrame:
+    """Drop rows covered by a tombstone: id matches AND the row's source
+    batch is at or below the tombstone's horizon (so re-appends after the
+    delete survive). Consumes and drops the ``__src`` tag."""
+    t = tombs.select(
+        F.col(id_col).alias("__tid"), F.col("__horizon").alias("__th")
+    )
+    return df.join(
+        t,
+        (F.col(id_col) == F.col("__tid")) & (F.col("__src") <= F.col("__th")),
+        "left_anti",
+    ).drop("__src")
 
 
 def compact_ivf_index(spark: SparkSession, index_dir: str, upto: int) -> int:
@@ -389,13 +444,11 @@ def compact_ivf_index(spark: SparkSession, index_dir: str, upto: int) -> int:
     rows are physically gone), and the next compact call finishes the
     sweep from the manifest. To physically apply deletes that arrived
     after a compaction, fold again to a HIGHER number (auto-numbered
-    appends already skip past the old one). Single-writer recovery order:
-    after a crash, re-call compact BEFORE issuing new deletes — the
-    high-water-mark bump is the last sweep step, and a new delete slipped
-    into the crash window could otherwise reuse a cleared id the replay
-    still names. Tombstone-present folds always take the Spark rewrite
-    (a physical delete is real data work, not the metadata-scale fold
-    the driver-side path is for)."""
+    appends already skip past the old one); a request at or below an
+    existing newer compaction is a stale replay and no-ops. Tombstone-
+    present folds always take the Spark rewrite (a physical delete is
+    real data work, not the metadata-scale fold the driver-side path is
+    for)."""
     cells_dir = os.path.join(index_dir, _CELLS)
     tomb_batches = _tomb_batches(index_dir)
     final = os.path.join(cells_dir, f"compact={upto}")
@@ -403,11 +456,16 @@ def compact_ivf_index(spark: SparkSession, index_dir: str, upto: int) -> int:
     from aws_kinesis_spark.streaming.pipeline import _sweep_superseded_dirs
 
     def _clear_applied(applied_ids: list[int]) -> None:
+        # hwm FIRST, dirs second: once the bump lands, auto-numbering and
+        # the explicit-id check skip the cleared ids even while their dirs
+        # still exist, so a crash mid-clear can never let a NEW delete
+        # reuse an id a replayed manifest still names (the dirs' rows are
+        # physically gone from the fold — re-applying them matches nothing)
+        _bump_tomb_hwm(index_dir, applied_ids)
         by_id = {b: path for b, path, _ in tomb_batches}
         for b in applied_ids:
             if b in by_id:
                 shutil.rmtree(by_id[b], ignore_errors=True)
-        _bump_tomb_hwm(index_dir, applied_ids)
 
     if os.path.exists(final):
         # crash-recovery / replay: finish the sweeps. Clear ONLY the
@@ -419,6 +477,20 @@ def compact_ivf_index(spark: SparkSession, index_dir: str, upto: int) -> int:
             with open(manifest) as f:
                 _clear_applied(json.load(f)["applied"])
         return 0
+    # stale replay guard: a request at or below an existing NEWER
+    # compaction would rewrite that compaction's data into a dir
+    # _index_dirs never reads (the clean path no-ops on this via its
+    # len(srcs) check)
+    newest_compact = max(
+        (
+            int(d.split("=")[1])
+            for d in (os.listdir(cells_dir) if os.path.isdir(cells_dir) else [])
+            if d.startswith("compact=") and not d.endswith(".tmp")
+        ),
+        default=-1,
+    )
+    if upto <= newest_compact:
+        return 0
     if not tomb_batches:
         from aws_kinesis_spark.streaming.pipeline import _compact_store
 
@@ -428,29 +500,10 @@ def compact_ivf_index(spark: SparkSession, index_dir: str, upto: int) -> int:
     if not srcs:
         return 0
     meta = _load_meta(index_dir)
-    schema = _cells_schema(meta)
-    cols = [meta["id_col"], meta["vec_col"], "cell"]
     # per-dir source tags scope the anti-join exactly like the read path
-    parts = []
-    for s in srcs:
-        n = int(os.path.basename(s).split("=")[1])
-        parts.append(
-            spark.read.schema(schema).parquet(s).select(*cols)
-            .withColumn("__src", F.lit(n).cast("int"))
-        )
-    merged = parts[0]
-    for p in parts[1:]:
-        merged = merged.unionByName(p)
-    tombs = read_ivf_tombstones(spark, index_dir)
-    t = tombs.select(
-        F.col(meta["id_col"]).alias("__tid"), F.col("__horizon").alias("__th")
-    )
-    live = merged.join(
-        t,
-        (F.col(meta["id_col"]) == F.col("__tid"))
-        & (F.col("__src") <= F.col("__th")),
-        "left_anti",
-    ).drop("__src")
+    merged = _read_cells_src_tagged(spark, srcs, meta)
+    tombs = read_ivf_tombstones(spark, index_dir, batches=tomb_batches)
+    live = _anti_join_tombstones(merged, tombs, meta["id_col"])
     tmp = final + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     (
@@ -491,38 +544,26 @@ def read_ivf_cells(
     meta = _load_meta(index_dir)
     cols = [meta["id_col"], meta["vec_col"], "cell"]
     schema = _cells_schema(meta)
-    dirs = _index_dirs(os.path.join(index_dir, _CELLS))
+    cells_dir = os.path.join(index_dir, _CELLS)
+    dirs = _index_dirs(cells_dir)
+    if not dirs:
+        # distinguish "never committed" (refuse) from "committed but
+        # physically empty" — a fold whose every row was tombstoned
+        # commits a compact dir with no data files, and that store must
+        # keep serving (empty) results, not brick its read path
+        if _newest_committed_cells(cells_dir) >= 0:
+            return spark.createDataFrame([], T.StructType([schema[c] for c in cols]))
+        raise ValueError(f"IVF index {index_dir} has no committed cells")
     tombs = None if include_deleted else read_ivf_tombstones(spark, index_dir)
     if tombs is None:
         df = _read_index_dirs(spark, dirs, cols=cols, schema=schema)
-        if df is None:
-            raise ValueError(f"IVF index {index_dir} has no committed cells")
         if cells is not None:
             df = df.filter(F.col("cell").isin(cells))
         return df
-    if not dirs:
-        raise ValueError(f"IVF index {index_dir} has no committed cells")
-    parts = []
-    for s in dirs:
-        n = int(os.path.basename(s).split("=")[1])
-        parts.append(
-            spark.read.schema(schema).parquet(s).select(*cols)
-            .withColumn("__src", F.lit(n).cast("int"))
-        )
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
+    df = _read_cells_src_tagged(spark, dirs, meta)
     if cells is not None:
         df = df.filter(F.col("cell").isin(cells))
-    t = tombs.select(
-        F.col(meta["id_col"]).alias("__tid"), F.col("__horizon").alias("__th")
-    )
-    return df.join(
-        t,
-        (F.col(meta["id_col"]) == F.col("__tid"))
-        & (F.col("__src") <= F.col("__th")),
-        "left_anti",
-    ).drop("__src")
+    return _anti_join_tombstones(df, tombs, meta["id_col"])
 
 
 def knn_ivf_indexed(

@@ -538,3 +538,90 @@ def test_cleared_tombstone_ids_are_never_reused(spark, em, tmp_path):
     # the second delete stays live and effective
     live = read_ivf_cells(spark, idx).select("vec_id")
     assert live.join(second, "vec_id", "left_semi").count() == 0
+
+
+def test_delete_replay_reuses_committed_horizon(spark, em, tmp_path):
+    """Round-13 review: a replayed delete (same batch_id) after an
+    intervening re-append must NOT recompute the horizon — widening it
+    would delete the re-appended rows and break the re-append-survives
+    contract."""
+    from aws_kinesis_spark.operators.ivf_index import delete_from_ivf_index
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(em, idx, nlist=8)
+    dead = em.filter(F.col("vec_id") < 10).select("vec_id")
+    delete_from_ivf_index(dead, idx, batch_id=0)  # horizon = 0
+    update_ivf_index(em.filter(F.col("vec_id") < 10), idx)  # re-append, batch=1
+    assert read_ivf_cells(spark, idx).count() == em.count()
+    # at-least-once replay of the SAME delete request
+    delete_from_ivf_index(dead, idx, batch_id=0)
+    # the re-appended rows must still be served (horizon stayed 0)
+    ids = read_ivf_cells(spark, idx).select("vec_id")
+    assert ids.count() == em.count()
+    assert ids.join(dead, "vec_id", "left_semi").count() == dead.count()
+
+
+def test_full_revocation_fold_keeps_store_readable(spark, em, tmp_path):
+    """Round-13 review: deleting EVERY vector and folding commits a
+    compact dir with no data files — the store must keep serving empty
+    results, not raise 'no committed cells'."""
+    from aws_kinesis_spark.operators.ivf_index import (
+        compact_ivf_index,
+        delete_from_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(em, idx, nlist=8)
+    delete_from_ivf_index(em.select("vec_id"), idx)
+    assert compact_ivf_index(spark, idx, upto=0) == 1
+    assert read_ivf_cells(spark, idx).count() == 0
+    assert read_ivf_cells(spark, idx, include_deleted=True).count() == 0
+    got = knn_ivf_indexed(spark, idx, _queries(em), k=10, nprobe=8)
+    assert got.count() == 0
+    # the store is still maintainable: a fresh append numbers past the
+    # fold and is served
+    update_ivf_index(em.filter(F.col("vec_id") < 20), idx)
+    assert read_ivf_cells(spark, idx).count() == em.filter(F.col("vec_id") < 20).count()
+
+
+def test_stale_compact_request_noops_with_tombstones(spark, em, tmp_path):
+    """Round-13 review: a replayed compact request at or below an existing
+    newer compaction must no-op on the tombstone path too — not rewrite
+    the newest compaction into a stray superseded dir."""
+    from aws_kinesis_spark.operators.ivf_index import (
+        compact_ivf_index,
+        delete_from_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    halves = [em.filter(F.col("vec_id") % 2 == r) for r in range(2)]
+    build_ivf_index(halves[0], idx, nlist=8)
+    update_ivf_index(halves[1], idx)
+    update_ivf_index(em.limit(0), idx)  # batch=2 horizon bump target
+    assert compact_ivf_index(spark, idx, upto=2) == 1
+    dead = em.filter(F.col("vec_id") % 13 == 5).select("vec_id")
+    delete_from_ivf_index(dead, idx)  # live tombstone, horizon = 2
+    # stale replays below the newest compaction: no-op, no stray dirs
+    assert compact_ivf_index(spark, idx, upto=1) == 0
+    names = sorted(os.listdir(os.path.join(idx, "cells")))
+    assert names == ["compact=2"], names
+    # the tombstone survives and keeps filtering
+    n_live = em.count() - dead.count()
+    assert read_ivf_cells(spark, idx).count() == n_live
+
+
+def test_delete_casts_ids_to_the_index_id_type(spark, em, tmp_path):
+    """Round-13 review: a caller id frame with a narrower type (INT vs the
+    index's LONG) must not write a tombstone the row_schema read rejects
+    at probe time."""
+    from aws_kinesis_spark.operators.ivf_index import delete_from_ivf_index
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(em, idx, nlist=8)  # vec_id is LONG
+    dead_int = spark.createDataFrame(
+        [(3,), (7,), (11,)], "vec_id INT"
+    )
+    delete_from_ivf_index(dead_int, idx)
+    live = read_ivf_cells(spark, idx).select("vec_id")
+    assert live.count() == em.count() - 3
+    assert live.filter(F.col("vec_id").isin(3, 7, 11)).count() == 0

@@ -630,6 +630,10 @@ def test_rename_sites_enumerated_against_s3_translation_table():
                                                         # compact=<upto> key
                                                         # PUT as
                                                         # _compact_store)
+        ("operators/ivf_index.py", "_bump_tomb_hwm"),   # cleared-id
+                                                        # high-water-mark
+                                                        # swap (stats-table
+                                                        # marker discipline)
         ("streaming/pipeline.py", "flush"),             # _CURRENT pointer CAS
         ("streaming/pipeline.py", "_compact_store"),    # batch-dir key PUT
                                                         # (compact_dedup_index
