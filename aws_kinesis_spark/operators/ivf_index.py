@@ -172,6 +172,12 @@ def build_ivf_index(
 
     cells_dir = os.path.join(index_dir, _CELLS)
     shutil.rmtree(cells_dir, ignore_errors=True)
+    # tombstones die with the store generation they scope: a stale
+    # tombstone (horizon >= 0) surviving a rebuild would wrongly cover
+    # the rebuilt batch=0 rows and silently re-delete them; the cleared-id
+    # high-water mark goes too (the manifests that could name those ids
+    # were just removed with the cells dirs)
+    shutil.rmtree(os.path.join(index_dir, _TOMBS), ignore_errors=True)
     os.makedirs(cells_dir, exist_ok=True)
     assigned = base.withColumn("cell", nearest_cell_udf(cent)(F.col(vec_col)))
     _write_cells_batch(assigned, cells_dir, 0)
@@ -358,6 +364,43 @@ def delete_from_ivf_index(
     shutil.rmtree(final, ignore_errors=True)  # replay overwrites, atomically
     os.replace(tmp, final)
     return batch_id
+
+
+def rebuild_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    nlist: int | None = None,
+    train_rows: int = 4096,
+) -> int:
+    """Retrain the index from its OWN live rows — the drift-repair
+    lifecycle op (FAISS: retrain + re-add): after enough appends and
+    deletes the trained centroids no longer match the stored distribution
+    and recall decays; rebuilding re-trains on the current live set and
+    re-assigns it, folding every batch dir and applying every tombstone
+    physically in the process.
+
+    The live rows are materialized (eager localCheckpoint) BEFORE the
+    store is reset — build_ivf_index deletes the cells dirs it would
+    otherwise still be lazily reading — and the checkpoint blocks are
+    freed by the ContextCleaner when the rebuild returns (the probe-path
+    reasoning). A rebuild is a corpus-scale operation by definition; at
+    100 TB it is the same cost class as the original build, which is why
+    incremental maintenance (update/delete/compact) exists for everything
+    short of distribution drift. Crash-safety is build_ivf_index's
+    meta-last protocol: mid-rebuild, readers see an uncommitted store,
+    never a half-swapped one. Returns the number of cells."""
+    meta = _load_meta(index_dir)
+    live = read_ivf_cells(spark, index_dir).select(
+        meta["id_col"], meta["vec_col"]
+    ).localCheckpoint(eager=True)
+    return build_ivf_index(
+        live,
+        index_dir,
+        nlist=meta["nlist"] if nlist is None else nlist,
+        train_rows=train_rows,
+        vec_col=meta["vec_col"],
+        id_col=meta["id_col"],
+    )
 
 
 def read_ivf_tombstones(

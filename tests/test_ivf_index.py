@@ -625,3 +625,53 @@ def test_delete_casts_ids_to_the_index_id_type(spark, em, tmp_path):
     live = read_ivf_cells(spark, idx).select("vec_id")
     assert live.count() == em.count() - 3
     assert live.filter(F.col("vec_id").isin(3, 7, 11)).count() == 0
+
+
+def test_rebuild_retrains_from_live_rows_and_applies_deletes(spark, em, tmp_path):
+    """rebuild_ivf_index retrains on the store's own live rows: appended
+    batches fold in, deleted ids stay gone physically, stale tombstones
+    die with the old generation, and the rebuilt store's full probe
+    equals brute force over the live set."""
+    from aws_kinesis_spark.operators.ivf_index import (
+        delete_from_ivf_index,
+        rebuild_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    halves = [em.filter(F.col("vec_id") % 2 == r) for r in range(2)]
+    build_ivf_index(halves[0], idx, nlist=8)
+    update_ivf_index(halves[1], idx)
+    dead = em.filter(F.col("vec_id") % 5 == 2).select("vec_id")
+    delete_from_ivf_index(dead, idx)
+    n_live = em.count() - dead.count()
+    assert rebuild_ivf_index(spark, idx, nlist=16) == 16
+    # one fresh batch=0 generation, physically clean, no tombstones left
+    names = sorted(os.listdir(os.path.join(idx, "cells")))
+    assert names == ["batch=0"], names
+    assert not os.path.isdir(os.path.join(idx, "tombs"))
+    assert read_ivf_cells(spark, idx, include_deleted=True).count() == n_live
+    got = knn_ivf_indexed(spark, idx, _queries(em), k=10, nprobe=16)
+    exact = knn_bruteforce(em.join(dead, "vec_id", "left_anti"), _queries(em), k=10)
+    g = {(r.query_id, r.neighbor_id, r.cos_sim) for r in got.collect()}
+    e = {(r.query_id, r.neighbor_id, r.cos_sim) for r in exact.collect()}
+    assert g == e
+    # the new generation accepts deletes from a clean slate (id 0 again)
+    assert delete_from_ivf_index(em.limit(1).select("vec_id"), idx) == 0
+
+
+def test_plain_rebuild_over_tombstoned_store_clears_stale_tombstones(
+    spark, em, tmp_path
+):
+    """The module docstring's 'a periodic rebuild is one build_ivf_index
+    call' contract: rebuilding from an external corpus over a tombstoned
+    store must not let the OLD generation's tombstones (horizon >= 0)
+    cover the NEW batch=0 rows."""
+    from aws_kinesis_spark.operators.ivf_index import delete_from_ivf_index
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(em, idx, nlist=8)
+    delete_from_ivf_index(em.filter(F.col("vec_id") < 50).select("vec_id"), idx)
+    build_ivf_index(em, idx, nlist=8)  # rebuild from the full corpus
+    # every corpus row is served — the stale tombstone died with the
+    # generation it scoped
+    assert read_ivf_cells(spark, idx).count() == em.count()
