@@ -733,3 +733,78 @@ def test_cap_per_key_rejects_reserved_column_clash(spark_session):
     df = spark_session.createDataFrame([("a", 1, 9)], ["k", "id", "__rn"])
     with pytest.raises(ValueError, match="__rn"):
         cap_per_key(df, key_col="k", id_col="id", k=1)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.lists(
+                st.floats(
+                    min_value=-1.0, max_value=1.0,
+                    allow_nan=False, allow_infinity=False, width=32,
+                ),
+                min_size=4, max_size=4,
+            ),
+        ),
+        min_size=4, max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    kill=st.integers(min_value=0, max_value=6),
+)
+def test_ivf_delete_property_matches_bruteforce_over_live_set(
+    spark_session, vecs, kill, tmp_path_factory
+):
+    """PROPERTY (the g52 delete contract over arbitrary corpora and delete
+    subsets): after deleting an arbitrary id subset, a FULL probe equals
+    brute force over the live remainder exactly; a compaction must not
+    change the answer; and re-appending the deleted subset restores the
+    original full-corpus answer (horizon scoping — no lingering id ban)."""
+    from aws_kinesis_spark.operators.ivf_index import (
+        build_ivf_index,
+        compact_ivf_index,
+        delete_from_ivf_index,
+        knn_ivf_indexed,
+        read_ivf_cells,
+        update_ivf_index,
+    )
+    from aws_kinesis_spark.operators.similarity import knn_bruteforce
+
+    rows = [(i, [*v, 1.0]) for i, v in vecs]
+    df = spark_session.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    idx = str(tmp_path_factory.mktemp("ivf_del_prop"))
+    nlist = 4
+    build_ivf_index(df, idx, nlist=nlist, train_rows=64)
+    dead = df.filter(F.col("vec_id") % 7 == kill).select("vec_id")
+    live_df = df.join(dead, "vec_id", "left_anti")
+    queries = df.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+
+    def probe():
+        return {
+            (r.query_id, r.neighbor_id, r.cos_sim)
+            for r in knn_ivf_indexed(
+                spark_session, idx, queries, k=5, nprobe=nlist
+            ).collect()
+        }
+
+    def brute(corpus):
+        return {
+            (r.query_id, r.neighbor_id, r.cos_sim)
+            for r in knn_bruteforce(corpus, queries, k=5).collect()
+        }
+
+    delete_from_ivf_index(dead, idx)
+    want_live = brute(live_df) if live_df.count() else set()
+    assert probe() == want_live
+    # physical fold must not change the answer
+    assert compact_ivf_index(spark_session, idx, upto=0) in (0, 1)
+    assert probe() == want_live
+    assert read_ivf_cells(spark_session, idx, include_deleted=True).count() == (
+        live_df.count()
+    )
+    # horizon scoping: re-appending the deleted subset restores the
+    # original full-corpus answer
+    if dead.count():
+        update_ivf_index(df.join(dead, "vec_id", "left_semi"), idx)
+        assert probe() == brute(df)
