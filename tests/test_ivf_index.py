@@ -675,3 +675,26 @@ def test_plain_rebuild_over_tombstoned_store_clears_stale_tombstones(
     # every corpus row is served — the stale tombstone died with the
     # generation it scoped
     assert read_ivf_cells(spark, idx).count() == em.count()
+
+
+def test_filtered_probe_composes_with_tombstones(spark, em, tmp_path):
+    """filter_ids (the g41 pre-filter) and tombstones (g52) compose: the
+    probe is exact over qualifying AND live rows — deletes are applied
+    inside read_ivf_cells before the filter semi-join ever runs."""
+    from aws_kinesis_spark.operators.ivf_index import delete_from_ivf_index
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(em, idx, nlist=16)
+    dead = em.filter(F.col("vec_id") % 4 == 1).select("vec_id")
+    delete_from_ivf_index(dead, idx)
+    qualifying = em.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    got = knn_ivf_indexed(
+        spark, idx, _queries(em), k=5, nprobe=16, filter_ids=qualifying
+    )
+    corpus = em.join(qualifying, "vec_id", "left_semi").join(
+        dead, "vec_id", "left_anti"
+    )
+    exact = knn_bruteforce(corpus, _queries(em), k=5)
+    g = {(r.query_id, r.neighbor_id, r.cos_sim) for r in got.collect()}
+    e = {(r.query_id, r.neighbor_id, r.cos_sim) for r in exact.collect()}
+    assert g == e
