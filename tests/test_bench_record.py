@@ -71,3 +71,48 @@ def test_compact_line_fits_the_driver_tail_cap():
     for name, (mn, mx) in back["slowest_spread"].items():
         assert mn == results[name]
         assert mx >= mn
+
+
+def test_bench_compare_normalizes_by_canary_and_flags():
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare",
+        _os.path.join(_os.path.dirname(__file__), "..", "scripts", "bench_compare.py"),
+    )
+    bc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bc)
+
+    old = {
+        "queries": {"a": 1.0, "b": 2.0, "gone": 1.0},
+        "canary": {"ratio_vs_r10_min": 1.0},
+        "value": 4.0,
+    }
+    new = {
+        # host is 1.2x slower; a is unchanged code-wise (1.2 raw), b
+        # genuinely regressed 1.5x on top of the epoch
+        "queries": {"a": 1.2, "b": 3.6, "fresh": 0.5},
+        "canary": {"ratio_vs_r10_min": 1.2},
+        "value": 5.3,
+    }
+    rows, epoch = bc.compare(old, new, threshold=1.1)
+    assert abs(epoch - 1.2) < 1e-9
+    by_name = {r[0]: r for r in rows}
+    assert set(by_name) == {"a", "b"}
+    assert abs(by_name["a"][4] - 1.0) < 1e-9 and by_name["a"][5] == ""
+    assert abs(by_name["b"][4] - 1.5) < 1e-9 and by_name["b"][5] == "REGRESSION"
+
+
+def test_bench_compare_reads_committed_artifact():
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare",
+        _os.path.join(_os.path.dirname(__file__), "..", "scripts", "bench_compare.py"),
+    )
+    bc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bc)
+    rec = bc.load_record("HEAD")  # the committed BENCH_FULL.json
+    assert rec["queries"] and rec["spread"]
