@@ -698,3 +698,21 @@ def test_filtered_probe_composes_with_tombstones(spark, em, tmp_path):
     g = {(r.query_id, r.neighbor_id, r.cos_sim) for r in got.collect()}
     e = {(r.query_id, r.neighbor_id, r.cos_sim) for r in exact.collect()}
     assert g == e
+
+
+def test_distributed_probe_applies_tombstones(spark, em, tmp_path):
+    """The queries_are_small=False strategy reads the same tombstone-
+    merged cells view: deletes must filter the distributed probe too."""
+    from aws_kinesis_spark.operators.ivf_index import delete_from_ivf_index
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(em, idx, nlist=16)
+    dead = em.filter(F.col("vec_id") % 6 == 2).select("vec_id")
+    delete_from_ivf_index(dead, idx)
+    got = knn_ivf_indexed(
+        spark, idx, _queries(em), k=10, nprobe=16, queries_are_small=False
+    )
+    exact = knn_bruteforce(em.join(dead, "vec_id", "left_anti"), _queries(em), k=10)
+    g = {(r.query_id, r.neighbor_id, r.cos_sim) for r in got.collect()}
+    e = {(r.query_id, r.neighbor_id, r.cos_sim) for r in exact.collect()}
+    assert g == e
