@@ -454,6 +454,11 @@ def expire_partitions(
     import datetime as dt
     import re
 
+    # heal stranded compaction swaps FIRST (the caller contract named in
+    # _heal_compaction_crashes' docstring, unwired until round-13 review):
+    # an expired hour surviving inside <leaf>.compact.old would dodge the
+    # hour= regex and outlive its retention window on disk
+    _heal_compaction_crashes(lake_dir)
     horizon = now - dt.timedelta(hours=retention_hours)
     data_dir = os.path.join(lake_dir, "data")
     pat = re.compile(r"year=(\d+)/month=(\d+)/day=(\d+)/hour=(\d+)$")
@@ -703,6 +708,7 @@ def _rewrite_leaf(
     partition_subdir: str,
     target_file_bytes: int = 128 << 20,
     cluster_col: str | None = None,
+    transform=None,
 ) -> tuple[int, int, list[str]]:
     """One leaf partition's crash-safe bin-pack rewrite (the data half of
     compact_lake_partition — no manifest/stats side effects, so a sweep
@@ -710,7 +716,10 @@ def _rewrite_leaf(
     (files_before, files_after, new_files). The default rewrite is one
     coalesce(n) pass with n sized from actual bytes — no shuffle, file
     assembly only; thread-safe across distinct leaves (all paths are
-    leaf-scoped)."""
+    leaf-scoped). ``transform`` (DataFrame -> DataFrame) is applied to
+    the leaf's rows before the rewrite — the delete-materialization hook;
+    output files stay sized from the INPUT bytes (conservative when the
+    transform drops rows)."""
     recover_compaction(lake_dir, partition_subdir)
     part_dir = os.path.join(lake_dir, partition_subdir)
     files = _list_parquet_files(part_dir)
@@ -719,6 +728,8 @@ def _rewrite_leaf(
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total // target_file_bytes))  # ceil
     df = spark.read.parquet(part_dir)
+    if transform is not None:
+        df = transform(df)
     tmp = part_dir + ".compact.tmp"
     trash = part_dir + ".compact.old"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -842,18 +853,52 @@ def write_delete_vector(
 
     Scale: the delete file is O(deleted keys); a 100 TB table with a
     point-delete workload carries MB-scale vectors that AQE broadcasts at
-    read time (see read_with_deletes)."""
+    read time (see read_with_deletes).
+
+    Re-runs commit through a two-rename swap (write tmp, committed->.old,
+    tmp->final, drop .old): the committed vector stays readable for the
+    whole distributed write — the old protocol rmtree'd it FIRST, so a
+    replayed delete un-committed the vector for the write's duration
+    (concurrent reads resurrected the deleted rows) and a crash in that
+    window lost it permanently (round-13 review). The residual
+    between-renames crash state (.old present, final missing) is healed
+    by _delete_vector_dirs, which serves the .old as the committed copy."""
     deletes_root = os.path.join(lake_dir, "_deletes")
     os.makedirs(deletes_root, exist_ok=True)
     final = os.path.join(deletes_root, f"delete-{delete_id:010d}")
     tmp = final + ".tmp"
+    old = final + ".old"
     shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(final, ignore_errors=True)
     df_keys.select(F.col(key_col).alias("key")).distinct().write.mode(
         "overwrite"
     ).parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(final):
+        os.replace(final, old)
     os.replace(tmp, final)
+    shutil.rmtree(old, ignore_errors=True)
     return final
+
+
+def _delete_vector_dirs(deletes_root: str) -> list[str]:
+    """Committed delete-vector dirs. ``.tmp`` dirs are in-flight writes
+    (invisible); a ``.old`` dir is a replay's swap trash — normally
+    shadowed by its final dir, but after a crash BETWEEN the two swap
+    renames it is the only committed copy, so it is served in the final's
+    place (the replay rewrites identical content, per-delete_id
+    idempotency)."""
+    if not os.path.isdir(deletes_root):
+        return []
+    names = sorted(os.listdir(deletes_root))
+    finals = {
+        n for n in names
+        if n.startswith("delete-") and not n.endswith((".tmp", ".old"))
+    }
+    out = [os.path.join(deletes_root, n) for n in sorted(finals)]
+    for n in names:
+        if n.endswith(".old") and n[: -len(".old")] not in finals:
+            out.append(os.path.join(deletes_root, n))
+    return sorted(out)
 
 
 def read_with_deletes(
@@ -869,16 +914,7 @@ def read_with_deletes(
     ``.tmp`` vectors are invisible (atomic-rename commit), so a reader
     racing a writer sees the pre-delete snapshot."""
     data = spark.read.parquet(os.path.join(lake_dir, "data"))
-    deletes_root = os.path.join(lake_dir, "_deletes")
-    vecs = (
-        [
-            os.path.join(deletes_root, d)
-            for d in sorted(os.listdir(deletes_root))
-            if d.startswith("delete-") and not d.endswith(".tmp")
-        ]
-        if os.path.isdir(deletes_root)
-        else []
-    )
+    vecs = _delete_vector_dirs(os.path.join(lake_dir, "_deletes"))
     if not vecs:
         return data
     dels = spark.read.parquet(*vecs).distinct()
@@ -905,16 +941,13 @@ def materialize_deletes(
     invalidated once."""
     from concurrent.futures import ThreadPoolExecutor
 
-    deletes_root = os.path.join(lake_dir, "_deletes")
-    vecs = (
-        [
-            os.path.join(deletes_root, d)
-            for d in sorted(os.listdir(deletes_root))
-            if d.startswith("delete-") and not d.endswith(".tmp")
-        ]
-        if os.path.isdir(deletes_root)
-        else []
-    )
+    # heal stranded compaction swaps FIRST: a crash in the swap window
+    # leaves a partition's only copy in <leaf>.compact.old — walking that
+    # trash dir as a live leaf would rewrite it under the wrong name while
+    # the manifests still point at the missing live paths (round-13
+    # review; the same guard compact_lake and vacuum_orphans carry)
+    _heal_compaction_crashes(lake_dir)
+    vecs = _delete_vector_dirs(os.path.join(lake_dir, "_deletes"))
     if not vecs:
         return 0
     dels = spark.read.parquet(*vecs).distinct().localCheckpoint(eager=True)
@@ -922,7 +955,9 @@ def materialize_deletes(
     leaves = [
         dirpath
         for dirpath, dirs, files in os.walk(data_dir)
-        if not dirs and any(f.endswith(".parquet") for f in files)
+        if not dirs
+        and not dirpath.endswith((".compact.old", ".compact.tmp"))
+        and any(f.endswith(".parquet") for f in files)
     ]
     if not leaves:
         for v in vecs:
@@ -930,17 +965,19 @@ def materialize_deletes(
         return 0
 
     def worker(dirpath: str) -> tuple[str, list[str]]:
-        part = spark.read.parquet(dirpath)
-        purged = part.join(dels, on=part[key_col] == dels["key"], how="left_anti")
-        tmp = dirpath + ".compact.tmp"
-        trash = dirpath + ".compact.old"
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(trash, ignore_errors=True)
-        purged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        os.replace(dirpath, trash)
-        os.replace(tmp, dirpath)
-        shutil.rmtree(trash, ignore_errors=True)
-        return (dirpath, _list_parquet_files(dirpath))
+        # the shared crash-safe leaf swap, with the anti-join as the
+        # rewrite transform — one protocol body, and output files are
+        # byte-targeted instead of the old unconditional coalesce(1)
+        # (a 2 GB leaf rewrote as one file through one task)
+        _before, _after, new_files = _rewrite_leaf(
+            spark,
+            lake_dir,
+            os.path.relpath(dirpath, lake_dir),
+            transform=lambda df: df.join(
+                dels, on=df[key_col] == dels["key"], how="left_anti"
+            ),
+        )
+        return (dirpath, new_files)
 
     with ThreadPoolExecutor(max_workers=min(max_workers, len(leaves))) as ex:
         results = list(ex.map(worker, leaves))
@@ -1024,7 +1061,12 @@ def update_zone_maps(spark: SparkSession, lake_dir: str, cols: list[str]) -> int
         aggs.append(F.max(c).alias(f"max_{c}"))
     if new_files:
         fresh = (
-            spark.read.parquet(*new_files)
+            # basePath keeps hive partition columns resolvable on a
+            # FILE-LIST read (a bare file read drops them, so stats on a
+            # partition column built fine and then crashed every
+            # incremental update — round-13 review, repro'd)
+            spark.read.option("basePath", data_dir)
+            .parquet(*new_files)
             .withColumn("__file", F.input_file_name())
             .groupBy("__file")
             .agg(*aggs)
@@ -1139,7 +1181,9 @@ def read_zone_pruned(spark: SparkSession, lake_dir: str, col: str, lo, hi) -> Da
     surviving.extend(p for k, p in live.items() if k not in covered)
     if not surviving:
         return spark.read.parquet(data_dir).filter(pred).limit(0)
-    return spark.read.parquet(*surviving).filter(pred)
+    # basePath: partition columns must stay resolvable on the pruned
+    # file-list read (round-13 review — see update_zone_maps)
+    return spark.read.option("basePath", data_dir).parquet(*surviving).filter(pred)
 
 
 # --------------------------------------------------------------------------
@@ -1303,14 +1347,30 @@ def publish_staged_batch(
     return dst
 
 
-def drop_staged_batch(lake_dir: str, batch_id: int) -> int:
+def drop_staged_batch(lake_dir: str, batch_id: int, writer: str | None = None) -> int:
     """WAP failure path: remove the staged manifest and every file it
     listed (the batch never existed as far as any reader is concerned).
-    Returns files removed."""
+    Returns files removed.
+
+    ``writer`` is the fencing token stage_lake_batch returned — the same
+    fence publish_staged_batch enforces, because the failure path is just
+    as destructive: a fenced-out writer whose audit failed would otherwise
+    delete the SUPERSEDING writer's staged manifest, its files, and (via
+    purge_batch) the whole batch prefix (round-13 review). On a token
+    mismatch the drop raises — the superseding writer owns the batch now,
+    and this writer's files were already purged by that writer's re-stage.
+    None skips the check (single-writer pipelines)."""
     name = f"manifest-{batch_id:010d}.json"
     path = os.path.join(lake_dir, "_staged", name)
     with open(path) as fh:
         payload = json.load(fh)
+    if writer is not None and payload.get("writer") != writer:
+        raise RuntimeError(
+            f"drop_staged_batch: fenced out of batch {batch_id} — staged "
+            f"manifest belongs to writer {payload.get('writer')!r}, not "
+            f"{writer!r}; dropping would destroy the superseding writer's "
+            "staged batch"
+        )
     n = 0
     for e in payload["entries"]:
         if os.path.exists(e["url"]):

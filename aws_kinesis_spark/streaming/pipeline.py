@@ -167,6 +167,78 @@ def start_stream_dedup(
     )
 
 
+_VDIR_RE = None  # compiled lazily (module imports stay cheap)
+
+
+def _vdir_match(name: str):
+    global _VDIR_RE
+    if _VDIR_RE is None:
+        import re
+
+        _VDIR_RE = re.compile(r"^v(\d+)(?:_(\d+))?$")
+    return _VDIR_RE.match(name)
+
+
+def _version_dir(table_dir: str, version: int) -> str | None:
+    """Resolve one committed version number to its dir: the highest
+    attempt of ``v{version}`` (``v{N}`` then ``v{N}_1``, ``v{N}_2`` …).
+    Every committed attempt of a version holds identical content — the
+    merge is deterministic and attempts only exist from replays of the
+    same batch — so any complete attempt serves; the highest is simply
+    the most recently committed."""
+    best = None
+    for d in os.listdir(table_dir) if os.path.isdir(table_dir) else []:
+        m = _vdir_match(d)
+        if m and int(m.group(1)) == version:
+            attempt = int(m.group(2) or 0)
+            if best is None or attempt > best[0]:
+                best = (attempt, d)
+    return os.path.join(table_dir, best[1]) if best else None
+
+
+def _latest_version_dir_below(table_dir: str, batch_id: int) -> str | None:
+    """The newest committed version dir OLDER than ``batch_id`` — the
+    replay-safe merge base (a replayed batch must never merge on top of
+    its own prior attempt)."""
+    best = None
+    for d in os.listdir(table_dir) if os.path.isdir(table_dir) else []:
+        m = _vdir_match(d)
+        if m and int(m.group(1)) < batch_id:
+            key = (int(m.group(1)), int(m.group(2) or 0))
+            if best is None or key > best[0]:
+                best = (key, d)
+    return os.path.join(table_dir, best[1]) if best else None
+
+
+def _commit_table_version(merged: DataFrame, table_dir: str, batch_id: int) -> None:
+    """Pointer-swap commit of one table version — the rollup.py round-12
+    protocol, adopted here in round 13 (the old code overwrote
+    ``v{batch_id}`` IN PLACE, so a replayed batch destroyed the exact dir
+    ``_CURRENT`` pointed at for the whole rewrite: concurrent readers saw
+    a torn or missing version, and a crash mid-rewrite left the pointer
+    at a torn dir until the replay finally succeeded). A replayed batch
+    writes under a FRESH name (``v{N}_{attempt}``), staged through
+    ``.tmp`` + one atomic rename, and ``_CURRENT`` flips to it — the live
+    dir is never renamed away or rewritten, so readers always resolve a
+    complete version."""
+    import json as _json
+    import shutil as _shutil
+
+    vdir = os.path.join(table_dir, f"v{batch_id}")
+    attempt = 0
+    while os.path.exists(vdir):
+        attempt += 1
+        vdir = os.path.join(table_dir, f"v{batch_id}_{attempt}")
+    vtmp = vdir + ".tmp"
+    _shutil.rmtree(vtmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(vtmp)
+    os.replace(vtmp, vdir)
+    tmp = os.path.join(table_dir, f"._CURRENT.{batch_id}")
+    with open(tmp, "w") as fh:
+        _json.dump({"version": batch_id, "dir": os.path.basename(vdir)}, fh)
+    os.replace(tmp, os.path.join(table_dir, "_CURRENT"))
+
+
 def start_warehouse_upsert(
     env_stream: DataFrame,
     table_dir: str,
@@ -188,8 +260,6 @@ def start_warehouse_upsert(
     warehouse scale swap the writer stage for MERGE INTO on a v2 catalog
     (operators/upsert.py:merge_upsert runs that path when available).
     """
-    import json as _json
-
     from aws_kinesis_spark.operators.upsert import collapse_cdc, staging_upsert
 
     os.makedirs(table_dir, exist_ok=True)
@@ -209,24 +279,15 @@ def start_warehouse_upsert(
             "id", "status", "sequence_number"
         )
         deletes = collapsed.filter(F.col("op") == "D").select("id")
-        prev = [
-            int(d[1:])
-            for d in os.listdir(table_dir)
-            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id
-        ]
-        if prev:
-            current = spark.read.parquet(os.path.join(table_dir, f"v{max(prev)}"))
+        base = _latest_version_dir_below(table_dir, batch_id)
+        if base:
+            current = spark.read.parquet(base)
         else:
             current = spark.createDataFrame([], schema)
         merged = staging_upsert(current, latest, ["id"]).join(
             deletes, ["id"], "left_anti"
         )
-        vdir = os.path.join(table_dir, f"v{batch_id}")
-        merged.write.mode("overwrite").parquet(vdir)
-        tmp = os.path.join(table_dir, f"._CURRENT.{batch_id}")
-        with open(tmp, "w") as fh:
-            _json.dump({"version": batch_id}, fh)
-        os.replace(tmp, os.path.join(table_dir, "_CURRENT"))
+        _commit_table_version(merged, table_dir, batch_id)
 
     return (
         env_stream.writeStream.foreachBatch(flush)
@@ -251,8 +312,15 @@ def read_warehouse_table(
                 [], "id LONG, status STRING, sequence_number DECIMAL(38,0)"
             )
         with open(ptr) as fh:
-            version = _json.load(fh)["version"]
-    return spark.read.parquet(os.path.join(table_dir, f"v{version}"))
+            payload = _json.load(fh)
+        # the pointer names its dir directly (pointer-swap protocol);
+        # "version"-only pointers predate it and resolve by number
+        name = payload.get("dir", f"v{payload['version']}")
+        return spark.read.parquet(os.path.join(table_dir, name))
+    vdir = _version_dir(table_dir, version)
+    if vdir is None:
+        raise ValueError(f"no committed version {version} in {table_dir}")
+    return spark.read.parquet(vdir)
 
 
 # DDL schema of the events fixture — the single definition shared by the
@@ -407,8 +475,6 @@ def start_scd2_maintenance(
     (touched chains + delta) — O(delta × chain depth); the untouched
     dimension passes through. At warehouse scale the pass-through write
     becomes a partition-scoped MERGE on a v2 catalog, same plan shape."""
-    import json as _json
-
     from aws_kinesis_spark.operators.upsert import scd2_merge_increment
 
     os.makedirs(table_dir, exist_ok=True)
@@ -420,23 +486,10 @@ def start_scd2_maintenance(
             .filter(~F.col("_corrupt"))
             .select("id", "status", "op", "sequence_number")
         )
-        prev = [
-            int(d[1:])
-            for d in os.listdir(table_dir)
-            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id
-        ]
-        versions = (
-            spark.read.parquet(os.path.join(table_dir, f"v{max(prev)}"))
-            if prev
-            else None
-        )
+        base = _latest_version_dir_below(table_dir, batch_id)
+        versions = spark.read.parquet(base) if base else None
         merged = scd2_merge_increment(versions, decoded, ["id"], "sequence_number")
-        vdir = os.path.join(table_dir, f"v{batch_id}")
-        merged.write.mode("overwrite").parquet(vdir)
-        tmp = os.path.join(table_dir, f"._CURRENT.{batch_id}")
-        with open(tmp, "w") as fh:
-            _json.dump({"version": batch_id}, fh)
-        os.replace(tmp, os.path.join(table_dir, "_CURRENT"))
+        _commit_table_version(merged, table_dir, batch_id)
 
     return (
         env_stream.writeStream.foreachBatch(flush)

@@ -1388,3 +1388,152 @@ def test_read_incremental_tolerates_dropped_batches_but_not_staged(spark, envelo
         read_incremental(spark, lake, after_batch=0, upto_batch=3)
     publish_staged_batch(lake, 3, writer=s.writer)
     assert read_incremental(spark, lake, after_batch=2, upto_batch=3).count() == 5
+
+
+def test_delete_vector_rerun_and_swap_crash_keep_vector_committed(
+    spark, envelope, tmp_path
+):
+    """Round-13 review: a replayed write_delete_vector must keep the
+    committed vector visible for the whole rewrite (two-rename swap, not
+    rmtree-then-write), and the between-renames crash state (.old present,
+    final missing) must still serve the committed keys."""
+    from aws_kinesis_spark.sources.lake import (
+        read_with_deletes,
+        run_lake_batch,
+        write_delete_vector,
+    )
+
+    lake = str(tmp_path / "lake")
+    run_lake_batch(envelope, lake, batch_id=0, raw_backup=False)
+    all_ids = {
+        r.id
+        for r in spark.read.parquet(os.path.join(lake, "data")).select("id").collect()
+    }
+    doomed = sorted(all_ids)[::7]
+    keys = spark.createDataFrame([(k,) for k in doomed], "id long")
+    write_delete_vector(keys, lake, delete_id=1, key_col="id")
+    want = all_ids - set(doomed)
+    # idempotent replay: still committed, same answer
+    write_delete_vector(keys, lake, delete_id=1, key_col="id")
+    got = {r.id for r in read_with_deletes(spark, lake, key_col="id").select("id").collect()}
+    assert got == want
+    # simulate the between-renames crash: committed copy lives only in .old
+    final = os.path.join(lake, "_deletes", "delete-0000000001")
+    os.replace(final, final + ".old")
+    got = {r.id for r in read_with_deletes(spark, lake, key_col="id").select("id").collect()}
+    assert got == want
+    # ...and a shadowing final takes precedence again after the replay
+    write_delete_vector(keys, lake, delete_id=1, key_col="id")
+    got = {r.id for r in read_with_deletes(spark, lake, key_col="id").select("id").collect()}
+    assert got == want
+
+
+def test_materialize_deletes_heals_stranded_swap_first(spark, envelope, tmp_path):
+    """Round-13 review: a leaf stranded in .compact.old by a swap-window
+    crash must be healed BEFORE the delete-materialization walk — not
+    rewritten under the trash name while manifests point at the missing
+    live paths."""
+    from aws_kinesis_spark.sources.lake import (
+        materialize_deletes,
+        read_with_deletes,
+        run_lake_batch,
+        validate_manifest,
+        write_delete_vector,
+    )
+
+    lake = str(tmp_path / "lake")
+    run_lake_batch(envelope, lake, batch_id=0, raw_backup=False)
+    data_dir = os.path.join(lake, "data")
+    all_ids = {r.id for r in spark.read.parquet(data_dir).select("id").collect()}
+    doomed = sorted(all_ids)[::5]
+    write_delete_vector(
+        spark.createDataFrame([(k,) for k in doomed], "id long"),
+        lake,
+        delete_id=1,
+        key_col="id",
+    )
+    # strand one leaf exactly as a swap-window crash would
+    leaves = [dp for dp, ds, fs in os.walk(data_dir)
+              if not ds and any(f.endswith(".parquet") for f in fs)]
+    victim = leaves[0]
+    os.replace(victim, victim + ".compact.old")
+    n = materialize_deletes(spark, lake, key_col="id")
+    assert n > 0
+    # no trash dirs remain anywhere; the healed leaf was rewritten in place
+    assert not [dp for dp, _, _ in os.walk(data_dir)
+                if dp.endswith((".compact.old", ".compact.tmp"))]
+    folded = {r.id for r in spark.read.parquet(data_dir).select("id").collect()}
+    assert folded == all_ids - set(doomed)
+    # manifests stayed truthful through heal + rewrite
+    res = validate_manifest(lake, 0, spark=spark)
+    assert res.passed, res.failures
+
+
+def test_expire_partitions_reaps_stranded_swap_trash(spark, envelope, tmp_path):
+    """Round-13 review: retention must heal stranded compaction swaps
+    first — expired rows must not survive inside a .compact.old dir the
+    hour= regex never matches."""
+    import datetime as dt
+
+    from aws_kinesis_spark.sources.lake import expire_partitions, run_lake_batch
+
+    lake = str(tmp_path / "lake")
+    run_lake_batch(envelope, lake, batch_id=0, raw_backup=False)
+    data_dir = os.path.join(lake, "data")
+    leaves = [dp for dp, ds, fs in os.walk(data_dir)
+              if not ds and any(f.endswith(".parquet") for f in fs)]
+    victim = leaves[0]
+    os.replace(victim, victim + ".compact.old")
+    # everything is in the past relative to this horizon
+    stats = expire_partitions(lake, retention_hours=1,
+                              now=dt.datetime(2099, 1, 1))
+    assert stats.n_partitions == len(leaves)
+    leftover = [dp for dp, _, fs in os.walk(data_dir)
+                if any(f.endswith(".parquet") for f in fs)]
+    assert leftover == [], leftover
+
+
+def test_zone_maps_work_on_partition_columns(spark, tmp_path):
+    """Round-13 review (repro'd): stats on a hive PARTITION column built
+    fine but crashed every incremental update and pruned read — the
+    file-list reads dropped the partition column without basePath."""
+    from aws_kinesis_spark.sources.lake import (
+        build_zone_maps,
+        read_zone_pruned,
+        update_zone_maps,
+    )
+
+    lake = str(tmp_path / "lake")
+    data = os.path.join(lake, "data")
+    df = spark.range(0, 100).withColumn("hour", (F.col("id") % 4).cast("int"))
+    df.write.partitionBy("hour").parquet(data)
+    build_zone_maps(spark, lake, ["hour"])
+    spark.range(100, 140).withColumn(
+        "hour", (F.col("id") % 4).cast("int")
+    ).write.mode("append").partitionBy("hour").parquet(data)
+    assert update_zone_maps(spark, lake, ["hour"]) > 0
+    got = read_zone_pruned(spark, lake, "hour", 1, 2)
+    assert got.count() == 140 // 4 * 2
+    assert set(got.select("hour").distinct().toPandas()["hour"]) == {1, 2}
+
+
+def test_drop_staged_batch_honors_the_writer_fence(spark, envelope, tmp_path):
+    """Round-13 review: the WAP failure path is as destructive as publish —
+    a fenced-out writer's drop must raise instead of destroying the
+    superseding writer's staged batch."""
+    from aws_kinesis_spark.sources.lake import (
+        audit_staged_batch,
+        drop_staged_batch,
+        stage_lake_batch,
+    )
+
+    lake = str(tmp_path / "lake")
+    s_a = stage_lake_batch(envelope, lake, batch_id=5, raw_backup=False)
+    s_b = stage_lake_batch(envelope, lake, batch_id=5, raw_backup=False)  # supersedes A
+    with pytest.raises(RuntimeError, match="fenced out"):
+        drop_staged_batch(lake, 5, writer=s_a.writer)
+    # B's staged batch is intact and still auditable
+    res = audit_staged_batch(spark, lake, 5)
+    assert res.passed, res.failures
+    # B itself (or an unfenced single-writer call) can drop it
+    assert drop_staged_batch(lake, 5, writer=s_b.writer) > 0

@@ -600,9 +600,10 @@ def test_rename_sites_enumerated_against_s3_translation_table():
         ("sources/lake.py", "stage_lake_batch"),        # WAP stage move
         ("sources/lake.py", "publish_staged_batch"),    # WAP publish flip
         ("sources/lake.py", "_rewrite_leaf"),           # two-rename leaf swap
-        ("sources/lake.py", "worker"),                  # two-rename leaf swap
-                                                        # (materialize_deletes
-                                                        # thread body)
+                                                        # (also the
+                                                        # materialize_deletes
+                                                        # worker body since the
+                                                        # round-13 reuse)
         ("sources/lake.py", "recover_compaction"),      # swap-crash undo
         ("sources/lake.py", "expire_partitions"),       # retention leaf drop
         ("sources/lake.py", "_remap_partitions_in_manifests"),  # manifest PUT
@@ -634,7 +635,11 @@ def test_rename_sites_enumerated_against_s3_translation_table():
                                                         # high-water-mark
                                                         # swap (stats-table
                                                         # marker discipline)
-        ("streaming/pipeline.py", "flush"),             # _CURRENT pointer CAS
+        ("streaming/pipeline.py", "_commit_table_version"),  # warehouse/SCD2
+                                                        # pointer-swap commit
+                                                        # (fresh version dir +
+                                                        # _CURRENT CAS — the
+                                                        # rollup protocol)
         ("streaming/pipeline.py", "_compact_store"),    # batch-dir key PUT
                                                         # (compact_dedup_index
                                                         # per-store body)

@@ -1809,3 +1809,46 @@ def test_rollup_replay_swaps_versions_without_a_torn_window(spark, tmp_path):
     ptr_final = _json.load(open(os.path.join(rollup, "_CURRENT")))
     dir_final = ptr_final.get("dir") or f"v{ptr_final['version']}"
     assert os.path.isdir(os.path.join(rollup, dir_final))
+
+
+def test_warehouse_replay_commits_fresh_dir_and_never_breaks_pointer(spark, tmp_path):
+    """Round-13 review: the warehouse/SCD2 version commit adopted the
+    rollup pointer-swap protocol — a replayed batch must write a FRESH
+    dir and flip _CURRENT to it, never overwrite the dir the pointer
+    names (the old in-place overwrite tore the live version for the whole
+    rewrite)."""
+    import json as _json
+
+    from aws_kinesis_spark.streaming.pipeline import (
+        _commit_table_version,
+        read_warehouse_table,
+    )
+
+    table = str(tmp_path / "wh")
+    os.makedirs(table)
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(1, "A", Decimal(10)), (2, "B", Decimal(20))],
+        "id LONG, status STRING, sequence_number DECIMAL(38,0)",
+    )
+    _commit_table_version(df, table, 1)
+    ptr1 = _json.load(open(os.path.join(table, "_CURRENT")))
+    assert ptr1 == {"version": 1, "dir": "v1"}
+    live_before = sorted(os.listdir(os.path.join(table, "v1")))
+    # replay of the SAME batch: fresh attempt dir, pointer flips, the
+    # previously live dir is byte-untouched
+    _commit_table_version(df, table, 1)
+    ptr2 = _json.load(open(os.path.join(table, "_CURRENT")))
+    assert ptr2 == {"version": 1, "dir": "v1_1"}
+    assert sorted(os.listdir(os.path.join(table, "v1"))) == live_before
+    got = {(r.id, r.status) for r in read_warehouse_table(spark, table).collect()}
+    assert got == {(1, "A"), (2, "B")}
+    # explicit-version read resolves the highest attempt
+    got_v1 = {(r.id, r.status) for r in read_warehouse_table(spark, table, version=1).collect()}
+    assert got_v1 == got
+    # back-compat: a "version"-only pointer (pre-protocol store) resolves
+    with open(os.path.join(table, "_CURRENT"), "w") as fh:
+        _json.dump({"version": 1}, fh)
+    got_old = {(r.id, r.status) for r in read_warehouse_table(spark, table).collect()}
+    assert got_old == got
