@@ -106,22 +106,29 @@ def merge_upsert(
     staging.createOrReplaceTempView(view)
     sql = merge_into_sql(target_table, view, keys, target.columns, delete_op)
     try:
-        spark.sql(sql)
-        return spark.table(target_table)
-    except (AnalysisException, ParseException, UnsupportedOperationException):
-        # v1 catalog: MERGE INTO unsupported — rewrite to the equivalent
-        # relational plan (README.md:573-575 DELETE-USING + INSERT-SELECT).
-        # ONLY planning-time errors take the fallback: an execution-time
-        # MERGE failure (cardinality violation, executor loss) must
-        # propagate, not silently re-run as a differently-shaped plan
-        if delete_op:
-            col, val = delete_op
-            keep = staging.filter(F.col(col) != val).select(*target.columns)
-            # matched deletes remove the target row; unmatched are ignored
-            dropped_keys = staging.filter(F.col(col) == val).select(*keys)
-            merged = staging_upsert(target, keep, keys)
-            return merged.join(dropped_keys, list(keys), "left_anti")
-        return staging_upsert(target, staging.select(*target.columns), keys)
+        try:
+            spark.sql(sql)
+            return spark.table(target_table)
+        except (AnalysisException, ParseException, UnsupportedOperationException):
+            # v1 catalog: MERGE INTO unsupported — rewrite to the equivalent
+            # relational plan (README.md:573-575 DELETE-USING + INSERT-SELECT).
+            # ONLY planning-time errors take the fallback: an execution-time
+            # MERGE failure (cardinality violation, executor loss) must
+            # propagate, not silently re-run as a differently-shaped plan
+            if delete_op:
+                col, val = delete_op
+                keep = staging.filter(F.col(col) != val).select(*target.columns)
+                # matched deletes remove the target row; unmatched are ignored
+                dropped_keys = staging.filter(F.col(col) == val).select(*keys)
+                merged = staging_upsert(target, keep, keys)
+                return merged.join(dropped_keys, list(keys), "left_anti")
+            return staging_upsert(target, staging.select(*target.columns), keys)
+    finally:
+        # the MERGE runs eagerly and neither returned plan references the
+        # view, so it is droppable in every path — a foreachBatch loop
+        # otherwise leaks one catalog entry (pinning its staging plan) per
+        # micro-batch for the session's lifetime (round-13 review)
+        spark.catalog.dropTempView(view)
 
 
 def apply_cdc(
@@ -203,28 +210,22 @@ def net_changes(
     (sequence-sorted lake files prune whole splits), then one key shuffle
     over the increment only — cost proportional to the delta, never the
     retained log."""
-    window_events = cdc.filter(F.col(seq_col) > F.lit(from_seq))
-    # same payload-hash final term as collapse_cdc: two events sharing
-    # key+seq+op with drifted payloads (producer double-send) must pick
-    # the SAME net row on every replay — without it row_number's winner is
-    # partition-order-dependent (the exact defect the round-11 review
-    # fixed in collapse_cdc; this path had the same hole)
-    w = Window.partitionBy(*keys).orderBy(
-        F.desc(seq_col),
-        F.desc((F.col(op_col) == delete_op).cast("int")),
-        F.desc(op_col),
-        F.desc(F.xxhash64(F.struct(*[F.col(c) for c in cdc.columns]))),
-    )
-    return (
-        window_events.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        .withColumn(
-            "__net_op",
-            F.when(F.col(op_col) == delete_op, F.lit("DELETE")).otherwise(
-                F.lit("UPSERT")
-            ),
-        )
+    # ONE collapse kernel: the winning-row order (desc seq, delete-wins,
+    # op, payload-hash total order) lives only in collapse_cdc — this
+    # path carried a private byte-identical copy of the window, and that
+    # window has been patched twice (rounds 11 and 12); a third fix would
+    # have missed the copy (round-13 review)
+    return collapse_cdc(
+        cdc.filter(F.col(seq_col) > F.lit(from_seq)),
+        keys,
+        seq_col,
+        op_col,
+        delete_op,
+    ).withColumn(
+        "__net_op",
+        F.when(F.col(op_col) == delete_op, F.lit("DELETE")).otherwise(
+            F.lit("UPSERT")
+        ),
     )
 
 

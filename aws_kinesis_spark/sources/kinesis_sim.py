@@ -283,6 +283,24 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
         return min(cur + self.poll_records, n)
 
     def read(self, start: dict):
+        # the other direction of the topology-mismatch guard (round-13
+        # review, live-repro'd): a committed offset EXCEEDING the current
+        # topology's shard length means the checkpoint was written under a
+        # topology with more records per shard — min(cur+poll, shard_len)
+        # would silently REGRESS the committed offset (end < start) and
+        # child shards would re-deliver records the old topology already
+        # served. Same remedy as the missing-parent case: fail with the
+        # cause, never dedupe-by-luck.
+        for s in self.topo.shard_ids():
+            cur = int(start.get(str(s), 0))
+            if cur > self.topo.shard_len(s):
+                raise ValueError(
+                    f"checkpoint offset {cur} for shard {s} exceeds this "
+                    f"topology's shard length {self.topo.shard_len(s)}: the "
+                    "checkpoint predates this stream topology — use a fresh "
+                    "checkpoint when changing shards/splitAtRecord/"
+                    "mergeAtRecord"
+                )
         end = {
             str(s): self._next_offset(s, int(start.get(str(s), 0)), start)
             for s in self.topo.shard_ids()

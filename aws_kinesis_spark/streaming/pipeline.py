@@ -210,17 +210,23 @@ def _latest_version_dir_below(table_dir: str, batch_id: int) -> str | None:
     return os.path.join(table_dir, best[1]) if best else None
 
 
-def _commit_table_version(merged: DataFrame, table_dir: str, batch_id: int) -> None:
-    """Pointer-swap commit of one table version — the rollup.py round-12
-    protocol, adopted here in round 13 (the old code overwrote
-    ``v{batch_id}`` IN PLACE, so a replayed batch destroyed the exact dir
-    ``_CURRENT`` pointed at for the whole rewrite: concurrent readers saw
-    a torn or missing version, and a crash mid-rewrite left the pointer
-    at a torn dir until the replay finally succeeded). A replayed batch
-    writes under a FRESH name (``v{N}_{attempt}``), staged through
+def _commit_table_version(
+    merged: DataFrame, table_dir: str, batch_id: int, write=None
+) -> None:
+    """Pointer-swap commit of one table version — THE shared protocol body
+    for every versioned-dirs + ``_CURRENT`` store (warehouse upsert, SCD2
+    dimension, and streaming/rollup.py's rollup — one copy, after the
+    round-13 review found the warehouse/SCD2 flushes overwriting
+    ``v{batch_id}`` IN PLACE: a replayed batch destroyed the exact dir
+    ``_CURRENT`` pointed at for the whole rewrite — concurrent readers
+    saw a torn or missing version, and a crash mid-rewrite left the
+    pointer at a torn dir until the replay finally succeeded). A replayed
+    batch writes under a FRESH name (``v{N}_{attempt}``), staged through
     ``.tmp`` + one atomic rename, and ``_CURRENT`` flips to it — the live
     dir is never renamed away or rewritten, so readers always resolve a
-    complete version."""
+    complete version. ``write(df, vtmp)`` customizes the physical write
+    (the rollup's day-partitioned layout); default is a plain parquet
+    write."""
     import json as _json
     import shutil as _shutil
 
@@ -231,7 +237,10 @@ def _commit_table_version(merged: DataFrame, table_dir: str, batch_id: int) -> N
         vdir = os.path.join(table_dir, f"v{batch_id}_{attempt}")
     vtmp = vdir + ".tmp"
     _shutil.rmtree(vtmp, ignore_errors=True)
-    merged.write.mode("overwrite").parquet(vtmp)
+    if write is None:
+        merged.write.mode("overwrite").parquet(vtmp)
+    else:
+        write(merged, vtmp)
     os.replace(vtmp, vdir)
     tmp = os.path.join(table_dir, f"._CURRENT.{batch_id}")
     with open(tmp, "w") as fh:

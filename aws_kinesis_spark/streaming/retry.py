@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 
 def retry_with_backoff(
     fn: Callable[[], Any],
-    attempts: int = 6,
+    attempts: int = 7,
     base_delay: float = 1.0,
     max_delay: float = 32.0,
     retriable: tuple[type[BaseException], ...] = (Exception,),
@@ -32,7 +32,10 @@ def retry_with_backoff(
     """Run ``fn`` with exponential backoff: delays 1, 2, 4, ... capped at
     max_delay (the reference's 1 s -> 32 s ladder, README.md:88). Re-raises
     the last error after ``attempts`` tries — the caller escalates to the
-    DLQ."""
+    DLQ. The default of 7 attempts is the smallest count whose ladder
+    actually REACHES the 32 s cap (delays 1,2,4,8,16,32) — the old default
+    of 6 stopped at 16 s, silently under-delivering the documented
+    contract (round-13 review)."""
     if attempts < 1:
         # a zero-iteration loop would return None WITHOUT running fn — the
         # batch would be neither flushed nor DLQ'd, silently lost
@@ -51,7 +54,7 @@ def retry_with_backoff(
 def flush_with_dlq(
     flush: Callable[[DataFrame, int], None],
     dlq: Callable[[DataFrame, int, BaseException], None],
-    attempts: int = 6,
+    attempts: int = 7,
     base_delay: float = 1.0,
     sleep: Callable[[float], None] = time.sleep,
 ) -> Callable[[DataFrame, int], None]:

@@ -113,19 +113,39 @@ def start_continuous_rollup(
         # content-stable), so the choice only affects names. Readers
         # holding a plan across multiple trigger intervals still need
         # read-side retry — documented, not solved here.
+        # ...and RETIRE whole batch ids beyond the two newest committed: a
+        # replayed batch only ever combines against the newest version
+        # BELOW itself, and read_rollup resolves only _CURRENT, so any
+        # older version is unreachable — without this, every micro-batch
+        # left one full copy of the cumulative rollup on disk forever,
+        # O(stream age x table size) (round-13 review). Two batch ids
+        # cover every reachable replay (the uncommitted-checkpoint batch
+        # plus its merge base); retired dirs are >= two triggers stale, so
+        # the one-trigger read grace above is inherently satisfied. One
+        # listdir pass drives both sweeps (the per-bid re-list was
+        # quadratic in version count).
         ptr_dir = _current_dir(rollup_dir)
-        for bid, keep_dir in _committed_version_dirs(rollup_dir).items():
+        committed = _committed_version_dirs(rollup_dir)
+        keep_bids = set(sorted(committed)[-2:])
+        for d in os.listdir(rollup_dir):
+            if not d.startswith("v") or d.endswith(".tmp"):
+                continue
+            stem, _, att = d[1:].partition("_")
+            if not stem.isdigit() or (att and not att.isdigit()):
+                continue
+            bid = int(stem)
+            if d == ptr_dir:
+                continue  # the live dir is never swept, whatever its age
+            keep_dir = committed.get(bid)
             if ptr_dir is not None and (
                 ptr_dir == f"v{bid}" or ptr_dir.startswith(f"v{bid}_")
             ):
+                # attempt names recycle after sweeps, so "highest attempt"
+                # alone could evict the live dir — the pointer wins
                 keep_dir = ptr_dir
-            for d in os.listdir(rollup_dir):
-                if (
-                    d != keep_dir
-                    and (d == f"v{bid}" or d.startswith(f"v{bid}_"))
-                    and not d.endswith(".tmp")
-                ):
-                    shutil.rmtree(os.path.join(rollup_dir, d), ignore_errors=True)
+            if bid in keep_bids and d == keep_dir:
+                continue
+            shutil.rmtree(os.path.join(rollup_dir, d), ignore_errors=True)
         # combine against the newest version OLDER than this batch — not the
         # pointer: if batch N committed its version but the checkpoint write
         # failed, the replayed batch N would otherwise double-count itself
@@ -153,33 +173,27 @@ def start_continuous_rollup(
         # (repartition(1) would serialize every version through one task)
         # and readers prune to the days they query.
         #
-        # REPLAY via POINTER SWAP (round-12 review): the round-11 two-rename
-        # protocol had a window between os.replace(vdir, vold) and
-        # os.replace(vtmp, vdir) where _CURRENT resolved to a missing dir —
-        # a concurrent reader failed outright, and a crash there broke
-        # readers until the same batch id replayed. Now a replayed batch
-        # writes under a FRESH name (v{N}_{attempt}) and _CURRENT flips to
-        # it — the exact protocol of the initial flush; the live dir is
-        # never renamed away, so readers always resolve a complete version.
-        vdir = os.path.join(rollup_dir, f"v{batch_id}")
-        attempt = 0
-        while os.path.exists(vdir):
-            attempt += 1
-            vdir = os.path.join(rollup_dir, f"v{batch_id}_{attempt}")
-        vtmp = vdir + ".tmp"
-        shutil.rmtree(vtmp, ignore_errors=True)
-        (
-            combined.withColumn("day", F.to_date("hour_start"))
-            .repartition("day")
-            .write.mode("overwrite")
-            .partitionBy("day")
-            .parquet(vtmp)
+        # REPLAY via POINTER SWAP: the shared _commit_table_version
+        # protocol body (one fresh v{N}_{attempt} dir, .tmp stage, one
+        # rename, pointer flip — this module pioneered it in round 12;
+        # round 13 extracted the single shared copy after the
+        # warehouse/SCD2 stores were found carrying a diverged older
+        # protocol). Local import: rollup loads without pulling the whole
+        # pipeline module at import time.
+        from aws_kinesis_spark.streaming.pipeline import _commit_table_version
+
+        _commit_table_version(
+            combined,
+            rollup_dir,
+            batch_id,
+            write=lambda df, vtmp: (
+                df.withColumn("day", F.to_date("hour_start"))
+                .repartition("day")
+                .write.mode("overwrite")
+                .partitionBy("day")
+                .parquet(vtmp)
+            ),
         )
-        os.replace(vtmp, vdir)
-        tmp = os.path.join(rollup_dir, f"._CURRENT.{batch_id}")
-        with open(tmp, "w") as fh:
-            json.dump({"version": batch_id, "dir": os.path.basename(vdir)}, fh)
-        os.replace(tmp, os.path.join(rollup_dir, _POINTER))  # atomic commit
 
     return (
         events.writeStream.foreachBatch(flush)

@@ -1537,3 +1537,18 @@ def test_drop_staged_batch_honors_the_writer_fence(spark, envelope, tmp_path):
     assert res.passed, res.failures
     # B itself (or an unfenced single-writer call) can drop it
     assert drop_staged_batch(lake, 5, writer=s_b.writer) > 0
+
+
+def test_retry_default_ladder_reaches_the_documented_cap():
+    """Round-13 review: the DEFAULT attempt budget must realize the
+    documented 1 s -> 32 s ladder — six attempts stopped at 16 s."""
+    from aws_kinesis_spark.streaming.retry import retry_with_backoff
+
+    delays = []
+
+    def always_fail():
+        raise OSError("down")
+
+    with pytest.raises(OSError):
+        retry_with_backoff(always_fail, sleep=delays.append)
+    assert delays == [1.0, 2.0, 4.0, 8.0, 16.0, 32.0]

@@ -643,7 +643,8 @@ def test_rename_sites_enumerated_against_s3_translation_table():
         ("streaming/pipeline.py", "_compact_store"),    # batch-dir key PUT
                                                         # (compact_dedup_index
                                                         # per-store body)
-        ("streaming/rollup.py", "flush"),               # rollup pointer CAS
+        # (rollup's flush now commits through pipeline.py's shared
+        # _commit_table_version — the round-13 consolidation)
     }
     found = set()
 

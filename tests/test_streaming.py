@@ -1852,3 +1852,60 @@ def test_warehouse_replay_commits_fresh_dir_and_never_breaks_pointer(spark, tmp_
         _json.dump({"version": 1}, fh)
     got_old = {(r.id, r.status) for r in read_warehouse_table(spark, table).collect()}
     assert got_old == got
+
+
+def test_rollup_retires_versions_beyond_the_replay_horizon(spark, tmp_path):
+    """Round-13 review: the rollup kept one full table copy per
+    micro-batch forever (replay only needs the newest version below the
+    replayed batch, and read_rollup resolves only _CURRENT) — after a
+    multi-batch stream at most the two newest committed batch ids may
+    remain on disk, and the answer is still the batch recompute."""
+    from aws_kinesis_spark.streaming.rollup import (
+        _committed_version_dirs,
+        read_rollup,
+        start_continuous_rollup,
+    )
+
+    inp = str(tmp_path / "events")
+    ev = load(spark, SF, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(inp)
+    rollup = str(tmp_path / "rollup")
+    q = start_continuous_rollup(
+        event_stream(spark, inp, max_files_per_trigger=1),
+        rollup,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    # the sweep runs at the START of each flush (deferred one trigger for
+    # the read grace), so the steady-state bound is the two kept ids plus
+    # the just-committed one — constant in stream length, vs one copy per
+    # micro-batch before the fix
+    committed = _committed_version_dirs(rollup)
+    assert len(committed) <= 3, sorted(committed)
+    want = {
+        (r.hs, r.event_type): (r.n, round(r.sv, 4))
+        for r in ev.groupBy(F.date_trunc("hour", "ts").alias("hs"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .collect()
+    }
+    got = {
+        (r.hour_start, r.event_type): (r.n_events, round(r.sum_value, 4))
+        for r in read_rollup(spark, rollup).collect()
+    }
+    assert got == want
+
+
+def test_kinesis_sim_rejects_offsets_beyond_the_topology(spark):
+    """Round-13 review (live-repro'd): a checkpoint whose offsets EXCEED
+    the current topology's shard length must fail loudly — the old code
+    clamped end below start (offset regression) and re-delivered records
+    the prior topology already served."""
+    import pytest as _pytest
+
+    from aws_kinesis_spark.sources.kinesis_sim import KinesisSimStreamReader
+
+    reader = KinesisSimStreamReader(
+        n_shards=4, records_per_shard=10, poll_records=100, split_at=3
+    )
+    with _pytest.raises(ValueError, match="exceeds this topology"):
+        reader.read({"0": 10, "1": 10, "2": 10, "3": 10})
