@@ -93,10 +93,14 @@ def build_bloom(
         bitmap = np.zeros(nbytes, dtype=np.uint8)
         saw = False
         for b in batches:
-            # NULL keys are ABSENT, not key 0: na_value=0 alone would alias
-            # them with the literal key 0 (round-11 review)
-            col = b[key_col]
-            keys = col[col.notna()].to_numpy(dtype=np.int64, na_value=0)
+            # NULLs were filtered JVM-side (below), so every Arrow batch is
+            # null-free and converts to EXACT int64 — a batch containing
+            # one NULL used to arrive as float64, rounding every other key
+            # to 53-bit precision before insertion, and a full-range
+            # xxhash64 key probed later at its exact value then MISSED:
+            # a false negative from the structure whose one guarantee is
+            # no false negatives (round-13 review)
+            keys = b[key_col].to_numpy(dtype=np.int64)
             if not len(keys):
                 continue
             saw = True
@@ -111,7 +115,13 @@ def build_bloom(
             acc |= np.frombuffer(buf, dtype=np.uint8)
         return pd.DataFrame({"bitmap": [acc.tobytes()]})
 
-    partials = df.select(key_col).mapInPandas(per_partition, schema=schema)
+    # NULL keys are ABSENT, not key 0 — and they must be dropped BEFORE
+    # the Arrow crossing so the batches stay pure int64 (see per_partition)
+    partials = (
+        df.select(key_col)
+        .filter(F.col(key_col).isNotNull())
+        .mapInPandas(per_partition, schema=schema)
+    )
     merged = (
         partials.withColumn("__g", F.spark_partition_id() % merge_fan_in)
         .groupBy("__g")
@@ -133,22 +143,26 @@ def might_contain(
     bc = df.sparkSession.sparkContext.broadcast(bitmap)
 
     @F.pandas_udf(T.BooleanType())
-    def probe(keys: pd.Series) -> pd.Series:
+    def probe(keys: pd.Series, isnull: pd.Series) -> pd.Series:
+        # `keys` is coalesce(key, 0) — null-free by construction, so the
+        # Arrow batch converts to EXACT int64 (a nullable batch arrived as
+        # float64 and probed 53-bit-rounded keys: false negatives,
+        # round-13 review); `isnull` carries the real NULLs, which were
+        # never inserted (build filters them) and must not probe as the
+        # literal key 0
         bm = bc.value
-        k = keys.to_numpy(dtype=np.int64, na_value=0)
+        k = keys.to_numpy(dtype=np.int64)
         if not len(k):
             return pd.Series([], dtype=bool)
         pos = _positions(k, num_bits, num_hashes)
         bits = (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
-        hit = bits.all(axis=1)
-        # a NULL key was never inserted (build skips nulls) — it must not
-        # probe as the literal key 0
-        null_mask = keys.isna().to_numpy()
-        if null_mask.any():
-            hit = hit & ~null_mask
+        hit = bits.all(axis=1) & ~isnull.to_numpy(dtype=bool)
         return pd.Series(hit)
 
-    return probe(F.col(key_col))
+    return probe(
+        F.coalesce(F.col(key_col), F.lit(0).cast("long")),
+        F.isnull(F.col(key_col)),
+    )
 
 
 def auto_bloom_bits(history: DataFrame, key_col, bits_per_key: int = 10) -> int:
@@ -180,6 +194,14 @@ def first_seen(
     # keys set the same bits — a distinct here would re-introduce the full
     # history-keyset shuffle this operator exists to avoid
     hkey = F.xxhash64(*key_cols).alias("__bloom_key")
+    # KNOWN double-eval: definite_new and candidates are two filters over
+    # the same unmaterialized keyed frame, so the batch scan + probe kernel
+    # run once per branch of the union. Deliberate for now: a cache would
+    # outlive the returned lazy frame (no unpersist point) and an eager
+    # localCheckpoint would materialize the whole batch on the hot path;
+    # the probe kernel is a vectorized bitmap read, so the duplicated work
+    # is one extra scan of an already-bounded micro-batch (round-13
+    # review).
     hkeys = history.select(hkey)
     if num_bits is None:
         num_bits = auto_bloom_bits(hkeys, "__bloom_key")

@@ -67,9 +67,15 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     group (deterministic), with the group size recorded. sha-256, not md5:
     md5 chosen-prefix collisions are practically constructible, and a web
     corpus can carry crafted colliding blobs — "exact" dedup must not
-    merge distinct documents an adversary paired up (round-11 review)."""
+    merge distinct documents an adversary paired up (round-11 review).
+
+    NULL-text documents are EXCLUDED, each its own implicit keeper:
+    sha2(NULL) is NULL and groupBy treats NULL keys as equal, so two
+    documents of UNKNOWN content would otherwise be declared exact copies
+    and one slated for deletion (round-13 review)."""
     return (
-        docs.withColumn("__h", F.sha2(F.col(text_col), 256))
+        docs.filter(F.col(text_col).isNotNull())
+        .withColumn("__h", F.sha2(F.col(text_col), 256))
         .groupBy("__h")
         .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
         .drop("__h")
@@ -318,14 +324,22 @@ def _exact_jaccard_on_pairs(
     pairs: DataFrame, sets: DataFrame, id_col: str
 ) -> DataFrame:
     """Join precomputed (id, __sh) shingle sets onto candidate pairs and
-    compute exact Jaccard."""
+    compute exact Jaccard. Two EMPTY sets define jaccard = 0.0 rather than
+    0/0: the in-package entry points pre-filter docs to >= shingle_n
+    tokens, but the public verify path (verify_pairs_against_texts)
+    shingles whatever texts the candidate ids resolve to — an empty/empty
+    pair there killed the whole verify job with DIVIDE_BY_ZERO under
+    Spark 4's ANSI default (round-13 review)."""
     inter = F.col("__inter").cast("double")
     union = F.size("__sha") + F.size("__shb") - F.col("__inter")
     return (
         pairs.join(sets.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha")), "id_a")
         .join(sets.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb")), "id_b")
         .withColumn("__inter", F.size(F.array_intersect("__sha", "__shb")))
-        .withColumn("jaccard", inter / union)  # unrounded: thresholds compare the true value
+        # unrounded: thresholds compare the true value
+        .withColumn(
+            "jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+        )
         .drop("__sha", "__shb")
     )
 
@@ -587,7 +601,10 @@ def connected_components(
     Returns (labels, rounds): labels has one row per node that appears in
     `pairs` with columns (node, cluster_id = component minimum).
 
-    BOUNDED driver fast path: a deduped edge list of <= driver_collect_max
+    BOUNDED driver fast path (INT64 node ids only — the packaged callers
+    all pass xxhash64/doc-id longs; non-numeric ids must set
+    driver_collect_max=0 to take the type-generic distributed loop,
+    round-13 review): a deduped edge list of <= driver_collect_max
     rows (default 2^20) is pulled through Arrow into two int64 numpy
     columns (~16 MB of Arrow traffic at the default; the transient pandas
     frame adds the same again) and solved with union-find in milliseconds —

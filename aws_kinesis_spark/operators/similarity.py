@@ -296,8 +296,11 @@ def max_sim_vs_reference(
         for b in batches:
             if not len(b):
                 continue
-            x = np.array(b[vec_col].tolist(), dtype=np.float64)
-            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            # _unit_batch, not an inline normalize: its NAMED dim check
+            # turns a reference set embedded at a different dim than the
+            # corpus into a ValueError instead of the cryptic executor
+            # BLAS shape error it used to die with (round-13 review)
+            x = _unit_batch(b[vec_col], mref)
             yield pd.DataFrame(
                 {
                     id_col: b[id_col],
@@ -347,18 +350,23 @@ def knn_lsh(
     # hot paths that already know their dim pass validate_geometry=False to
     # skip the eager plan-construction-time job.
     if validate_geometry:
-        first = (
-            corpus.filter(F.col(vec_col).isNotNull())
-            .select(F.size(vec_col).alias("__d"))
-            .first()
-        )
-        lsh_dim = first["__d"] if first is not None else None
-        if lsh_dim is not None and tables * bits > lsh_dim:
-            raise ValueError(
-                f"tables*bits = {tables * bits} exceeds embedding dim "
-                f"{lsh_dim}; lower tables/bits so every table reads real "
-                "dimensions"
+        # BOTH sides probe: sign_bucket_at reads the same [0, tables*bits)
+        # dims of the query vectors, so a query table embedded at a smaller
+        # dim than the corpus died with the same cryptic executor error the
+        # corpus-side check exists to prevent (round-13 review)
+        for side, frame in (("corpus", corpus), ("query", queries)):
+            first = (
+                frame.filter(F.col(vec_col).isNotNull())
+                .select(F.size(vec_col).alias("__d"))
+                .first()
             )
+            lsh_dim = first["__d"] if first is not None else None
+            if lsh_dim is not None and tables * bits > lsh_dim:
+                raise ValueError(
+                    f"tables*bits = {tables * bits} exceeds the {side} "
+                    f"embedding dim {lsh_dim}; lower tables/bits so every "
+                    "table reads real dimensions"
+                )
     bucket_cols = [
         sign_bucket_at(vec_col, t * bits, bits).alias(f"__b{t}") for t in range(tables)
     ]

@@ -76,7 +76,7 @@ _DUCK_COSINE = _duck_cos("a", "b")
     "g01_dedup_exact",
     oracle="""
         SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
-        FROM documents GROUP BY sha256(text)
+        FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)
     """,
 )
 def g01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

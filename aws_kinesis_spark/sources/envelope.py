@@ -97,7 +97,13 @@ def synthesize_envelope(
     ).otherwise(F.col("o_orderkey"))
     seq = (
         F.lit(SEQ_BASE).cast(T.DecimalType(38, 0))
-        + (F.lit(epoch) * F.lit(1000000000)).cast(T.DecimalType(38, 0))
+        # the product must be LONG before the decimal cast: int32 x int32
+        # overflows at epoch >= 3 (3e9 > 2^31-1) — ANSI kills the job, and
+        # with ANSI off the wrap produced sequence numbers BELOW epoch 0's,
+        # inverting latest-wins across epochs (round-13 review)
+        + (F.lit(epoch).cast("long") * F.lit(1000000000).cast("long")).cast(
+            T.DecimalType(38, 0)
+        )
         + guarded_key.cast(T.DecimalType(38, 0))
     ).cast(T.DecimalType(38, 0))
     return orders.select(
@@ -190,7 +196,16 @@ def decode_envelope(
         F.col("sequence_number"),
         F.col("arrival_ts"),
         F.current_timestamp().alias("processed_at"),
-        (F.col("payload").isNull() | F.col("payload.data.id").isNull()).alias(corrupt_col),
+        # a NULL op is corrupt too: valid JSON missing metadata.op used to
+        # pass this gate and then fail BOTH null-unsafe op branches of every
+        # downstream split (op != 'D' / op == 'D') — vanishing from latest
+        # AND deletes, the silent loss the DLQ contract forbids (round-13
+        # review)
+        (
+            F.col("payload").isNull()
+            | F.col("payload.data.id").isNull()
+            | F.col("payload.metadata.op").isNull()
+        ).alias(corrupt_col),
         F.col("data"),  # raw envelope payload, kept for the DLQ/backup branch
         *([F.col("payload")] if keep_payload else []),
     )

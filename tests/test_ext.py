@@ -102,7 +102,7 @@ def test_lsh_geometry_probe_skips_nulls_and_is_optional(spark):
     queries = em.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    with _pytest.raises(ValueError, match="exceeds embedding dim"):
+    with _pytest.raises(ValueError, match="exceeds the corpus embedding dim"):
         knn_lsh(corpus, queries, k=5, tables=dim, bits=8)
     # valid geometry still runs through the NULL row
     assert knn_lsh(corpus, queries, k=5).count() > 0
@@ -1161,3 +1161,37 @@ def test_cap_per_key_keeps_null_key_stratum(spark):
     }
     assert got == want
     assert sum(1 for k, _ in got if k is None) == 3
+
+
+def test_bloom_nullable_batches_keep_exact_int64_keys(spark):
+    """Round-13 review: a key batch containing one NULL used to cross to
+    pandas as float64, rounding every other key to 53-bit precision before
+    insertion — a full-range xxhash64 key then probed at its exact value
+    and MISSED (a false negative). NULLs now stay JVM-side on both the
+    build (filter) and probe (coalesce + null flag) paths."""
+    from aws_kinesis_spark.operators.bloom import build_bloom, might_contain
+
+    big = [(1 << 62) + i * 1_000_003 for i in range(50)]  # all above 2^53
+    rows = [(k,) for k in big] + [(None,)]
+    df = spark.createDataFrame(rows, "k LONG").repartition(1)  # one batch
+    bm = build_bloom(df, "k", num_bits=1 << 16)
+    probe = spark.createDataFrame([(k,) for k in big] + [(None,)], "k LONG")
+    got = probe.withColumn("hit", might_contain(probe, "k", bm)).collect()
+    by_key = {r.k: r.hit for r in got}
+    assert all(by_key[k] for k in big), "false negative on an exact-seen key"
+    assert by_key[None] is False  # NULL was never inserted
+
+
+def test_lsh_geometry_probe_covers_the_query_side(spark):
+    """Round-13 review: a query table embedded at a smaller dim than
+    tables*bits used to fail unchecked inside the job — both sides now
+    probe up front."""
+    import pytest as _pytest
+
+    em = load(spark, SF, "embeddings")
+    short_queries = em.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.slice("embedding", 1, 8).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="exceeds the query embedding dim"):
+        knn_lsh(em, short_queries, k=5, tables=8, bits=8)

@@ -1552,3 +1552,52 @@ def test_retry_default_ladder_reaches_the_documented_cap():
     with pytest.raises(OSError):
         retry_with_backoff(always_fail, sleep=delays.append)
     assert delays == [1.0, 2.0, 4.0, 8.0, 16.0, 32.0]
+
+
+def test_null_op_records_route_to_the_dlq_not_the_void(spark):
+    """Round-13 review: valid JSON missing metadata.op used to pass the
+    corrupt gate and then fail BOTH null-unsafe op branches of every
+    downstream split — vanishing from latest AND deletes. A NULL op is
+    now corrupt, so the record lands in the DLQ instead."""
+    import base64
+    import json as _json
+
+    from aws_kinesis_spark.sources.envelope import decode_envelope
+
+    from decimal import Decimal
+
+    def env_row(payload: dict, key: str, seq: int):
+        raw = base64.b64encode(_json.dumps(payload).encode())
+        return (raw, key, Decimal(seq), "2024-01-01T00:00:00")
+
+    rows = [
+        env_row({"data": {"id": 1, "status": "x"},
+                 "metadata": {"op": "U"}}, "k1", 1),
+        env_row({"data": {"id": 2, "status": "y"}}, "k2", 2),       # no metadata
+        env_row({"data": {"id": 3, "status": "z"},
+                 "metadata": {"op": None}}, "k3", 3),               # explicit null
+    ]
+    env = spark.createDataFrame(
+        rows,
+        "data BINARY, partition_key STRING, sequence_number DECIMAL(38,0), "
+        "arrival_ts STRING",
+    ).withColumn("arrival_ts", F.to_timestamp("arrival_ts"))
+    decoded = decode_envelope(env)
+    flags = {r.id: r["_corrupt"] for r in decoded.collect()}
+    assert flags[1] is False
+    assert flags[2] is True and flags[3] is True
+    # the DLQ branch (corrupt side) holds exactly the op-less records
+    assert decoded.filter(F.col("_corrupt")).count() == 2
+
+
+def test_synthesize_envelope_epoch_three_does_not_overflow(spark):
+    """Round-13 review: epoch * 1e9 multiplied in int32 — epoch >= 3
+    overflowed (ANSI kill, or wrapped sequence numbers BELOW epoch 0's
+    with ANSI off, inverting latest-wins across epochs)."""
+    orders = load(spark, SF, "orders").limit(5)
+    seqs = {}
+    for ep in (0, 3):
+        env = synthesize_envelope(orders, epoch=ep)
+        seqs[ep] = min(r.sequence_number for r in env.select("sequence_number").collect())
+    assert seqs[3] > seqs[0]
+    assert seqs[3] - seqs[0] == 3 * 1_000_000_000
