@@ -211,8 +211,16 @@ def ngram_shares_udf(ns: tuple[int, ...] = (2, 3)):
 
 def fingerprint(text: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
-    token set (the classic near-dup content signature)."""
-    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+    token set (the classic near-dup content signature). NULL text yields a
+    NULL fingerprint — concat_ws silently skips NULL arguments, so the old
+    expression fingerprinted missing text as md5('') and merged it with
+    genuinely-empty documents, where the SQL twin (md5 over a NULL token
+    chain) is NULL (round-13 review)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.when(
+        col.isNotNull(),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text))))),
+    )
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:

@@ -47,13 +47,28 @@ def asof_join(
     """
     by = list(by)
     out_cols = [f"{c}{suffix}" for c in value_cols]
+    if not out_cols:
+        # the carry window's tie-break dereferences out_cols[0]; fail with
+        # the contract instead of a bare IndexError from plan construction
+        raise ValueError(
+            "asof_join: value_cols must name at least one right column to "
+            "carry (an existence-only probe can pass the right timestamp "
+            "column itself)"
+        )
 
     # a NULL right_ts sorts NULLS FIRST in the carry window, so its struct
     # would be carried as a "match" for every later left row — but a NULL
     # timestamp satisfies no `right_ts <= left_ts` predicate (the DuckDB
     # ASOF oracle agrees: e.ts >= p.ts is false for NULL). Drop such rows
-    # up front (round-12 review).
+    # up front (round-12 review). NULL join KEYS are dropped for the same
+    # reason: Window.partitionBy groups NULLs into one partition, so a
+    # NULL-keyed right row would be carried as the match for NULL-keyed
+    # left rows — but NULL = NULL satisfies no equi-join predicate, and
+    # the SQL/DuckDB ASOF semantics this operator promises return NULL
+    # values for such left rows (round-13 review).
     right = right.filter(F.col(right_ts).isNotNull())
+    for k in by:
+        right = right.filter(F.col(k).isNotNull())
     r = right.select(
         *by,
         F.col(right_ts).alias("__ts"),

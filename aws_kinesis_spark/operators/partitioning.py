@@ -93,7 +93,7 @@ def salted_join(
     # key-only fact (the provable case) is rejected up front, and callers
     # whose non-key columns don't vary within the hot key must pass a
     # row-unique salt_source (sequence number, event id).
-    if salt_source is None and [c for c in fact.columns] == [key]:
+    if salt_source is None and fact.columns == [key]:
         raise ValueError(
             "fact has no non-key column to salt on: the default content "
             "hash would equal hash(key) — zero mitigation; pass a "

@@ -66,6 +66,7 @@ class SpaceSaving:
         else:
             # SpaceSaving eviction: replace the minimum live counter; the
             # newcomer inherits its count as overestimation
+            self._evicted = True
             while True:
                 vcount, victim = heapq.heappop(self._heap)
                 if self.counts.get(victim, (None,))[0] == vcount:
@@ -76,8 +77,14 @@ class SpaceSaving:
 
     def floor(self) -> int:
         """Minimum counter value — the per-partition bound on how often a
-        token ABSENT from this summary may still have occurred."""
-        if len(self.counts) < self.capacity:
+        token ABSENT from this summary may still have occurred. Zero while
+        NO eviction has happened: the summary is then lossless, so an
+        absent token truly occurred zero times. The old len(counts) <
+        capacity proxy broke at EXACTLY capacity distinct tokens — a
+        lossless summary reported a nonzero floor, inflating n_est/err for
+        every token absent from it and violating the documented
+        exact-when-distinct<=capacity contract (round-13 review)."""
+        if not getattr(self, "_evicted", False):
             return 0
         return min(c for c, _ in self.counts.values())
 

@@ -1195,3 +1195,62 @@ def test_lsh_geometry_probe_covers_the_query_side(spark):
     )
     with _pytest.raises(ValueError, match="exceeds the query embedding dim"):
         knn_lsh(em, short_queries, k=5, tables=8, bits=8)
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """Round-13 review: Window.partitionBy groups NULL keys, so a
+    NULL-keyed right row was carried as the match for NULL-keyed left
+    rows — but NULL = NULL satisfies no equi-join predicate; such left
+    rows must come back with NULL values (the DuckDB ASOF semantics)."""
+    from aws_kinesis_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 30), (1, 30)], "user_id INT, ts INT"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(None, 10, 5.0), (1, 10, 7.0)], "user_id INT, ts INT, v DOUBLE"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = {r.user_id: r.v_right for r in asof_join(left, right, ["user_id"], "ts", "ts", ["v"]).collect()}
+    assert out[1] == 7.0
+    assert out[None] is None  # NULL key matches nothing
+
+
+def test_asof_join_rejects_empty_value_cols(spark):
+    import pytest as _pytest
+
+    from aws_kinesis_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([(1, 1)], "user_id INT, ts INT")
+    with _pytest.raises(ValueError, match="value_cols"):
+        asof_join(df, df, ["user_id"], "ts", "ts", [])
+
+
+def test_spacesaving_floor_is_zero_without_eviction_at_exact_capacity():
+    """Round-13 review: a partition holding EXACTLY capacity distinct
+    tokens is still lossless — floor() must be 0, not the minimum
+    counter (which inflated n_est/err for absent tokens and broke the
+    exact-when-distinct<=capacity contract)."""
+    from aws_kinesis_spark.operators.sketch import SpaceSaving
+
+    ss = SpaceSaving(capacity=4)
+    for tok, n in (("a", 5), ("b", 3), ("c", 2), ("d", 1)):
+        for _ in range(n):
+            ss.update(tok)
+    assert len(ss.counts) == 4
+    assert ss.floor() == 0  # no eviction ever ran
+    ss.update("e")  # now one eviction: the floor is live
+    assert ss.floor() > 0
+
+
+def test_fingerprint_null_text_is_null_not_empty_hash(spark):
+    """Round-13 review: concat_ws skips NULLs, so NULL text fingerprinted
+    as md5('') and merged with genuinely-empty documents."""
+    from aws_kinesis_spark.functions.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "x y")], "doc_id INT, text STRING"
+    ).select("doc_id", fingerprint("text").alias("fp"))
+    rows = {r.doc_id: r.fp for r in df.collect()}
+    assert rows[1] is None
+    assert rows[2] is not None and rows[1] != rows[2]
+    assert rows[3] is not None
