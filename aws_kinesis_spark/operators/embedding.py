@@ -59,7 +59,13 @@ def quantization_error(
     rather than the bound."""
     v, scale, codes = _quant_cols(vec_col)
     err = F.zip_with(codes, v, lambda c, x: c * scale - x)
-    mse = F.aggregate(err, F.lit(0.0), lambda a, e: a + e * e) / F.size(v)
+    # empty-vector guard: 0.0/0 raises DIVIDE_BY_ZERO under this engine's
+    # ANSI mode, killing the whole scan for one failed upstream embed —
+    # an empty vector reports mse NULL with n_dims 0 (round-13 review)
+    mse = F.when(
+        F.size(v) > 0,
+        F.aggregate(err, F.lit(0.0), lambda a, e: a + e * e) / F.size(v),
+    )
     return emb.select(
         F.col(id_col),
         F.size(v).alias("n_dims"),

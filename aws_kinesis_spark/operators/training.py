@@ -34,7 +34,14 @@ def stratified_sample(
     reproduces the sample bit-for-bit). Pure projection: no shuffle, no
     sampling state, stable under repartitioning and incremental appends."""
 
-    h2 = F.substring(F.md5(F.col(key_col).cast("string")), 1, 2)
+    # NULL keys hash a sentinel, not NULL: md5(NULL) is NULL and a NULL
+    # threshold predicate silently DROPPED every NULL-key row from any
+    # stratum with fraction < 1, while fraction >= 1 strata kept them —
+    # inconsistent, unsampled data loss (round-13 review). The sentinel
+    # keeps NULL-key rows one deterministic coin flip like everyone else.
+    h2 = F.substring(
+        F.md5(F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))), 1, 2
+    )
 
     def pred(frac: float) -> F.Column:
         # the threshold is two lowercase hex chars; frac >= 1 must keep
@@ -72,8 +79,10 @@ def pack_sequences(
     parallelizes across shards exactly like the training loader reads them.
     """
     if budget < 1 or n_shards < 1:
-        # ANSI is off in this engine, so floor(x/0) and pmod(x, 0) would
-        # yield NULL bins/shards for EVERY row instead of erroring
+        # under this engine's ANSI mode floor(x/0) / pmod(x, 0) raise
+        # DIVIDE_BY_ZERO mid-job (the old comment claimed ANSI was off and
+        # NULLs would flow — wrong both ways, round-13 review); fail at
+        # the API boundary with the actual contract instead
         raise ValueError(
             f"pack_sequences: budget ({budget}) and n_shards ({n_shards}) "
             "must be >= 1"
@@ -112,7 +121,13 @@ def training_order(
     Seedless and engine-reproducible (same md5 trick as the g09 split):
     re-running any epoch, on any engine, yields the identical order, and
     different epochs decorrelate because the epoch is folded into the
-    hash."""
+    hash.
+
+    PRECONDITION: ``id_col`` must be non-NULL and unique. concat_ws skips
+    a NULL id, so every NULL-id doc would share md5('<epoch>') — one
+    bucket, tied order keys, and row_number breaks the tie arbitrarily
+    per run, voiding the reproducible-order contract for exactly those
+    rows (round-13 review)."""
     h = F.md5(F.concat_ws(":", F.lit(str(epoch)), F.col(id_col).cast("string")))
     w = Window.partitionBy("bucket").orderBy("__h", id_col)
     return (
@@ -224,7 +239,6 @@ def chunk_documents(
         F.explode(F.sequence(F.lit(1), n, F.lit(step))).alias("__s"),
     ).filter((F.col("__s") == 1) | (F.col("__s") <= F.size("__t") - overlap))
     s = F.col("__s")
-    n = F.size("__t")
     chunk_len = F.least(F.lit(chunk_tokens), n - s + 1)
     return starts.select(
         id_col,

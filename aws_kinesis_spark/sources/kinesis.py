@@ -157,10 +157,27 @@ def stream_source(
         for k, v in opts.items():
             reader = reader.option(k, v)
         try:
+            # Real Kinesis sequence numbers run ~56 digits (the API allows
+            # up to 128), far past DECIMAL(38,0) — a plain CAST dies with a
+            # generic ANSI overflow on the first production micro-batch
+            # (round-13 review). try_cast + a NAMED raise keeps the
+            # contract explicit: the envelope schema's decimal is the
+            # engine-wide ordering key, so oversized upstream numbers need
+            # an explicit remapping (e.g. a per-shard monotonic surrogate),
+            # not a silent NULL that would break ordering and dedup.
             return reader.load().selectExpr(
                 "CAST(data AS BINARY) AS data",
                 "partitionKey AS partition_key",
-                "CAST(sequenceNumber AS DECIMAL(38,0)) AS sequence_number",
+                """CASE
+                     WHEN sequenceNumber IS NULL THEN NULL
+                     WHEN TRY_CAST(sequenceNumber AS DECIMAL(38,0)) IS NULL
+                       THEN RAISE_ERROR(CONCAT(
+                         'kinesis sequenceNumber exceeds DECIMAL(38,0): ',
+                         sequenceNumber,
+                         ' — map it to a per-shard surrogate before the ',
+                         'envelope schema'))
+                     ELSE TRY_CAST(sequenceNumber AS DECIMAL(38,0))
+                   END AS sequence_number""",
                 "approximateArrivalTimestamp AS arrival_ts",
             )
         except Exception as e:

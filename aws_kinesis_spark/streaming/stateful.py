@@ -92,8 +92,15 @@ def start_buffer_accounting(
     "Records: 1000 / 1.38 MB", README.md:260-276)."""
     keyed = env_stream.select(
         # o_orderkey-derived shard so tests/oracles can reproduce it in SQL;
-        # production uses pmod(hash(partition_key), n_shards) (README.md:47)
-        (F.element_at(F.split("partition_key", "-"), -1).cast("long") % n_shards)
+        # production keys have no numeric tail, so the non-numeric case
+        # falls back to pmod(hash(partition_key), n_shards) (README.md:47)
+        # via try_cast instead of an ANSI CAST_INVALID_INPUT that killed
+        # the query on the first real Kinesis key (round-13 review)
+        F.coalesce(
+            F.element_at(F.split("partition_key", "-"), -1).try_cast("long")
+            % n_shards,
+            F.pmod(F.xxhash64("partition_key"), F.lit(n_shards)),
+        )
         .cast("int")
         .alias("shard"),
         F.col("sequence_number"),

@@ -1254,3 +1254,74 @@ def test_fingerprint_null_text_is_null_not_empty_hash(spark):
     assert rows[1] is None
     assert rows[2] is not None and rows[1] != rows[2]
     assert rows[3] is not None
+
+
+def test_stratified_sample_keeps_null_keys_on_one_deterministic_coin(spark):
+    """Round-13 review: md5(NULL) is NULL, so NULL-key rows silently
+    vanished from any stratum with fraction < 1 while fraction >= 1
+    strata kept them. NULL keys now hash a sentinel — one deterministic
+    flip, consistent across strata and re-runs."""
+    from aws_kinesis_spark.operators.training import stratified_sample
+
+    rows = [("en", None), ("en", 1), ("de", None), ("de", 2)]
+    df = spark.createDataFrame(rows, "lang STRING, doc_id INT")
+    # fraction 1.0 stratum always keeps its NULL row; the <1 stratum's
+    # NULL row follows the sentinel hash (deterministic either way)
+    out1 = stratified_sample(df, "lang", {"en": 0.5}, "doc_id")
+    out2 = stratified_sample(df, "lang", {"en": 0.5}, "doc_id")
+    key = lambda t: (str(t[0]), str(t[1]))
+    assert sorted(map(tuple, out1.collect()), key=key) == sorted(map(tuple, out2.collect()), key=key)
+    kept_de = out1.filter(F.col("lang") == "de").count()
+    assert kept_de == 2  # default fraction 1.0 keeps NULL-key rows
+    # and a full-keep en fraction keeps the NULL row too
+    assert stratified_sample(df, "lang", {"en": 1.0}, "doc_id").count() == 4
+
+
+def test_quantization_error_survives_an_empty_vector(spark):
+    """Round-13 review: 0.0 / size([]) raised DIVIDE_BY_ZERO under ANSI
+    and killed the scan for one failed upstream embed."""
+    from aws_kinesis_spark.operators.embedding import quantization_error
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0]), (2, [])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    rows = {r.vec_id: r for r in quantization_error(df).collect()}
+    assert rows[1].n_dims == 2 and rows[1].mse is not None
+    assert rows[2].n_dims == 0 and rows[2].mse is None
+
+
+def test_buffer_accounting_shard_falls_back_to_hash_for_real_keys(spark):
+    """Round-13 review: production partition keys have no numeric tail —
+    the plain cast raised CAST_INVALID_INPUT under ANSI and killed the
+    stream; non-numeric tails now shard by pmod(xxhash64(key))."""
+    df = spark.createDataFrame(
+        [("sales-orders-7",), ("user-abc123",)], "partition_key STRING"
+    )
+    shard = F.coalesce(
+        F.element_at(F.split("partition_key", "-"), -1).try_cast("long") % 8,
+        F.pmod(F.xxhash64("partition_key"), F.lit(8)),
+    ).cast("int")
+    rows = {r.partition_key: r.s for r in df.select("partition_key", shard.alias("s")).collect()}
+    assert rows["sales-orders-7"] == 7
+    assert 0 <= rows["user-abc123"] < 8  # hashed, not an exception
+
+
+def test_kinesis_sequence_mapping_rejects_oversized_numbers_with_a_named_error(spark):
+    """Round-13 review: real Kinesis sequence numbers (~56 digits) blow
+    DECIMAL(38,0); the mapping must fail with the remapping remedy, not a
+    generic ANSI overflow, and keep fixture-sized numbers exact."""
+    import pytest as _pytest
+
+    expr = """CASE
+         WHEN sequenceNumber IS NULL THEN NULL
+         WHEN TRY_CAST(sequenceNumber AS DECIMAL(38,0)) IS NULL
+           THEN RAISE_ERROR(CONCAT('kinesis sequenceNumber exceeds DECIMAL(38,0): ',
+             sequenceNumber))
+         ELSE TRY_CAST(sequenceNumber AS DECIMAL(38,0))
+       END AS sequence_number"""
+    ok = spark.createDataFrame([("123",), (None,)], "sequenceNumber STRING").selectExpr(expr)
+    vals = [r.sequence_number for r in ok.collect()]
+    assert sorted(str(v) for v in vals) == ["123", "None"]
+    bad = spark.createDataFrame([("9" * 56,)], "sequenceNumber STRING").selectExpr(expr)
+    with _pytest.raises(Exception, match="exceeds DECIMAL"):
+        bad.collect()
