@@ -343,3 +343,93 @@ def cap_per_key(
         .filter(F.col("__full") | (F.col("__rn") <= F.col("__quota")))
         .select(*df.columns)
     )
+
+
+def oversample_mixture(
+    df: DataFrame,
+    weight: F.Column,
+    id_col: str,
+    epoch_col: str = "epoch",
+    max_copies: int = 100,
+) -> DataFrame:
+    """Training-mixture materialization with FRACTIONAL EPOCHS — the
+    Dolma/LLaMA recipe step where a high-value source trains for 2.75
+    epochs while a bulk crawl trains for 0.5: each row is emitted
+    ``floor(w)`` times plus one more with probability ``frac(w)``, tagged
+    with an ``epoch_col`` repeat index. Generalizes the existing
+    downsamplers (g24/g29/g36 keep-rate <= 1) to weights ABOVE 1 — the
+    direction they cannot express.
+
+    Deterministic and seedless: the fractional coin is the g29
+    md5-uniform draw on the row id (an md5-derived 32-bit integer /
+    2^32), and the keep/extra-copy boundary uses only IEEE-exact ops
+    (integer floor, one subtract of exactly-representable doubles, one
+    compare — no ln/pow), so any engine reproduces the emitted multiset
+    bit-for-bit and a backfill re-run is byte-identical.
+
+    Scale: map-only — copies is an in-row expression and the repeat is
+    explode(sequence(0, copies-1)) in the scan stage; zero shuffle, no
+    sampling state, no driver participation. Output size is
+    sum(w_i) +- nothing (exact in expectation per row, exact per row up
+    to the single fractional coin). ``max_copies`` is an in-plan
+    tripwire (raise_error, not a silent cap): a malformed weight column
+    cannot explode a row into millions of copies.
+
+    Semantics pinned by tests: NULL id draws through a sentinel (one
+    deterministic coin like everyone else, the stratified_sample
+    posture); NULL or negative weight means 0 copies (the row leaves
+    the mixture, matching keep-rate-0 in the downsamplers)."""
+    if max_copies < 1:
+        raise ValueError(f"max_copies must be >= 1, got {max_copies}")
+    reserved = {"__copies", "__u", epoch_col}
+    clash = reserved & set(df.columns)
+    if clash:
+        # withColumn REPLACES same-named input columns (round-12 ADVICE
+        # precedent on cap_per_key): fail instead of corrupting
+        raise ValueError(
+            f"df columns collide with oversample_mixture names: {sorted(clash)}"
+        )
+    w = F.when(weight.isNull() | (weight < 0), F.lit(0.0)).otherwise(
+        weight.cast("double")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("os:"),
+                        F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null")),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    copies = (F.floor(w).cast("int") + (u < (w - F.floor(w))).cast("int")).alias(
+        "__copies"
+    )
+    guarded = F.when(
+        F.col("__copies") > max_copies,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"oversample_mixture: copies exceeds max_copies={max_copies} "
+                    "for id "
+                ),
+                F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+            )
+        ).cast("int"),
+    ).otherwise(F.col("__copies"))
+    return (
+        df.withColumn("__copies", copies)
+        .withColumn("__copies", guarded)
+        .filter(F.col("__copies") > 0)
+        .withColumn(
+            epoch_col, F.explode(F.sequence(F.lit(0), F.col("__copies") - 1))
+        )
+        .drop("__copies")
+    )

@@ -2358,3 +2358,140 @@ def g52_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+@register(
+    "g53_quality_classifier",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CAST(sum((CAST(concat('0x', substr(md5(t), 1, 4)) AS INT)
+                             % 64 % 9) - 4) AS BIGINT) AS score_sum,
+                   count(*) AS n_tokens
+            FROM tok GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(CAST(score_sum AS DOUBLE) / n_tokens, 4) + 0.0 AS clf_logit,
+               CAST(score_sum > 0 AS INT) AS kept
+        FROM scored
+    """,
+)
+def g53_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6++: MODEL-BASED quality scoring — linear classifier inference over
+    hashed bag-of-tokens features, the fastText/CCNet/FineWeb-edu pattern
+    (Joulin et al. 2016; CCNet's LM-filter stage) that g06 (global
+    heuristic gate) and g51 (per-source calibrated gate) deliberately are
+    not: here the signal is a LEARNED weight per hashed token bucket, not
+    a hand-set ratio. The model is a 64-bucket weight table embedded in
+    the plan as an array literal (weights derived deterministically from
+    the bucket id so both engines hold the identical model without a
+    training artifact); per-doc logit = sum(w[h(tok)]) / n_tokens, and
+    the keep decision compares the INTEGER weight sum against 0 — exact
+    on both engines, so the kept set cannot de-synchronize at the
+    boundary (the g29 no-ln/pow discipline; the sigmoid is monotone in
+    the logit, so thresholding the logit IS thresholding the
+    probability).
+
+    Scale: inference is MAP-ONLY — tokenize, hash, look up, accumulate,
+    all in-row inside whole-stage codegen; the corpus never shuffles and
+    there is no Python in the plan. A real model (fastText's 2M-bucket
+    bigram table, a distilled regressor) swaps the array literal for a
+    broadcast variable read inside an Arrow pandas_udf batched matmul —
+    the plan shape (broadcast model, embarrassingly parallel scan) is
+    unchanged at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    n_buckets = 64
+    # the "trained model": weight per hash bucket, embedded in the plan
+    wt_arr = F.array(*[F.lit((b % 9) - 4) for b in range(n_buckets)])
+    toks = F.split(F.col("text"), " ")
+    contrib = F.transform(
+        toks,
+        lambda t: F.element_at(
+            wt_arr,
+            (F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int") % n_buckets)
+            + 1,
+        ),
+    )
+    score_sum = F.aggregate(
+        contrib, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        score_sum.alias("__s"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("__s").cast("double") / F.col("n_tokens"), 4).alias(
+            "clf_logit"
+        ),
+        (F.col("__s") > 0).cast("int").alias("kept"),
+    )
+
+
+@register(
+    "g54_mixture_oversample",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, source,
+                   CAST(0.5 AS DOUBLE)
+                   + (CAST(concat('0x', substr(md5(source), 1, 4)) AS INT) % 4)
+                     * CAST(0.75 AS DOUBLE) AS wt,
+                   CAST(concat('0x', substr(md5('os:' || CAST(doc_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT)
+                   / 4294967296.0 AS u
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, source, wt,
+                   CAST(floor(wt) AS INT)
+                   + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS copies
+            FROM w
+        )
+        SELECT doc_id, source,
+               CAST(unnest(generate_series(0, copies - 1)) AS INT) AS epoch,
+               round(wt, 4) + 0.0 AS mix_weight
+        FROM c WHERE copies > 0
+    """,
+)
+def g54_mixture_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G24++: mixture materialization with FRACTIONAL EPOCHS — the
+    Dolma/LLaMA data-recipe step where a curated source trains for 2.75
+    epochs while bulk crawl trains for 0.5 of one. Every existing mixture
+    knob here (g24 temperature, g29 importance, g36 token budget) can
+    only DOWN-sample (keep rate <= 1); real pretraining mixes UP-sample
+    their best sources, which needs row REPLICATION with a repeat index
+    (epoch) so downstream packing/shuffling treats each copy as a
+    distinct training row. Per-source weights {0.5, 1.25, 2.0, 2.75}
+    are derived in-plan from an md5 bucket of the source name (a stand-in
+    for the recipe's config table); each row emits floor(w) copies plus
+    one more iff its g29-style md5-uniform draw falls below frac(w) —
+    frac values here are exactly representable doubles and the compare
+    is the only boundary op, so both engines emit the identical multiset
+    (operators/training.py:oversample_mixture, which also pins the NULL
+    id/weight semantics and carries an in-plan max_copies tripwire).
+
+    Scale: map-only — copies is an in-row expression, replication is
+    explode(sequence()) in the scan stage; zero shuffle, no sampling
+    state, output sized sum(w_i). The weight table in production is a
+    sources-sized broadcast join, exactly the g51 shape."""
+    from aws_kinesis_spark.operators.training import oversample_mixture
+
+    d = load(spark, sf_dir, "documents")
+    wt = F.lit(0.5) + (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 4), 16, 10).cast("int") % 4
+    ) * F.lit(0.75)
+    base = d.select("doc_id", "source", wt.alias("mix_weight"))
+    return oversample_mixture(
+        base, F.col("mix_weight"), id_col="doc_id", epoch_col="epoch"
+    ).select(
+        "doc_id",
+        "source",
+        F.col("epoch").cast("int").alias("epoch"),
+        F.round("mix_weight", 4).alias("mix_weight"),
+    )

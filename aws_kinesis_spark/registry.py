@@ -499,14 +499,27 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #   in:  g52 (NEW: merge-on-read deletes against the persistent IVF
 #        store — horizon-scoped tombstones, applied+cleared at
 #        compaction; operators/ivf_index.py:delete_from_ivf_index)
+# Round-13 late registrations (2 more new queries registered AND
+# windowed the same round — new queries always window the round they
+# register, taking the freshest-possible r12-green slots):
+#   out: d08 (latest hard row r12, the freshest possible; the partial-
+#        agg + broadcast-dim machinery stays witnessed in-window by
+#        e01/g22/d36 — same groupBy partial-agg shuffle family), d12
+#        (latest hard row r12; the windowed rank/top-per-key family
+#        stays witnessed by g50, whose cutoff is result-identical to
+#        d12's row_number window and property-tested against it)
+#   in:  g53 (NEW: model-based quality classifier — hashed bag-of-tokens
+#        linear inference, map-only, the fastText/CCNet filter stage;
+#        plans/ext_queries.py:g53_quality_classifier), g54 (NEW:
+#        fractional-epoch mixture oversampling — the up-sampling
+#        direction g24/g29/g36 cannot express;
+#        operators/training.py:oversample_mixture)
 # Post-r13 freshness ledger (for the round-14 rotation): the r8 block
 # (13: a13, c10, d06, d10b, g14b, g17, g21, g28, g29, g31, g33, g34,
 # o07) is the next incoming set, then the r9 block.
 DRIVER_WINDOW: list[str] = [
-    # D — relational core (9)
-    "d08_agg_pricing_summary",
+    # D — relational core (7)
     "d10c_percentiles",
-    "d12_latest_per_key",
     "d14d_pivot",
     "d22_golden_point_lookup",
     "d23_correlated_scalar_subquery",
@@ -538,7 +551,7 @@ DRIVER_WINDOW: list[str] = [
     "f02_grouped_map",
     "f03_grouped_agg_udaf",
     "f04_python_udtf",
-    # G — LLM-data-pipeline operators (22)
+    # G — LLM-data-pipeline operators (24)
     "g03d_knn_classify",
     "g04c_rolling_fingerprint",
     "g04d_tfidf_top_terms",
@@ -561,6 +574,8 @@ DRIVER_WINDOW: list[str] = [
     "g50_source_cap",
     "g51_per_source_quality_gate",
     "g52_ivf_delete",
+    "g53_quality_classifier",
+    "g54_mixture_oversample",
 ]
 
 

@@ -105,6 +105,11 @@ HEADLINE = [
     # round-13 addition: IVF tombstone deletes (build + delete + full
     # probe over the live store) join the headline the round they land
     "g52_ivf_delete",
+    # round-13 late additions: classifier inference (map-only hashed
+    # linear model) and fractional-epoch oversampling join the headline
+    # the round they land
+    "g53_quality_classifier",
+    "g54_mixture_oversample",
 ]
 
 

@@ -259,6 +259,20 @@ SHOWCASE = [
         "full sort; the ranking exchange moves ~keys*K rows, not the "
         "table.",
     ),
+    (
+        "g53_quality_classifier",
+        "Model inference as a scan-stage expression: tokenize, hash, "
+        "weight-lookup and accumulate all sit inside one "
+        "WholeStageCodegen span — zero Exchange, zero Python eval; the "
+        "corpus never shuffles for scoring.",
+    ),
+    (
+        "g54_mixture_oversample",
+        "Fractional-epoch replication as a scan-stage `Generate "
+        "explode` over an in-row sequence — zero Exchange, zero Python; "
+        "output size is sum(w_i) and the cost is one pass whatever the "
+        "mixture weights.",
+    ),
 ]
 
 
@@ -284,6 +298,13 @@ def main() -> None:
             "formatted"
         )
         plan = df._jdf.queryExecution().explainString(jmode)
+        # literal control bytes in plan text (e.g. the \x00 NULL-id
+        # sentinel in g54's md5 draw) would make PLANS.md a binary file
+        # for git/grep — escape them visibly
+        plan = "".join(
+            ch if ch == "\n" or ch == "\t" or ord(ch) >= 0x20 else f"\\x{ord(ch):02x}"
+            for ch in plan
+        )
         print(f"\n## {title}\n\n{note}\n\n```\n{plan.rstrip()}\n```")
 
     for name, note in SHOWCASE:

@@ -37,11 +37,12 @@ def test_driver_window_covers_every_family():
     # track the round-13 FRESHNESS rotation: the complete 24-query r6
     # backlog rotates in — the r6 block is G/E-heavy, so the family mix
     # shifts with it: d 13->9, c 3->2, b 3->2, a 5->4, o holds at 2,
-    # e 4->6, f holds at 3, g 17->22 — see the registry.py rotation log
-    # for every named witness on the 24 rotated-out slots.
+    # e 4->6, f holds at 3, g 17->24 (22 from the rotation + the two
+    # late registrations g53/g54 displacing d08/d12) — see the
+    # registry.py rotation log for every named witness.
     for prefix, minimum in [
-        ("d", 9), ("c", 2), ("b", 2), ("a", 4), ("o", 2),
-        ("g", 22), ("e", 6), ("f", 3),
+        ("d", 7), ("c", 2), ("b", 2), ("a", 4), ("o", 2),
+        ("g", 24), ("e", 6), ("f", 3),
     ]:
         got = sum(1 for n in window if n.startswith(prefix))
         assert got >= minimum, f"family {prefix}: {got} < {minimum}"
@@ -62,8 +63,11 @@ def test_driver_window_covers_every_family():
         "g23_leakage_safe_split", "g24_temperature_mixture",
         "g25_span_dedup", "g26_unigram_logprob",
         "o05_scd2_history", "o06_cdc_net_changes",
-        # NEW this round, windowed the round it registered (IVF deletes)
+        # NEW this round, windowed the round they registered (IVF
+        # deletes; classifier inference; fractional-epoch oversampling)
         "g52_ivf_delete",
+        "g53_quality_classifier",
+        "g54_mixture_oversample",
     }
     assert rotated_in <= set(window)
     # every rotated-out slot holds a green CORRECTNESS_r12 row (the
@@ -86,6 +90,11 @@ def test_driver_window_covers_every_family():
         # the same standing-store probed-cell path; filter_ids exactness
         # pinned in tests/test_ivf_index.py)
         "g41_filtered_knn",
+        # round-13 late registrations g53/g54 take the d08/d12 slots
+        # (both r12-green, the freshest possible; agg family witnessed
+        # by e01/g22/d36, top-per-key family by g50 — registry.py log)
+        "d08_agg_pricing_summary",
+        "d12_latest_per_key",
     }
     assert rotated_out & set(window) == set()
     # with this window, every registered query has had a driver slot
@@ -101,7 +110,7 @@ def test_registry_counts_pinned():
 
     registry._ensure_loaded()
     assert len(registry.DRIVER_WINDOW) == 50
-    assert len(registry.REGISTRY) == 167, len(registry.REGISTRY)
+    assert len(registry.REGISTRY) == 169, len(registry.REGISTRY)
     assert len(set(registry.DRIVER_WINDOW)) == 50  # no duplicate slots
     # round 7 closed the rows-only dead end: every registered query now
     # carries a DuckDB twin (the sketch/ANN paths via deterministic

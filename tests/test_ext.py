@@ -1325,3 +1325,59 @@ def test_kinesis_sequence_mapping_rejects_oversized_numbers_with_a_named_error(s
     bad = spark.createDataFrame([("9" * 56,)], "sequenceNumber STRING").selectExpr(expr)
     with _pytest.raises(Exception, match="exceeds DECIMAL"):
         bad.collect()
+
+
+def _py_oversample_copies(doc_id, weight):
+    """Python reference for oversample_mixture's per-row copy count."""
+    import hashlib
+    import math
+
+    if weight is None or weight < 0:
+        weight = 0.0
+    sid = "\x00null" if doc_id is None else str(doc_id)
+    u = int(hashlib.md5(("os:" + sid).encode()).hexdigest()[:8], 16) / 2**32
+    return int(math.floor(weight)) + (1 if u < weight - math.floor(weight) else 0)
+
+
+def test_oversample_mixture_matches_python_reference(spark):
+    """g54 kernel: emitted multiset equals floor(w) + md5-Bernoulli(frac(w))
+    per row, epochs contiguous from 0; NULL weight and negative weight mean
+    0 copies; NULL id draws through the sentinel (one deterministic coin,
+    not a silent drop)."""
+    from aws_kinesis_spark.operators.training import oversample_mixture
+
+    rows = [
+        (1, 0.0),
+        (2, 0.4),
+        (3, 1.0),
+        (4, 2.5),
+        (5, 3.75),
+        (6, None),
+        (7, -1.5),
+        (None, 2.5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, w DOUBLE")
+    got = {}
+    for r in oversample_mixture(df, F.col("w"), id_col="doc_id").collect():
+        got.setdefault(r.doc_id, []).append(r.epoch)
+    for doc_id, w in rows:
+        copies = _py_oversample_copies(doc_id, w)
+        epochs = sorted(got.get(doc_id, []))
+        assert epochs == list(range(copies)), (doc_id, w, copies, epochs)
+
+
+def test_oversample_mixture_rejects_reserved_clash_and_caps_copies(spark):
+    """Temp/output name collisions raise instead of corrupting (the
+    cap_per_key ADVICE precedent), and the in-plan max_copies tripwire
+    RAISES on a malformed weight rather than silently clamping."""
+    from aws_kinesis_spark.operators.training import oversample_mixture
+
+    clash = spark.createDataFrame([(1, 1.0, 9)], "doc_id INT, w DOUBLE, epoch INT")
+    with pytest.raises(ValueError, match="epoch"):
+        oversample_mixture(clash, F.col("w"), id_col="doc_id")
+    with pytest.raises(ValueError, match="max_copies"):
+        oversample_mixture(clash.drop("epoch"), F.col("w"), id_col="doc_id",
+                           max_copies=0)
+    bomb = spark.createDataFrame([(1, 1e6)], "doc_id INT, w DOUBLE")
+    with pytest.raises(Exception, match="max_copies"):
+        oversample_mixture(bomb, F.col("w"), id_col="doc_id").collect()

@@ -801,3 +801,25 @@ def test_source_cap_ranks_per_bucket_behind_broadcast_cutoffs(spark):
     assert rn and all("__b" in l for l in rn), rn
     # and the count pass must partial-aggregate (map-side combine)
     assert "partial_count" in plan
+
+
+def test_quality_classifier_is_map_only_jvm(spark):
+    """G53: classifier inference must be a pure scan-stage expression —
+    no Exchange (the corpus never shuffles) and no Python eval node (the
+    embedded weight table keeps the hot path in whole-stage codegen; the
+    documented 100 TB swap to a pandas_udf matmul is for REAL models)."""
+    plan = _plan(queries()["g53_quality_classifier"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "codegen id" in plan, plan
+
+
+def test_mixture_oversample_is_map_only_generate(spark):
+    """G54: fractional-epoch oversampling must replicate rows via a
+    scan-stage Generate (explode of an in-row sequence) with zero
+    Exchange and zero Python — copies is pure arithmetic, so the op
+    costs one pass regardless of the mixture weights."""
+    plan = _plan(queries()["g54_mixture_oversample"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Generate" in plan and "explode" in plan, plan

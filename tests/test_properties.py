@@ -808,3 +808,49 @@ def test_ivf_delete_property_matches_bruteforce_over_live_set(
     if dead.count():
         update_ivf_index(df.join(dead, "vec_id", "left_semi"), idx)
         assert probe() == brute(df)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=50)),
+            st.one_of(
+                st.none(),
+                st.floats(min_value=-2.0, max_value=5.0, allow_nan=False),
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_oversample_mixture_matches_python_reference(spark_session, rows):
+    """g54's kernel over arbitrary (id, weight) rows: the emitted multiset
+    must equal the Python floor(w) + md5-Bernoulli(frac(w)) reference with
+    contiguous epoch indices — NULL/negative weights emit nothing, NULL ids
+    draw through the sentinel. Duplicate ids share one coin (the draw is a
+    pure function of the id), so expected counts just add up."""
+    import hashlib
+    import math
+
+    from aws_kinesis_spark.operators.training import oversample_mixture
+
+    def copies(doc_id, w):
+        if w is None or w < 0:
+            w = 0.0
+        sid = "\x00null" if doc_id is None else str(doc_id)
+        u = int(hashlib.md5(("os:" + sid).encode()).hexdigest()[:8], 16) / 2**32
+        return int(math.floor(w)) + (1 if u < w - math.floor(w) else 0)
+
+    df = spark_session.createDataFrame(rows, "doc_id INT, w DOUBLE")
+    got: dict = {}
+    for r in oversample_mixture(df, F.col("w"), id_col="doc_id").collect():
+        got.setdefault(r.doc_id, []).append(r.epoch)
+    expect: dict = {}
+    for doc_id, w in rows:
+        n = copies(doc_id, w)
+        if n:
+            expect.setdefault(doc_id, []).extend(range(n))
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in expect.items()
+    }
