@@ -258,3 +258,53 @@ def _gram_array(t: Column, n: int) -> Column:
             grams, F.slice(t, 1 + j, m), lambda a, b: F.concat_ws(" ", a, b)
         )
     return grams
+
+
+def linear_model_scorer(spark, weights):
+    """The g53 classifier's REAL-MODEL serving path: score token arrays
+    against an arbitrary hashed bag-of-tokens linear model (fastText /
+    CCNet LM-filter / FineWeb-edu regressor head) whose weight vector is
+    too large to embed in the plan as a literal.
+
+    The weights ship once per executor as a Spark BROADCAST variable and
+    the scoring runs inside one Arrow-batched pandas_udf — the exact plan
+    shape g53's docstring promises at 100 TB: broadcast model + an
+    embarrassingly parallel ArrowEvalPython projection over the scan, no
+    shuffle, no per-task weight reserialization (the closure carries the
+    broadcast handle, not the array).
+
+    Semantics are IDENTICAL to the in-plan literal form (pinned by
+    tests/test_ext.py::test_linear_model_scorer_matches_in_plan_form):
+    bucket = int(md5(token)[:4], 16) % len(weights), logit =
+    sum(w[bucket]) / n_tokens accumulated in input order. NULL or empty
+    token arrays score NULL (the in-plan form never sees an empty array
+    from split(); callers feeding tokenized columns can). Returns a
+    function mapping a tokens Column to a double logit Column."""
+    import hashlib
+
+    import numpy as np
+
+    w = np.asarray(weights, dtype="float64")
+    if w.ndim != 1 or len(w) == 0:
+        raise ValueError("weights must be a non-empty 1-D vector")
+    n_buckets = len(w)
+    bc = spark.sparkContext.broadcast(w)
+
+    @F.pandas_udf("double")
+    def logit(toks: pd.Series) -> pd.Series:
+        wv = bc.value
+        out = []
+        for t in toks:
+            if t is None or len(t) == 0:
+                out.append(None)
+                continue
+            s = 0.0
+            for tok in t:
+                s += wv[
+                    int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:4], 16)
+                    % n_buckets
+                ]
+            out.append(s / len(t))
+        return pd.Series(out, dtype="float64")
+
+    return logit

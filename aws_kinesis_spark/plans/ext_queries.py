@@ -2401,7 +2401,10 @@ def g53_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     all in-row inside whole-stage codegen; the corpus never shuffles and
     there is no Python in the plan. A real model (fastText's 2M-bucket
     bigram table, a distilled regressor) swaps the array literal for a
-    broadcast variable read inside an Arrow pandas_udf batched matmul —
+    broadcast variable read inside an Arrow pandas_udf — that serving
+    path is IMPLEMENTED at functions/text.py:linear_model_scorer and
+    pinned bit-for-bit against this form on the same model
+    (tests/test_ext.py::test_linear_model_scorer_matches_in_plan_form);
     the plan shape (broadcast model, embarrassingly parallel scan) is
     unchanged at 100 TB."""
     d = load(spark, sf_dir, "documents")

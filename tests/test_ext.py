@@ -1381,3 +1381,45 @@ def test_oversample_mixture_rejects_reserved_clash_and_caps_copies(spark):
     bomb = spark.createDataFrame([(1, 1e6)], "doc_id INT, w DOUBLE")
     with pytest.raises(Exception, match="max_copies"):
         oversample_mixture(bomb, F.col("w"), id_col="doc_id").collect()
+
+
+def test_linear_model_scorer_matches_in_plan_form(spark):
+    """The broadcast-weights Arrow scorer (g53's documented real-model
+    serving path) must reproduce the in-plan literal form bit-for-bit on
+    the same derived model, and the plan must stay shuffle-free (one
+    ArrowEvalPython projection over the scan). NULL/empty token arrays
+    score NULL."""
+    from aws_kinesis_spark.functions.text import linear_model_scorer
+    from aws_kinesis_spark.registry import REGISTRY
+    from aws_kinesis_spark import registry as _r
+
+    _r._ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    weights = [(b % 9) - 4 for b in range(64)]
+    score = linear_model_scorer(spark, weights)
+    docs = load(spark, sf, "documents")
+    udf_side = docs.select(
+        "doc_id", score(F.split("text", " ")).alias("logit_udf")
+    )
+    plan = udf_side._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan
+    in_plan = REGISTRY["g53_quality_classifier"].fn(spark, sf).select(
+        "doc_id", (F.col("clf_logit")).alias("logit_ref"), "n_tokens"
+    )
+    # compare UNROUNDED udf logit against the reference recomputed at
+    # full precision: rounding both sides to 4 must agree exactly
+    joined = udf_side.join(in_plan, "doc_id")
+    bad = joined.filter(
+        F.round("logit_udf", 4).eqNullSafe(F.col("logit_ref")) == False  # noqa: E712
+    ).count()
+    assert bad == 0
+    # NULL and empty token arrays score NULL
+    edge = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, None), (3, [])],
+        "id INT, toks ARRAY<STRING>",
+    ).select("id", score(F.col("toks")).alias("logit"))
+    got = {r.id: r.logit for r in edge.collect()}
+    assert got[2] is None and got[3] is None and got[1] is not None
