@@ -277,9 +277,15 @@ def linear_model_scorer(spark, weights):
     tests/test_ext.py::test_linear_model_scorer_matches_in_plan_form):
     bucket = int(md5(token)[:4], 16) % len(weights), logit =
     sum(w[bucket]) / n_tokens accumulated in input order. NULL or empty
-    token arrays score NULL (the in-plan form never sees an empty array
+    token arrays score NULL, and a NULL ELEMENT inside the array also
+    scores the row NULL — matching the literal form, where md5(NULL)
+    poisons the aggregate to NULL (the in-plan form never sees either
     from split(); callers feeding tokenized columns can). Returns a
-    function mapping a tokens Column to a double logit Column."""
+    function mapping a tokens Column to a double logit Column; the
+    broadcast weight copy is exposed as ``fn.broadcast`` so a caller
+    cycling many models can ``fn.broadcast.destroy()`` when done
+    (broadcasts otherwise live until the session ends — reuse ONE
+    scorer per model)."""
     import hashlib
 
     import numpy as np
@@ -300,11 +306,17 @@ def linear_model_scorer(spark, weights):
                 continue
             s = 0.0
             for tok in t:
+                if tok is None:
+                    # a NULL element poisons the row to NULL, exactly
+                    # like md5(NULL) inside the in-plan aggregate
+                    s = None
+                    break
                 s += wv[
                     int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:4], 16)
                     % n_buckets
                 ]
-            out.append(s / len(t))
+            out.append(None if s is None else s / len(t))
         return pd.Series(out, dtype="float64")
 
+    logit.broadcast = bc
     return logit

@@ -371,9 +371,13 @@ def oversample_mixture(
     explode(sequence(0, copies-1)) in the scan stage; zero shuffle, no
     sampling state, no driver participation. Output size is
     sum(w_i) +- nothing (exact in expectation per row, exact per row up
-    to the single fractional coin). ``max_copies`` is an in-plan
-    tripwire (raise_error, not a silent cap): a malformed weight column
-    cannot explode a row into millions of copies.
+    to the single fractional coin). ``max_copies`` is a TWO-STAGE
+    in-plan tripwire (raise_error, not a silent cap): absurd weights die
+    on the double BEFORE any integer math (so neither an ANSI
+    CAST_OVERFLOW nor a non-ANSI silent wrap can ever reach the copy
+    count), and the exact long copy count is checked against the cap —
+    a malformed weight column cannot explode a row into millions of
+    copies or silently emit a bogus count.
 
     Semantics pinned by tests: NULL id draws through a sentinel (one
     deterministic coin like everyone else, the stratified_sample
@@ -381,7 +385,7 @@ def oversample_mixture(
     the mixture, matching keep-rate-0 in the downsamplers)."""
     if max_copies < 1:
         raise ValueError(f"max_copies must be >= 1, got {max_copies}")
-    reserved = {"__copies", "__u", epoch_col}
+    reserved = {"__copies", epoch_col}
     clash = reserved & set(df.columns)
     if clash:
         # withColumn REPLACES same-named input columns (round-12 ADVICE
@@ -392,6 +396,23 @@ def oversample_mixture(
     w = F.when(weight.isNull() | (weight < 0), F.lit(0.0)).otherwise(
         weight.cast("double")
     )
+    # stage-1 tripwire BEFORE any integer math: an absurd double weight
+    # (2^31, 1e300) must die with the NAMED error, not a generic ANSI
+    # CAST_OVERFLOW inside floor/cast — and on a non-ANSI engine a silent
+    # long->int wrap could otherwise emit a bogus copy count (round-13
+    # review). Everything at or below max_copies+1 is exact long math.
+    w = F.when(
+        w > F.lit(float(max_copies) + 1.0),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"oversample_mixture: weight exceeds max_copies={max_copies}"
+                    " for id "
+                ),
+                F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+            )
+        ).cast("double"),
+    ).otherwise(w)
     u = (
         F.conv(
             F.substring(
@@ -409,9 +430,10 @@ def oversample_mixture(
         ).cast("long")
         / F.lit(4294967296.0)
     )
-    copies = (F.floor(w).cast("int") + (u < (w - F.floor(w))).cast("int")).alias(
-        "__copies"
-    )
+    # copies stays LONG end-to-end (floor(double) is BIGINT); no int
+    # narrowing anywhere, so the only overflow surface is the guarded
+    # double above
+    copies = (F.floor(w) + (u < (w - F.floor(w))).cast("long")).alias("__copies")
     guarded = F.when(
         F.col("__copies") > max_copies,
         F.raise_error(
@@ -422,14 +444,15 @@ def oversample_mixture(
                 ),
                 F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
             )
-        ).cast("int"),
+        ).cast("long"),
     ).otherwise(F.col("__copies"))
     return (
         df.withColumn("__copies", copies)
         .withColumn("__copies", guarded)
         .filter(F.col("__copies") > 0)
         .withColumn(
-            epoch_col, F.explode(F.sequence(F.lit(0), F.col("__copies") - 1))
+            epoch_col,
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("__copies") - 1)),
         )
         .drop("__copies")
     )

@@ -1423,3 +1423,41 @@ def test_linear_model_scorer_matches_in_plan_form(spark):
     ).select("id", score(F.col("toks")).alias("logit"))
     got = {r.id: r.logit for r in edge.collect()}
     assert got[2] is None and got[3] is None and got[1] is not None
+
+
+def test_oversample_mixture_overflow_weights_hit_named_tripwire(spark):
+    """Round-13 review: weights at int-wrap scale (2^31, 2^32+50) must die
+    on the NAMED double-side tripwire before any integer cast — never a
+    generic ANSI CAST_OVERFLOW, never a silently wrapped copy count."""
+    from aws_kinesis_spark.operators.training import oversample_mixture
+
+    for w in (2147483648.0, 4294967346.0, 1e300):
+        df = spark.createDataFrame([(1, w)], "doc_id INT, w DOUBLE")
+        with pytest.raises(Exception, match="max_copies"):
+            oversample_mixture(df, F.col("w"), id_col="doc_id").collect()
+
+
+def test_linear_model_scorer_null_element_matches_in_plan_null_poisoning(spark):
+    """A NULL token INSIDE the array must score the row NULL in both the
+    broadcast scorer and the in-plan literal form (md5(NULL) poisons the
+    aggregate) — the round-13 review crash case."""
+    from aws_kinesis_spark.functions.text import linear_model_scorer
+
+    score = linear_model_scorer(spark, [(b % 9) - 4 for b in range(64)])
+    df = spark.createDataFrame(
+        [(1, ["a", None, "b"]), (2, ["a", "b"])], "id INT, toks ARRAY<STRING>"
+    )
+    got = {r.id: r.logit for r in df.select("id", score("toks").alias("logit")).collect()}
+    assert got[1] is None and got[2] is not None
+    # the in-plan form on the same poisoned array also yields NULL
+    wt_arr = F.array(*[F.lit((b % 9) - 4) for b in range(64)])
+    contrib = F.transform(
+        F.col("toks"),
+        lambda t: F.element_at(
+            wt_arr, (F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int") % 64) + 1
+        ),
+    )
+    s = F.aggregate(contrib, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    ref = {r.id: r.s for r in df.select("id", s.alias("s")).collect()}
+    assert ref[1] is None and ref[2] is not None
+    score.broadcast.destroy()
