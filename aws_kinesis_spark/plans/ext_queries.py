@@ -2498,3 +2498,97 @@ def g54_mixture_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("epoch").cast("int").alias("epoch"),
         F.round("mix_weight", 4).alias("mix_weight"),
     )
+
+
+@register(
+    "g55_pipeline_end_to_end",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CAST(sum((CAST(concat('0x', substr(md5(t), 1, 4)) AS INT)
+                             % 64 % 9) - 4) AS BIGINT) AS s,
+                   count(*) AS n_tokens
+            FROM tok GROUP BY doc_id
+        ),
+        gated AS (
+            SELECT d.doc_id, d.source, d.text, sc.n_tokens
+            FROM documents d JOIN scored sc USING (doc_id)
+            WHERE sc.s + sc.n_tokens > 0
+        ),
+        deduped AS (
+            SELECT doc_id, source, n_tokens FROM (
+                SELECT doc_id, source, n_tokens,
+                       row_number() OVER (PARTITION BY sha256(text)
+                                          ORDER BY doc_id) AS rn
+                FROM gated
+            ) WHERE rn = 1
+        )
+        SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens FROM (
+            SELECT doc_id, source, n_tokens,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS crn
+            FROM deduped
+        ) WHERE crn <= 10
+    """,
+)
+def g55_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline COMPOSED: classifier gate (g53's
+    model at threshold logit > -1, kept integer-exact as
+    s + n_tokens > 0 so the boundary cannot de-synchronize) ->
+    exact dedup keep-min (g01 semantics, sha-256 content hash) ->
+    skew-safe per-source cap (g50's cap_per_key kernel, K=10) — one
+    declarative plan proving the §2.G stages stack without
+    rematerialization, the way a real corpus build runs them (CCNet /
+    RefinedWeb order: quality model first, then dedup, then
+    over-representation guard). The oracle recomputes all three stages
+    in plain window SQL, so any composition bug (column collision,
+    NULL leakage between stages, cap desync against the window form)
+    breaks the value hash.
+
+    Scale: the gate is a scan-stage expression (no shuffle); dedup is
+    ONE hash shuffle on the 64-hex content digest (exact-dup groups are
+    tiny, skew-free by construction); the cap is the g50 two-phase
+    cutoff, so the composed plan's only other exchanges are the cap's
+    counts pass + the ~sources*K-row ranking slice. Catalyst pipelines
+    the gate into the parquet scan of BOTH cap passes — the corpus is
+    read twice (cap_per_key's documented deterministic-input
+    precondition; a parquet scan qualifies) but never fully shuffled."""
+    from pyspark.sql import Window
+
+    from aws_kinesis_spark.operators.training import cap_per_key
+
+    d = load(spark, sf_dir, "documents")
+    n_buckets = 64
+    wt_arr = F.array(*[F.lit((b % 9) - 4) for b in range(n_buckets)])
+    toks = F.split(F.col("text"), " ")
+    score_sum = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.element_at(
+                wt_arr,
+                (F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int")
+                 % n_buckets) + 1,
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    gated = d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        score_sum.alias("__s"),
+    ).filter(F.col("__s") + F.col("n_tokens") > 0)
+    wdup = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("__rn", F.row_number().over(wdup))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "source", "n_tokens")
+    )
+    return cap_per_key(deduped, key_col="source", id_col="doc_id", k=10)

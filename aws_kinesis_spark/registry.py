@@ -514,12 +514,19 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        fractional-epoch mixture oversampling — the up-sampling
 #        direction g24/g29/g36 cannot express;
 #        operators/training.py:oversample_mixture)
+#   out: d10c (latest hard row r12, the freshest possible; the exact-
+#        percentile family stays witnessed in-window by d36, which
+#        certifies the approx sketch INSIDE the exact band computed in
+#        the same aggregate)
+#   in:  g55 (NEW: the composed corpus build — g53 gate -> sha-256
+#        exact-dedup keep-min -> g50 cap in ONE plan, oracle recomputes
+#        all three stages in window SQL;
+#        plans/ext_queries.py:g55_pipeline_end_to_end)
 # Post-r13 freshness ledger (for the round-14 rotation): the r8 block
 # (13: a13, c10, d06, d10b, g14b, g17, g21, g28, g29, g31, g33, g34,
 # o07) is the next incoming set, then the r9 block.
 DRIVER_WINDOW: list[str] = [
-    # D — relational core (7)
-    "d10c_percentiles",
+    # D — relational core (6)
     "d14d_pivot",
     "d22_golden_point_lookup",
     "d23_correlated_scalar_subquery",
@@ -551,7 +558,7 @@ DRIVER_WINDOW: list[str] = [
     "f02_grouped_map",
     "f03_grouped_agg_udaf",
     "f04_python_udtf",
-    # G — LLM-data-pipeline operators (24)
+    # G — LLM-data-pipeline operators (25)
     "g03d_knn_classify",
     "g04c_rolling_fingerprint",
     "g04d_tfidf_top_terms",
@@ -576,6 +583,7 @@ DRIVER_WINDOW: list[str] = [
     "g52_ivf_delete",
     "g53_quality_classifier",
     "g54_mixture_oversample",
+    "g55_pipeline_end_to_end",
 ]
 
 

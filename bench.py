@@ -110,6 +110,7 @@ HEADLINE = [
     # the round they land
     "g53_quality_classifier",
     "g54_mixture_oversample",
+    "g55_pipeline_end_to_end",
 ]
 
 

@@ -267,6 +267,15 @@ SHOWCASE = [
         "corpus never shuffles for scoring.",
     ),
     (
+        "g55_pipeline_end_to_end",
+        "The composed corpus build (gate -> dedup -> cap) in one plan: "
+        "the classifier gate is a scan-stage filter (fused into the "
+        "parquet scans), dedup is one content-hash Exchange, and the "
+        "cap contributes its counts pass + the broadcast cutoff join + "
+        "the (key, bucket) ranking slice — no stage rematerializes the "
+        "corpus.",
+    ),
+    (
         "g54_mixture_oversample",
         "Fractional-epoch replication as a scan-stage `Generate "
         "explode` over an in-row sequence — zero Exchange, zero Python; "

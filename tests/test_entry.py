@@ -41,8 +41,8 @@ def test_driver_window_covers_every_family():
     # late registrations g53/g54 displacing d08/d12) — see the
     # registry.py rotation log for every named witness.
     for prefix, minimum in [
-        ("d", 7), ("c", 2), ("b", 2), ("a", 4), ("o", 2),
-        ("g", 24), ("e", 6), ("f", 3),
+        ("d", 6), ("c", 2), ("b", 2), ("a", 4), ("o", 2),
+        ("g", 25), ("e", 6), ("f", 3),
     ]:
         got = sum(1 for n in window if n.startswith(prefix))
         assert got >= minimum, f"family {prefix}: {got} < {minimum}"
@@ -68,6 +68,7 @@ def test_driver_window_covers_every_family():
         "g52_ivf_delete",
         "g53_quality_classifier",
         "g54_mixture_oversample",
+        "g55_pipeline_end_to_end",
     }
     assert rotated_in <= set(window)
     # every rotated-out slot holds a green CORRECTNESS_r12 row (the
@@ -95,6 +96,9 @@ def test_driver_window_covers_every_family():
         # by e01/g22/d36, top-per-key family by g50 — registry.py log)
         "d08_agg_pricing_summary",
         "d12_latest_per_key",
+        # g55 takes the d10c slot (r12-green; the percentile family stays
+        # witnessed by d36, the sketch-inside-exact-band certification)
+        "d10c_percentiles",
     }
     assert rotated_out & set(window) == set()
     # with this window, every registered query has had a driver slot
@@ -110,7 +114,7 @@ def test_registry_counts_pinned():
 
     registry._ensure_loaded()
     assert len(registry.DRIVER_WINDOW) == 50
-    assert len(registry.REGISTRY) == 169, len(registry.REGISTRY)
+    assert len(registry.REGISTRY) == 170, len(registry.REGISTRY)
     assert len(set(registry.DRIVER_WINDOW)) == 50  # no duplicate slots
     # round 7 closed the rows-only dead end: every registered query now
     # carries a DuckDB twin (the sketch/ANN paths via deterministic
