@@ -109,6 +109,25 @@ def _load_centroids(index_dir: str, nlist: int) -> np.ndarray:
     return np.array([c for _, c in rows], dtype=np.float64)
 
 
+def _newest_dir_num(path: str, prefixes: tuple[str, ...]) -> int:
+    """Newest committed ``<prefix>=N`` dir number under ``path`` (-1 if
+    none). THE one place that encodes the dir-visibility convention
+    (``.tmp``-suffixed dirs — including ``.prev.tmp`` swap leftovers —
+    are invisible; non-numeric names are ignored, not fatal): the same
+    rule previously lived copy-pasted in three writers' replay guards,
+    where one drifting copy would silently desynchronize them from the
+    readers' dir selection (round-13 review)."""
+    nums = []
+    for d in os.listdir(path) if os.path.isdir(path) else []:
+        head, _, tail = d.partition("=")
+        if head in prefixes and tail and not d.endswith(".tmp"):
+            try:
+                nums.append(int(tail))
+            except ValueError:
+                continue
+    return max(nums, default=-1)
+
+
 def _cells_schema(meta: dict) -> T.StructType:
     """Row schema of the cells store incl. the ``cell`` partition column —
     passed to every read so no probe pays a footer-inference job."""
@@ -135,8 +154,28 @@ def _write_cells_batch(assigned: DataFrame, cells_dir: str, batch_id: int) -> No
         .mode("overwrite")
         .parquet(tmp)
     )
-    shutil.rmtree(final, ignore_errors=True)  # replay overwrites, atomically
+    _swap_in(tmp, final)
+
+
+def _swap_in(tmp: str, final: str) -> None:
+    """Install ``tmp`` as ``final`` without a long delete-then-rename
+    window: the old rmtree(final)+replace left the COMMITTED data gone
+    for the full rmtree duration — a crash there silently deleted a
+    previously committed batch/tombstone while meta stayed committed
+    (round-13 review). Now the old dir is moved aside in one atomic
+    rename (the ``.prev.tmp`` suffix keeps it invisible to every
+    reader), the new dir lands in a second rename, and only then is the
+    old copy reclaimed. The crash window shrinks to the instant between
+    two renames, and even there the committed data still exists on disk
+    as ``<final>.prev.tmp`` — the replay that caused the overwrite
+    rewrites the batch and reclaims it (single-writer posture, as
+    documented on update_ivf_index)."""
+    prev = final + ".prev.tmp"
+    shutil.rmtree(prev, ignore_errors=True)
+    if os.path.exists(final):
+        os.replace(final, prev)
     os.replace(tmp, final)
+    shutil.rmtree(prev, ignore_errors=True)
 
 
 def build_ivf_index(
@@ -210,21 +249,9 @@ def update_ivf_index(
     # and _write_cells_batch's rename could still supersede the in-flight
     # append. The store's posture is one maintainer process (same as the
     # dedup-ingest index); concurrent writers need external coordination.
-    newest_compact = max(
-        (
-            int(d.split("=")[1])
-            for d in os.listdir(cells_dir)
-            if d.startswith("compact=") and not d.endswith(".tmp")
-        ),
-        default=-1,
-    )
+    newest_compact = _newest_dir_num(cells_dir, ("compact",))
     if batch_id is None:
-        existing = [
-            int(d.split("=")[1])
-            for d in os.listdir(cells_dir)
-            if d.split("=")[0] in ("batch", "compact") and not d.endswith(".tmp")
-        ]
-        batch_id = max(existing, default=-1) + 1
+        batch_id = _newest_dir_num(cells_dir, ("batch", "compact")) + 1
     elif batch_id <= newest_compact:
         raise ValueError(
             f"batch_id={batch_id} is at or below the newest compaction "
@@ -232,22 +259,23 @@ def update_ivf_index(
             "every probe and swept by the next compaction — replays of a "
             "compacted batch are already folded in; use a fresh id"
         )
-    assigned = new_vectors.select(meta["id_col"], meta["vec_col"]).withColumn(
-        "cell", nearest_cell_udf(cent)(F.col(meta["vec_col"]))
-    )
+    # cast to the index's stored row schema BEFORE writing: an appended
+    # frame with a drifted type (LONG ids into an INT-id index,
+    # array<double> into array<float>) would otherwise commit a batch the
+    # schema-enforced probe read rejects — bricking every later probe
+    # long after this append "succeeded" (round-13 review; the same
+    # defect class delete_from_ivf_index already casts away)
+    base = T.StructType.fromJson(json.loads(meta["row_schema"]))
+    assigned = new_vectors.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in base.fields]
+    ).withColumn("cell", nearest_cell_udf(cent)(F.col(meta["vec_col"])))
     _write_cells_batch(assigned, cells_dir, batch_id)
     return batch_id
 
 
 def _newest_committed_cells(cells_dir: str) -> int:
     """Newest committed cells number (batch= or compact=), -1 if none."""
-    names = os.listdir(cells_dir) if os.path.isdir(cells_dir) else []
-    nums = [
-        int(d.split("=")[1])
-        for d in names
-        if d.split("=")[0] in ("batch", "compact") and not d.endswith(".tmp")
-    ]
-    return max(nums, default=-1)
+    return _newest_dir_num(cells_dir, ("batch", "compact"))
 
 
 def _tomb_batches(index_dir: str) -> list[tuple[int, str, int]]:
@@ -361,8 +389,7 @@ def delete_from_ivf_index(
     )
     with open(os.path.join(tmp, _TOMB_META), "w") as f:
         json.dump({"horizon": horizon}, f)
-    shutil.rmtree(final, ignore_errors=True)  # replay overwrites, atomically
-    os.replace(tmp, final)
+    _swap_in(tmp, final)  # replay overwrites; old copy survives the swap
     return batch_id
 
 
@@ -379,28 +406,61 @@ def rebuild_ivf_index(
     re-assigns it, folding every batch dir and applying every tombstone
     physically in the process.
 
-    The live rows are materialized (eager localCheckpoint) BEFORE the
-    store is reset — build_ivf_index deletes the cells dirs it would
-    otherwise still be lazily reading — and the checkpoint blocks are
-    freed by the ContextCleaner when the rebuild returns (the probe-path
-    reasoning). A rebuild is a corpus-scale operation by definition; at
-    100 TB it is the same cost class as the original build, which is why
-    incremental maintenance (update/delete/compact) exists for everything
-    short of distribution drift. Crash-safety is build_ivf_index's
-    meta-last protocol: mid-rebuild, readers see an uncommitted store,
-    never a half-swapped one. Returns the number of cells."""
-    meta = _load_meta(index_dir)
-    live = read_ivf_cells(spark, index_dir).select(
-        meta["id_col"], meta["vec_col"]
-    ).localCheckpoint(eager=True)
-    return build_ivf_index(
-        live,
+    The live rows are staged DURABLY (parquet under the index dir, stage
+    manifest written last) BEFORE the store is reset — build_ivf_index
+    deletes the cells dirs it would otherwise still be lazily reading,
+    and an in-memory copy (localCheckpoint blocks) would be the ONLY
+    copy of the corpus at that point: any executor loss or job failure
+    mid-rebuild would then destroy the index unrecoverably (round-13
+    review). With the on-disk stage, every crash point is replayable:
+    before the stage manifest lands the store is untouched; after it, a
+    re-invoked rebuild detects the uncommitted store and RESUMES from
+    the stage (the manifest carries the column names and nlist the
+    deleted meta held). The stage is reclaimed only after the rebuild
+    commits. A rebuild is a corpus-scale operation by definition; at
+    100 TB it is the same cost class as the original build — the one
+    extra corpus write the stage costs is the price of not holding the
+    only copy in volatile memory — which is why incremental maintenance
+    (update/delete/compact) exists for everything short of distribution
+    drift. Returns the number of cells."""
+    stage = os.path.join(index_dir, "_rebuild_stage")
+    stage_manifest = os.path.join(stage, "_stage_meta.json")
+    if not os.path.exists(_meta_path(index_dir)) and os.path.exists(
+        stage_manifest
+    ):
+        # crashed mid-rebuild after the stage committed: the store is
+        # uncommitted (meta-last) but the live rows are safe on disk —
+        # resume from them instead of failing on the missing meta
+        with open(stage_manifest) as f:
+            smeta = json.load(f)
+    else:
+        meta = _load_meta(index_dir)
+        smeta = {
+            "id_col": meta["id_col"],
+            "vec_col": meta["vec_col"],
+            "nlist": meta["nlist"],
+            "row_schema": meta["row_schema"],
+        }
+        live = read_ivf_cells(spark, index_dir).select(
+            meta["id_col"], meta["vec_col"]
+        )
+        shutil.rmtree(stage, ignore_errors=True)
+        live.write.mode("overwrite").parquet(stage)
+        with open(stage_manifest, "w") as f:
+            json.dump(smeta, f)  # manifest last: marks the stage complete
+    staged = spark.read.schema(
+        T.StructType.fromJson(json.loads(smeta["row_schema"]))
+    ).parquet(stage)
+    n_cells = build_ivf_index(
+        staged,
         index_dir,
-        nlist=meta["nlist"] if nlist is None else nlist,
+        nlist=smeta["nlist"] if nlist is None else nlist,
         train_rows=train_rows,
-        vec_col=meta["vec_col"],
-        id_col=meta["id_col"],
+        vec_col=smeta["vec_col"],
+        id_col=smeta["id_col"],
     )
+    shutil.rmtree(stage, ignore_errors=True)
+    return n_cells
 
 
 def read_ivf_tombstones(
@@ -524,14 +584,7 @@ def compact_ivf_index(spark: SparkSession, index_dir: str, upto: int) -> int:
     # compaction would rewrite that compaction's data into a dir
     # _index_dirs never reads (the clean path no-ops on this via its
     # len(srcs) check)
-    newest_compact = max(
-        (
-            int(d.split("=")[1])
-            for d in (os.listdir(cells_dir) if os.path.isdir(cells_dir) else [])
-            if d.startswith("compact=") and not d.endswith(".tmp")
-        ),
-        default=-1,
-    )
+    newest_compact = _newest_dir_num(cells_dir, ("compact",))
     if upto <= newest_compact:
         return 0
     if not tomb_batches:
@@ -642,7 +695,12 @@ def knn_ivf_indexed(
     metadata PRE-filter: qualifying ids semi-join the probed cells BEFORE
     any distance work, so top-k is exact over the qualifying subset of the
     probed cells — the g41 composition, without the unbounded recall loss
-    of post-filtering an unfiltered top-k."""
+    of post-filtering an unfiltered top-k.
+
+    NULL-id posture (family convention, similarity.py's kNN kernels): ids
+    are join/self-match keys, so a NULL query id matches no candidates
+    and a NULL stored id is never returned (and never deleted by a
+    tombstone) — feed surrogate ids if NULLs are possible."""
     meta = _load_meta(index_dir)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     cent = _load_centroids(index_dir, meta["nlist"])

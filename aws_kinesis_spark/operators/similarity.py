@@ -118,9 +118,33 @@ def _unit_rows(x: np.ndarray, cent: np.ndarray) -> np.ndarray:
     return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
 
 
+def _batch_matrix(vecs: pd.Series, dim: int) -> np.ndarray:
+    """Arrow batch -> (n x dim) float64 matrix with NAMED failures: a NULL
+    embedding or a ragged batch otherwise dies in a cryptic numpy/BLAS
+    error deep in an executor, long after e.g. a rebuild already
+    uncommitted the store (round-13 review)."""
+    lst = vecs.tolist()
+    if not lst:
+        return np.zeros((0, dim), dtype=np.float64)
+    n_null = sum(1 for v in lst if v is None)
+    if n_null:
+        raise ValueError(
+            f"{n_null} NULL embedding(s) in an assign/probe batch: drop or "
+            "repair NULL vectors before indexing/querying — a NULL cannot "
+            "be assigned a cell or scored"
+        )
+    try:
+        return np.array(lst, dtype=np.float64)
+    except (ValueError, TypeError) as e:
+        raise ValueError(
+            "ragged or non-numeric embedding batch: every vector must be "
+            f"a numeric array of the index dimension ({dim})"
+        ) from e
+
+
 def _unit_batch(vecs: pd.Series, cent: np.ndarray) -> np.ndarray:
     """Arrow batch -> L2-normalized matrix (see _unit_rows)."""
-    return _unit_rows(np.array(vecs.tolist(), dtype=np.float64), cent)
+    return _unit_rows(_batch_matrix(vecs, cent.shape[1]), cent)
 
 
 def probe_top_cells(x: np.ndarray, cent: np.ndarray, nprobe: int) -> np.ndarray:
@@ -154,9 +178,7 @@ def probe_cells_udf(cent: np.ndarray, nprobe: int):
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def probe_cells(vecs: pd.Series) -> pd.Series:
-        top = probe_top_cells(
-            np.array(vecs.tolist(), dtype=np.float64), cent, nprobe
-        )
+        top = probe_top_cells(_batch_matrix(vecs, cent.shape[1]), cent, nprobe)
         return pd.Series([t.tolist() for t in top])
 
     return probe_cells

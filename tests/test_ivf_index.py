@@ -716,3 +716,101 @@ def test_distributed_probe_applies_tombstones(spark, em, tmp_path):
     g = {(r.query_id, r.neighbor_id, r.cos_sim) for r in got.collect()}
     e = {(r.query_id, r.neighbor_id, r.cos_sim) for r in exact.collect()}
     assert g == e
+
+
+def test_update_casts_drifted_types_to_the_stored_schema(spark, em, tmp_path):
+    """Round-13 review: an append with a drifted frame type (LONG ids /
+    array<double> into an INT-id / array<float> index) must be cast to
+    the stored row schema at write — not committed as a batch the
+    schema-enforced probe read rejects, bricking the index after the
+    append 'succeeded'."""
+    idx = str(tmp_path / "ivf_drift")
+    narrow = em.select(
+        F.col("vec_id").cast("int").alias("vec_id"),
+        F.col("embedding").cast("array<float>").alias("embedding"),
+    )
+    build_ivf_index(narrow.filter(F.col("vec_id") % 2 == 0), idx, nlist=8)
+    drifted = em.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    update_ivf_index(drifted, idx)
+    got = knn_ivf_indexed(spark, idx, _queries(em, 3), k=5, nprobe=8)
+    rows = got.collect()
+    assert rows and any(r.neighbor_id % 2 == 1 for r in rows)
+
+
+def test_swap_leftover_prev_dirs_are_invisible_and_reclaimed(spark, em, tmp_path):
+    """The replay swap parks the old committed dir as batch=N.prev.tmp for
+    the instant between renames; a crash there must leave (a) readers and
+    auto-numbering blind to the leftover and (b) the data recoverable,
+    and the next replay of the same batch reclaims it."""
+    idx = str(tmp_path / "ivf_swap")
+    build_ivf_index(em.filter(F.col("vec_id") % 2 == 0), idx, nlist=8)
+    inc = em.filter(F.col("vec_id") % 2 == 1)
+    update_ivf_index(inc, idx, batch_id=1)
+    cells = os.path.join(idx, "cells")
+    # simulate the crash window: committed batch=1 moved aside, new copy
+    # never landed
+    os.replace(os.path.join(cells, "batch=1"), os.path.join(cells, "batch=1.prev.tmp"))
+    before = knn_ivf_indexed(spark, idx, _queries(em, 3), k=5, nprobe=8).collect()
+    assert all(r.neighbor_id % 2 == 0 for r in before)  # leftover invisible
+    from aws_kinesis_spark.operators.ivf_index import _newest_committed_cells
+
+    assert _newest_committed_cells(cells) == 0  # auto-numbering blind to it
+    update_ivf_index(inc, idx, batch_id=1)  # the replay that caused it
+    assert not os.path.exists(os.path.join(cells, "batch=1.prev.tmp"))
+    after = knn_ivf_indexed(spark, idx, _queries(em, 3), k=5, nprobe=8).collect()
+    assert any(r.neighbor_id % 2 == 1 for r in after)
+
+
+def test_rebuild_resumes_from_durable_stage_after_crash(spark, em, tmp_path):
+    """Round-13 review: mid-rebuild the staged live rows are the ONLY copy
+    of the corpus — they must live on disk, and a re-invoked rebuild must
+    resume from them when the store is uncommitted (meta-last) instead of
+    failing on the missing meta."""
+    import json as _json
+    import shutil as _shutil
+
+    from aws_kinesis_spark.operators.ivf_index import rebuild_ivf_index
+
+    idx = str(tmp_path / "ivf_stage")
+    build_ivf_index(em, idx, nlist=8)
+    # reproduce the crash point: stage committed (manifest last), store
+    # already reset by build (meta gone, cells deleted)
+    stage = os.path.join(idx, "_rebuild_stage")
+    live = read_ivf_cells(spark, idx).select("vec_id", "embedding")
+    with open(os.path.join(idx, "_meta.json")) as f:
+        meta = _json.load(f)
+    live.write.mode("overwrite").parquet(stage)
+    with open(os.path.join(stage, "_stage_meta.json"), "w") as f:
+        _json.dump(
+            {
+                "id_col": "vec_id",
+                "vec_col": "embedding",
+                "nlist": meta["nlist"],
+                "row_schema": meta["row_schema"],
+            },
+            f,
+        )
+    os.remove(os.path.join(idx, "_meta.json"))
+    _shutil.rmtree(os.path.join(idx, "cells"))
+    n = rebuild_ivf_index(spark, idx)
+    assert n == 8
+    assert not os.path.exists(stage)  # reclaimed after the commit
+    got = knn_ivf_indexed(spark, idx, _queries(em, 3), k=5, nprobe=8)
+    brute = knn_bruteforce(em, _queries(em, 3), k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, brute.collect()))
+
+
+def test_null_embedding_fails_with_named_error(spark, em, tmp_path):
+    """A NULL embedding in an append must die with the NAMED ValueError
+    from the batch kernel, not a cryptic numpy TypeError deep in an
+    executor (round-13 review)."""
+    idx = str(tmp_path / "ivf_null")
+    build_ivf_index(em, idx, nlist=8)
+    bad = spark.createDataFrame(
+        [(99991, None)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(Exception, match="NULL embedding"):
+        update_ivf_index(bad, idx)
