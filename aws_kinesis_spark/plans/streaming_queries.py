@@ -907,6 +907,7 @@ def o08_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity with o05's whole-log oracle is the order-independence proof:
     the incrementally-maintained table equals the batch recompute."""
     from aws_kinesis_spark.streaming.pipeline import (
+        SCD2_SCHEMA,
         read_warehouse_table,
         start_scd2_maintenance,
     )
@@ -931,7 +932,7 @@ def o08_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(root, "ckpt"),
     )
     _drain(q)
-    dim = read_warehouse_table(spark, table_dir)
+    dim = read_warehouse_table(spark, table_dir, empty_schema=SCD2_SCHEMA)
     return dim.filter(F.col("op") != "D").select(
         "id",
         "status",

@@ -522,6 +522,22 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        exact-dedup keep-min -> g50 cap in ONE plan, oracle recomputes
 #        all three stages in window SQL;
 #        plans/ext_queries.py:g55_pipeline_end_to_end)
+# Round-13 late kernel changes (streaming review batch — changed kernels
+# must hold an in-window witness the round they change):
+#   purge_batch now retracts the batch's published manifest before the
+#     data purge (replay-window reader safety) — witnessed in-window by
+#     a12_lake_roundtrip, a14_lake_compaction, g35_stream_dedup_ingest
+#     (every lake flush runs through it);
+#   the streaming starters' trigger dial + the shared _file_stream reader
+#     — witnessed in-window by e01/e02/e03/e07/e13 (all consume the
+#     refactored readers under availableNow, the default the driver runs);
+#   start_warehouse_upsert's replay-stable projection and
+#     read_warehouse_table's empty-store schema are out-of-window kernels
+#     (o04/o08 rotated out this round with named witnesses above) — both
+#     pinned by dedicated tests the same session they changed
+#     (tests/test_streaming.py::test_warehouse_replay_attempts_commit_
+#     identical_content, ::test_read_warehouse_table_empty_store_schemas)
+#     and re-run in the 166-query differential every CI pass.
 # Post-r13 freshness ledger (for the round-14 rotation): the r8 block
 # (13: a13, c10, d06, d10b, g14b, g17, g21, g28, g29, g31, g33, g34,
 # o07) is the next incoming set, then the r9 block.

@@ -64,10 +64,21 @@ def purge_batch(lake_dir: str, batch_id: int) -> None:
     first attempt; dynamic partition overwrite alone would leave the first
     attempt's files behind — duplicates, violating the reference's
     "zero duplicates" invariant (README.md:204). Deleting the batch-scoped
-    prefixes first makes replay exact regardless of when it runs. The
-    manifest is rewritten after the data lands, so manifest readers
-    (README.md:429) still only ever see a fully-committed batch.
+    prefixes first makes replay exact regardless of when it runs.
+
+    The batch's PUBLISHED manifest is retracted first: a replay rewrites
+    the data under new part-file names, so a manifest surviving the
+    rewrite window would point external readers ("readers consume
+    manifest, never folder", README.md:429) at deleted objects. Retracted,
+    the batch reads as not-yet-committed until write_manifest republishes
+    it — the same visibility it had before its first commit (round-13
+    review).
     """
+    stale = os.path.join(lake_dir, "_manifests", f"manifest-{batch_id:010d}.json")
+    try:
+        os.remove(stale)
+    except FileNotFoundError:
+        pass
     for sub in ("data", "errors", "raw"):
         shutil.rmtree(
             os.path.join(lake_dir, sub, f"batch={batch_id}"), ignore_errors=True

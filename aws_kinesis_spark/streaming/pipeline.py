@@ -27,6 +27,30 @@ from aws_kinesis_spark.sources.lake import (
 )
 
 
+def _file_stream(
+    spark: SparkSession,
+    schema,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
+) -> DataFrame:
+    """The ONE file-source reader body behind envelope_stream/event_stream
+    (they differed only in the schema constant — two copies of the
+    backpressure-dial logic meant every dial fix had to land twice;
+    round-13 review). Backpressure dials (B5/B9): ``maxFilesPerTrigger``
+    bounds batch count like the producer's 500-record PutRecords cap
+    (README.md:46); ``maxBytesPerTrigger`` is the reference's SizeInMBs
+    buffer bound (README.md:117, 131 — 64 MB) mapped onto the source, so
+    one micro-batch flushes ~one buffer's worth."""
+    configure(spark)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if max_bytes_per_trigger:
+        reader = reader.option("maxBytesPerTrigger", int(max_bytes_per_trigger))
+    return reader.parquet(input_dir)
+
+
 def envelope_stream(
     spark: SparkSession,
     input_dir: str,
@@ -34,18 +58,27 @@ def envelope_stream(
     max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream of envelope records (README.md:222-252). Each file
-    plays the role of one producer PutRecords batch. Backpressure dials
-    (B5/B9): ``maxFilesPerTrigger`` bounds batch count like the producer's
-    500-record PutRecords cap (README.md:46); ``maxBytesPerTrigger`` is the
-    reference's SizeInMBs buffer bound (README.md:117, 131 — 64 MB) mapped
-    onto the source, so one micro-batch flushes ~one buffer's worth."""
-    configure(spark)
-    reader = spark.readStream.schema(ENVELOPE_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    if max_bytes_per_trigger:
-        reader = reader.option("maxBytesPerTrigger", int(max_bytes_per_trigger))
-    return reader.parquet(input_dir)
+    plays the role of one producer PutRecords batch; dials in
+    ``_file_stream``."""
+    return _file_stream(
+        spark,
+        ENVELOPE_SCHEMA,
+        input_dir,
+        max_files_per_trigger,
+        max_bytes_per_trigger,
+    )
+
+
+def _triggered(writer, available_now: bool, trigger_seconds: float):
+    """Shared trigger dial (round-13 review: the hot-path starters
+    documented a processingTime='0' low-latency mode but hardcoded
+    availableNow — the documented production mode was unreachable).
+    ``available_now=True`` drains-and-stops (tests, backfills);
+    ``False`` runs continuously at ``trigger_seconds`` cadence — 0 means
+    back-to-back micro-batches, the EFO-like low-latency mode."""
+    if available_now:
+        return writer.trigger(availableNow=True)
+    return writer.trigger(processingTime=f"{trigger_seconds} seconds")
 
 
 def start_lake_path(
@@ -111,11 +144,7 @@ def start_lake_path(
     writer = env_stream.writeStream.foreachBatch(flush).option(
         "checkpointLocation", checkpoint_dir
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()
+    return _triggered(writer, available_now, trigger_seconds).start()
 
 
 def start_alert_path(
@@ -123,24 +152,26 @@ def start_alert_path(
     checkpoint_dir: str,
     sink_table: str,
     alert_op: str = "D",
+    available_now: bool = True,
+    trigger_seconds: float = 0,
 ) -> StreamingQuery:
     """The hot path (README.md:27-31, 101): decode -> predicate -> alert sink.
     One fused executor pipeline (map+filter, no shuffle); the memory sink
-    stands in for SNS. trigger(availableNow) in tests; processingTime='0'
-    for the EFO-like low-latency mode (README.md:109-111)."""
+    stands in for SNS. trigger(availableNow) in tests; available_now=False
+    with the default trigger_seconds=0 is the EFO-like low-latency mode
+    (README.md:109-111) — back-to-back micro-batches."""
     alerts = (
         decode_envelope(env_stream)
         .filter(~F.col("_corrupt") & (F.col("op") == alert_op))
         .select("id", "status", "op", "partition_key", "sequence_number", "arrival_ts")
     )
-    return (
+    writer = (
         alerts.writeStream.format("memory")
         .queryName(sink_table)
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
     )
+    return _triggered(writer, available_now, trigger_seconds).start()
 
 
 def start_stream_dedup(
@@ -148,6 +179,8 @@ def start_stream_dedup(
     checkpoint_dir: str,
     sink_table: str,
     watermark: str = "365 days",
+    available_now: bool = True,
+    trigger_seconds: float = 0,
 ) -> StreamingQuery:
     """Exactly-once ingest dedup across micro-batches (README.md:51, 309):
     dropDuplicatesWithinWatermark on the sequence number — replayed producer
@@ -157,14 +190,13 @@ def start_stream_dedup(
         .dropDuplicatesWithinWatermark(["sequence_number"])
     )
     out = decode_envelope(deduped).select("id", "status", "op", "sequence_number")
-    return (
+    writer = (
         out.writeStream.format("memory")
         .queryName(sink_table)
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
     )
+    return _triggered(writer, available_now, trigger_seconds).start()
 
 
 _VDIR_RE = None  # compiled lazily (module imports stay cheap)
@@ -248,6 +280,16 @@ def _commit_table_version(
     os.replace(tmp, os.path.join(table_dir, "_CURRENT"))
 
 
+# DDL schemas of the two versioned stores — shared by the writers and by
+# read_warehouse_table's empty-store fallback so an empty table reads back
+# with the exact committed shape instead of a wrong-schema frame.
+WAREHOUSE_SCHEMA = "id LONG, status STRING, sequence_number DECIMAL(38,0)"
+SCD2_SCHEMA = (
+    "id LONG, status STRING, op STRING, sequence_number DECIMAL(38,0), "
+    "__valid_from DECIMAL(38,0), __valid_to DECIMAL(38,0), __is_current BOOLEAN"
+)
+
+
 def start_warehouse_upsert(
     env_stream: DataFrame,
     table_dir: str,
@@ -272,11 +314,24 @@ def start_warehouse_upsert(
     from aws_kinesis_spark.operators.upsert import collapse_cdc, staging_upsert
 
     os.makedirs(table_dir, exist_ok=True)
-    schema = "id LONG, status STRING, sequence_number DECIMAL(38,0)"
+    schema = WAREHOUSE_SCHEMA
 
     def flush(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        decoded = decode_envelope(batch_df).filter(~F.col("_corrupt"))
+        # Project to the REPLAY-STABLE columns BEFORE the collapse (the
+        # SCD2 flush's discipline): decode_envelope plants processed_at =
+        # current_timestamp(), which differs between replay attempts of
+        # the same batch, and collapse_cdc's tie-break hashes EVERY input
+        # column — with processed_at in the struct, a producer double-send
+        # (same key+seq+op, drifted payload) could collapse to DIFFERENT
+        # winners on attempt 1 vs the replay, committing a v{N}_attempt
+        # whose content diverges from v{N} and breaking _version_dir's
+        # any-attempt-serves invariant (round-13 review).
+        decoded = (
+            decode_envelope(batch_df)
+            .filter(~F.col("_corrupt"))
+            .select("id", "status", "op", "sequence_number")
+        )
         # ONE delete-wins collapse feeds BOTH sides (round-11 review): a
         # second window ordered without the tombstone tie-break let a
         # same-sequence-number U beat the D into rank 1, so the delete
@@ -307,19 +362,27 @@ def start_warehouse_upsert(
 
 
 def read_warehouse_table(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    empty_schema: str | None = None,
 ) -> DataFrame:
-    """Read the warehouse table — the current committed version, or a past
+    """Read a versioned store — the current committed version, or a past
     one (time travel: versions are retained per batch, the audit-trail
-    "every PUT is versioned" behavior of README.md:437)."""
+    "every PUT is versioned" behavior of README.md:437).
+
+    ``empty_schema`` shapes the frame returned when NO version has
+    committed yet (no ``_CURRENT``): it defaults to WAREHOUSE_SCHEMA, but
+    this function is also the documented reader for SCD2 dimensions —
+    those callers pass SCD2_SCHEMA so an empty dimension still resolves
+    ``op``/``__valid_from``/… instead of crashing downstream projections
+    with UNRESOLVED_COLUMN (round-13 review)."""
     import json as _json
 
     if version is None:
         ptr = os.path.join(table_dir, "_CURRENT")
         if not os.path.exists(ptr):
-            return spark.createDataFrame(
-                [], "id LONG, status STRING, sequence_number DECIMAL(38,0)"
-            )
+            return spark.createDataFrame([], empty_schema or WAREHOUSE_SCHEMA)
         with open(ptr) as fh:
             payload = _json.load(fh)
         # the pointer names its dir directly (pointer-swap protocol);
@@ -349,14 +412,14 @@ def event_stream(
     max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
     """Stream of the events fixture (event-time `ts` already a timestamp).
-    Same backpressure dials as envelope_stream (B5/B9)."""
-    configure(spark)
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    if max_bytes_per_trigger:
-        reader = reader.option("maxBytesPerTrigger", int(max_bytes_per_trigger))
-    return reader.parquet(input_dir)
+    Same backpressure dials as envelope_stream (B5/B9) — one shared body."""
+    return _file_stream(
+        spark,
+        EVENTS_SCHEMA,
+        input_dir,
+        max_files_per_trigger,
+        max_bytes_per_trigger,
+    )
 
 
 def start_windowed_agg(
@@ -368,6 +431,8 @@ def start_windowed_agg(
     session_gap: str | None = None,
     watermark: str = "1 hour",
     output_mode: str = "append",
+    available_now: bool = True,
+    trigger_seconds: float = 0,
 ) -> StreamingQuery:
     """Tumbling / sliding / session windowed aggregation (SURVEY.md E1-E3)
     with a watermark bounding state (E4).
@@ -390,14 +455,13 @@ def start_windowed_agg(
     else:
         grouped = ev.groupBy(F.window("ts", window_duration).alias("w"), "event_type")
     agg = grouped.agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
-    return (
+    writer = (
         agg.writeStream.format("memory")
         .queryName(sink_table)
         .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
     )
+    return _triggered(writer, available_now, trigger_seconds).start()
 
 
 def start_stream_static_join(
@@ -405,6 +469,8 @@ def start_stream_static_join(
     dim: DataFrame,
     checkpoint_dir: str,
     sink_table: str,
+    available_now: bool = True,
+    trigger_seconds: float = 0,
 ) -> StreamingQuery:
     """Stream-static enrichment join (SURVEY.md E7; README.md:38 "hourly
     analytics on every order change"): the decoded CDC stream joins a static
@@ -414,14 +480,13 @@ def start_stream_static_join(
     enriched = decoded.join(F.broadcast(dim), "id").select(
         "id", "status", "op", *[c for c in dim.columns if c != "id"]
     )
-    return (
+    writer = (
         enriched.writeStream.format("memory")
         .queryName(sink_table)
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
     )
+    return _triggered(writer, available_now, trigger_seconds).start()
 
 
 class ProgressRecorder:
@@ -529,7 +594,9 @@ def _batch_input_bytes(checkpoint_dir: str, batch_id: int) -> int | None:
     if not os.path.exists(wal):
         wal = os.path.join(src_dir, f"{batch_id}.compact")
     try:
-        paths = []
+        total = 0
+        stat_paths = []
+        seen = False
         with open(wal) as fh:
             for line in fh:
                 line = line.strip()
@@ -538,10 +605,24 @@ def _batch_input_bytes(checkpoint_dir: str, batch_id: int) -> int | None:
                 entry = _json.loads(line)
                 p = entry.get("path", "")
                 if p and entry.get("batchId") == batch_id:
-                    paths.append(unquote(urlparse(p).path) if "://" in p else p)
-        if not paths:
+                    seen = True
+                    # the WAL entry already carries the file size — using
+                    # it is both cheaper (zero stats per trigger) and
+                    # correct after the input files are archived/deleted
+                    # post-processing (cleanSource / retention jobs),
+                    # where a re-stat raised and silently degraded every
+                    # later trigger to the sourceless shape (round-13
+                    # review)
+                    sz = entry.get("size")
+                    if isinstance(sz, int) and sz >= 0:
+                        total += sz
+                    else:
+                        stat_paths.append(
+                            unquote(urlparse(p).path) if "://" in p else p
+                        )
+        if not seen:
             return None
-        return sum(os.path.getsize(p) for p in paths)
+        return total + sum(os.path.getsize(p) for p in stat_paths)
     except (OSError, ValueError):
         return None
 
@@ -844,6 +925,15 @@ def start_dedup_ingest(
             return df
 
         try:
+            # probe the standing store BEFORE submitting the concurrent
+            # compaction: the probe is one listdir, but a listdir racing
+            # the compaction thread's rename+sweep can capture pre-rename
+            # dir names whose parquet walk then reads empty — transiently
+            # misclassifying a trickle trigger as bulk and losing the
+            # bucket pruning that branch exists for (round-13 review).
+            # Sequenced before the submit it is race-free, and compaction
+            # never changes store EMPTINESS, only its dir layout.
+            has_standing = bool(_index_dirs(bands_dir, upto_exclusive=batch_id))
             compact_f = None
             if compact_every and batch_id and batch_id % compact_every == 0:
                 compact_f = pool.submit(
@@ -896,9 +986,8 @@ def start_dedup_ingest(
             # an EMPTY standing index (first trigger, or restart before
             # anything landed) makes both trickle collects pure waste:
             # there is no standing read to prune and no prior corpus to
-            # fetch — run it as one action. The probe is one listdir, and
-            # stable mid-compaction (compacting never empties a store).
-            has_standing = bool(_index_dirs(bands_dir, upto_exclusive=batch_id))
+            # fetch — run it as one action (has_standing was probed above,
+            # before the compaction submit, so the listdir cannot race it).
             bulk = not has_standing or (
                 in_bytes is not None
                 and (in_bytes >= n_buckets * (64 << 10) or _coverage["frac"] >= 0.75)

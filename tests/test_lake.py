@@ -1601,3 +1601,27 @@ def test_synthesize_envelope_epoch_three_does_not_overflow(spark):
         seqs[ep] = min(r.sequence_number for r in env.select("sequence_number").collect())
     assert seqs[3] > seqs[0]
     assert seqs[3] - seqs[0] == 3 * 1_000_000_000
+
+
+def test_purge_batch_retracts_published_manifest(tmp_path):
+    """Round-13 review: a crash-replay purges data/batch=N while the prior
+    attempt's PUBLISHED manifest still lists those files — external
+    manifest readers ("readers consume manifest, never folder") would see
+    a committed-looking manifest pointing at deleted objects for the whole
+    rewrite window. purge_batch now retracts the batch's manifest FIRST;
+    other batches' manifests are untouched."""
+    from aws_kinesis_spark.sources.lake import purge_batch
+
+    lake = tmp_path / "lake"
+    (lake / "_manifests").mkdir(parents=True)
+    (lake / "data" / "batch=3").mkdir(parents=True)
+    (lake / "data" / "batch=3" / "part-0.parquet").write_bytes(b"x")
+    for b in (2, 3):
+        (lake / "_manifests" / f"manifest-{b:010d}.json").write_text("{}")
+
+    purge_batch(str(lake), 3)
+    assert not (lake / "data" / "batch=3").exists()
+    assert not (lake / "_manifests" / "manifest-0000000003.json").exists()
+    assert (lake / "_manifests" / "manifest-0000000002.json").exists()
+    # idempotent: a second purge (nothing left) must not raise
+    purge_batch(str(lake), 3)

@@ -1713,6 +1713,33 @@ def test_batch_input_bytes_reads_source_wal(tmp_path):
         + "\n"
     )
     assert _batch_input_bytes(str(ck), 10) == 234
+    # the WAL's own "size" field wins over a re-stat (round-13 review):
+    # consumed inputs may be archived/deleted (cleanSource, retention
+    # jobs) — byte classification must survive the files' absence
+    gone = tmp_path / "consumed.parquet"  # never created on disk
+    (ck / "sources" / "0" / "11").write_text(
+        "v1\n"
+        + _json.dumps(
+            {"path": gone.as_uri(), "timestamp": 4, "batchId": 11, "size": 4096}
+        )
+        + "\n"
+        + _json.dumps(
+            {"path": f2.as_uri(), "timestamp": 5, "batchId": 11, "size": 234}
+        )
+        + "\n"
+    )
+    assert _batch_input_bytes(str(ck), 11) == 4330
+    # mixed: entry without size falls back to the stat of the live file
+    (ck / "sources" / "0" / "12").write_text(
+        "v1\n"
+        + _json.dumps(
+            {"path": gone.as_uri(), "timestamp": 6, "batchId": 12, "size": 50}
+        )
+        + "\n"
+        + _json.dumps({"path": f1.as_uri(), "timestamp": 7, "batchId": 12})
+        + "\n"
+    )
+    assert _batch_input_bytes(str(ck), 12) == 1050
 
 
 def test_warehouse_merge_tied_delete_does_not_resurrect(spark):
@@ -1909,3 +1936,92 @@ def test_kinesis_sim_rejects_offsets_beyond_the_topology(spark):
     )
     with _pytest.raises(ValueError, match="exceeds this topology"):
         reader.read({"0": 10, "1": 10, "2": 10, "3": 10})
+
+
+def test_read_warehouse_table_empty_store_schemas(spark, tmp_path):
+    """Round-13 review: read_warehouse_table is the documented reader for
+    BOTH versioned stores — the empty-store fallback must return the
+    caller's schema, not a hardcoded warehouse shape that crashes SCD2
+    projections with UNRESOLVED_COLUMN on an empty dimension."""
+    from aws_kinesis_spark.streaming.pipeline import (
+        SCD2_SCHEMA,
+        WAREHOUSE_SCHEMA,
+        read_warehouse_table,
+    )
+
+    empty = str(tmp_path / "dim")
+    os.makedirs(empty)
+    dim = read_warehouse_table(spark, empty, empty_schema=SCD2_SCHEMA)
+    # the o08 downstream projection must resolve on the empty frame
+    out = dim.filter(F.col("op") != "D").select(
+        "id", "status", "__valid_from", "__valid_to", "__is_current"
+    )
+    assert out.count() == 0
+    wh = read_warehouse_table(spark, empty)
+    assert wh.columns == [f.split(" ")[0] for f in WAREHOUSE_SCHEMA.split(", ")]
+
+
+def test_warehouse_replay_attempts_commit_identical_content(spark, tmp_path):
+    """Round-13 review: decode_envelope plants processed_at =
+    current_timestamp(), which drifts between replay attempts; with it in
+    collapse_cdc's tie-break hash, a producer double-send (same key+seq+op,
+    drifted payload) could collapse to DIFFERENT winners per attempt,
+    committing a v{N}_attempt whose content diverges from v{N}. The flush
+    now projects to the replay-stable columns first — every attempt of a
+    version must hold identical content (_version_dir's invariant)."""
+    from aws_kinesis_spark.streaming.pipeline import start_warehouse_upsert
+
+    orders = load(spark, SF, "orders").limit(40)
+    send1 = synthesize_envelope(orders, epoch=0, force_op="U")
+    drift = orders.withColumn("o_orderstatus", F.lit("ZZ"))
+    send2 = synthesize_envelope(drift, epoch=0, force_op="U")
+    inp = str(tmp_path / "input")
+    send1.unionAll(send2).coalesce(1).write.mode("overwrite").parquet(inp)
+
+    table = str(tmp_path / "wh")
+    q = start_warehouse_upsert(
+        envelope_stream(spark, inp), table, str(tmp_path / "ckpt1")
+    )
+    q.awaitTermination(120)
+    # replay attempt: a FRESH checkpoint re-runs batch 0 against the same
+    # table — _commit_table_version lands it as v0_1
+    q2 = start_warehouse_upsert(
+        envelope_stream(spark, inp), table, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(120)
+    assert os.path.isdir(os.path.join(table, "v0"))
+    assert os.path.isdir(os.path.join(table, "v0_1"))
+    a = spark.read.parquet(os.path.join(table, "v0"))
+    b = spark.read.parquet(os.path.join(table, "v0_1"))
+    assert a.count() == 40
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_alert_path_continuous_trigger_mode(spark, tmp_path):
+    """Round-13 review: the documented processingTime low-latency mode was
+    unreachable (trigger hardcoded to availableNow). available_now=False
+    must run a CONTINUOUS query that keeps consuming instead of draining
+    and terminating."""
+    import time
+
+    inp = str(tmp_path / "input")
+    orders = load(spark, SF, "orders").limit(30)
+    synthesize_envelope(orders).coalesce(1).write.mode("overwrite").parquet(inp)
+    tbl = _uniq("alerts_cont")
+    q = start_alert_path(
+        envelope_stream(spark, inp),
+        str(tmp_path / "ckpt"),
+        tbl,
+        available_now=False,
+        trigger_seconds=0,
+    )
+    try:
+        expected = orders.filter(F.col("o_orderkey") % 3 == 2).count()
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table(tbl).count() < expected:
+            time.sleep(0.5)
+        assert spark.table(tbl).count() == expected
+        # a continuous query does not self-terminate after the drain
+        assert q.isActive
+    finally:
+        q.stop()
