@@ -49,6 +49,24 @@ def _spread(docs: DataFrame) -> DataFrame:
     return docs.repartition(target)
 
 
+def _check_banding(num_hashes: int, bands: int) -> int:
+    """Validate (num_hashes, bands) and return rows-per-band. bands must
+    DIVIDE num_hashes: the silent floor division otherwise ignores the
+    trailing num_hashes - bands*(num_hashes//bands) signature hashes —
+    minhashes the caller paid to compute that never reach a band — and the
+    recall S-curve quietly differs from the documented 1-(1-s^r)^bands for
+    the parameters the caller thinks they set (bands > num_hashes even
+    built a zero-argument xxhash64, failing far from the bad parameter;
+    round-13 review)."""
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must be a positive divisor of num_hashes "
+            f"({num_hashes}): non-dividing values silently drop the "
+            "trailing signature hashes from every band"
+        )
+    return num_hashes // bands
+
+
 def _band_hash_array(num_hashes: int, bands: int) -> F.Column:
     """The banding expression: array of ``bands`` xxhash64 values, band b
     hashing signature columns h{b*r}..h{b*r+r-1}. ONE definition for every
@@ -56,7 +74,7 @@ def _band_hash_array(num_hashes: int, bands: int) -> F.Column:
     a value-identical parsed-SQL twin for per-trigger plan-build latency
     and documents the equivalence in place; cross-path candidate agreement
     is pinned by the g20/g35 differential oracles."""
-    r = num_hashes // bands
+    r = _check_banding(num_hashes, bands)
     return F.array(
         *[F.xxhash64(*[f"h{b * r + j}" for j in range(r)]) for b in range(bands)]
     )
@@ -158,8 +176,16 @@ def _simhash_kernel(hs, chunk: int | None = None) -> pd.Series:
     for rows, flat, offsets, nonempty in _doc_chunks(arrs, lens, chunk):
         if not len(flat):
             continue
+        # pin the byte view to little-endian: a bare .view(np.uint8) is
+        # host-order, so a big-endian worker would extract bit 8k+j from
+        # the WRONG byte and emit signatures incompatible with the rest of
+        # the fleet / a standing index (the module's signatures are
+        # documented platform-stable — _minhash_coeffs; round-13 review).
+        # astype('<u8') is a no-op copy=False view on little-endian hosts.
         bits = np.unpackbits(
-            flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            flat.astype("<u8", copy=False).view(np.uint8).reshape(-1, 8),
+            axis=1,
+            bitorder="little",
         ).astype(acc)
         counts = np.add.reduceat(bits, offsets, axis=0)
         majority = (2 * counts.astype(np.int64)) > lens[rows][nonempty][:, None]
@@ -532,10 +558,20 @@ def embedding_neardup(
     ]
     bp_df = spark.createDataFrame(bp, "pair_id INT, blk_a INT, blk_b INT")
 
-    emb = embeddings.select(
+    # NULL vectors are excluded (a single NULL row would crash np.stack
+    # inside the kernel and abort the job — every text-dedup entry point
+    # in this module pre-filters NULL text the same way; round-13 review),
+    # and blocks come from a HASH of the id, not its raw residue:
+    # structured ids (stride-allocated, low bits encoding a shard) populate
+    # only a fraction of the pmod residues, collapsing the corpus into few
+    # blocks and blowing the (n/B)^2 per-group memory bound the blocking
+    # exists to enforce. xxhash64 gives uniform block sizes for any id
+    # distribution with identical pair coverage (each unordered block pair
+    # still scores exactly once).
+    emb = embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
-        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("__blk"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("__blk"),
     )
     side_a = emb.join(F.broadcast(bp_df), emb["__blk"] == bp_df["blk_a"]).select(
         "pair_id", "blk_a", "blk_b", F.lit("a").alias("side"), "__id", "__v"
@@ -642,15 +678,23 @@ def connected_components(
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-        # root = component minimum: union always points larger -> smaller
+        # root = component minimum: union always points larger -> smaller.
+        # Labels go back through a pandas frame over the existing numpy
+        # columns — Arrow both ways; a list of 2M Python tuples through
+        # row-based createDataFrame is exactly the boxed-per-row overhead
+        # the inbound toPandas above avoids (round-13 review).
         nodes = np.unique(np.concatenate([us, vs]))
-        rows = [(int(n), find(int(n))) for n in nodes]
+        roots_arr = np.fromiter(
+            (find(int(n)) for n in nodes), dtype=np.int64, count=len(nodes)
+        )
         labels = pairs.sparkSession.createDataFrame(
-            rows, "node bigint, cluster_id bigint"
+            pd.DataFrame({"node": nodes, "cluster_id": roots_arr}),
+            "node bigint, cluster_id bigint",
         )
         return labels, 1
     sig_prev = None
     rounds = 0
+    converged = False
     for rounds in range(1, max_iters + 1):
         sym = cur.unionByName(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
         # each star op needs min-over-neighborhood next to every edge: a
@@ -683,8 +727,23 @@ def connected_components(
         sig = (row["n"], row["h"])
         cur = nxt
         if sig == sig_prev:
+            converged = True
             break
         sig_prev = sig
+    if not converged:
+        # the label extraction below assumes cur is a star (every node
+        # pointing at its component minimum); on a non-converged pointer
+        # graph nodes still point at intermediates, so two documents of
+        # one component would get DIFFERENT cluster_ids with no error —
+        # dedup_keepers then elects multiple keepers in one real cluster.
+        # Fail loudly instead (round-13 review); alternating-star needs
+        # O(log n) rounds, so the default budget only exhausts when a
+        # caller passes a small max_iters.
+        raise RuntimeError(
+            f"connected_components: labels did not converge within "
+            f"{max_iters} alternating-star rounds — raise max_iters "
+            "(O(log n) rounds suffice for any graph)"
+        )
     roots = cur.select(F.col("v").alias("u")).exceptAll(cur.select("u")).distinct()
     labels = cur.unionByName(roots.select("u", F.col("u").alias("v")))
     return (
@@ -831,6 +890,15 @@ def span_dup_stats(
     every duplicated run of >= k tokens exactly (a run of L >= k dup tokens
     contains L-k+1 dup windows) and never pairs documents at all.
 
+    The span fingerprint is a DOUBLE rolling hash — two independent
+    (base, prime) polynomial hashes packed into one int64 key (~62 bits
+    of effective space). A single 31-bit hash false-flags a unique span
+    with probability ~N/2^31 over N corpus-distinct spans: at 1e9 spans
+    (a sliver of the 100 TB posture) ~40% of genuinely unique spans would
+    read as duplicated and dup_fraction saturates toward 1 — the same
+    collision standard that moved exact_dedup to sha-256 (round-13
+    review). At 2^-62, collisions stay negligible past 1e12 spans.
+
     Scale shape: fingerprints come from ONE Arrow-batched numpy kernel in
     the scan stage (the expression form — an O(n·k) slice-fold per doc —
     hit Spark's interpreted-HOF path and measured 26.8 s at sf0.1; the
@@ -840,7 +908,11 @@ def span_dup_stats(
     span-hash groupBy counting distinct docs (map-side partials) and
     (b) the hash-equi join back — both on the span hash, whose cardinality
     AQE coalesces. No document text ever shuffles; only 8-byte hashes."""
-    P = 2147483647
+    # double-hash parameters: (base 131 mod 2^31-1) and (base 137 mod the
+    # prime below it), combined as h1*P2 + h2 — max (P1-1)*P2 + (P2-1)
+    # fits int64; the DuckDB oracle (g25) computes the identical packing
+    P1 = 2147483647
+    P2 = 2147483629
 
     def batches(it):
         import hashlib
@@ -866,10 +938,13 @@ def span_dup_stats(
                     continue
                 hs = np.fromiter((tok_hash(t) for t in toks), np.int64, count=n)
                 w = n - k + 1
-                acc = np.zeros(w, dtype=np.int64)
+                acc1 = np.zeros(w, dtype=np.int64)
+                acc2 = np.zeros(w, dtype=np.int64)
                 for j in range(k):  # vectorized across windows: k vector ops
-                    acc = (acc * 131 + hs[j : j + w]) % P
-                u = np.unique(acc)
+                    win = hs[j : j + w]
+                    acc1 = (acc1 * 131 + win) % P1
+                    acc2 = (acc2 * 137 + win) % P2
+                u = np.unique(acc1 * P2 + acc2)
                 ids.append(np.full(len(u), did, dtype=np.int64))
                 spans.append(u)
             yield pd.DataFrame(
@@ -902,6 +977,36 @@ def span_dup_stats(
     )
 
 
+def _ranked_prefix_tokens(
+    sets: DataFrame, id_col: str, checkpoint: bool = False
+) -> DataFrame:
+    """THE canonical-order prefix machinery shared by the symmetric
+    (setsim_prefix_join) and asymmetric (_containment_candidates) prefix
+    joins — one copy of the ordering the prefix-filter lemma depends on
+    (round-13 review: the two paths carried near-verbatim twins that had
+    already drifted in checkpoint placement; any fix to the tie-order
+    subtlety on (df, hash) had to be discovered twice).
+
+    Input: (id, __sh shingle-string-array). Output: one row per shingle
+    hash with (id_col, __n set size, __s xxhash64 shingle hash, __r = the
+    hash's 1-based rank within its document under the GLOBAL canonical
+    order: ascending corpus document frequency, ties by hash). The df
+    join strategy is left to AQE (a web-scale shingle vocabulary
+    out-sizes any driver). ``checkpoint`` lazily materializes the ranked
+    table for callers whose probe AND index sides both read it."""
+    tok = sets.select(
+        F.col(id_col),
+        F.size("__sh").alias("__n"),
+        F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__s"),
+    )
+    df_tab = tok.groupBy("__s").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__s"))
+    ranked = tok.join(df_tab, "__s").withColumn("__r", F.row_number().over(w))
+    if checkpoint:
+        ranked = ranked.localCheckpoint(eager=False)
+    return ranked
+
+
 def setsim_prefix_join(
     docs: DataFrame,
     text_col: str = "text",
@@ -932,20 +1037,8 @@ def setsim_prefix_join(
     until the final verify joins)."""
     docs = _spread(docs.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n))
     sets = _checkpointed_shingle_sets(docs, text_col, id_col, shingle_n)
-    tok = sets.select(
-        F.col(id_col),
-        F.size("__sh").alias("__n"),
-        F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__s"),
-    )
-    df_tab = tok.groupBy("__s").agg(F.count("*").alias("__df"))
-    # df join strategy left to AQE (g26/g04d posture: a web-scale shingle
-    # vocabulary out-sizes any driver)
-    ordered = tok.join(df_tab, "__s")
-    w = Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__s"))
     pref_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
-    prefix = ordered.withColumn("__r", F.row_number().over(w)).filter(
-        F.col("__r") <= pref_len
-    )
+    prefix = _ranked_prefix_tokens(sets, id_col).filter(F.col("__r") <= pref_len)
     a = prefix.select(
         F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__s"
     )
@@ -990,7 +1083,7 @@ def band_rows(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")
     )
     sigs = _signature_array(sets, id_col, num_hashes)
-    r = num_hashes // bands
+    r = _check_banding(num_hashes, bands)
     # one parsed SQL string instead of ~bands*(r+1) Column round-trips:
     # this runs per micro-batch trigger in g35, where driver-side plan
     # construction is serial latency (values identical — xxhash64 over the
@@ -1079,23 +1172,12 @@ def _containment_candidates(
     Complete: a qualifying pair's FIRST shared shingle (inside a's prefix
     by the pigeonhole lemma) always satisfies the bound. This is the
     shape the skewed-fixture shrinkage test pins (test_properties.py)."""
-    tok = sets.select(
-        F.col(id_col),
-        F.size("__sh").alias("__n"),
-        F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__s"),
-    )
     req = F.ceil(F.lit(threshold) * F.col("__na"))  # required overlap
     if prefix_filter:
-        df_tab = tok.groupBy("__s").agg(F.count("*").alias("__df"))
-        # df join strategy left to AQE (web-scale shingle vocabulary
-        # out-sizes any driver, same posture as setsim_prefix_join)
-        w = Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__s"))
-        ranked = tok.join(df_tab, "__s").withColumn("__r", F.row_number().over(w))
-        if checkpoint:
-            # feeds probe AND index side; lazy — materializes inside the
-            # first downstream job (checkpoint=False keeps the lineage
-            # visible for the plan-lock test)
-            ranked = ranked.localCheckpoint(eager=False)
+        # checkpoint: the ranked table feeds probe AND index side; lazy —
+        # materializes inside the first downstream job (checkpoint=False
+        # keeps the lineage visible for the plan-lock test)
+        ranked = _ranked_prefix_tokens(sets, id_col, checkpoint=checkpoint)
         pref_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
         a = ranked.filter(F.col("__r") <= pref_len).select(
             F.col(id_col).alias("id_a"),
@@ -1114,6 +1196,12 @@ def _containment_candidates(
             + F.least(F.col("__na") - F.col("__ra"), F.col("__nb") - F.col("__rb"))
         ) >= req
     else:
+        # brute path: the complete inverted index, no df ranking needed
+        tok = sets.select(
+            F.col(id_col),
+            F.size("__sh").alias("__n"),
+            F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__s"),
+        )
         a = tok.select(
             F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__s"
         )

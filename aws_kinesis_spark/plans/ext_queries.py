@@ -1316,11 +1316,18 @@ def g24_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE len(string_split(text, ' ')) >= 8
         ),
         spans AS (
+            -- double rolling hash packed as h1*P2 + h2 (~62-bit span key,
+            -- matching span_dup_stats exactly): a single 31-bit hash
+            -- false-flags unique spans at corpus scale
             SELECT doc_id,
                    list_distinct(list_transform(range(1, len(hs) - 8 + 2),
                        i -> list_reduce(
                                 list_prepend(0::BIGINT, list_slice(hs, i, i + 7)),
-                                (a, b) -> (a * 131 + b) % 2147483647))) AS sp
+                                (a, b) -> (a * 131 + b) % 2147483647)
+                            * 2147483629
+                            + list_reduce(
+                                list_prepend(0::BIGINT, list_slice(hs, i, i + 7)),
+                                (a, b) -> (a * 137 + b) % 2147483629))) AS sp
             FROM toks
         ),
         ex AS (SELECT doc_id, unnest(sp) AS h FROM spans),

@@ -1461,3 +1461,93 @@ def test_linear_model_scorer_null_element_matches_in_plan_null_poisoning(spark):
     ref = {r.id: r.s for r in df.select("id", s.alias("s")).collect()}
     assert ref[1] is None and ref[2] is not None
     score.broadcast.destroy()
+
+
+def test_span_fingerprint_survives_31bit_collision(spark):
+    """Round-13 review: a single 31-bit rolling hash false-flags unique
+    spans at corpus scale (birthday collisions grow ~N/2^31). The two
+    spans below collide under (base 131 mod 2^31-1) — found by seeded
+    search — yet share no tokens; the double-hash fingerprint must keep
+    them distinct so neither document reports a duplicated span."""
+    from aws_kinesis_spark.operators.dedup import span_dup_stats
+
+    span_a = "w4063 w2876 w3108 w3302 w3844 w3897 w293 w3572"
+    span_b = "w1790 w2382 w4077 w1405 w4930 w13 w3199 w4707"
+    # pin the premise: the pair really collides under the old single hash
+    import hashlib
+
+    def roll(text, base, mod):
+        acc = 0
+        for t in text.split(" "):
+            acc = (acc * base + int(hashlib.md5(t.encode()).hexdigest()[:8], 16)) % mod
+        return acc
+
+    assert roll(span_a, 131, 2147483647) == roll(span_b, 131, 2147483647)
+    assert roll(span_a, 137, 2147483629) != roll(span_b, 137, 2147483629)
+
+    docs = spark.createDataFrame([(1, span_a), (2, span_b)], ["doc_id", "text"])
+    got = {r.doc_id: r for r in span_dup_stats(docs, k=8).collect()}
+    assert got[1].n_dup_spans == 0 and got[2].n_dup_spans == 0
+
+
+def test_banding_rejects_non_dividing_bands(spark):
+    """Round-13 review: bands must divide num_hashes — the silent floor
+    division dropped trailing signature hashes from every band, and
+    bands > num_hashes built a zero-argument xxhash64 failing far from
+    the bad parameter."""
+    from aws_kinesis_spark.operators.dedup import band_rows, lsh_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], ["doc_id", "text"]
+    )
+    sigs = spark.createDataFrame([(1,) + (0,) * 64], ["doc_id"] + [f"h{i}" for i in range(64)])
+    with pytest.raises(ValueError, match="divisor of num_hashes"):
+        lsh_candidate_pairs(sigs, num_hashes=64, bands=12)
+    with pytest.raises(ValueError, match="divisor of num_hashes"):
+        band_rows(docs, num_hashes=64, bands=96)
+    # dividing parameters still work end-to-end
+    assert band_rows(docs, num_hashes=64, bands=16).count() == 32
+
+
+def test_embedding_neardup_null_vectors_and_structured_ids(spark):
+    """Round-13 review: (a) a NULL embedding row crashed np.stack inside
+    the block kernel and aborted the job — NULL vectors are now excluded;
+    (b) blocking by raw pmod(id) collapsed stride-allocated ids (all ids
+    sharing low bits) into one block, materializing the full n x n matrix
+    the blocking exists to avoid — blocks now come from xxhash64(id), and
+    the pair results are identical for any id layout."""
+    import numpy as np
+
+    from aws_kinesis_spark.operators.dedup import embedding_neardup
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=4).tolist()
+    # ids all ≡ 0 (mod 8): raw pmod(id, 8) would land every row in block 0
+    rows = [(i * 8, [float(x) for x in base]) for i in range(6)]
+    rows.append((1000, None))  # NULL vector: must be ignored, not crash
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = embedding_neardup(emb, threshold=0.99, n_blocks=8)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    want = {(a * 8, b * 8) for a in range(6) for b in range(6) if a < b}
+    assert pairs == want
+    # hash blocking spreads the skewed ids over >1 block
+    blk = emb.filter(F.col("embedding").isNotNull()).select(
+        F.pmod(F.xxhash64("vec_id"), F.lit(8)).alias("b")
+    )
+    assert blk.distinct().count() > 1
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """Round-13 review: exhausting max_iters used to fall through to the
+    star-assuming label extraction, silently splitting one component into
+    several cluster_ids. It must fail loudly instead."""
+    from aws_kinesis_spark.operators.dedup import connected_components
+
+    # a path graph long enough that ONE alternating round cannot finish
+    edges = [(i, i + 1) for i in range(40)]
+    pairs = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=1, driver_collect_max=0)
+    # with the budget restored the same graph resolves to one component
+    labels, _ = connected_components(pairs, driver_collect_max=0)
+    assert labels.select("cluster_id").distinct().count() == 1
