@@ -100,9 +100,15 @@ def train_ivf_centroids(
     )
     sample = ordered.limit(train_rows).collect()
     sample.sort(key=lambda r: r[0])
-    train = np.array([r[1] for r in sample], dtype=np.float64)
-    if not len(train):
+    if not sample:
         raise ValueError("train_ivf_centroids: corpus sample is empty")
+    vals = [r[1] for r in sample]
+    first = next((v for v in vals if v is not None), None)
+    # _batch_matrix, not a bare np.array: a NULL or ragged embedding in
+    # the sample otherwise dies in the cryptic 'setting an array element
+    # with a sequence' on the driver during every index build (the named
+    # error class _batch_matrix exists for; round-13 review)
+    train = _batch_matrix(pd.Series(vals), len(first) if first is not None else 0)
     return _spherical_kmeans(train, nlist=min(nlist, len(train)))
 
 
@@ -202,7 +208,13 @@ def cosine_topk_from_candidates(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
         cosine("__qvec", vec_col).alias("__cos"),
-    )
+    ).filter(F.col("__cos").isNotNull())
+    # ^ a NULL cosine (zero-norm or NULL query/candidate vector) is NOT a
+    # neighbor: ranked NULLS LAST it still filled the top-k with k
+    # arbitrary lowest-id rows scored NULL, which downstream recall/
+    # threshold logic counted as neighbors (round-13 review) — such a
+    # query now returns no rows, matching the IVF path's refusal to score
+    # degenerate vectors.
     if dedup:
         scored = scored.dropDuplicates([query_id_col, "neighbor_id"])
     w = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"), F.asc("neighbor_id"))
@@ -311,7 +323,11 @@ def max_sim_vs_reference(
         )
     if not ref:
         raise ValueError("reference set is empty — nothing to probe against")
-    mref = np.array([r[0] for r in ref], dtype=np.float64)
+    vals = [r[0] for r in ref]
+    first = next((v for v in vals if v is not None), None)
+    # named NULL/ragged errors (see _batch_matrix) instead of a cryptic
+    # np.array failure on a malformed reference row
+    mref = _batch_matrix(pd.Series(vals), len(first) if first is not None else 0)
     mref = mref / np.maximum(np.linalg.norm(mref, axis=1, keepdims=True), 1e-12)
 
     def max_sim(batches):
@@ -330,8 +346,12 @@ def max_sim_vs_reference(
                 }
             )
 
+    # id type derived from the corpus schema (semdedup's discipline): a
+    # hardcoded bigint broke any corpus whose ids are not longs with a
+    # cryptic Arrow cast error at runtime (round-13 review)
+    id_sql = corpus.schema[id_col].dataType.simpleString()
     return corpus.select(id_col, vec_col).mapInPandas(
-        max_sim, schema=f"{id_col} bigint, max_ref_sim double"
+        max_sim, schema=f"{id_col} {id_sql}, max_ref_sim double"
     )
 
 
@@ -406,10 +426,15 @@ def knn_lsh(
         ).alias("e"),
     ).select(id_col, vec_col, F.col("e.t").alias("__t"), F.col("e.b").alias("__b"))
 
-    q = queries.select(
-        F.col(query_id_col).alias("__qid"),
-        F.col(vec_col).alias("__qvec"),
-        *[sign_bucket_at(vec_col, t * bits, bits).alias(f"__qb{t}") for t in range(tables)],
+    q_base = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+    )
+    q = q_base.select(
+        "__qid",
+        *[
+            sign_bucket_at("__qvec", t * bits, bits).alias(f"__qb{t}")
+            for t in range(tables)
+        ],
     )
     # probes per table: the bucket itself plus every hamming<=probe_hamming flip
     flip_sets: list[list[int]] = [[0]]
@@ -427,16 +452,79 @@ def knn_lsh(
         for t in range(tables)
         for m in masks
     ]
-    q = q.select(
-        "__qid", "__qvec", F.explode(F.array(*probe_structs)).alias("p")
-    ).select("__qid", "__qvec", F.col("p.t").alias("__t"), F.col("p.b").alias("__b"))
+    # probe rows carry (qid, table, bucket) ONLY — three scalars. Exploding
+    # the query VECTOR into the probes duplicated it tables x masks times
+    # (~72x under defaults: 8 tables x 9 masks), inflating the broadcast
+    # from |Q| vectors to |Q| x 72 and OOMing at moderate query counts
+    # (round-13 review); the vector re-attaches from the compact |Q|-row
+    # q_base broadcast AFTER the bucket join instead.
+    q = q.select("__qid", F.explode(F.array(*probe_structs)).alias("p")).select(
+        "__qid", F.col("p.t").alias("__t"), F.col("p.b").alias("__b")
+    )
 
-    cand = stacked.join(F.broadcast(q), ["__t", "__b"]).filter(
-        F.col(id_col) != F.col("__qid")
+    cand = (
+        stacked.join(F.broadcast(q), ["__t", "__b"])
+        .filter(F.col(id_col) != F.col("__qid"))
+        .join(F.broadcast(q_base), "__qid")
     )
     return cosine_topk_from_candidates(
         cand.withColumnRenamed("__qid", query_id_col), k, vec_col, id_col, query_id_col
     )
+
+
+def _block_pair_rows(
+    embeddings: DataFrame, vec_col: str, id_col: str, n_blocks: int
+) -> DataFrame:
+    """THE blocked-matmul scaffolding shared by knn_join and
+    hard_negative_mining (one copy — the two carried ~25 verbatim lines
+    each that had to be edited in lockstep; round-13 review): every row
+    tagged with its block, replicated onto each unordered block pair it
+    participates in, as (pair_id, blk_a, blk_b, side, __id, __v).
+
+    NULL vectors are excluded up front (a single NULL crashed np.stack
+    inside the kernels), and blocks come from xxhash64(id), not the raw
+    id residue: pmod on a non-numeric id coerces to NULL and silently
+    dropped EVERY row at the bp_df join (an empty result, no error), and
+    stride-allocated numeric ids collapsed into few blocks, voiding the
+    per-group memory bound — the hash blocks uniformly for any id type
+    or layout with identical pair coverage."""
+    spark = embeddings.sparkSession
+    bp = [
+        (a * n_blocks + b, a, b)
+        for a in range(n_blocks)
+        for b in range(n_blocks)
+        if a <= b
+    ]
+    bp_df = F.broadcast(spark.createDataFrame(bp, "pair_id INT, blk_a INT, blk_b INT"))
+    emb = embeddings.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("__blk"),
+    )
+    side_a = emb.join(bp_df, emb["__blk"] == F.col("blk_a")).select(
+        "pair_id", "blk_a", "blk_b", F.lit("a").alias("side"), "__id", "__v"
+    )
+    side_b = emb.join(bp_df, emb["__blk"] == F.col("blk_b")).select(
+        "pair_id", "blk_a", "blk_b", F.lit("b").alias("side"), "__id", "__v"
+    )
+    return side_a.unionByName(side_b)
+
+
+def _pair_gram(a: pd.DataFrame, b: pd.DataFrame):
+    """ids + cosine matrix for one block pair — the matmul preamble shared
+    by the blocked kernels, with _batch_matrix's NAMED ragged-batch errors
+    instead of a cryptic np.stack failure. NaN cosines (zero-norm rows)
+    become -inf: never a neighbor."""
+    ids_a = a["__id"].to_numpy()
+    ids_b = b["__id"].to_numpy()
+    dim = len(a["__v"].iloc[0])
+    ma = _batch_matrix(a["__v"], dim)
+    mb = _batch_matrix(b["__v"], dim)
+    na = np.sqrt((ma * ma).sum(axis=1))
+    nb = np.sqrt((mb * mb).sum(axis=1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = (ma @ mb.T) / np.outer(na, nb)
+    return ids_a, ids_b, np.nan_to_num(cos, nan=-np.inf)
 
 
 def knn_join(
@@ -459,27 +547,6 @@ def knn_join(
     candidate rows. Shuffle volume is O(n*B*k), never O(n^2); B sizes a
     block pair to executor memory."""
 
-    spark = embeddings.sparkSession
-    bp = [
-        (a * n_blocks + b, a, b)
-        for a in range(n_blocks)
-        for b in range(n_blocks)
-        if a <= b
-    ]
-    bp_df = F.broadcast(spark.createDataFrame(bp, "pair_id INT, blk_a INT, blk_b INT"))
-
-    emb = embeddings.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("__blk"),
-    )
-    side_a = emb.join(bp_df, emb["__blk"] == F.col("blk_a")).select(
-        "pair_id", "blk_a", "blk_b", F.lit("a").alias("side"), "__id", "__v"
-    )
-    side_b = emb.join(bp_df, emb["__blk"] == F.col("blk_b")).select(
-        "pair_id", "blk_a", "blk_b", F.lit("b").alias("side"), "__id", "__v"
-    )
-
     def partial_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         # sort each side by id so a stable argsort on -cos breaks ties in
         # neighbor-id order — the exact total order of the final window
@@ -487,15 +554,7 @@ def knn_join(
         b = pdf[pdf["side"] == "b"].sort_values("__id")
         if not len(a) or not len(b):
             return pd.DataFrame({"query_id": [], "neighbor_id": [], "__cos": []})
-        ids_a = a["__id"].to_numpy()
-        ids_b = b["__id"].to_numpy()
-        ma = np.stack(a["__v"].to_numpy()).astype(np.float64)
-        mb = np.stack(b["__v"].to_numpy()).astype(np.float64)
-        na = np.sqrt((ma * ma).sum(axis=1))
-        nb = np.sqrt((mb * mb).sum(axis=1))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = (ma @ mb.T) / np.outer(na, nb)
-        cos = np.nan_to_num(cos, nan=-np.inf)
+        ids_a, ids_b, cos = _pair_gram(a, b)
 
         def emit(q_ids, c_ids, mat):
             m = np.where(q_ids[:, None] == c_ids[None, :], -np.inf, mat)
@@ -511,10 +570,16 @@ def knn_join(
             frames.append(pd.DataFrame({"query_id": qb, "neighbor_id": nb_ids, "__cos": cb}))
         return pd.concat(frames, ignore_index=True)
 
+    # id type derived from the input schema — a hardcoded bigint broke
+    # non-long id columns with an Arrow cast error (round-13 review)
+    id_sql = embeddings.schema[id_col].dataType.simpleString()
     candidates = (
-        side_a.unionByName(side_b)
+        _block_pair_rows(embeddings, vec_col, id_col, n_blocks)
         .groupBy("pair_id")
-        .applyInPandas(partial_topk, schema="query_id bigint, neighbor_id bigint, __cos double")
+        .applyInPandas(
+            partial_topk,
+            schema=f"query_id {id_sql}, neighbor_id {id_sql}, __cos double",
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
     return (
@@ -545,27 +610,6 @@ def hard_negative_mining(
     so the global argmax is provably in the partial union; the final
     stage is one window + one semi join against the anchor set."""
 
-    spark = embeddings.sparkSession
-    bp = [
-        (a * n_blocks + b, a, b)
-        for a in range(n_blocks)
-        for b in range(n_blocks)
-        if a <= b
-    ]
-    bp_df = F.broadcast(spark.createDataFrame(bp, "pair_id INT, blk_a INT, blk_b INT"))
-
-    emb = embeddings.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("__blk"),
-    )
-    side_a = emb.join(bp_df, emb["__blk"] == F.col("blk_a")).select(
-        "pair_id", "blk_a", "blk_b", F.lit("a").alias("side"), "__id", "__v"
-    )
-    side_b = emb.join(bp_df, emb["__blk"] == F.col("blk_b")).select(
-        "pair_id", "blk_a", "blk_b", F.lit("b").alias("side"), "__id", "__v"
-    )
-
     def partial(pdf: pd.DataFrame) -> pd.DataFrame:
         a = pdf[pdf["side"] == "a"].sort_values("__id")
         b = pdf[pdf["side"] == "b"].sort_values("__id")
@@ -574,26 +618,21 @@ def hard_negative_mining(
         )
         if not len(a) or not len(b):
             return empty
-        ids_a = a["__id"].to_numpy()
-        ids_b = b["__id"].to_numpy()
-        ma = np.stack(a["__v"].to_numpy()).astype(np.float64)
-        mb = np.stack(b["__v"].to_numpy()).astype(np.float64)
-        na = np.sqrt((ma * ma).sum(axis=1))
-        nb = np.sqrt((mb * mb).sum(axis=1))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = (ma @ mb.T) / np.outer(na, nb)
-        cos = np.nan_to_num(cos, nan=-np.inf)
+        ids_a, ids_b, cos = _pair_gram(a, b)
 
         def emit(q_ids, c_ids, mat):
             m = np.where(q_ids[:, None] == c_ids[None, :], -np.inf, mat)
             frames = []
             has_pos = (m >= pos_threshold).any(axis=1)
             if has_pos.any():
+                # NULL sentinel, not -1: the flag rows' neighbor_id is
+                # never read, and a numeric sentinel cannot survive the
+                # id-typed output schema for non-numeric id columns
                 frames.append(
                     pd.DataFrame(
                         {
                             "query_id": q_ids[has_pos],
-                            "neighbor_id": -1,
+                            "neighbor_id": None,
                             "__cos": np.inf,
                             "__is_pos": True,
                         }
@@ -623,12 +662,16 @@ def hard_negative_mining(
             frames += emit(ids_b, ids_a, cos.T)
         return pd.concat(frames, ignore_index=True) if frames else empty
 
+    id_sql = embeddings.schema[id_col].dataType.simpleString()
     candidates = (
-        side_a.unionByName(side_b)
+        _block_pair_rows(embeddings, vec_col, id_col, n_blocks)
         .groupBy("pair_id")
         .applyInPandas(
             partial,
-            schema="query_id bigint, neighbor_id bigint, __cos double, __is_pos boolean",
+            schema=(
+                f"query_id {id_sql}, neighbor_id {id_sql}, "
+                "__cos double, __is_pos boolean"
+            ),
         )
     ).localCheckpoint(eager=False)
     anchors = candidates.filter("__is_pos").select("query_id").distinct()
@@ -668,12 +711,18 @@ def assign_clusters(
     centroid id (centroid ids are the 0-based rank of the seed vector's id,
     not the raw id). Zero shuffle, zero Python; at 10^9 rows this is one
     whole-stage-codegen pass."""
-    seed = embeddings.select(id_col, vec_col)
+    # seeds come from the lowest-id rows WITH a vector: a NULL embedding
+    # cannot be a centroid (iterating it to build the literal array raised
+    # TypeError before any job ran, aborting the whole operator when the
+    # lowest-id row happened to be NULL; round-13 review) — NULL-vector
+    # rows still get assigned (cluster 0 via the coalesced cosine) and are
+    # never dropped downstream.
+    seed = embeddings.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
     rows = seed.orderBy(id_col).limit(n_clusters).collect()  # bounded: n_clusters rows
     if not rows:
         raise ValueError(
-            "assign_clusters: embeddings is empty — no rows to seed "
-            f"{n_clusters} centroids from"
+            "assign_clusters: embeddings is empty or holds no non-NULL "
+            f"vectors — no rows to seed {n_clusters} centroids from"
         )
     choices = []
     for cid, row in enumerate(rows):
@@ -721,6 +770,13 @@ def semdedup(
     id_sql = embeddings.schema[id_col].dataType.simpleString()
 
     def cluster_dropped(pdf: pd.DataFrame) -> pd.DataFrame:
+        # NULL vectors ride through assign_clusters (cluster 0 via the
+        # coalesced cosine) but have no cosine to anything — they are
+        # never dups and never drop others, so they leave the pair stage
+        # here instead of crashing the matrix build (round-13 review)
+        pdf = pdf[pdf["__v"].notna()]
+        if not len(pdf):
+            return pd.DataFrame({"__id": pd.Series([], dtype=object)})
         ids = pdf["__id"].to_numpy()
         order = np.argsort(ids)  # lower-id keeper convention
         ids = ids[order]

@@ -1551,3 +1551,124 @@ def test_connected_components_raises_on_non_convergence(spark):
     # with the budget restored the same graph resolves to one component
     labels, _ = connected_components(pairs, driver_collect_max=0)
     assert labels.select("cluster_id").distinct().count() == 1
+
+
+def test_knn_join_string_ids_and_null_vectors(spark):
+    """Round-13 review: blocking by pmod(raw id) coerced non-numeric ids
+    to NULL blocks and silently returned an EMPTY result (no error), and
+    a NULL embedding crashed the block kernel. Hash blocking + the NULL
+    filter make string-id corpora first-class; results must match the
+    numeric-id answer under the id renaming."""
+    import numpy as np
+
+    from aws_kinesis_spark.operators.similarity import knn_join
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(12, 6))
+    rows = [(f"doc-{i:02d}", [float(x) for x in vecs[i]]) for i in range(12)]
+    rows.append(("doc-99", None))
+    emb = spark.createDataFrame(rows, "vec_id STRING, embedding ARRAY<DOUBLE>")
+    got = knn_join(emb, k=2, n_blocks=3).collect()
+    # every non-NULL vector has exactly k neighbors; no silent emptiness
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {f"doc-{i:02d}" for i in range(12)}
+    assert all(len(v) == 2 for v in by_q.values())
+    # brute-force check for one query
+    q = 0
+    sims = {}
+    for j in range(12):
+        if j == q:
+            continue
+        a, b = vecs[q], vecs[j]
+        sims[j] = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    want = sorted(sims, key=lambda j: (-sims[j], j))[:2]
+    got_q = [r.neighbor_id for r in sorted(by_q["doc-00"], key=lambda r: -r.cos_sim)]
+    assert got_q == [f"doc-{j:02d}" for j in want]
+
+
+def test_hard_negatives_stride_ids_match_dense_ids(spark):
+    """Round-13 review: stride-allocated ids (all sharing low bits) used
+    to collapse every row into one block under raw-pmod blocking. The
+    hash blocking must leave results identical to the dense-id layout."""
+    import numpy as np
+
+    from aws_kinesis_spark.operators.similarity import hard_negative_mining
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(10, 5))
+    dense = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(10)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    stride = spark.createDataFrame(
+        [(i * 8, [float(x) for x in vecs[i]]) for i in range(10)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    a = {(r.anchor_id, r.negative_id, r.neg_sim)
+         for r in hard_negative_mining(dense, pos_threshold=0.3, n_blocks=4).collect()}
+    b = {(r.anchor_id // 8, r.negative_id // 8, r.neg_sim)
+         for r in hard_negative_mining(stride, pos_threshold=0.3, n_blocks=4).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_knn_bruteforce_degenerate_query_returns_no_rows(spark):
+    """Round-13 review: a zero-norm (or NULL) query vector has no defined
+    cosine to anything — it used to fill its top-k with arbitrary
+    lowest-id rows scored NULL; it must now return nothing for that
+    query while healthy queries are unaffected."""
+    import numpy as np
+
+    from aws_kinesis_spark.operators.similarity import knn_bruteforce
+
+    rng = np.random.default_rng(2)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=4)]) for i in range(8)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [0.0, 0.0, 0.0, 0.0]), (101, [1.0, 0.0, 0.0, 0.0])],
+        "query_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    got = knn_bruteforce(corpus, queries, k=3).collect()
+    assert {r.query_id for r in got} == {101}
+    assert len([r for r in got if r.query_id == 101]) == 3
+
+
+def test_semdedup_null_embedding_rows_are_kept_not_crashed(spark):
+    """Round-13 review: a NULL embedding rode through assign_clusters into
+    the pair kernel and crashed the matrix build. It must be assigned,
+    kept (no cosine to anything), and must not drop others."""
+    from aws_kinesis_spark.operators.similarity import semdedup
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),  # exact dup of 1 -> dropped
+        (3, None),
+        (4, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {r.vec_id: r.is_kept for r in semdedup(emb, n_clusters=2, threshold=0.9).collect()}
+    assert got == {1: True, 2: False, 3: True, 4: True}
+
+
+def test_similarity_collects_name_null_vector_errors(spark):
+    """Round-13 review: the bounded driver collects (IVF training sample,
+    decontamination reference) must fail with the NAMED NULL-vector error,
+    not a cryptic numpy 'setting an array element with a sequence'."""
+    from aws_kinesis_spark.operators.similarity import (
+        max_sim_vs_reference,
+        train_ivf_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="NULL embedding"):
+        train_ivf_centroids(emb, nlist=2, train_rows=16)
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="NULL embedding"):
+        max_sim_vs_reference(corpus, emb).collect()
