@@ -15,6 +15,20 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _check_reserved(df: DataFrame, names: Sequence[str], where: str) -> None:
+    """withColumn REPLACES same-named input columns silently — an input
+    frame already carrying one of our temp/output column names would have
+    it overwritten and then dropped/reinterpreted, corrupting the caller's
+    data with no error (round-13 review; the cap_per_key validation
+    style)."""
+    clash = set(names) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"{where}: input columns {sorted(clash)} collide with reserved "
+            "column names — rename them before calling"
+        )
+
+
 def staging_upsert(target: DataFrame, staging: DataFrame, keys: Sequence[str]) -> DataFrame:
     """DELETE-USING + INSERT-SELECT as anti-join + union (README.md:573-575).
 
@@ -40,21 +54,32 @@ def merge_into_sql(
     with None both clauses use ``*``. ``delete_op=(col, value)`` adds a
     WHEN MATCHED AND col = value THEN DELETE clause and guards the insert
     so unmatched delete markers are ignored (CDC delete routing,
-    README.md:224 metadata.op)."""
-    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-    guard = f" AND s.{delete_op[0]} <> '{delete_op[1]}'" if delete_op else ""
-    delete = (
-        f"WHEN MATCHED AND s.{delete_op[0]} = '{delete_op[1]}' THEN DELETE\n"
-        if delete_op
-        else ""
-    )
+    README.md:224 metadata.op).
+
+    Identifiers are backtick-quoted and the delete value single-quote
+    escaped: an op value or column name containing a quote otherwise
+    broke the statement — and because merge_upsert's fallback caught the
+    resulting ParseException, the MERGE path was silently abandoned for a
+    differently-shaped plan with no signal (round-13 review); an
+    externally-sourced op value could even smuggle SQL into spark.sql()."""
+
+    def q(ident: str) -> str:  # backtick-quote, doubling embedded backticks
+        return "`" + ident.replace("`", "``") + "`"
+
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
+    if delete_op:
+        dcol, dval = q(delete_op[0]), delete_op[1].replace("'", "''")
+        guard = f" AND s.{dcol} <> '{dval}'"
+        delete = f"WHEN MATCHED AND s.{dcol} = '{dval}' THEN DELETE\n"
+    else:
+        guard, delete = "", ""
     if columns:
-        update = "UPDATE SET " + ", ".join(f"t.{c} = s.{c}" for c in columns)
+        update = "UPDATE SET " + ", ".join(f"t.{q(c)} = s.{q(c)}" for c in columns)
         insert = (
             "INSERT ("
-            + ", ".join(columns)
+            + ", ".join(q(c) for c in columns)
             + ") VALUES ("
-            + ", ".join(f"s.{c}" for c in columns)
+            + ", ".join(f"s.{q(c)}" for c in columns)
             + ")"
         )
     else:
@@ -86,10 +111,17 @@ def merge_upsert(
     changelog with apply_cdc) — multiple matches are a MERGE cardinality
     error on v2 and nondeterministic in any engine.
 
-    Returns the post-merge table state as a DataFrame. The fallback never
-    writes in place (v1 tables can't); callers persist the result — which is
-    exactly the reference's staging-swap discipline. Both paths shuffle only
-    on the key and broadcast the staging side when small."""
+    Returns the post-merge table state as a DataFrame — but note the two
+    paths' side-effect contracts DIFFER: the v2 MERGE has already committed
+    to the target when this returns (the frame is a read of the committed
+    table; writing it back would be a redundant full rewrite, and on a
+    non-transactional sink a read-overwrite hazard), while the fallback
+    only returns a plan that the caller must persist (v1 tables cannot be
+    mutated in place — the reference's staging-swap discipline). Callers
+    that must behave identically on both catalog kinds should persist
+    through a staging swap to a NEW location, which is safe in either
+    case. Both paths shuffle only on the key and broadcast the staging
+    side when small."""
     import uuid
 
     from pyspark.errors import (
@@ -105,24 +137,41 @@ def merge_upsert(
     view = f"__staging_{uuid.uuid4().hex}"
     staging.createOrReplaceTempView(view)
     sql = merge_into_sql(target_table, view, keys, target.columns, delete_op)
+
+    def fallback() -> DataFrame:
+        # v1 catalog: MERGE INTO unsupported — rewrite to the equivalent
+        # relational plan (README.md:573-575 DELETE-USING + INSERT-SELECT)
+        if delete_op:
+            col, val = delete_op
+            keep = staging.filter(F.col(col) != val).select(*target.columns)
+            # matched deletes remove the target row; unmatched are ignored
+            dropped_keys = staging.filter(F.col(col) == val).select(*keys)
+            merged = staging_upsert(target, keep, keys)
+            return merged.join(dropped_keys, list(keys), "left_anti")
+        return staging_upsert(target, staging.select(*target.columns), keys)
+
     try:
         try:
             spark.sql(sql)
             return spark.table(target_table)
-        except (AnalysisException, ParseException, UnsupportedOperationException):
-            # v1 catalog: MERGE INTO unsupported — rewrite to the equivalent
-            # relational plan (README.md:573-575 DELETE-USING + INSERT-SELECT).
-            # ONLY planning-time errors take the fallback: an execution-time
-            # MERGE failure (cardinality violation, executor loss) must
-            # propagate, not silently re-run as a differently-shaped plan
-            if delete_op:
-                col, val = delete_op
-                keep = staging.filter(F.col(col) != val).select(*target.columns)
-                # matched deletes remove the target row; unmatched are ignored
-                dropped_keys = staging.filter(F.col(col) == val).select(*keys)
-                merged = staging_upsert(target, keep, keys)
-                return merged.join(dropped_keys, list(keys), "left_anti")
-            return staging_upsert(target, staging.select(*target.columns), keys)
+        except UnsupportedOperationException as ex:
+            # ONLY the catalog's "this table kind cannot MERGE" refusal
+            # (condition UNSUPPORTED_FEATURE.*, measured on v1 parquet)
+            # takes the fallback. The bare class is NOT enough: PySpark
+            # maps EVERY java.lang.UnsupportedOperationException to it —
+            # including execution-time MERGE failures like Delta's
+            # duplicate-staging-row cardinality violation, which a broad
+            # catch silently re-ran as the relational plan WITHOUT the
+            # collapse, returning duplicated-key state (round-13 review).
+            cond = ex.getCondition() or ""
+            if not cond.startswith("UNSUPPORTED_FEATURE"):
+                raise
+            return fallback()
+        except (AnalysisException, ParseException):
+            # planning-time only (unresolved MERGE analysis / no MERGE
+            # grammar in the catalog's parser); execution-time failures
+            # surface as different classes and propagate
+            return fallback()
     finally:
         # the MERGE runs eagerly and neither returned plan references the
         # view, so it is droppable in every path — a foreachBatch loop
@@ -149,9 +198,16 @@ def apply_cdc(
     beats it (the convention CDC consumers expect — discarding a
     same-seq tombstone silently resurrects the key), then by op for a
     total order that is identical across runs/partitions.
+
+    A winning row with a NULL op is kept (surfaces as state), not
+    dropped: ``op != 'D'`` evaluates to NULL for it, so the plain filter
+    silently deleted keys whose latest record was malformed — a vanished
+    key with no error (round-13 review). Null-safe comparison keeps it;
+    a pipeline that wants to reject malformed ops filters them upstream
+    (the decode path's _corrupt routing).
     """
     return collapse_cdc(cdc, keys, seq_col, op_col, delete_op).filter(
-        F.col(op_col) != delete_op
+        ~F.col(op_col).eqNullSafe(F.lit(delete_op))
     )
 
 
@@ -173,6 +229,7 @@ def collapse_cdc(
     share key+seq+op with different payloads (a producer double-send with
     drift): without it row_number picks a partition-order-dependent winner
     and replays diverge."""
+    _check_reserved(cdc, ["__rn"], "collapse_cdc")
     w = Window.partitionBy(*keys).orderBy(
         F.desc(seq_col),
         F.desc((F.col(op_col) == delete_op).cast("int")),
@@ -215,6 +272,7 @@ def net_changes(
     # path carried a private byte-identical copy of the window, and that
     # window has been patched twice (rounds 11 and 12); a third fix would
     # have missed the copy (round-13 review)
+    _check_reserved(cdc, ["__net_op"], "net_changes")
     return collapse_cdc(
         cdc.filter(F.col(seq_col) > F.lit(from_seq)),
         keys,
@@ -250,8 +308,16 @@ def compact_changelog(
     Scale: the head collapses through one key shuffle over only the
     pre-cursor slice; the tail is a pushed-down range filter, untouched.
     Retained size is O(live keys + post-cursor delta) instead of O(full
-    history) — the property that keeps a 100 TB changelog replayable."""
-    head = cdc.filter(F.col(seq_col) <= F.lit(cursor))
+    history) — the property that keeps a 100 TB changelog replayable.
+
+    A NULL sequence number routes to the HEAD slice: it fails both range
+    predicates, so the row used to vanish from the compacted log entirely
+    (in neither head nor tail), breaking replay equivalence with the full
+    log. In the full-log collapse desc(seq) orders NULLs LAST — oldest —
+    and no cursor-based consumer can position after a NULL, so folding it
+    into the snapshot is the replay-equivalent placement (round-13
+    review)."""
+    head = cdc.filter((F.col(seq_col) <= F.lit(cursor)) | F.col(seq_col).isNull())
     tail = cdc.filter(F.col(seq_col) > F.lit(cursor))
     snapshot = apply_cdc(head, keys, seq_col, op_col, delete_op)
     return snapshot.unionByName(tail)
@@ -281,6 +347,9 @@ def scd2_history(
     collapse_cdc, so two same-key+seq+op events with drifted payloads
     chain identically on every replay instead of swapping version order
     with partition luck."""
+    _check_reserved(
+        cdc, ["__valid_from", "__valid_to", "__is_current"], "scd2_history"
+    )
     w = Window.partitionBy(*keys).orderBy(
         F.asc(seq_col),
         F.asc((F.col(op_col) == delete_op).cast("int")),
@@ -298,7 +367,9 @@ def scd2_history(
         # originating CDC event, which is what lets scd2_merge_increment
         # rebuild chains from state alone
         return out
-    return out.filter(F.col(op_col) != delete_op)
+    # null-safe: a NULL-op event opens a (malformed but visible) version
+    # instead of silently vanishing like a tombstone (apply_cdc's posture)
+    return out.filter(~F.col(op_col).eqNullSafe(F.lit(delete_op)))
 
 
 def _dedup_events(
@@ -310,6 +381,7 @@ def _dedup_events(
     the SAME copy on every run — ``dropDuplicates`` keeps a
     partition-order-dependent one; rank by the payload hash instead (the
     collapse_cdc total-order term)."""
+    _check_reserved(df, ["__rn"], "_dedup_events")
     w = Window.partitionBy(*klist, seq_col, op_col).orderBy(
         F.desc(F.xxhash64(F.struct(*[F.col(c) for c in df.columns])))
     )

@@ -1672,3 +1672,113 @@ def test_similarity_collects_name_null_vector_errors(spark):
     )
     with pytest.raises(ValueError, match="NULL embedding"):
         max_sim_vs_reference(corpus, emb).collect()
+
+
+def test_merge_into_sql_quotes_identifiers_and_escapes_values():
+    """Round-13 review: the MERGE statement interpolated identifiers and
+    the delete-op value unquoted — a value with a quote broke the SQL
+    (and the broken statement was silently swallowed by the fallback),
+    and odd column names could smuggle syntax into spark.sql()."""
+    from aws_kinesis_spark.operators.upsert import merge_into_sql
+
+    sql = merge_into_sql(
+        "t1", "v1", ["id"], ["id", "o p"], delete_op=("op", "D'EL")
+    )
+    assert "s.`op` = 'D''EL'" in sql
+    assert "t.`o p` = s.`o p`" in sql
+    assert "t.`id` = s.`id`" in sql
+
+
+def test_merge_upsert_propagates_execution_time_unsupported(spark, tmp_path):
+    """Round-13 review: PySpark maps EVERY java UnsupportedOperationException
+    to the same Python class — including execution-time MERGE failures
+    (e.g. Delta's duplicate-staging-row cardinality violation). Only the
+    catalog's UNSUPPORTED_FEATURE refusal may take the relational
+    fallback; anything else must propagate."""
+    import uuid as _uuid
+
+    from pyspark.errors import UnsupportedOperationException
+
+    from aws_kinesis_spark.operators.upsert import merge_upsert
+
+    tbl = f"t_prop_{_uuid.uuid4().hex[:8]}"
+    d = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id LONG, v STRING").write.parquet(d)
+    spark.sql(f"CREATE TABLE {tbl} USING parquet LOCATION '{d}'")
+    staging = spark.createDataFrame([(1, "b")], "id LONG, v STRING")
+
+    real_sql = spark.sql
+
+    def exec_time_failure(q, *a, **kw):
+        if q.lstrip().startswith("MERGE"):
+            # a plain java UnsupportedOperationException surfacing from
+            # execution carries NO error condition (getCondition None) —
+            # exactly what a broad class-level catch used to swallow
+            raise UnsupportedOperationException("merge cardinality violation")
+        return real_sql(q, *a, **kw)
+
+    spark.sql = exec_time_failure
+    try:
+        with pytest.raises(UnsupportedOperationException, match="cardinality"):
+            merge_upsert(spark, tbl, staging, ["id"])
+    finally:
+        spark.sql = real_sql
+        spark.sql(f"DROP TABLE {tbl}")
+    # the genuine v1 refusal (UNSUPPORTED_FEATURE) still falls back —
+    # pinned by test_lake.py's merge fallback test
+
+
+def test_apply_cdc_null_op_is_kept_not_deleted(spark):
+    """Round-13 review: a key whose LATEST record carries op=NULL used to
+    vanish from the collapsed state ('op != D' is NULL -> filtered) as if
+    deleted. It must surface as state instead."""
+    from aws_kinesis_spark.operators.upsert import apply_cdc, compact_changelog
+
+    cdc = spark.createDataFrame(
+        [(1, "A", "I", 1), (1, "B", None, 9), (2, "C", "I", 2)],
+        "id LONG, status STRING, op STRING, seq LONG",
+    )
+    got = {r.id: r.status for r in apply_cdc(cdc, ["id"], "seq").collect()}
+    assert got == {1: "B", 2: "C"}
+    # compaction replay-equivalence with a NULL sequence number: the row
+    # used to fall out of BOTH the head and tail slices
+    log = spark.createDataFrame(
+        [(7, "X", "U", None), (8, "Y", "I", 5)],
+        "id LONG, status STRING, op STRING, seq LONG",
+    )
+    compacted = compact_changelog(log, ["id"], "seq", cursor=10)
+    full = apply_cdc(log, ["id"], "seq")
+    re_compacted = apply_cdc(compacted, ["id"], "seq")
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, re_compacted.collect())
+    )
+    assert compacted.filter(F.col("id") == 7).count() == 1
+
+
+def test_cdc_operators_reject_reserved_column_collisions(spark):
+    """Round-13 review: withColumn silently replaces same-named input
+    columns — an input already carrying a temp/output name would be
+    corrupted, not erred."""
+    from aws_kinesis_spark.operators.upsert import (
+        collapse_cdc,
+        net_changes,
+        scd2_history,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "A", "I", 1, 0)], "id LONG, status STRING, op STRING, seq LONG, __rn LONG"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        collapse_cdc(base, ["id"], "seq")
+    vf = spark.createDataFrame(
+        [(1, "A", "I", 1, 0)],
+        "id LONG, status STRING, op STRING, seq LONG, __valid_from LONG",
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        scd2_history(vf, ["id"], "seq")
+    nop = spark.createDataFrame(
+        [(1, "A", "I", 1, "x")],
+        "id LONG, status STRING, op STRING, seq LONG, __net_op STRING",
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        net_changes(nop, ["id"], "seq", 0)
