@@ -121,10 +121,28 @@ def infer_payload_schema(env: DataFrame, sample_rows: int = 256) -> T.StructType
     crawler inferring the lake schema from observed data, README.md:163,
     545-549): decode a bounded sample of payloads and infer the JSON shape.
 
-    The sample is ``limit(sample_rows)`` — bounded regardless of stream
+    The sample is ``limit(sample_rows)`` — bounded regardless of corpus
     size, exactly like a crawler sampling objects. Use the result as
     ``decode_envelope(..., payload_schema=...)`` so NEW payload fields that
-    producers start emitting become queryable without a code change."""
+    producers start emitting become queryable without a code change.
+
+    Batch frames only: sampling is an action, which a STREAMING frame
+    cannot run (limit/rdd are unsupported mid-plan) — callers sample a
+    batch read of the same source instead (the crawler never runs inside
+    the stream). Named here rather than surfacing as a deep
+    AnalysisException (the decode_envelope hardening discipline).
+
+    Inference runs DROPMALFORMED: a record that base64-decodes but is not
+    JSON (a binary producer on the same stream) otherwise polluted the
+    inferred schema with a phantom ``_corrupt_record`` string field that
+    no producer emits — persisted into the lake schema for every later
+    batch once passed to keep_payload=True (round-13 review)."""
+    if env.isStreaming:
+        raise ValueError(
+            "infer_payload_schema: cannot sample a streaming DataFrame — "
+            "run it on a batch read of the same source (spark.read) and "
+            "pass the inferred schema to the streaming decode"
+        )
     spark = env.sparkSession
     decoded = (
         env.select(
@@ -135,7 +153,11 @@ def infer_payload_schema(env: DataFrame, sample_rows: int = 256) -> T.StructType
         .filter(F.col("j").isNotNull())
         .limit(sample_rows)
     )
-    return spark.read.json(decoded.rdd.map(lambda r: r[0])).schema
+    return (
+        spark.read.option("mode", "DROPMALFORMED")
+        .json(decoded.rdd.map(lambda r: r[0]))
+        .schema
+    )
 
 
 def decode_envelope(
@@ -200,10 +222,16 @@ def decode_envelope(
         # pass this gate and then fail BOTH null-unsafe op branches of every
         # downstream split (op != 'D' / op == 'D') — vanishing from latest
         # AND deletes, the silent loss the DLQ contract forbids (round-13
-        # review)
+        # review). NULL status likewise: the stable-core contract requires
+        # data.status at the SCHEMA level (the evolved-schema check above),
+        # and a status-less record passing the gate overwrote a key's real
+        # status with NULL through every latest-wins merge instead of
+        # landing in the DLQ (round-13 review) — the data-level gate now
+        # enforces the same core.
         (
             F.col("payload").isNull()
             | F.col("payload.data.id").isNull()
+            | F.col("payload.data.status").isNull()
             | F.col("payload.metadata.op").isNull()
         ).alias(corrupt_col),
         F.col("data"),  # raw envelope payload, kept for the DLQ/backup branch

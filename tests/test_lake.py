@@ -1625,3 +1625,61 @@ def test_purge_batch_retracts_published_manifest(tmp_path):
     assert (lake / "_manifests" / "manifest-0000000002.json").exists()
     # idempotent: a second purge (nothing left) must not raise
     purge_batch(str(lake), 3)
+
+
+def test_decode_envelope_null_status_routes_to_dlq(spark):
+    """Round-13 review: valid JSON missing data.status passed the corrupt
+    gate and overwrote the key's real status with NULL through latest-wins
+    merges. The data-level gate must enforce the same stable core the
+    evolved-schema check demands (id, status, op)."""
+    import base64
+
+    from aws_kinesis_spark.sources.envelope import decode_envelope
+
+    def env_row(payload: str):
+        return (
+            base64.b64encode(payload.encode()),
+            "sales-orders-1",
+            1,
+            None,
+        )
+
+    rows = [
+        env_row('{"data":{"id":7},"metadata":{"op":"U"}}'),  # status absent
+        env_row('{"data":{"id":8,"status":"A"},"metadata":{"op":"U"}}'),
+    ]
+    env = spark.createDataFrame(
+        rows,
+        "data binary, partition_key string, sequence_number long, arrival_ts timestamp",
+    )
+    got = {r.id: r._corrupt for r in decode_envelope(env).collect()}
+    assert got == {7: True, 8: False}
+
+
+def test_infer_payload_schema_guards_and_drops_malformed(spark, tmp_path):
+    """Round-13 review: (a) a streaming frame must get a named error, not
+    a deep AnalysisException from the sampling action; (b) a record that
+    base64-decodes but is not JSON must not plant a phantom
+    _corrupt_record field into the inferred schema."""
+    import base64
+
+    import pytest as _pytest
+
+    from aws_kinesis_spark.sources.envelope import infer_payload_schema
+    from aws_kinesis_spark.streaming.pipeline import envelope_stream
+
+    rows = [
+        (base64.b64encode(b'{"data":{"id":1,"status":"A"},"metadata":{"op":"I"}}'),
+         "pk", 1, None),
+        (base64.b64encode(b"hello world not json"), "pk", 2, None),
+    ]
+    schema = "data binary, partition_key string, sequence_number long, arrival_ts timestamp"
+    env = spark.createDataFrame(rows, schema)
+    inferred = infer_payload_schema(env)
+    assert "_corrupt_record" not in inferred.fieldNames()
+    assert {"data", "metadata"} <= set(inferred.fieldNames())
+
+    inp = str(tmp_path / "env")
+    env.write.parquet(inp)
+    with _pytest.raises(ValueError, match="streaming"):
+        infer_payload_schema(envelope_stream(spark, inp))
