@@ -223,6 +223,29 @@ def fingerprint(text: Column | str) -> Column:
     )
 
 
+def md5_uniform(key: Column, prefix: str | None = None) -> Column:
+    """THE seedless, engine-reproducible uniform [0,1) draw shared by the
+    sampling/oversampling kernels (g29 importance sampling, g54 mixture
+    oversampling): the first 8 md5 hex chars of the key as a 32-bit
+    integer over 2^32. One definition — the repo carried three
+    digit-for-digit copies of this idiom, and the cross-engine
+    reproducibility contract requires every copy to stay identical
+    forever (round-13 review); the SQL oracles pin the exact digits.
+
+    Pure IEEE-exact ops after the hash (one integer, one division, no
+    ln/pow), so any engine reproduces the draw bit-for-bit. With
+    ``prefix`` the key is decorrelated per use-site and a NULL key draws
+    through a sentinel (one deterministic coin); without it a NULL key
+    yields a NULL draw (every comparison false — the row leaves the
+    sample), matching the g29 form."""
+    s = key.cast("string")
+    if prefix is not None:
+        s = F.concat(F.lit(prefix), F.coalesce(s, F.lit("\x00null")))
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") / F.lit(
+        4294967296.0
+    )
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct positional n-gram shingles (token n-grams). Shingling keeps
     word order information that bag-of-words Jaccard loses — on small

@@ -21,32 +21,10 @@ from pyspark.sql import functions as F
 from aws_kinesis_spark.functions.text import shingles
 
 
-def _spread(docs: DataFrame) -> DataFrame:
-    """Documents arrive as one dense parquet file (a few MB for thousands of
-    rows), so Spark gives the scan ONE partition and every downstream
-    explode/hash/shingle runs single-threaded. One cheap row shuffle spreads
-    the corpus across the cluster before the heavy per-doc work (measured 3x
-    end-to-end at sf0.1).
-
-    CONDITIONAL: a corpus that already scans as >= half the cluster's
-    parallelism is returned untouched — repartition() is a full shuffle of
-    every row, and at 100 TB the input is already thousands of splits, so
-    the unconditional form would have paid a corpus-wide shuffle for
-    nothing. The at-scale exit checks the file index first (driver
-    metadata, no plan-to-RDD conversion); only a small-file-count input
-    pays the one-off getNumPartitions conversion to decide precisely."""
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    enough = max(2, target // 2)
-    try:
-        # file count lower-bounds the split count, so >= enough files means
-        # the scan is already parallel — the 100 TB fast path, zero cost
-        if len(docs.inputFiles()) >= enough:
-            return docs
-    except Exception:
-        pass  # non-file source: decide from the RDD below
-    if docs.rdd.getNumPartitions() >= enough:
-        return docs
-    return docs.repartition(target)
+# the input-parallelism guard moved to operators/partitioning.py (owned
+# with the other layout helpers; training.py consumes it publicly too) —
+# dedup call sites keep the short local name
+from aws_kinesis_spark.operators.partitioning import spread_input as _spread
 
 
 def _check_banding(num_hashes: int, bands: int) -> int:

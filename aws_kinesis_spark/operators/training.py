@@ -14,7 +14,7 @@ from collections.abc import Mapping
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from aws_kinesis_spark.functions.text import shingles, token_count
+from aws_kinesis_spark.functions.text import md5_uniform, shingles, token_count
 
 
 def stratified_sample(
@@ -77,7 +77,17 @@ def pack_sequences(
     within shards; no global sort, no driver state. Shard count bounds
     window-partition size; bins are (shard, bin_id) pairs so packing
     parallelizes across shards exactly like the training loader reads them.
-    """
+
+    PRECONDITION: ``id_col`` must be NUMERIC (the shard is its modulus —
+    the SQL-oracle-matched contract; a string id dies mid-stage in an
+    ANSI CAST_INVALID_INPUT, so it is rejected at the API boundary
+    instead), non-NULL and unique (training_order's posture: a NULL id
+    has no shard and duplicate ids tie the running-sum order, making
+    bin assignment run-dependent). A NULL text packs as 0 tokens — the
+    doc occupies a deterministic slot; F.sum skipping the NULL otherwise
+    emitted a NULL bin_id while not advancing the running sum, silently
+    misplacing the row for any loader keyed on (shard, bin_id)
+    (round-13 review)."""
     if budget < 1 or n_shards < 1:
         # under this engine's ANSI mode floor(x/0) / pmod(x, 0) raise
         # DIVIDE_BY_ZERO mid-job (the old comment claimed ANSI was off and
@@ -87,8 +97,15 @@ def pack_sequences(
             f"pack_sequences: budget ({budget}) and n_shards ({n_shards}) "
             "must be >= 1"
         )
+    from pyspark.sql import types as T
+
+    if not isinstance(docs.schema[id_col].dataType, T.NumericType):
+        raise ValueError(
+            f"pack_sequences: id_col {id_col!r} must be numeric (its modulus "
+            "is the shard key); hash non-numeric ids to a LONG first"
+        )
     shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("long")
-    tok = token_count(F.col(text_col)).cast("long")
+    tok = F.coalesce(token_count(F.col(text_col)).cast("long"), F.lit(0).cast("long"))
     w = (
         Window.partitionBy("shard")
         .orderBy(id_col)
@@ -166,7 +183,7 @@ def decontaminate(
     cannot leak an n-gram). Deterministic: no hashing approximations; the
     score is the exact distinct-gram overlap fraction.
     """
-    from aws_kinesis_spark.operators.dedup import _spread
+    from aws_kinesis_spark.operators.partitioning import spread_input as _spread
 
     # same input-parallelism guard as the dedup pipelines (SCALE.md §4b):
     # a small dense parquet gives the scan ONE partition, serializing the
@@ -382,9 +399,25 @@ def oversample_mixture(
     Semantics pinned by tests: NULL id draws through a sentinel (one
     deterministic coin like everyone else, the stratified_sample
     posture); NULL or negative weight means 0 copies (the row leaves
-    the mixture, matching keep-rate-0 in the downsamplers)."""
+    the mixture, matching keep-rate-0 in the downsamplers).
+
+    PRECONDITION: ``weight`` must be a DETERMINISTIC expression (the
+    cap_per_key posture). It is referenced several times in the plan
+    (NULL/negative guard, both tripwires, floor, fractional coin), and
+    Catalyst does not common-subexpression-eliminate nondeterministic
+    expressions — a rand()-derived weight would draw independently per
+    reference, desynchronizing the copy count from its guards and
+    silently voiding the bit-for-bit multiset contract."""
     if max_copies < 1:
         raise ValueError(f"max_copies must be >= 1, got {max_copies}")
+    if epoch_col == "__copies":
+        # the set-union guard below collapses {__copies, epoch_col} to one
+        # name, so this aliasing slipped the clash check — and the final
+        # drop('__copies') would then delete the just-built epoch column,
+        # returning replicated rows with no repeat index (round-13 review)
+        raise ValueError(
+            "epoch_col must not be the reserved temp name '__copies'"
+        )
     reserved = {"__copies", epoch_col}
     clash = reserved & set(df.columns)
     if clash:
@@ -413,23 +446,7 @@ def oversample_mixture(
             )
         ).cast("double"),
     ).otherwise(w)
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("os:"),
-                        F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null")),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        / F.lit(4294967296.0)
-    )
+    u = md5_uniform(F.col(id_col), prefix="os:")
     # copies stays LONG end-to-end (floor(double) is BIGINT); no int
     # narrowing anywhere, so the only overflow surface is the guarded
     # double above

@@ -1496,9 +1496,7 @@ def g29_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     de-synchronize the kept set at the threshold boundary). Map-only:
     filter in the scan stage, zero shuffle."""
     d = load(spark, sf_dir, "documents")
-    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    ) / F.lit(4294967296.0)
+    u = TX.md5_uniform(F.col("doc_id"))
     return d.filter(u < F.col("n_chars") / F.lit(2000.0)).select(
         "doc_id", "lang", "n_chars"
     )

@@ -1782,3 +1782,37 @@ def test_cdc_operators_reject_reserved_column_collisions(spark):
     )
     with pytest.raises(ValueError, match="reserved"):
         net_changes(nop, ["id"], "seq", 0)
+
+
+def test_pack_sequences_contract_edges(spark):
+    """Round-13 review: (a) a non-numeric id must be rejected at the API
+    boundary (pmod on a string dies mid-stage in ANSI CAST_INVALID_INPUT);
+    (b) a NULL text packs as 0 tokens — it used to emit a NULL bin_id
+    while not advancing the running sum, silently misplacing the row."""
+    from aws_kinesis_spark.operators.training import pack_sequences
+
+    strings = spark.createDataFrame(
+        [("a", "x y z")], "doc_id STRING, text STRING"
+    )
+    with pytest.raises(ValueError, match="numeric"):
+        pack_sequences(strings, budget=4)
+
+    docs = spark.createDataFrame(
+        [(0, "t1 t2 t3"), (8, None), (16, "t4 t5 t6")],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r for r in pack_sequences(docs, budget=4, n_shards=8).collect()}
+    # all three ids share shard 0; the NULL-text doc occupies a slot with
+    # 0 tokens and a concrete bin, and the running sum flows through it
+    assert got[8].n_tokens == 0 and got[8].bin_id is not None
+    assert got[0].bin_id == 0 and got[16].bin_id == 0  # 3 + 0 + 3 <= 2*4
+
+
+def test_oversample_rejects_copies_as_epoch_col(spark):
+    """Round-13 review: epoch_col='__copies' slipped the set-union clash
+    guard and the final drop deleted the just-built epoch column."""
+    from aws_kinesis_spark.operators.training import oversample_mixture
+
+    df = spark.createDataFrame([(1,)], "doc_id LONG")
+    with pytest.raises(ValueError, match="__copies"):
+        oversample_mixture(df, F.lit(2.0), "doc_id", epoch_col="__copies")
