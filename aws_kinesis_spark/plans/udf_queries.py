@@ -83,6 +83,11 @@ def _median_price(price: pd.Series) -> float:
     # NULLs are dropped to match SQL median semantics (np.median would
     # propagate NaN through the whole group — round-12 review); an
     # all-NULL group yields NULL like the oracle's median() does.
+    # KNOWN LIMIT: Arrow hands SQL NULL and a literal NaN double to pandas
+    # identically, so a group containing a true NaN VALUE is also dropped
+    # here while DuckDB's median orders NaN greatest — undistinguishable
+    # at the pandas_udf layer; the fixture carries neither (round-13
+    # review).
     vals = price.dropna().to_numpy()
     return float(np.median(vals)) if len(vals) else None
 

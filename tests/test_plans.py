@@ -133,18 +133,46 @@ def test_approx_percentile_check_holds_on_tiny_groups(spark, tmp_path):
     from aws_kinesis_spark.plans.relational import d36_approx_percentile_check
 
     # craft a lineitem with one 2-row group of extreme spread — the exact
-    # shape that broke the interpolated band
+    # shape that broke the interpolated band — plus the NULL-price shapes
+    # of the round-13 review: a big group that is MOSTLY NULL (the rank
+    # guarantee scales with non-NULL values, so it must take the loose
+    # bound: 5002 rows but only 2 prices) and an all-NULL group (every
+    # aggregate NULL -> between() was NULL where the oracle pins true).
     li = spark.createDataFrame(
-        [("Z", 1.0), ("Z", 100.0)] + [("N", float(i)) for i in range(100)],
+        [("Z", 1.0), ("Z", 100.0)]
+        + [("N", float(i)) for i in range(100)]
+        + [("M", 1.0), ("M", 100.0)]
+        + [("M", None)] * 5000
+        + [("U", None)] * 10,
         "l_returnflag string, l_extendedprice double",
     )
     sf = str(tmp_path / "sf")
-    import os as _os
-    _os.makedirs(sf, exist_ok=True)
-    li.coalesce(1).write.mode("overwrite").parquet(_os.path.join(sf, "lineitem.parquet"))
+    li.coalesce(1).write.mode("overwrite").parquet(os.path.join(sf, "lineitem.parquet"))
     rows = {r["l_returnflag"]: r for r in d36_approx_percentile_check(spark, sf).collect()}
     assert rows["Z"]["n"] == 2 and rows["Z"]["within_bounds"] is True
     assert rows["N"]["within_bounds"] is True
+    assert rows["M"]["n"] == 5002 and rows["M"]["within_bounds"] is True
+    assert rows["U"]["within_bounds"] is True
+
+
+def test_median_udaf_null_semantics(spark, tmp_path):
+    """Round-13 review: the f03 median UDAF's NULL handling had no
+    regression test (the fixture carries no NULL prices, so reverting the
+    dropna fix stayed green). A NULL-containing group must take the median
+    of its real values; an all-NULL group must yield NULL like SQL
+    median()."""
+    from aws_kinesis_spark.plans.udf_queries import f03_grouped_agg_udaf
+
+    li = spark.createDataFrame(
+        [("A", "x", 10.0), ("A", "x", None), ("A", "x", 20.0)]
+        + [("B", "y", None), ("B", "y", None)],
+        "l_returnflag string, l_linestatus string, l_extendedprice double",
+    )
+    sf = str(tmp_path / "sf")
+    li.coalesce(1).write.mode("overwrite").parquet(os.path.join(sf, "lineitem.parquet"))
+    rows = {r["l_returnflag"]: r for r in f03_grouped_agg_udaf(spark, sf).collect()}
+    assert rows["A"]["median_price"] == 15.0 and rows["A"]["n_items"] == 3
+    assert rows["B"]["median_price"] is None
 
 
 def test_salted_join_default_salt_is_deterministic_and_spreads(spark):
