@@ -211,6 +211,40 @@ def _vdir_match(name: str):
     return _VDIR_RE.match(name)
 
 
+def _committed_versions(table_dir: str) -> dict[int, str]:
+    """batch_id -> its last-committed dir NAME, for every version of a
+    pointer-swap store. Attempt dirs (``v{N}_{k}``) are written
+    complete-then-renamed, so the HIGHEST attempt present for a batch id
+    is its newest committed state; ``.tmp`` staging dirs never match the
+    name regex. THE one resolve pass shared by the warehouse/SCD2 readers
+    and streaming/rollup.py (round-13 review: rollup carried a drifted
+    twin of this scan — partition/isdigit parsing plus a dead ``.old``
+    check — and every protocol change had to land twice)."""
+    best: dict[int, tuple[int, str]] = {}
+    for d in os.listdir(table_dir) if os.path.isdir(table_dir) else []:
+        m = _vdir_match(d)
+        if not m:
+            continue
+        key, attempt = int(m.group(1)), int(m.group(2) or 0)
+        if key not in best or attempt > best[key][0]:
+            best[key] = (attempt, d)
+    return {k: v[1] for k, v in best.items()}
+
+
+def _pointer_dir(table_dir: str) -> str | None:
+    """Resolve the ``_CURRENT`` pointer to a version dir NAME (None before
+    the first commit). Replay-attempt pointers carry an explicit ``dir``;
+    older pointers carry only ``version`` and resolve by number."""
+    import json as _json
+
+    ptr = os.path.join(table_dir, "_CURRENT")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        payload = _json.load(fh)
+    return payload.get("dir") or f"v{payload['version']}"
+
+
 def _version_dir(table_dir: str, version: int) -> str | None:
     """Resolve one committed version number to its dir: the highest
     attempt of ``v{version}`` (``v{N}`` then ``v{N}_1``, ``v{N}_2`` …).
@@ -218,28 +252,17 @@ def _version_dir(table_dir: str, version: int) -> str | None:
     merge is deterministic and attempts only exist from replays of the
     same batch — so any complete attempt serves; the highest is simply
     the most recently committed."""
-    best = None
-    for d in os.listdir(table_dir) if os.path.isdir(table_dir) else []:
-        m = _vdir_match(d)
-        if m and int(m.group(1)) == version:
-            attempt = int(m.group(2) or 0)
-            if best is None or attempt > best[0]:
-                best = (attempt, d)
-    return os.path.join(table_dir, best[1]) if best else None
+    d = _committed_versions(table_dir).get(version)
+    return os.path.join(table_dir, d) if d else None
 
 
 def _latest_version_dir_below(table_dir: str, batch_id: int) -> str | None:
     """The newest committed version dir OLDER than ``batch_id`` — the
     replay-safe merge base (a replayed batch must never merge on top of
     its own prior attempt)."""
-    best = None
-    for d in os.listdir(table_dir) if os.path.isdir(table_dir) else []:
-        m = _vdir_match(d)
-        if m and int(m.group(1)) < batch_id:
-            key = (int(m.group(1)), int(m.group(2) or 0))
-            if best is None or key > best[0]:
-                best = (key, d)
-    return os.path.join(table_dir, best[1]) if best else None
+    versions = _committed_versions(table_dir)
+    prev = [b for b in versions if b < batch_id]
+    return os.path.join(table_dir, versions[max(prev)]) if prev else None
 
 
 def _commit_table_version(
@@ -377,17 +400,12 @@ def read_warehouse_table(
     those callers pass SCD2_SCHEMA so an empty dimension still resolves
     ``op``/``__valid_from``/… instead of crashing downstream projections
     with UNRESOLVED_COLUMN (round-13 review)."""
-    import json as _json
-
     if version is None:
-        ptr = os.path.join(table_dir, "_CURRENT")
-        if not os.path.exists(ptr):
-            return spark.createDataFrame([], empty_schema or WAREHOUSE_SCHEMA)
-        with open(ptr) as fh:
-            payload = _json.load(fh)
         # the pointer names its dir directly (pointer-swap protocol);
         # "version"-only pointers predate it and resolve by number
-        name = payload.get("dir", f"v{payload['version']}")
+        name = _pointer_dir(table_dir)
+        if name is None:
+            return spark.createDataFrame([], empty_schema or WAREHOUSE_SCHEMA)
         return spark.read.parquet(os.path.join(table_dir, name))
     vdir = _version_dir(table_dir, version)
     if vdir is None:

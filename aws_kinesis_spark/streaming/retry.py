@@ -40,7 +40,9 @@ def retry_with_backoff(
         # a zero-iteration loop would return None WITHOUT running fn — the
         # batch would be neither flushed nor DLQ'd, silently lost
         raise ValueError(f"retry_with_backoff: attempts must be >= 1, got {attempts}")
-    delay = base_delay
+    # clamp the FIRST delay too: base_delay above the cap otherwise yields
+    # a DECREASING ladder (60, 32, 32, ...) — backoff in reverse
+    delay = min(base_delay, max_delay)
     for attempt in range(attempts):
         try:
             return fn()
@@ -56,12 +58,21 @@ def flush_with_dlq(
     dlq: Callable[[DataFrame, int, BaseException], None],
     attempts: int = 7,
     base_delay: float = 1.0,
+    max_delay: float = 32.0,
+    retriable: tuple[type[BaseException], ...] = (Exception,),
     sleep: Callable[[float], None] = time.sleep,
 ) -> Callable[[DataFrame, int], None]:
     """Wrap a foreachBatch flush: transient failures retry with backoff;
     persistent failure hands the batch to the DLQ sink instead of failing
     the query (README.md:155 "retries 24 h then dlq/"; the attempt budget
-    is the knob standing in for the wall-clock window)."""
+    is the knob standing in for the wall-clock window).
+
+    ``max_delay`` and ``retriable`` pass through to the backoff ladder
+    (round-13 review: they were hidden, so a caller raising base_delay
+    past 32 s got a DECREASING ladder, and a deterministic failure — a
+    schema bug raising AnalysisException — burned the full ~63 s retry
+    budget per micro-batch before reaching the DLQ when a narrowed
+    retriable tuple would send it there on the first failure)."""
 
     def wrapped(batch_df: DataFrame, batch_id: int) -> None:
         try:
@@ -69,6 +80,8 @@ def flush_with_dlq(
                 lambda: flush(batch_df, batch_id),
                 attempts=attempts,
                 base_delay=base_delay,
+                max_delay=max_delay,
+                retriable=retriable,
                 sleep=sleep,
             )
         except Exception as e:  # escalate, never drop

@@ -17,7 +17,6 @@ pointer.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 
@@ -25,41 +24,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-_POINTER = "_CURRENT"
-
 ROLLUP_SCHEMA = (
     "hour_start TIMESTAMP, event_type STRING, n_events BIGINT, sum_value DOUBLE"
 )
 
 
 def _current_dir(rollup_dir: str) -> str | None:
-    """Resolve the _CURRENT pointer to a version dir NAME (None before the
-    first commit). Older pointers carry only ``version``; replay-attempt
-    pointers carry an explicit ``dir`` (``v{N}_{attempt}``)."""
-    ptr = os.path.join(rollup_dir, _POINTER)
-    if not os.path.exists(ptr):
-        return None
-    with open(ptr) as fh:
-        payload = json.load(fh)
-    return payload.get("dir") or f"v{payload['version']}"
+    """Resolve the _CURRENT pointer to a version dir NAME — the shared
+    pointer-swap resolver (round-13 review: this module carried a drifted
+    twin of pipeline.py's pointer parse and version scan; one copy now).
+    Local import so rollup loads without pulling the pipeline module."""
+    from aws_kinesis_spark.streaming.pipeline import _pointer_dir
+
+    return _pointer_dir(rollup_dir)
 
 
 def _committed_version_dirs(rollup_dir: str) -> dict[int, str]:
-    """batch_id -> committed dir name. Attempt dirs (``v{N}_{k}``) are
-    written complete-then-renamed, so the HIGHEST attempt present for a
-    batch id is its last committed state; ``.tmp`` staging dirs are never
-    complete and are skipped."""
-    best: dict[int, tuple[int, str]] = {}
-    for d in os.listdir(rollup_dir):
-        if not d.startswith("v") or d.endswith(".tmp") or d.endswith(".old"):
-            continue
-        bid, _, att = d[1:].partition("_")
-        if not bid.isdigit() or (att and not att.isdigit()):
-            continue
-        key, a = int(bid), int(att) if att else 0
-        if key not in best or a > best[key][0]:
-            best[key] = (a, d)
-    return {k: v[1] for k, v in best.items()}
+    """batch_id -> committed dir name (shared resolve pass, see
+    _current_dir)."""
+    from aws_kinesis_spark.streaming.pipeline import _committed_versions
+
+    return _committed_versions(rollup_dir)
+
+
+def _read_version(spark: SparkSession, rollup_dir: str, name: str) -> DataFrame:
+    """Read one version dir with an EXPLICIT schema: an empty combined
+    frame written through partitionBy('day') leaves a version dir with no
+    parquet part files (only _SUCCESS), and a schema-inferring read of it
+    died with UNABLE_TO_INFER_SCHEMA — killing the stream on the next
+    trigger and every read_rollup (round-13 review). With the schema
+    supplied, an empty version reads as an empty frame."""
+    return (
+        spark.read.schema(ROLLUP_SCHEMA + ", day DATE")
+        .parquet(os.path.join(rollup_dir, name))
+        .select("hour_start", "event_type", "n_events", "sum_value")
+    )
 
 
 def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
@@ -68,9 +67,48 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
     d = _current_dir(rollup_dir)
     if d is None:
         return spark.createDataFrame([], ROLLUP_SCHEMA)
-    return spark.read.parquet(os.path.join(rollup_dir, d)).select(
-        "hour_start", "event_type", "n_events", "sum_value"
-    )
+    return _read_version(spark, rollup_dir, d)
+
+
+def _retire_and_merge_base(
+    spark: SparkSession, rollup_dir: str, batch_id: int
+) -> DataFrame:
+    """One flush's sweep + merge-base selection (module-level so the
+    replay-sweep interaction is unit-testable — the round-13 truncation
+    defect below lived exactly here). Retires unreachable version dirs,
+    then returns the frame this batch combines against."""
+    ptr_dir = _current_dir(rollup_dir)
+    committed = _committed_version_dirs(rollup_dir)
+    keep_bids = set(sorted(b for b in committed if b <= batch_id)[-2:])
+    for d in os.listdir(rollup_dir):
+        if not d.startswith("v") or d.endswith(".tmp"):
+            continue
+        stem, _, att = d[1:].partition("_")
+        if not stem.isdigit() or (att and not att.isdigit()):
+            continue
+        bid = int(stem)
+        if d == ptr_dir:
+            continue  # the live dir is never swept, whatever its age
+        keep_dir = committed.get(bid)
+        if ptr_dir is not None and (
+            ptr_dir == f"v{bid}" or ptr_dir.startswith(f"v{bid}_")
+        ):
+            # attempt names recycle after sweeps, so "highest attempt"
+            # alone could evict the live dir — the pointer wins
+            keep_dir = ptr_dir
+        if bid in keep_bids and d == keep_dir:
+            continue
+        shutil.rmtree(os.path.join(rollup_dir, d), ignore_errors=True)
+    # combine against the newest version OLDER than this batch — not the
+    # pointer: if batch N committed its version but the checkpoint write
+    # failed, the replayed batch N would otherwise double-count itself
+    committed = _committed_version_dirs(rollup_dir)
+    prev = [b for b in committed if b < batch_id]
+    if prev:
+        # explicit schema (see _read_version) and the day partition
+        # column selected away so the combine schema stays logical
+        return _read_version(spark, rollup_dir, committed[max(prev)])
+    return spark.createDataFrame([], ROLLUP_SCHEMA)
 
 
 def start_continuous_rollup(
@@ -113,52 +151,24 @@ def start_continuous_rollup(
         # content-stable), so the choice only affects names. Readers
         # holding a plan across multiple trigger intervals still need
         # read-side retry — documented, not solved here.
-        # ...and RETIRE whole batch ids beyond the two newest committed: a
-        # replayed batch only ever combines against the newest version
-        # BELOW itself, and read_rollup resolves only _CURRENT, so any
-        # older version is unreachable — without this, every micro-batch
-        # left one full copy of the cumulative rollup on disk forever,
-        # O(stream age x table size) (round-13 review). Two batch ids
-        # cover every reachable replay (the uncommitted-checkpoint batch
-        # plus its merge base); retired dirs are >= two triggers stale, so
-        # the one-trigger read grace above is inherently satisfied. One
-        # listdir pass drives both sweeps (the per-bid re-list was
-        # quadratic in version count).
-        ptr_dir = _current_dir(rollup_dir)
-        committed = _committed_version_dirs(rollup_dir)
-        keep_bids = set(sorted(committed)[-2:])
-        for d in os.listdir(rollup_dir):
-            if not d.startswith("v") or d.endswith(".tmp"):
-                continue
-            stem, _, att = d[1:].partition("_")
-            if not stem.isdigit() or (att and not att.isdigit()):
-                continue
-            bid = int(stem)
-            if d == ptr_dir:
-                continue  # the live dir is never swept, whatever its age
-            keep_dir = committed.get(bid)
-            if ptr_dir is not None and (
-                ptr_dir == f"v{bid}" or ptr_dir.startswith(f"v{bid}_")
-            ):
-                # attempt names recycle after sweeps, so "highest attempt"
-                # alone could evict the live dir — the pointer wins
-                keep_dir = ptr_dir
-            if bid in keep_bids and d == keep_dir:
-                continue
-            shutil.rmtree(os.path.join(rollup_dir, d), ignore_errors=True)
-        # combine against the newest version OLDER than this batch — not the
-        # pointer: if batch N committed its version but the checkpoint write
-        # failed, the replayed batch N would otherwise double-count itself
-        committed = _committed_version_dirs(rollup_dir)
-        prev = [b for b in committed if b < batch_id]
-        if prev:
-            # select away the day partition column so the combine schema
-            # stays the logical rollup schema
-            current = spark.read.parquet(
-                os.path.join(rollup_dir, committed[max(prev)])
-            ).select("hour_start", "event_type", "n_events", "sum_value")
-        else:
-            current = spark.createDataFrame([], ROLLUP_SCHEMA)
+        # ...and RETIRE whole batch ids beyond the two newest committed AT
+        # OR BELOW this batch: a replayed batch only ever combines against
+        # the newest version BELOW itself, and read_rollup resolves only
+        # _CURRENT, so any older version is unreachable — without this,
+        # every micro-batch left one full copy of the cumulative rollup on
+        # disk forever, O(stream age x table size) (round-13 review). Two
+        # batch ids cover every reachable replay (the uncommitted-
+        # checkpoint batch plus its merge base); retired dirs are >= two
+        # triggers stale, so the one-trigger read grace above is
+        # inherently satisfied. RELATIVE to batch_id, not globally newest:
+        # a fresh-checkpoint replay into a dir holding stale HIGHER
+        # versions (v9/v10 from the pre-wipe run) otherwise monopolized
+        # the keep set, the replayed batch's merge base was swept, and the
+        # recombine against an empty frame silently truncated the rollup
+        # for every later batch (round-13 review); stale future ids now
+        # retire as the replay advances. One listdir pass drives both
+        # sweeps (the per-bid re-list was quadratic in version count).
+        current = _retire_and_merge_base(spark, rollup_dir, batch_id)
         combined = (
             current.unionByName(delta)
             .groupBy("hour_start", "event_type")

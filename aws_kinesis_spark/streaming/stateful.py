@@ -8,9 +8,16 @@ operator in the engine that needs custom state — everything else rides
 built-in windows/dedup (SURVEY.md §7 hard-point 5).
 
 Scale: state is O(shards) tuples of three longs — independent of stream
-length. Rows are processed in sequence-number order within each shard
-(README.md:53 per-shard ordering), so flush boundaries are deterministic and
-replayable from the checkpoint.
+length. Rows are processed in sequence-number order WITHIN EACH
+MICRO-BATCH of a shard (README.md:53 per-shard ordering); across triggers
+they are consumed in trigger order. On the real connector the two orders
+coincide (Kinesis assigns sequence numbers in arrival order, and triggers
+consume the shard in order), and under checkpoint replay the source WAL
+pins each batch's exact composition, so flush boundaries are deterministic
+and replayable either way — but a file fixture that SPLITS one shard's
+out-of-order files across triggers (maxFilesPerTrigger) gets per-trigger
+order only, not a global sequence sort (round-13 review: the old claim of
+unconditional sequence order was stronger than the code).
 """
 
 from __future__ import annotations
@@ -125,6 +132,11 @@ def start_buffer_accounting(
 
 # --- transformWithState (Spark 4.x successor API) ---------------------------
 
+import threading
+
+# serializes the session-global state-store-provider swap below
+_PROVIDER_SWAP_LOCK = threading.Lock()
+
 RUNNING_COUNT_SCHEMA = "user_id BIGINT, event_id BIGINT, seq BIGINT"
 
 
@@ -185,14 +197,29 @@ def run_running_count(
     ``google.protobuf`` install for its driver-side state server — gate
     callers with ``pytest.importorskip("google.protobuf.descriptor")`` or
     equivalent; ``applyInPandasWithState`` (above) is the dependency-free E6
-    path and the one the registry exposes."""
+    path and the one the registry exposes.
+
+    The provider conf is SESSION-GLOBAL: a module lock serializes
+    concurrent run_running_count calls (interleaved swap/restore otherwise
+    leaked RocksDB into the session permanently — round-13 review), but a
+    DIFFERENT stateful query started elsewhere on the session during this
+    call still plans on RocksDB; don't start other stateful streams
+    concurrently with this helper."""
     spark = ev_stream.sparkSession
     key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(
-        key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    with _PROVIDER_SWAP_LOCK:
+        prev = spark.conf.get(key, None)
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        _run_running_count_locked(spark, ev_stream, checkpoint_dir, sink_table,
+                                  timeout_s, key, prev)
+
+
+def _run_running_count_locked(
+    spark, ev_stream, checkpoint_dir, sink_table, timeout_s, key, prev
+) -> None:
     try:
         out = (
             ev_stream.select("user_id", "event_id", "ts")

@@ -2025,3 +2025,113 @@ def test_alert_path_continuous_trigger_mode(spark, tmp_path):
         assert q.isActive
     finally:
         q.stop()
+
+
+def test_rollup_replay_sweep_keeps_merge_base_despite_stale_future_versions(spark, tmp_path):
+    """Round-13 review: the retirement sweep kept the two GLOBALLY newest
+    batch ids — a fresh-checkpoint replay into a dir holding stale higher
+    versions (v9/v10 from the pre-wipe run) monopolized the keep set, the
+    replayed batch's merge base (v4) was swept before the base read, and
+    the recombine silently truncated the rollup. The keep set is now
+    relative to the replaying batch."""
+    import json as _json
+
+    from aws_kinesis_spark.streaming.rollup import (
+        ROLLUP_SCHEMA,
+        _retire_and_merge_base,
+    )
+
+    root = str(tmp_path / "rollup")
+    os.makedirs(root)
+
+    def write_version(name, n_events):
+        df = spark.createDataFrame(
+            [("2024-01-01 00:00:00", "view", n_events, 1.0)],
+            "hour_start STRING, event_type STRING, n_events LONG, sum_value DOUBLE",
+        ).select(
+            F.col("hour_start").cast("timestamp").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        (
+            df.withColumn("day", F.to_date("hour_start"))
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(os.path.join(root, name))
+        )
+
+    # pre-wipe run left v9/v10; the replayed run has committed v4 and v5
+    # (v5 = this batch's prior attempt — crash after pointer flip, before
+    # the checkpoint commit), and _CURRENT points at v5
+    for name, n in (("v4", 4), ("v5", 5), ("v9", 9), ("v10", 10)):
+        write_version(name, n)
+    with open(os.path.join(root, "_CURRENT"), "w") as fh:
+        _json.dump({"version": 5, "dir": "v5"}, fh)
+
+    base = _retire_and_merge_base(spark, root, batch_id=5)
+    # the merge base is v4's content — not an empty frame
+    assert [r.n_events for r in base.collect()] == [4]
+    assert os.path.isdir(os.path.join(root, "v4"))
+    # stale future versions retire (the pointer dir is never swept)
+    assert not os.path.isdir(os.path.join(root, "v9"))
+    assert not os.path.isdir(os.path.join(root, "v10"))
+    assert os.path.isdir(os.path.join(root, "v5"))
+
+
+def test_rollup_empty_version_reads_as_empty_frame(spark, tmp_path):
+    """Round-13 review: an empty combined frame written through
+    partitionBy leaves a version dir with no parquet part files; a
+    schema-inferring read of it died with UNABLE_TO_INFER_SCHEMA, killing
+    the stream and read_rollup. Explicit-schema reads return empty."""
+    import json as _json
+
+    from aws_kinesis_spark.streaming.rollup import (
+        _retire_and_merge_base,
+        read_rollup,
+    )
+
+    root = str(tmp_path / "rollup")
+    os.makedirs(os.path.join(root, "v0"))
+    open(os.path.join(root, "v0", "_SUCCESS"), "w").close()
+    with open(os.path.join(root, "_CURRENT"), "w") as fh:
+        _json.dump({"version": 0, "dir": "v0"}, fh)
+
+    assert read_rollup(spark, root).count() == 0
+    assert _retire_and_merge_base(spark, root, batch_id=1).count() == 0
+
+
+def test_retry_ladder_clamps_and_dlq_dials_pass_through(spark):
+    """Round-13 review: base_delay above the cap produced a DECREASING
+    ladder, and flush_with_dlq hid max_delay/retriable so deterministic
+    failures burned the whole retry budget before reaching the DLQ."""
+    from aws_kinesis_spark.streaming.retry import flush_with_dlq, retry_with_backoff
+
+    delays: list[float] = []
+    calls = {"n": 0}
+
+    def failing():
+        calls["n"] += 1
+        raise RuntimeError("transient")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        retry_with_backoff(
+            failing, attempts=4, base_delay=60.0, max_delay=32.0, sleep=delays.append
+        )
+    assert delays == [32.0, 32.0, 32.0]  # clamped, never decreasing
+
+    # a non-retriable (deterministic) failure goes to the DLQ on attempt 1
+    dlq_hits: list[int] = []
+    wrapped = flush_with_dlq(
+        lambda df, bid: (_ for _ in ()).throw(ValueError("schema bug")),
+        lambda df, bid, err: dlq_hits.append(bid),
+        attempts=7,
+        retriable=(TimeoutError,),
+        sleep=delays.append,
+    )
+    n_before = len(delays)
+    wrapped(None, 42)
+    assert dlq_hits == [42]
+    assert len(delays) == n_before  # zero sleeps: not retried
