@@ -87,19 +87,28 @@ def lake_cost_report(
             with open(os.path.join(manifest_dir, name)) as fh:
                 m = json.load(fh)
             n_records = m["recordCount"]
+            n_bytes = m["totalBytes"]
+            n_files = len(m["entries"])
             if n_records is not None and n_records < 0:
                 # retention/delete rewrites reset recordCount to -1
                 # ("unknown") — feeding that into the rate math produced
                 # NEGATIVE ingest/transform dollars (round-12 review).
                 # Recount from the surviving entries' parquet footers:
                 # O(files) driver metadata, the same planner-grade reads
-                # run_lake_batch uses for its own count.
+                # run_lake_batch uses for its own count. The recount
+                # re-derives BYTES and FILE COUNT from the same surviving
+                # set: keeping the manifest's stale totalBytes priced
+                # storage/retrieval on files the recount itself just
+                # observed dangling — dollars internally inconsistent with
+                # the record-based terms in the same row (round-13 review).
                 import pyarrow.parquet as pq
 
-                n_records = 0
+                n_records, n_bytes, n_files = 0, 0, 0
                 for e in m["entries"]:
                     try:
                         n_records += pq.ParquetFile(e["url"]).metadata.num_rows
+                        n_bytes += os.path.getsize(e["url"])
+                        n_files += 1
                     except (OSError, ValueError):
                         # dangling OR corrupt entry: count what exists.
                         # pyarrow's ArrowInvalid ('magic bytes not found' on
@@ -107,9 +116,7 @@ def lake_cost_report(
                         # where -1 rewrites happen) subclasses ValueError,
                         # not OSError (round-12 review)
                         pass
-            rows.append(
-                (m["batchId"], n_records, m["totalBytes"], len(m["entries"]))
-            )
+            rows.append((m["batchId"], n_records, n_bytes, n_files))
     base = spark.createDataFrame(
         rows, "batch_id LONG, n_records LONG, n_bytes LONG, n_files LONG"
     )

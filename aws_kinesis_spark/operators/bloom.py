@@ -138,7 +138,15 @@ def might_contain(
 ) -> Column:
     """Boolean column: True iff the Bloom filter *might* contain the key.
     False is definitive (no false negatives).  The bitmap rides to executors
-    as a Spark broadcast variable; the probe is one Arrow-batched kernel."""
+    as a Spark broadcast variable; the probe is one Arrow-batched kernel.
+
+    LIFECYCLE: each call creates ONE broadcast of the bitmap, held by the
+    probe closure until the returned column's plan is garbage-collected.
+    A long-running driver probing a large history per micro-batch should
+    build the bitmap ONCE (build_bloom) and reuse one might_contain column
+    across batches rather than calling first_seen per trigger — per-call
+    broadcasts of a GB-scale bitmap accumulate until GC (round-13
+    review)."""
     num_bits = len(bitmap) * 8
     bc = df.sparkSession.sparkContext.broadcast(bitmap)
 
@@ -189,7 +197,15 @@ def first_seen(
     ``num_bits=None`` auto-sizes the bitmap from the history keyset
     (auto_bloom_bits) at the cost of one extra aggregate pass over the
     history scan. Returns the batch rows whose key never appears in
-    history."""
+    history.
+
+    PRECONDITION: ``batch`` must be DETERMINISTIC (the cap_per_key
+    posture). The definite-new and candidate branches are two scans of
+    the same unmaterialized frame; a nondeterministic batch (sample/rand,
+    an unstable re-read) can emit a row in both branches or neither —
+    duplicates or silent drops relative to the single-scan anti-join this
+    operator is result-identical to. Persist/localCheckpoint such a batch
+    first (round-13 review)."""
     # no distinct(): Bloom insertion is idempotent, so duplicate history
     # keys set the same bits — a distinct here would re-introduce the full
     # history-keyset shuffle this operator exists to avoid

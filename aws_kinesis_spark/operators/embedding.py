@@ -23,11 +23,23 @@ def _quant_cols(vec_col: str) -> tuple[Column, Column, Column]:
     round-half-up via floor so every engine (and the DuckDB oracle)
     reproduces identical codes; codes land in [-127, 127]. A zero vector
     (scale 0) quantizes to all-zero codes via a guarded divisor.
+
+    A vector containing NaN yields scale NULL and codes NULL — the
+    quantization is undefined, and the row is visibly broken instead of
+    silently corrupted: NaN sorts greatest in array_max, so one failed
+    upstream embed otherwise poisoned scale to NaN and floored EVERY
+    code (valid elements included) to 0 — an all-zero vector written
+    into the ANN store with no error (round-13 review; verified live).
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    has_nan = F.exists(v, F.isnan)
+    scale = F.when(
+        ~has_nan, F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    )
     safe = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
-    codes = F.transform(v, lambda x: F.floor(x / safe + F.lit(0.5)))
+    codes = F.when(
+        ~has_nan, F.transform(v, lambda x: F.floor(x / safe + F.lit(0.5)))
+    )
     return v, scale, codes
 
 

@@ -46,17 +46,27 @@ FEATURE_SCHEMA = T.StructType(
 N_FEATURES = 8
 
 
-def to_media_envelope(docs: DataFrame, payload_col: str = "text") -> DataFrame:
+def to_media_envelope(
+    docs: DataFrame,
+    payload_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    mime: str = "text/plain",
+) -> DataFrame:
     """Wrap a column as an opaque binary payload + typed metadata struct —
-    the multimodal analogue of the stream envelope (README.md:224)."""
+    the multimodal analogue of the stream envelope (README.md:224). All
+    three consumed columns are parameterized (round-13 review: only the
+    payload was, so any frame without literal doc_id/source columns —
+    the non-documents callers the parameter exists for — failed with
+    UNRESOLVED_COLUMN), as is the declared mime type."""
     payload = F.col(payload_col).cast("binary")
     return docs.select(
-        F.col("doc_id"),
+        F.col(id_col).alias("doc_id"),
         payload.alias("payload"),
         F.struct(
-            F.lit("text/plain").alias("mime"),
+            F.lit(mime).alias("mime"),
             F.length(payload).cast("long").alias("n_bytes"),
-            F.col("source").alias("source"),
+            F.col(source_col).alias("source"),
         ).alias("meta"),
     )
 
@@ -161,6 +171,15 @@ def sample_frames(
     DETERMINISTIC FAKE: frames are FRAME_SIZE-byte payload slices at
     stride*FRAME_SIZE offsets — the real body would seek/decode keyframes,
     with identical fan-out schema and batching."""
+    if stride < 1 or max_frames < 1:
+        # stride=0 emitted max_frames identical copies of frame 0 (every
+        # offset collapses to 0) and a negative stride sliced garbage from
+        # the payload TAIL via negative offsets, both silently violating
+        # the every-stride-th contract (round-13 review)
+        raise ValueError(
+            f"sample_frames: stride ({stride}) and max_frames ({max_frames}) "
+            "must be >= 1"
+        )
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

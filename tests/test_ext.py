@@ -1816,3 +1816,84 @@ def test_oversample_rejects_copies_as_epoch_col(spark):
     df = spark.createDataFrame([(1,)], "doc_id LONG")
     with pytest.raises(ValueError, match="__copies"):
         oversample_mixture(df, F.lit(2.0), "doc_id", epoch_col="__copies")
+
+
+def test_quantize_isolates_nan_vectors(spark):
+    """Round-13 review (verified live): one NaN element poisoned scale to
+    NaN and floored EVERY code to 0 — an all-zero vector silently written
+    where valid dims existed. A NaN-bearing vector must now read as
+    visibly broken (NULL scale/codes) while healthy vectors quantize."""
+    from aws_kinesis_spark.operators.embedding import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, float("nan"), -2.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    got = {r.vec_id: r for r in quantize_embeddings(emb).collect()}
+    assert got[1].scale is None and got[1].codes is None
+    assert got[2].scale is not None and got[2].codes == [64, -127, 32]
+
+
+def test_sample_frames_rejects_degenerate_stride(spark):
+    """Round-13 review: stride=0 emitted max_frames identical copies of
+    frame 0; negative strides sliced from the payload tail."""
+    from aws_kinesis_spark.operators.multimodal import sample_frames, to_media_envelope
+
+    docs = spark.createDataFrame([(1, "x" * 64, "s")], "doc_id LONG, text STRING, source STRING")
+    env = to_media_envelope(docs)
+    with pytest.raises(ValueError, match="stride"):
+        sample_frames(env, stride=0)
+    with pytest.raises(ValueError, match="stride"):
+        sample_frames(env, stride=-1)
+
+
+def test_media_envelope_parameterized_columns(spark):
+    """Round-13 review: only the payload column was parameterized — frames
+    without literal doc_id/source columns failed with UNRESOLVED_COLUMN."""
+    from aws_kinesis_spark.operators.multimodal import to_media_envelope
+
+    df = spark.createDataFrame(
+        [(7, b"abc", "web")], "item_id LONG, image_bytes BINARY, origin STRING"
+    )
+    env = to_media_envelope(
+        df, payload_col="image_bytes", id_col="item_id",
+        source_col="origin", mime="image/png",
+    )
+    row = env.collect()[0]
+    assert row.doc_id == 7 and row.meta.mime == "image/png"
+    assert row.meta.source == "web" and row.meta.n_bytes == 3
+
+
+def test_cost_recount_rebases_bytes_on_surviving_files(spark, tmp_path):
+    """Round-13 review: the recordCount=-1 recount re-derived records from
+    surviving parquet footers but priced bytes from the manifest's stale
+    totalBytes — dollars on files the recount itself observed dangling."""
+    import json as _json
+
+    from aws_kinesis_spark.functions.cost import lake_cost_report
+
+    lake = tmp_path / "lake"
+    (lake / "_manifests").mkdir(parents=True)
+    live = lake / "live.parquet"
+    spark.createDataFrame([(1,), (2,)], "x LONG").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "stage"))
+    import glob, shutil as _sh
+
+    part = glob.glob(str(tmp_path / "stage" / "*.parquet"))[0]
+    _sh.copy(part, live)
+    gone = lake / "gone.parquet"  # listed but deleted
+    manifest = {
+        "batchId": 0,
+        "recordCount": -1,
+        "totalBytes": 10_000_000,  # stale: includes the dangling file
+        "entries": [{"url": str(live)}, {"url": str(gone)}],
+    }
+    with open(lake / "_manifests" / "manifest-0000000000.json", "w") as fh:
+        _json.dump(manifest, fh)
+    import os as _os
+
+    row = lake_cost_report(spark, str(lake)).collect()[0]
+    assert row.n_records == 2
+    assert row.n_files == 1
+    assert row.n_bytes == _os.path.getsize(live)  # not the stale 10 MB
