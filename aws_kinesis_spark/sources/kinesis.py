@@ -140,6 +140,16 @@ def stream_source(
                 f"{sorted(kinesis_options)} — silently absorbing them would "
                 "let a mis-set kind run tests against the wrong contract"
             )
+        if mode != "polling" or reader_factory is not None:
+            # symmetric with the stray-kinesis-options guard above: a
+            # caller that flipped kind back to 'file' but kept consumer-
+            # mode/connector-injection arguments would otherwise silently
+            # validate nothing about the EFO contract (round-13 review)
+            raise ValueError(
+                "kind='file' does not take mode=/reader_factory= — those "
+                "configure the kinesis connector; a mis-set kind would "
+                "silently run the file branch against the wrong contract"
+            )
         return envelope_stream(
             spark, path, max_files_per_trigger, max_bytes_per_trigger
         )
@@ -148,9 +158,11 @@ def stream_source(
             raise ValueError(
                 "kind='kinesis' does not take path/max_files_per_trigger/"
                 "max_bytes_per_trigger — the file-source backpressure dials "
-                "do not translate (use pollRecords/maxFetchRate connector "
-                "options); dropping them silently would unbound production "
-                "micro-batches a caller tuned in tests"
+                "do not translate; bound the fetch on the connector's own "
+                "dials (e.g. kinesis.executor.maxFetchRecordsPerShard via "
+                "a reader_factory that sets them). Dropping them silently "
+                "would unbound production micro-batches a caller tuned in "
+                "tests"
             )
         opts = kinesis_reader_options(mode, **kinesis_options)
         reader = (reader_factory or _default_reader_factory)(spark)

@@ -91,6 +91,16 @@ class _Topology:
         split_at: int = 0,
         merge_at: int = 0,
     ):
+        if n_shards < 1 or records_per_shard < 1:
+            # shards=0 silently "drained" zero records on the streaming
+            # path (passing any drain-based test) and crashed the batch
+            # path with a bare AttributeError when pyspark substituted
+            # [None] for the empty partition list (round-13 review) —
+            # same silent-exhaustion class as the pollRecords<=0 guard
+            raise ValueError(
+                f"shards ({n_shards}) and recordsPerShard "
+                f"({records_per_shard}) must be >= 1"
+            )
         if split_at and merge_at:
             raise ValueError("splitAtRecord and mergeAtRecord are exclusive")
         for k, name in ((split_at, "splitAtRecord"), (merge_at, "mergeAtRecord")):
@@ -301,6 +311,21 @@ class KinesisSimStreamReader(SimpleDataSourceStreamReader):
                     "checkpoint when changing shards/splitAtRecord/"
                     "mergeAtRecord"
                 )
+        # the THIRD topology-mismatch direction (round-13 review,
+        # live-repro'd): a checkpoint carrying offsets for shards ABSENT
+        # from this topology (a reshard option removed, shard count
+        # lowered) — silently ignoring them re-delivers records the
+        # missing shards already served (the parents' post-split slots
+        # replay as duplicates). Same remedy: fail with the cause.
+        known = {str(s) for s in self.topo.shard_ids()}
+        stray = sorted(k for k in start if k not in known)
+        if stray:
+            raise ValueError(
+                f"checkpoint offsets name shards {stray} that do not exist "
+                "in this topology: the checkpoint predates this stream "
+                "topology — use a fresh checkpoint when changing shards/"
+                "splitAtRecord/mergeAtRecord"
+            )
         end = {
             str(s): self._next_offset(s, int(start.get(str(s), 0)), start)
             for s in self.topo.shard_ids()

@@ -2135,3 +2135,37 @@ def test_retry_ladder_clamps_and_dlq_dials_pass_through(spark):
     wrapped(None, 42)
     assert dlq_hits == [42]
     assert len(delays) == n_before  # zero sleeps: not retried
+
+
+def test_kinesis_sim_topology_mismatch_guards(spark):
+    """Round-13 review (live-repro'd): a checkpoint naming shards ABSENT
+    from the current topology (reshard option removed) was silently
+    ignored, re-delivering the records those shards already served; and
+    shards/recordsPerShard <= 0 silently drained zero records."""
+    import pytest as _pytest
+
+    from aws_kinesis_spark.sources.kinesis_sim import KinesisSimStreamReader
+
+    # checkpoint from a split topology, restarted WITHOUT the split
+    reader = KinesisSimStreamReader(n_shards=2, records_per_shard=400, poll_records=100)
+    with _pytest.raises(ValueError, match="do not exist in this topology"):
+        reader.read({"0": 150, "1": 150, "2": 125, "3": 125, "4": 125, "5": 125})
+    # degenerate topology options fail loudly, not as an empty drain
+    with _pytest.raises(ValueError, match="must be >= 1"):
+        KinesisSimStreamReader(n_shards=0, records_per_shard=0, poll_records=100)
+
+
+def test_stream_source_file_kind_rejects_kinesis_mode_args(spark, tmp_path):
+    """Round-13 review: kind='file' silently dropped mode=/reader_factory=
+    while loudly rejecting stray kinesis options — a mis-set kind ran the
+    file branch with the caller believing EFO arguments were in effect."""
+    import pytest as _pytest
+
+    from aws_kinesis_spark.sources.kinesis import stream_source
+
+    with _pytest.raises(ValueError, match="mode=/reader_factory="):
+        stream_source(spark, kind="file", path=str(tmp_path), mode="efo")
+    with _pytest.raises(ValueError, match="mode=/reader_factory="):
+        stream_source(
+            spark, kind="file", path=str(tmp_path), reader_factory=lambda s: None
+        )
