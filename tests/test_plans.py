@@ -645,15 +645,19 @@ def test_rename_sites_enumerated_against_s3_translation_table():
                                                         # swap (stats-table
                                                         # marker discipline,
                                                         # pyarrow-written)
-        ("operators/ivf_index.py", "_write_cells_batch"),  # atomic cell-batch
-                                                        # append (tmp dir ->
-                                                        # one commit rename)
+        ("operators/ivf_index.py", "_swap_in"),         # THE atomic install
+                                                        # body behind cell-
+                                                        # batch appends AND
+                                                        # tombstone appends
+                                                        # (SCALE.md §7's
+                                                        # _write_cells_batch
+                                                        # row documents it;
+                                                        # round-13: the two
+                                                        # call sites' inline
+                                                        # renames folded into
+                                                        # this one swap)
         ("operators/ivf_index.py", "build_ivf_index"),  # meta-last PUT flips
                                                         # the index readable
-        ("operators/ivf_index.py", "delete_from_ivf_index"),  # atomic
-                                                        # tombstone-batch
-                                                        # append (tmp dir ->
-                                                        # one commit rename)
         ("operators/ivf_index.py", "compact_ivf_index"),  # tombstone-applying
                                                         # fold commit (same
                                                         # compact=<upto> key
