@@ -457,21 +457,26 @@ def b05_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join key at write time, so the join itself needs no exchange (the
     no-shuffle plan is asserted in tests/test_plans.py). At 100 TB this is
     the difference between shuffling the fact table every query and never."""
-    import uuid as _uuid
-
     from aws_kinesis_spark.operators.partitioning import bucketed_join, write_bucketed
 
     root = _scratch("b05_bucketed")
-    sfx = _uuid.uuid4().hex[:8]
+    # deterministic names + DROP-first (a10's discipline): uuid-suffixed
+    # tables leaked two catalog entries per invocation, each pointing at a
+    # scratch path the NEXT invocation's _scratch wipe deletes — unbounded
+    # catalog growth plus dead-LOCATION entries in a persistent metastore
+    # (round-13 review)
+    ot, ct = "b05_orders_bucketed", "b05_customer_bucketed"
+    spark.sql(f"DROP TABLE IF EXISTS {ot}")
+    spark.sql(f"DROP TABLE IF EXISTS {ct}")
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("totalprice")
     )
     c = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_name"
     )
-    write_bucketed(o, f"orders_b_{sfx}", os.path.join(root, "o"), "o_custkey")
-    write_bucketed(c, f"customer_b_{sfx}", os.path.join(root, "c"), "o_custkey")
-    return bucketed_join(spark, f"orders_b_{sfx}", f"customer_b_{sfx}", "o_custkey")
+    write_bucketed(o, ot, os.path.join(root, "o"), "o_custkey")
+    write_bucketed(c, ct, os.path.join(root, "c"), "o_custkey")
+    return bucketed_join(spark, ot, ct, "o_custkey")
 
 
 @register(
@@ -721,7 +726,14 @@ def a13_dynamic_table_partitioning(spark: SparkSession, sf_dir: str) -> DataFram
     dynamic partitioner produced, not from re-deriving the key."""
     from aws_kinesis_spark.sources.lake import run_lake_batch
 
-    env = synthesize_envelope(load(spark, sf_dir, "orders"))
+    # materialized fixture: the flush consumes env twice (count + write),
+    # so the inline synthesis ran 2x per invocation (round-13 review)
+    env = _envelope_fixture(
+        spark,
+        sf_dir,
+        "a13fix",
+        lambda: synthesize_envelope(load(spark, sf_dir, "orders")),
+    )
     # alternate records between two payload-derived tables
     mixed = env.withColumn(
         "partition_key",
@@ -888,9 +900,13 @@ def a03_efo_push_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("arrivalSets", 4)
         .load()
     )
-    import uuid as _uuid
-
-    tbl = f"a03_{_uuid.uuid4().hex[:8]}"
+    # deterministic sink name, previous sink dropped at entry (the
+    # _scratch wipe-on-reuse analogue): a uuid-named memory sink per
+    # invocation materialized 1200 rows into a NEW session-lifetime temp
+    # table every run — a bench loop held N of them with no release point
+    # (round-13 review)
+    tbl = "a03_efo_sink"
+    spark.catalog.dropTempView(tbl)
     q = (
         decode_envelope(raw)
         .select("id", "op", "partition_key")
@@ -1778,8 +1794,13 @@ def a22_manifest_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     o = load(spark, sf_dir, "orders")
+    # ONE materialized fixture (the a19 pattern): each run_lake_batch
+    # flush consumes its env twice (count + write), so building the
+    # envelope inline re-ran the full base64+to_json synthesis 4x per
+    # invocation where a cheap parquet re-scan serves (round-13 review)
+    env = _envelope_fixture(spark, sf_dir, "a22fix", lambda: synthesize_envelope(o))
     lake = os.path.join(_scratch("a22_integrity"), "lake")
-    run_lake_batch(synthesize_envelope(o), lake, batch_id=0, raw_backup=False,
+    run_lake_batch(env, lake, batch_id=0, raw_backup=False,
                    files_per_partition=32)
     ok = validate_manifest(lake, 0, spark)
     assert ok.passed, ok.failures
@@ -1793,7 +1814,7 @@ def a22_manifest_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert not rotted.passed and "byte sum" in rotted.failures[0]
 
     # heal by idempotent replay, then certify and read
-    run_lake_batch(synthesize_envelope(o), lake, batch_id=0, raw_backup=False,
+    run_lake_batch(env, lake, batch_id=0, raw_backup=False,
                    files_per_partition=32)
     healed = validate_manifest(lake, 0, spark)
     assert healed.passed, healed.failures
