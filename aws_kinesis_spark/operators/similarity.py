@@ -208,19 +208,24 @@ def cosine_topk_from_candidates(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
         cosine("__qvec", vec_col).alias("__cos"),
-    ).filter(F.col("__cos").isNotNull())
-    # ^ a NULL cosine (zero-norm or NULL query/candidate vector) is NOT a
-    # neighbor: ranked NULLS LAST it still filled the top-k with k
-    # arbitrary lowest-id rows scored NULL, which downstream recall/
-    # threshold logic counted as neighbors (round-13 review) — such a
-    # query now returns no rows, matching the IVF path's refusal to score
-    # degenerate vectors.
+    )
     if dedup:
         scored = scored.dropDuplicates([query_id_col, "neighbor_id"])
     w = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    # NULL cosines (zero-norm or NULL query/candidate vector) are NOT
+    # neighbors: ranked NULLS LAST they filled the top-k with k arbitrary
+    # lowest-id rows scored NULL, which downstream recall/threshold logic
+    # counted as neighbors (round-13 review) — such queries now return no
+    # rows, matching the IVF path's refusal to score degenerate vectors.
+    # The filter sits AFTER the rank, where __cos is a materialized window
+    # input: placed in the scan stage it re-evaluated the O(dim) cosine
+    # fold per row (Filter and Project cannot share the subexpression
+    # across operators — measured ~1.3-1.4x on g03/g41). Identical
+    # results: desc NULLS LAST ranks every non-NULL row ahead of the NULL
+    # block, so real neighbors hold the same ranks either way.
     return (
         scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
+        .filter((F.col("__rn") <= k) & F.col("__cos").isNotNull())
         .select(query_id_col, "neighbor_id", (F.round("__cos", 4) + F.lit(0.0)).alias("cos_sim"))
     )
 
