@@ -10,7 +10,6 @@ import atexit
 import os
 import shutil
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -19,6 +18,7 @@ from aws_kinesis_spark.registry import register
 from aws_kinesis_spark.sources.envelope import synthesize_envelope
 from aws_kinesis_spark.streaming.pipeline import (
     EVENTS_SCHEMA,
+    _file_stream,
     envelope_stream,
     event_stream,
     start_lake_path,
@@ -57,6 +57,37 @@ def _sf_tag(sf_dir: str) -> str:
 
     base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     return f"{base}-{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}"
+
+
+def _sink(spark, name: str) -> str:
+    """Deterministic memory-sink name with the PREVIOUS run's sink dropped
+    at entry (the a03/_scratch wipe-on-reuse discipline, round-13 review):
+    a uuid-named sink per invocation materialized the full query result
+    into a NEW session-lifetime temp table every run — a bench loop held
+    every prior run's result in driver memory with no release point."""
+    spark.catalog.dropTempView(name)
+    return name
+
+
+def _drain_continuous(q, timeout_s: int = 300) -> None:
+    """Bounded drain for a processingTime-trigger query (Python streaming
+    sources do not support availableNow): processAllAvailable on a worker
+    thread with a join timeout, then stop — an unbounded
+    processAllAvailable hung the whole harness forever on a wedged stream
+    where every availableNow query gets _drain's 300 s stop-and-raise
+    (round-13 review). The query is stopped in EVERY exit path."""
+    import threading
+
+    t = threading.Thread(target=q.processAllAvailable, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    timed_out = t.is_alive()
+    q.stop()
+    if timed_out:
+        raise TimeoutError(
+            f"continuous streaming query did not drain within {timeout_s}s; "
+            "the sink holds a partial result"
+        )
 
 
 def _drain(q, timeout_s: int = 300) -> None:
@@ -169,7 +200,7 @@ def e01_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark closes it (the flush sentinel closes the trailing windows)."""
     root = _tmp("e01")
     inp, nfiles = _events_with_flush_sentinel(spark, sf_dir)
-    tbl = f"e01_{uuid.uuid4().hex[:8]}"
+    tbl = _sink(spark, "e01_sink")
     q = start_windowed_agg(
         event_stream(spark, inp, max_files_per_trigger=nfiles),
         os.path.join(root, "ckpt"),
@@ -208,7 +239,7 @@ def e02_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     far-future window rows can never collide with a real window anyway."""
     root = _tmp("e02")
     inp, nfiles = _events_with_flush_sentinel(spark, sf_dir)
-    tbl = f"e02_{uuid.uuid4().hex[:8]}"
+    tbl = _sink(spark, "e02_sink")
     q = start_windowed_agg(
         event_stream(spark, inp, max_files_per_trigger=nfiles),
         os.path.join(root, "ckpt"),
@@ -257,7 +288,7 @@ def e03_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits) closes every real session exactly once."""
     root = _tmp("e03")
     inp, nfiles = _events_with_flush_sentinel(spark, sf_dir)
-    tbl = f"e03_{uuid.uuid4().hex[:8]}"
+    tbl = _sink(spark, "e03_sink")
     q = start_windowed_agg(
         event_stream(spark, inp, max_files_per_trigger=nfiles),
         os.path.join(root, "ckpt"),
@@ -343,7 +374,7 @@ def e04_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("n_events"))
     )
-    tbl = f"e04_{uuid.uuid4().hex[:8]}"
+    tbl = _sink(spark, "e04_sink")
     q = (
         agg.writeStream.format("memory")
         .queryName(tbl)
@@ -399,7 +430,7 @@ def e06_stream_stateful_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesize_envelope(load(spark, sf_dir, "orders")).repartition(4).write.mode(
         "overwrite"
     ).parquet(inp)
-    tbl = f"e06_{uuid.uuid4().hex[:8]}"
+    tbl = _sink(spark, "e06_sink")
     q = start_buffer_accounting(
         envelope_stream(spark, inp),
         os.path.join(root, "ckpt"),
@@ -442,7 +473,7 @@ def e07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
         .select("id", "c_name", "n_name")
     )
-    tbl = f"e07_{uuid.uuid4().hex[:8]}"
+    tbl = _sink(spark, "e07_sink")
     q = start_stream_static_join(
         envelope_stream(spark, inp, max_files_per_trigger=2),
         dim,
@@ -515,7 +546,7 @@ def e05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in os.listdir(inp):
         if f.endswith(".parquet") and f not in first:
             os.utime(os.path.join(inp, f), (1_700_000_100, 1_700_000_100))
-    tbl = f"e05_{uuid.uuid4().hex[:8]}"
+    tbl = _sink(spark, "e05_sink")
     q = start_stream_dedup(
         envelope_stream(spark, inp, max_files_per_trigger=2),
         os.path.join(root, "ckpt"),
@@ -557,6 +588,49 @@ def e08_stream_lake_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _attribution_join(
+    spark: SparkSession, inp: str, how: str, nfiles: int | None = None
+) -> DataFrame:
+    """THE click->purchase attribution join shared by e10 (inner) and e11
+    (left outer) — one copy of the stream construction, watermarks, and
+    the 30-minute interval condition (round-13 review: the two queries
+    carried ~45 verbatim lines each, so a condition or watermark fix in
+    one would silently drift the other)."""
+    clicks = (
+        event_stream(spark, inp, max_files_per_trigger=nfiles)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        event_stream(spark, inp, max_files_per_trigger=nfiles)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        how,
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+    )
+
+
 @register(
     "e10_stream_stream_join",
     oracle="""
@@ -583,41 +657,8 @@ def e10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _tmp("e10")
     inp = os.path.join(root, "events")
     load(spark, sf_dir, "events").repartition(3).write.mode("overwrite").parquet(inp)
-
-    clicks = (
-        event_stream(spark, inp)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "1 hour")
-    )
-    purchases = (
-        event_stream(spark, inp)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("value"),
-        )
-        .withWatermark("purchase_ts", "1 hour")
-    )
-    joined = clicks.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user_id"))
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
-        "inner",
-    ).select(
-        "click_id",
-        "purchase_id",
-        "user_id",
-        F.round("value", 4).alias("purchase_value"),
-    )
-    tbl = f"e10_{uuid.uuid4().hex[:8]}"
+    joined = _attribution_join(spark, inp, "inner")
+    tbl = _sink(spark, "e10_sink")
     q = (
         joined.writeStream.format("memory")
         .queryName(tbl)
@@ -666,40 +707,8 @@ def e11_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
-    clicks = (
-        event_stream(spark, inp, max_files_per_trigger=nfiles)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "1 hour")
-    )
-    purchases = (
-        event_stream(spark, inp, max_files_per_trigger=nfiles)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("value"),
-        )
-        .withWatermark("purchase_ts", "1 hour")
-    )
-    joined = clicks.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user_id"))
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
-        "left_outer",
-    ).select(
-        "click_id",
-        "purchase_id",
-        "user_id",
-        F.round("value", 4).alias("purchase_value"),
-    )
-    tbl = f"e11_{uuid.uuid4().hex[:8]}"
+    joined = _attribution_join(spark, inp, "left_outer", nfiles=nfiles)
+    tbl = _sink(spark, "e11_sink")
     q = (
         joined.writeStream.format("memory")
         .queryName(tbl)
@@ -789,7 +798,7 @@ def e12_stream_stream_join_kinesis_source(spark: SparkSession, sf_dir: str) -> D
         F.col("click_id_user").alias("user_id"),
         "purchase_ts",
     )
-    tbl = f"e12_{uuid.uuid4().hex[:8]}"
+    tbl = _sink(spark, "e12_sink")
     q = (
         joined.writeStream.format("memory")
         .queryName(tbl)
@@ -798,10 +807,7 @@ def e12_stream_stream_join_kinesis_source(spark: SparkSession, sf_dir: str) -> D
         .trigger(processingTime="0 seconds")
         .start()
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_continuous(q)
     return spark.table(tbl)
 
 
@@ -841,7 +847,7 @@ def e13_stream_reshard_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = decode_envelope(raw).select(
         "id", (F.col("id") % 3).cast("string").alias("op_bucket")
     )
-    tbl = f"e13_{uuid.uuid4().hex[:8]}"
+    tbl = _sink(spark, "e13_sink")
     q = (
         decoded.writeStream.format("memory")
         .queryName(tbl)
@@ -850,10 +856,7 @@ def e13_stream_reshard_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(processingTime="0 seconds")
         .start()
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_continuous(q)
     return (
         spark.table(tbl)
         .groupBy("op_bucket")
@@ -1003,11 +1006,8 @@ def g35_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _stamp_hive_dir_mtimes(inp)
         _G35_FIXTURES[sf_dir] = inp
-    stream = (
-        spark.readStream.schema(d.schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(inp)
+    stream = _file_stream(
+        spark, d.schema, inp, max_files_per_trigger=1, recursive_file_lookup=True
     )
     idx = os.path.join(root, "index")
     # compact_every=2 exercises the index-folding path inside the 4-batch
@@ -1062,11 +1062,8 @@ def b12_stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(inp)
     )
     _stamp_hive_dir_mtimes(inp)
-    stream = (
-        spark.readStream.schema(o.schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(inp)
+    stream = _file_stream(
+        spark, o.schema, inp, max_files_per_trigger=1, recursive_file_lookup=True
     )
     query = (
         stream.writeStream.format("noop")

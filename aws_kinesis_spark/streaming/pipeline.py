@@ -33,21 +33,27 @@ def _file_stream(
     input_dir: str,
     max_files_per_trigger: int | None = None,
     max_bytes_per_trigger: int | None = None,
+    recursive_file_lookup: bool = False,
 ) -> DataFrame:
     """The ONE file-source reader body behind envelope_stream/event_stream
-    (they differed only in the schema constant — two copies of the
-    backpressure-dial logic meant every dial fix had to land twice;
-    round-13 review). Backpressure dials (B5/B9): ``maxFilesPerTrigger``
-    bounds batch count like the producer's 500-record PutRecords cap
-    (README.md:46); ``maxBytesPerTrigger`` is the reference's SizeInMBs
-    buffer bound (README.md:117, 131 — 64 MB) mapped onto the source, so
-    one micro-batch flushes ~one buffer's worth."""
+    and the hive-dir fixture streams (they differed only in the schema
+    constant / one recursion option — copies of the backpressure-dial
+    logic meant every dial fix had to land twice; round-13 review).
+    Backpressure dials (B5/B9): ``maxFilesPerTrigger`` bounds batch count
+    like the producer's 500-record PutRecords cap (README.md:46);
+    ``maxBytesPerTrigger`` is the reference's SizeInMBs buffer bound
+    (README.md:117, 131 — 64 MB) mapped onto the source, so one
+    micro-batch flushes ~one buffer's worth. ``recursive_file_lookup``
+    reads files under hive-style subdirs WITHOUT partition inference
+    (the arrival-ordered q=N fixture layout)."""
     configure(spark)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if max_bytes_per_trigger:
         reader = reader.option("maxBytesPerTrigger", int(max_bytes_per_trigger))
+    if recursive_file_lookup:
+        reader = reader.option("recursiveFileLookup", "true")
     return reader.parquet(input_dir)
 
 
