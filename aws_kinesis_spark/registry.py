@@ -538,6 +538,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #     (tests/test_streaming.py::test_warehouse_replay_attempts_commit_
 #     identical_content, ::test_read_warehouse_table_empty_store_schemas)
 #     and re-run in the 166-query differential every CI pass.
+# Round-13 closing review sweep (whole-module passes over dedup,
+# similarity, upsert, envelope, training, rollup/stateful/retry,
+# kinesis sources, bloom/embedding/multimodal/cost, and the two big
+# plans files): every changed kernel re-verified by vanilla-session
+# hash-match the same session; the streaming queries' sink naming
+# changed from per-invocation uuid views to deterministic drop-first
+# names (results hash-verified on DOUBLE invocation — harness-side
+# only, no kernel semantics changed).
 # Post-r13 freshness ledger (for the round-14 rotation): the r8 block
 # (13: a13, c10, d06, d10b, g14b, g17, g21, g28, g29, g31, g33, g34,
 # o07) is the next incoming set, then the r9 block.
