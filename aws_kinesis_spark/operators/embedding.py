@@ -2,7 +2,9 @@
 int8 symmetric quantization for the embedding store of a training-data
 pipeline — 4x smaller vectors for ANN candidate generation, with exact
 reconstruction-error accounting so the precision loss is measured, not
-assumed.
+assumed — plus Matryoshka-style dimension-truncation recall, the other
+axis of embedding compression (fewer dims vs fewer bits), measured the
+same way: against the exact full-precision ranking, never assumed.
 
 Pure projections over the in-row array: no shuffle, no UDF, no driver
 state — every expression is JVM-side (``transform``/``aggregate`` higher-
@@ -12,7 +14,7 @@ embarrassingly-parallel scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -84,4 +86,74 @@ def quantization_error(
         F.round(scale, 8).alias("scale"),
         F.round(F.array_max(F.transform(err, F.abs)), 8).alias("max_abs_err"),
         F.round(mse, 10).alias("mse"),
+    )
+
+
+def truncation_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Recall@k of the first-``dims`` prefix-cosine ranking against the
+    exact full-dimension top-k, per query — the acceptance gate for
+    Matryoshka-style dimension truncation (Kusupati et al. 2022, public):
+    serve ANN candidates from a ``dims``-wide prefix only if its measured
+    recall against the full ranking clears the budget.
+
+    Returns (query_id, n_true, n_hit, recall_at_k) where n_true is the
+    query's exact top-k size (< k only when the corpus is small or vectors
+    are degenerate), n_hit counts true neighbors the truncated ranking
+    also placed in ITS top-k, and recall = n_hit / n_true. A query whose
+    full-dim vector is zero-norm/NULL scores no neighbors and returns no
+    row (the knn contract, cosine_topk_from_candidates); a query whose
+    PREFIX is zero-norm simply finds nothing truncated (recall 0.0).
+
+    Scale shape: both rankings come out of ONE corpus scan — the query
+    frame (with its sliced twin) broadcasts, each candidate row scores
+    both cosines in-row, and the two row_number windows share one
+    (query_id) exchange. No corpus shuffle, no second pass; the per-query
+    k-row frames that remain are metadata-scale. Ranking ties break on
+    neighbor id, so the report is deterministic and any engine reproduces
+    it bit-for-bit (the g03/g14b posture).
+    """
+    from aws_kinesis_spark.functions.vectors import cosine
+
+    if dims < 1:
+        raise ValueError(f"dims must be >= 1, got {dims}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(vec_col).alias("__qvec"),
+        F.slice(F.col(vec_col), 1, dims).alias("__qvec_t"),
+    )
+    pairs = corpus.join(F.broadcast(q), F.col(id_col) != F.col("__qid"))
+    scored = pairs.select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        cosine("__qvec", F.col(vec_col)).alias("__cf"),
+        cosine("__qvec_t", F.slice(F.col(vec_col), 1, dims)).alias("__ct"),
+    )
+    wf = Window.partitionBy(query_id_col).orderBy(F.desc("__cf"), F.asc("neighbor_id"))
+    wt = Window.partitionBy(query_id_col).orderBy(F.desc("__ct"), F.asc("neighbor_id"))
+    ranked = (
+        scored.withColumn("__rf", F.row_number().over(wf))
+        .withColumn("__rt", F.row_number().over(wt))
+        # exact-top-k rows only; NULL full-dim cosines are not neighbors
+        # (desc NULLS LAST, so real rows hold the same ranks — the
+        # cosine_topk_from_candidates contract)
+        .filter((F.col("__rf") <= k) & F.col("__cf").isNotNull())
+        .withColumn(
+            "__hit",
+            ((F.col("__rt") <= k) & F.col("__ct").isNotNull()).cast("int"),
+        )
+    )
+    return ranked.groupBy(query_id_col).agg(
+        F.count("*").alias("n_true"),
+        F.sum("__hit").alias("n_hit"),
+        F.round(F.sum("__hit") / F.count("*"), 4).alias("recall_at_k"),
     )

@@ -894,6 +894,71 @@ def g14b_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantization_error(load(spark, sf_dir, "embeddings"))
 
 
+def _duck_cos_prefix(lhs: str, rhs: str, dims: int) -> str:
+    """_duck_cos over the first ``dims`` elements only (Matryoshka
+    truncation): each side's norm runs over ITS OWN clamped prefix,
+    mirroring Spark's per-array slice-then-norm."""
+    def _rng(side: str) -> str:
+        return f"range(1, least(len({side}.embedding), {dims}) + 1)"
+
+    return f"""
+    list_sum([CAST({lhs}.embedding[i] AS DOUBLE) * CAST({rhs}.embedding[i] AS DOUBLE)
+              for i in {_rng(lhs)}])
+    / nullif(sqrt(list_sum([CAST({lhs}.embedding[i] AS DOUBLE)
+                            * CAST({lhs}.embedding[i] AS DOUBLE) for i in {_rng(lhs)}]))
+             * sqrt(list_sum([CAST({rhs}.embedding[i] AS DOUBLE)
+                              * CAST({rhs}.embedding[i] AS DOUBLE) for i in {_rng(rhs)}])), 0)
+"""
+
+
+@register(
+    "g56_truncation_recall",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   {_DUCK_COSINE} AS cf,
+                   {_duck_cos_prefix("a", "b", 16)} AS ct
+            FROM (SELECT * FROM embeddings WHERE vec_id < 5) a
+            JOIN embeddings b ON b.vec_id <> a.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cf, ct,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cf DESC NULLS LAST, neighbor_id) AS rf,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY ct DESC NULLS LAST, neighbor_id) AS rt
+            FROM pairs
+        )
+        SELECT query_id,
+               count(*) AS n_true,
+               CAST(sum(CASE WHEN rt <= 10 AND ct IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               round(CAST(sum(CASE WHEN rt <= 10 AND ct IS NOT NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 4) AS recall_at_k
+        FROM ranked
+        WHERE rf <= 10 AND cf IS NOT NULL
+        GROUP BY query_id
+    """,
+)
+def g56_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation gate: recall@10 of the 16-dim prefix-cosine
+    ranking vs the exact 64-dim top-10, per query (Kusupati et al. 2022) —
+    the other embedding-compression axis next to g14/g14b's int8 codes,
+    measured against the exact ranking rather than assumed. One corpus
+    scan scores both cosines per candidate row; the two rank windows share
+    one (query_id) exchange; no corpus shuffle
+    (operators/embedding.py:truncation_recall). Reference pipeline
+    context: README.md:137-158 (derived analytics tables gated on measured
+    quality before serving)."""
+    from aws_kinesis_spark.operators.embedding import truncation_recall
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return truncation_recall(emb, queries, dims=16, k=10)
+
+
 @register(
     "g15_repetition_filter",
     oracle="""

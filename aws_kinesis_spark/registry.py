@@ -546,9 +546,21 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # changed from per-invocation uuid views to deterministic drop-first
 # names (results hash-verified on DOUBLE invocation — harness-side
 # only, no kernel semantics changed).
+# Round-13 late registration (session 3 — new queries always window the
+# round they register, the r9/r10/r12 precedent):
+#   out: g14 (latest hard row r12, the freshest possible; incoming g56 is
+#        the same embedding-compression acceptance-gate family measured
+#        over the identical in-row slice/dot/norm HOF surface — truncation
+#        recall next to g14's int8 codes, with g14b's error report staying
+#        in the differential suite — and g03d stays in-window = the exact
+#        cosine ranking kernel g56's recall is defined over)
+#   in:  g56 (NEW: Matryoshka dimension-truncation recall@k vs the exact
+#        full-dim ranking, both rankings from ONE corpus scan;
+#        operators/embedding.py:truncation_recall)
 # Post-r13 freshness ledger (for the round-14 rotation): the r8 block
 # (13: a13, c10, d06, d10b, g14b, g17, g21, g28, g29, g31, g33, g34,
-# o07) is the next incoming set, then the r9 block.
+# o07) is the next incoming set, then the r9 block — g14 (rotated out
+# here with its r12 row) joins the r12 cohort for later rotation.
 DRIVER_WINDOW: list[str] = [
     # D — relational core (6)
     "d14d_pivot",
@@ -592,7 +604,6 @@ DRIVER_WINDOW: list[str] = [
     "g08_label_centroids",
     "g11_sequence_packing",
     "g13_decontaminate",
-    "g14_quantize_embeddings",
     "g15_repetition_filter",
     "g18_token_topk",
     "g22_corpus_stats",
@@ -608,6 +619,7 @@ DRIVER_WINDOW: list[str] = [
     "g53_quality_classifier",
     "g54_mixture_oversample",
     "g55_pipeline_end_to_end",
+    "g56_truncation_recall",
 ]
 
 

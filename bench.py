@@ -111,6 +111,9 @@ HEADLINE = [
     "g53_quality_classifier",
     "g54_mixture_oversample",
     "g55_pipeline_end_to_end",
+    # round-13 session-3 addition: Matryoshka truncation recall (one
+    # corpus scan, two rankings) joins the headline the round it lands
+    "g56_truncation_recall",
 ]
 
 

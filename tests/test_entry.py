@@ -64,11 +64,13 @@ def test_driver_window_covers_every_family():
         "g25_span_dedup", "g26_unigram_logprob",
         "o05_scd2_history", "o06_cdc_net_changes",
         # NEW this round, windowed the round they registered (IVF
-        # deletes; classifier inference; fractional-epoch oversampling)
+        # deletes; classifier inference; fractional-epoch oversampling;
+        # composed corpus build; truncation recall)
         "g52_ivf_delete",
         "g53_quality_classifier",
         "g54_mixture_oversample",
         "g55_pipeline_end_to_end",
+        "g56_truncation_recall",
     }
     assert rotated_in <= set(window)
     # every rotated-out slot holds a green CORRECTNESS_r12 row (the
@@ -99,6 +101,10 @@ def test_driver_window_covers_every_family():
         # g55 takes the d10c slot (r12-green; the percentile family stays
         # witnessed by d36, the sketch-inside-exact-band certification)
         "d10c_percentiles",
+        # g56 takes the g14 slot (r12-green, the freshest possible; g56 IS
+        # the embedding-compression gate family twin over the same in-row
+        # HOF surface, g03d stays = the cosine ranking kernel — registry log)
+        "g14_quantize_embeddings",
     }
     assert rotated_out & set(window) == set()
     # with this window, every registered query has had a driver slot
@@ -114,7 +120,7 @@ def test_registry_counts_pinned():
 
     registry._ensure_loaded()
     assert len(registry.DRIVER_WINDOW) == 50
-    assert len(registry.REGISTRY) == 170, len(registry.REGISTRY)
+    assert len(registry.REGISTRY) == 171, len(registry.REGISTRY)
     assert len(set(registry.DRIVER_WINDOW)) == 50  # no duplicate slots
     # round 7 closed the rows-only dead end: every registered query now
     # carries a DuckDB twin (the sketch/ANN paths via deterministic

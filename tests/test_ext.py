@@ -1897,3 +1897,49 @@ def test_cost_recount_rebases_bytes_on_surviving_files(spark, tmp_path):
     assert row.n_records == 2
     assert row.n_files == 1
     assert row.n_bytes == _os.path.getsize(live)  # not the stale 10 MB
+
+
+def test_truncation_recall_edges(spark):
+    """g56's kernel: dims >= len reproduces the full ranking (recall 1.0);
+    a misleading prefix loses the true neighbor (recall 0.0); a zero-norm
+    PREFIX finds nothing truncated but still reports its row; self-ids are
+    excluded; degenerate parameters raise."""
+    import pytest as _pytest
+
+    from aws_kinesis_spark.operators.embedding import truncation_recall
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, -5.0, 0.0]),  # prefix-2 cos 1.0, full cos ~0.196
+            (1, [0.0, 1.0, 0.0, 0.0]),   # orthogonal everywhere
+            (2, [1.0, 0.0, 0.0, 0.0]),   # the true nearest (full cos 1.0)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    # dims covers the whole vector -> truncated ranking == exact ranking
+    full = truncation_recall(corpus, q, dims=4, k=1).collect()[0]
+    assert (full.n_true, full.n_hit, full.recall_at_k) == (1, 1, 1.0)
+    # the prefix tie (ids 0 and 2 both cos 1.0 at dims=2) breaks to id 0,
+    # so the true top-1 (id 2) drops out of the truncated top-1
+    trunc = truncation_recall(corpus, q, dims=2, k=1).collect()[0]
+    assert (trunc.n_true, trunc.n_hit, trunc.recall_at_k) == (1, 0, 0.0)
+    # a query whose PREFIX is zero-norm scores no truncated neighbors but
+    # keeps its row (full-dim ranking is intact)
+    qz = spark.createDataFrame(
+        [(101, [0.0, 0.0, 1.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    z = truncation_recall(corpus, qz, dims=2, k=2).collect()[0]
+    assert z.n_true == 2 and z.n_hit == 0 and z.recall_at_k == 0.0
+    # a corpus row sharing the query's id is excluded from both rankings
+    self_corpus = corpus.union(
+        spark.createDataFrame([(100, [1.0, 0.0, 0.0, 0.0])], corpus.schema)
+    )
+    s = truncation_recall(self_corpus, q, dims=4, k=1).collect()[0]
+    assert s.n_true == 1 and s.n_hit == 1
+    with _pytest.raises(ValueError, match="dims"):
+        truncation_recall(corpus, q, dims=0)
+    with _pytest.raises(ValueError, match="k"):
+        truncation_recall(corpus, q, dims=2, k=0)
