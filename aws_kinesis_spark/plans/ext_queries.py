@@ -1602,8 +1602,16 @@ def g30_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-term postings (tokens filtered to Q in the scan stage) ever
     shuffle — on a 100 TB corpus that is the inverted-index slice for
     three terms, not the token stream."""
-    d = load(spark, sf_dir, "documents")
-    terms = ["window", "merge", "scan"]
+    return _bm25_scores(load(spark, sf_dir, "documents"), ["window", "merge", "scan"])
+
+
+def _bm25_scores(d: DataFrame, terms: list[str]) -> DataFrame:
+    """The g30 BM25 kernel (Lucene idf, k1=1.2 b=0.75), extracted verbatim
+    so g57's keyword arm scores with the SAME certified machinery rather
+    than a drifting copy. Returns (doc_id, n_terms_matched, bm25) with
+    bm25 rounded to 4 decimals (the decimal-exact precision the g30 oracle
+    hash-matches at — downstream rankings order by the rounded value so
+    every engine ranks identically)."""
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("t")
     ).filter(F.col("t").isin(terms))
@@ -1632,6 +1640,108 @@ def g30_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_terms_matched"),
         F.round(F.sum(contrib), 4).alias("bm25"),
     )
+
+
+@register(
+    "g57_hybrid_rrf",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        ),
+        dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        stats AS (SELECT CAST(avg(dl) AS DOUBLE) AS avgdl,
+                         count(*) AS n_docs FROM dl),
+        q AS (SELECT unnest(['window', 'merge', 'scan']) AS t),
+        df AS (SELECT t, count(DISTINCT doc_id) AS df
+               FROM tok JOIN q USING (t) GROUP BY t),
+        tf AS (SELECT doc_id, t, count(*) AS tf
+               FROM tok JOIN q USING (t) GROUP BY doc_id, t),
+        bm AS (
+            SELECT doc_id,
+                   round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * tf * 2.2
+                             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4)
+                       AS bm25
+            FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+            GROUP BY doc_id
+        ),
+        bm_rank AS (
+            SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rb
+            FROM bm QUALIFY rb <= 50
+        ),
+        cs AS (
+            SELECT b.vec_id AS doc_id, round({_DUCK_COSINE}, 4) AS cos_sim
+            FROM (SELECT * FROM embeddings WHERE vec_id = 0) a
+            CROSS JOIN embeddings b
+        ),
+        cos_rank AS (
+            SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rc
+            FROM cs WHERE cos_sim IS NOT NULL QUALIFY rc <= 50
+        )
+        SELECT doc_id,
+               CAST(coalesce(rb, 0) AS BIGINT) AS r_bm25,
+               CAST(coalesce(rc, 0) AS BIGINT) AS r_cos,
+               round(coalesce(CAST(1.0 AS DOUBLE) / (60 + rb), 0)
+                     + coalesce(CAST(1.0 AS DOUBLE) / (60 + rc), 0), 6) AS rrf_score
+        FROM bm_rank FULL OUTER JOIN cos_rank USING (doc_id)
+        QUALIFY row_number() OVER (ORDER BY rrf_score DESC, doc_id) <= 10
+    """,
+)
+def g57_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
+    k=60) of a BM25 keyword ranking and an embedding-cosine ranking — the
+    standard hybrid-search stage of RAG corpus curation, fusing g30's
+    lexical arm with g03's vector arm. Each arm keeps its global top-50 as
+    a distributed TakeOrderedAndProject (no global sort shuffles the
+    corpus); ranks are then assigned on the <=50-row survivor frames
+    (single-partition windows over metadata-scale data, the bounded
+    exception to the no-global-window posture); the fusion join and final
+    top-10 run on <=100 rows. Both arms rank on 4-decimal-rounded scores
+    (the precision their oracles hash-match at) with id tie-breaks, so
+    every engine reproduces the fused list exactly. r_bm25/r_cos = 0 means
+    "absent from that arm's top-50"."""
+    from pyspark.sql import Window
+
+    from aws_kinesis_spark.functions.vectors import cosine
+
+    d = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    terms = ["window", "merge", "scan"]
+    k_rrf, top_n, top_out = 60, 50, 10
+
+    bm_top = (
+        _bm25_scores(d, terms)
+        .select("doc_id", "bm25")
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(top_n)
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qvec"))
+    cos_top = (
+        emb.crossJoin(F.broadcast(qv))  # 1-row broadcast scalar join
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (F.round(cosine("__qvec", "embedding"), 4) + F.lit(0.0)).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim").isNotNull())
+        .orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(top_n)
+    )
+    # the survivor frames are <= top_n rows: a lit-partitioned window here
+    # is a 50-row single-task sort, not a corpus-wide one
+    wb = Window.partitionBy(F.lit(0)).orderBy(F.desc("bm25"), F.asc("doc_id"))
+    wc = Window.partitionBy(F.lit(0)).orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    bm_rank = bm_top.select("doc_id", F.row_number().over(wb).alias("rb"))
+    cos_rank = cos_top.select("doc_id", F.row_number().over(wc).alias("rc"))
+    fused = bm_rank.join(cos_rank, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("rb", F.lit(0)).cast("bigint").alias("r_bm25"),
+        F.coalesce("rc", F.lit(0)).cast("bigint").alias("r_cos"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("rb")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("rc")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(top_out)
 
 
 @register(

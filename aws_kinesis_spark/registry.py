@@ -557,6 +557,20 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #   in:  g56 (NEW: Matryoshka dimension-truncation recall@k vs the exact
 #        full-dim ranking, both rankings from ONE corpus scan;
 #        operators/embedding.py:truncation_recall)
+# Round-13 late registration #2 (same session — windowed the round it
+# registers; the g30 BM25 kernel was extracted verbatim into the shared
+# _bm25_scores helper this session so g57's keyword arm scores with the
+# SAME certified machinery: that changed path holds an in-window hard row
+# through incoming g57 itself, and g30 re-runs in the differential suite
+# every CI pass):
+#   out: g06 (latest hard row r12, the freshest possible; g51 stays
+#        in-window = the same G6 quality-gate family in its per-source
+#        calibrated form, g53 stays = the model-based gate, and g06's
+#        pushdown plan-lock keeps running in tests/test_plans.py)
+#   in:  g57 (NEW: hybrid retrieval — reciprocal-rank fusion of the g30
+#        BM25 arm and a g03-style cosine arm, each arm a distributed
+#        TakeOrdered top-50, fusion on metadata-scale frames;
+#        plans/ext_queries.py:g57_hybrid_rrf)
 # Post-r13 freshness ledger (for the round-14 rotation): the r8 block
 # (13: a13, c10, d06, d10b, g14b, g17, g21, g28, g29, g31, g33, g34,
 # o07) is the next incoming set, then the r9 block — g14 (rotated out
@@ -598,7 +612,6 @@ DRIVER_WINDOW: list[str] = [
     "g03d_knn_classify",
     "g04c_rolling_fingerprint",
     "g04d_tfidf_top_terms",
-    "g06_quality_filter",
     "g07c_multimodal_resize",
     "g07d_multimodal_frame_sample",
     "g08_label_centroids",
@@ -620,6 +633,7 @@ DRIVER_WINDOW: list[str] = [
     "g54_mixture_oversample",
     "g55_pipeline_end_to_end",
     "g56_truncation_recall",
+    "g57_hybrid_rrf",
 ]
 
 

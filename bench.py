@@ -111,9 +111,11 @@ HEADLINE = [
     "g53_quality_classifier",
     "g54_mixture_oversample",
     "g55_pipeline_end_to_end",
-    # round-13 session-3 addition: Matryoshka truncation recall (one
-    # corpus scan, two rankings) joins the headline the round it lands
+    # round-13 session-3 additions: Matryoshka truncation recall (one
+    # corpus scan, two rankings) and hybrid RRF retrieval (BM25 arm +
+    # cosine arm, TakeOrdered fusion) join the headline the round they land
     "g56_truncation_recall",
+    "g57_hybrid_rrf",
 ]
 
 

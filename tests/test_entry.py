@@ -71,6 +71,7 @@ def test_driver_window_covers_every_family():
         "g54_mixture_oversample",
         "g55_pipeline_end_to_end",
         "g56_truncation_recall",
+        "g57_hybrid_rrf",
     }
     assert rotated_in <= set(window)
     # every rotated-out slot holds a green CORRECTNESS_r12 row (the
@@ -105,6 +106,10 @@ def test_driver_window_covers_every_family():
         # the embedding-compression gate family twin over the same in-row
         # HOF surface, g03d stays = the cosine ranking kernel — registry log)
         "g14_quantize_embeddings",
+        # g57 takes the g06 slot (r12-green; g51 stays = the per-source
+        # calibrated quality gate, g53 stays = the model-based gate, and
+        # g06's pushdown plan-lock keeps running in tests/test_plans.py)
+        "g06_quality_filter",
     }
     assert rotated_out & set(window) == set()
     # with this window, every registered query has had a driver slot
@@ -120,7 +125,7 @@ def test_registry_counts_pinned():
 
     registry._ensure_loaded()
     assert len(registry.DRIVER_WINDOW) == 50
-    assert len(registry.REGISTRY) == 171, len(registry.REGISTRY)
+    assert len(registry.REGISTRY) == 172, len(registry.REGISTRY)
     assert len(set(registry.DRIVER_WINDOW)) == 50  # no duplicate slots
     # round 7 closed the rows-only dead end: every registered query now
     # carries a DuckDB twin (the sketch/ANN paths via deterministic
