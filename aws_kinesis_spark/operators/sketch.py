@@ -177,3 +177,84 @@ def token_topk_spacesaving(
         .orderBy(F.desc("n_est"), F.asc("token"))
         .limit(k)
     )
+
+
+def source_kl_drift(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-source distribution drift: KL(P_source || Q_corpus) between each
+    source's additively-smoothed unigram distribution and the corpus-wide
+    unigram distribution — the data-card metric that flags a crawl slice or
+    vendor feed whose token distribution has drifted from the corpus it is
+    about to join (CCNet/Dolma-style source auditing; Kullback-Leibler
+    divergence with add-0.5 Jeffreys smoothing over the corpus vocabulary).
+
+    Returns (source, n_tokens, n_distinct, kl_vs_corpus) where
+    P_s(t) = (c_st + 0.5) / (n_s + 0.5*V) over the corpus vocab V and
+    Q(t) = c_t / N (every corpus token has c_t >= 1, so Q needs no
+    smoothing). The sum over tokens ABSENT from a source is computed in
+    closed form — P0 * ((V - k_s)*ln(P0) - (S_lnQ - S_lnQ_present)) with
+    P0 the constant smoothed mass of an absent token — so the plan never
+    materializes the sources x vocab cross product.
+
+    Scale shape: the token stream shuffles ONCE (the (source, token)
+    partial-agg); the global vocab counts and per-source totals are exact
+    integer re-aggregations of that counts frame, corpus-stats scalars ride
+    along as one broadcast row, and the per-source totals frame (sources
+    rows) broadcasts. ``source`` here is a curation-granularity label
+    (dozens-to-thousands of values); for per-domain grain at 100 TB the
+    same algebra holds but drop the ns broadcast hint and let AQE decide.
+    Doubles: every log runs on the identical expression (ln(c_t/N)) in the
+    present-token sum and the global sum, so engine-side summation-order
+    noise stays ~1e-12 and the ``round_to`` rounding absorbs it.
+    """
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(source_col).alias("source"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    )
+    sc = toks.groupBy("source", "t").agg(F.count("*").alias("c_st"))
+    gc = sc.groupBy("t").agg(F.sum("c_st").alias("c_t"))
+    stats = gc.agg(
+        F.count("*").alias("v"), F.sum("c_t").alias("n")
+    )
+    totals = (
+        gc.crossJoin(F.broadcast(stats))  # 1-row corpus-stats scalar join
+        .groupBy("v", "n")
+        .agg(F.sum(F.log(F.col("c_t").cast("double") / F.col("n"))).alias("s_lnq"))
+    )
+    ns = sc.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    pst = (F.col("c_st") + F.lit(0.5)) / (F.col("n_s") + F.lit(0.5) * F.col("v"))
+    q_t = F.col("c_t").cast("double") / F.col("n")
+    per = (
+        sc.join(gc, "t")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(totals))  # 1-row corpus-stats scalar join
+        .select(
+            "source",
+            (pst * F.log(pst / q_t)).alias("__contrib"),
+            F.log(q_t).alias("__lnq"),
+        )
+    )
+    agg = per.groupBy("source").agg(
+        F.sum("__contrib").alias("__c_present"),
+        F.count("*").alias("__kp"),
+        F.sum("__lnq").alias("__s_present"),
+    )
+    p0 = F.lit(0.5) / (F.col("n_s") + F.lit(0.5) * F.col("v"))
+    absent = p0 * (
+        (F.col("v") - F.col("__kp")) * F.log(p0)
+        - (F.col("s_lnq") - F.col("__s_present"))
+    )
+    return (
+        agg.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            F.col("__kp").alias("n_distinct"),
+            F.round(F.col("__c_present") + absent, round_to).alias("kl_vs_corpus"),
+        )
+    )

@@ -1956,6 +1956,56 @@ def g34_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "g58_source_drift",
+    oracle="""
+        WITH toks AS (
+            SELECT source, unnest(string_split(text, ' ')) AS t
+            FROM documents WHERE text IS NOT NULL
+        ),
+        sc AS (SELECT source, t, count(*) AS c_st FROM toks GROUP BY source, t),
+        gc AS (SELECT t, CAST(sum(c_st) AS BIGINT) AS c_t FROM sc GROUP BY t),
+        stats AS (SELECT count(*) AS v, CAST(sum(c_t) AS BIGINT) AS n FROM gc),
+        totals AS (
+            SELECT v, n, sum(ln(CAST(c_t AS DOUBLE) / n)) AS s_lnq
+            FROM gc CROSS JOIN stats GROUP BY v, n
+        ),
+        ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+               FROM sc GROUP BY source),
+        contrib AS (
+            SELECT source,
+                   ((c_st + CAST(0.5 AS DOUBLE))
+                    / (n_s + CAST(0.5 AS DOUBLE) * v)) AS pst,
+                   CAST(c_t AS DOUBLE) / n AS q
+            FROM sc JOIN gc USING (t) JOIN ns USING (source) CROSS JOIN totals
+        ),
+        agg AS (
+            SELECT source, sum(pst * ln(pst / q)) AS c_present,
+                   count(*) AS kp, sum(ln(q)) AS s_present
+            FROM contrib GROUP BY source
+        )
+        SELECT source, n_s AS n_tokens, kp AS n_distinct,
+               round(c_present
+                     + (CAST(0.5 AS DOUBLE) / (n_s + CAST(0.5 AS DOUBLE) * v))
+                       * ((v - kp)
+                          * ln(CAST(0.5 AS DOUBLE) / (n_s + CAST(0.5 AS DOUBLE) * v))
+                          - (s_lnq - s_present)), 6) AS kl_vs_corpus
+        FROM agg JOIN ns USING (source) CROSS JOIN totals
+    """,
+)
+def g58_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G22+: per-source distribution drift — KL(P_source || Q_corpus)
+    between each source's add-0.5-smoothed unigram distribution and the
+    corpus-wide one, the data-card metric that flags a crawl slice or
+    vendor feed whose token mix has drifted from the corpus it joins.
+    The absent-token mass folds in closed form so the plan never builds
+    the sources x vocab cross product; the token stream shuffles once
+    (operators/sketch.py:source_kl_drift)."""
+    from aws_kinesis_spark.operators.sketch import source_kl_drift
+
+    return source_kl_drift(load(spark, sf_dir, "documents"))
+
+
+@register(
     "g36_token_budget_sample",
     oracle="""
         WITH tok AS (

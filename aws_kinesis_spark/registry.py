@@ -571,6 +571,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        BM25 arm and a g03-style cosine arm, each arm a distributed
 #        TakeOrdered top-50, fusion on metadata-scale frames;
 #        plans/ext_queries.py:g57_hybrid_rrf)
+# Round-13 late registration #3 (same session — windowed the round it
+# registers):
+#   out: g07d (latest hard row r12, the freshest possible; incoming g07c
+#        = the same G5 Arrow mapInPandas multimodal plumbing family
+#        including the meta columns — the r12 witness pair g07-out/
+#        g07c-in reversed onto the frame-sample twin; g07d's 1->N batch
+#        shape stays pinned in tests/test_ext.py)
+#   in:  g58 (NEW: per-source unigram KL drift vs the corpus — add-0.5
+#        smoothed, absent-token mass in closed form so sources x vocab
+#        never materializes, token stream shuffles once;
+#        operators/sketch.py:source_kl_drift)
 # Post-r13 freshness ledger (for the round-14 rotation): the r8 block
 # (13: a13, c10, d06, d10b, g14b, g17, g21, g28, g29, g31, g33, g34,
 # o07) is the next incoming set, then the r9 block — g14 (rotated out
@@ -613,7 +624,6 @@ DRIVER_WINDOW: list[str] = [
     "g04c_rolling_fingerprint",
     "g04d_tfidf_top_terms",
     "g07c_multimodal_resize",
-    "g07d_multimodal_frame_sample",
     "g08_label_centroids",
     "g11_sequence_packing",
     "g13_decontaminate",
@@ -634,6 +644,7 @@ DRIVER_WINDOW: list[str] = [
     "g55_pipeline_end_to_end",
     "g56_truncation_recall",
     "g57_hybrid_rrf",
+    "g58_source_drift",
 ]
 
 

@@ -116,6 +116,7 @@ HEADLINE = [
     # cosine arm, TakeOrdered fusion) join the headline the round they land
     "g56_truncation_recall",
     "g57_hybrid_rrf",
+    "g58_source_drift",
 ]
 
 

@@ -72,6 +72,7 @@ def test_driver_window_covers_every_family():
         "g55_pipeline_end_to_end",
         "g56_truncation_recall",
         "g57_hybrid_rrf",
+        "g58_source_drift",
     }
     assert rotated_in <= set(window)
     # every rotated-out slot holds a green CORRECTNESS_r12 row (the
@@ -110,6 +111,10 @@ def test_driver_window_covers_every_family():
         # calibrated quality gate, g53 stays = the model-based gate, and
         # g06's pushdown plan-lock keeps running in tests/test_plans.py)
         "g06_quality_filter",
+        # g58 takes the g07d slot (r12-green; incoming g07c stays = the
+        # same G5 Arrow mapInPandas plumbing family; g07d's 1->N batch
+        # shape stays pinned in tests/test_ext.py)
+        "g07d_multimodal_frame_sample",
     }
     assert rotated_out & set(window) == set()
     # with this window, every registered query has had a driver slot
@@ -125,7 +130,7 @@ def test_registry_counts_pinned():
 
     registry._ensure_loaded()
     assert len(registry.DRIVER_WINDOW) == 50
-    assert len(registry.REGISTRY) == 172, len(registry.REGISTRY)
+    assert len(registry.REGISTRY) == 173, len(registry.REGISTRY)
     assert len(set(registry.DRIVER_WINDOW)) == 50  # no duplicate slots
     # round 7 closed the rows-only dead end: every registered query now
     # carries a DuckDB twin (the sketch/ANN paths via deterministic

@@ -1943,3 +1943,44 @@ def test_truncation_recall_edges(spark):
         truncation_recall(corpus, q, dims=0)
     with _pytest.raises(ValueError, match="k"):
         truncation_recall(corpus, q, dims=2, k=0)
+
+
+def test_source_kl_drift_matches_bruteforce_reference(spark):
+    """g58's closed-form absent-token mass must equal the naive sum over
+    the FULL vocab (present + absent tokens); KL is non-negative; NULL
+    text rows drop; sources sharing the corpus distribution score equally."""
+    import math
+
+    from aws_kinesis_spark.operators.sketch import source_kl_drift
+
+    rows = [
+        ("a", "x x y z"),
+        ("a", "x y"),
+        ("b", "y y z w w w"),
+        ("b", None),  # dropped
+        ("c", "x y z w"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r.source: r for r in source_kl_drift(df).collect()}
+
+    # brute-force reference over the full vocab, same smoothing
+    from collections import Counter
+
+    per = {"a": Counter(), "b": Counter(), "c": Counter()}
+    for s, t in rows:
+        if t is not None:
+            per[s].update(t.split(" "))
+    corpus = Counter()
+    for c in per.values():
+        corpus.update(c)
+    V, N = len(corpus), sum(corpus.values())
+    for s, cnt in per.items():
+        n_s = sum(cnt.values())
+        kl = 0.0
+        for t, c_t in corpus.items():
+            p = (cnt.get(t, 0) + 0.5) / (n_s + 0.5 * V)
+            kl += p * math.log(p / (c_t / N))
+        assert got[s].n_tokens == n_s
+        assert got[s].n_distinct == len(cnt)
+        assert abs(got[s].kl_vs_corpus - kl) < 1e-6, (s, got[s].kl_vs_corpus, kl)
+        assert got[s].kl_vs_corpus >= 0.0
