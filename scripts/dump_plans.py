@@ -282,6 +282,30 @@ SHOWCASE = [
         "output size is sum(w_i) and the cost is one pass whatever the "
         "mixture weights.",
     ),
+    (
+        "g56_truncation_recall",
+        "Both rankings from ONE corpus scan: the 5-row query frame (with "
+        "its sliced twin) is the `BroadcastExchange` side, each candidate "
+        "row scores the full-dim and prefix cosines in-row, and the two "
+        "`row_number` windows share a single (query_id) Exchange — no "
+        "second corpus pass for the truncated arm.",
+    ),
+    (
+        "g57_hybrid_rrf",
+        "Each retrieval arm ends in `TakeOrderedAndProject` (distributed "
+        "global top-50 — the corpus is never globally sorted); rank "
+        "assignment and the full-outer fusion run on the <=50-row "
+        "survivor frames, and the final top-10 is a third TakeOrdered.",
+    ),
+    (
+        "g58_source_drift",
+        "The token stream shuffles once: the (source, token) "
+        "`HashAggregate` pair (partial below, final above the Exchange); "
+        "vocab counts and per-source totals re-aggregate that counts "
+        "frame; corpus scalars and the sources-sized totals broadcast — "
+        "the sources x vocab cross product never materializes (the "
+        "absent-token mass is a closed-form expression).",
+    ),
 ]
 
 
