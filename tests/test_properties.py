@@ -854,3 +854,64 @@ def test_oversample_mixture_matches_python_reference(spark_session, rows):
     assert {k: sorted(v) for k, v in got.items()} == {
         k: sorted(v) for k, v in expect.items()
     }
+
+
+_vec_grid = st.integers(min_value=-3, max_value=3)
+_tr_vecs = st.lists(
+    st.lists(_vec_grid, min_size=6, max_size=6),
+    min_size=3,
+    max_size=16,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vecs=_tr_vecs)
+def test_truncation_recall_matches_python_reference(spark_session, vecs):
+    """g56's fused two-window plan must equal a per-query Python reference
+    that ranks full-dim and prefix cosines independently and intersects the
+    top-k sets. Integer-grid components keep every dot/norm exact in
+    float64, so both engines compute identical cosines and the (cos desc,
+    id) tie-break fully determines both rankings."""
+    import math
+
+    from aws_kinesis_spark.operators.embedding import truncation_recall
+
+    dims, k = 3, 3
+    corpus = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    queries = [(100 + i, v) for i, (_, v) in enumerate(corpus[:2])]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return None if na * nb == 0 else d / (na * nb)
+
+    expect = {}
+    for qid, qv in queries:
+        full, trunc = [], []
+        for cid, cv in corpus:
+            if cid == qid:
+                continue
+            cf = cos(qv, cv)
+            ct = cos(qv[:dims], cv[:dims])
+            if cf is not None:
+                full.append((-cf, cid))
+            if ct is not None:
+                trunc.append((-ct, cid))
+        true_top = [cid for _, cid in sorted(full)[:k]]
+        trunc_top = {cid for _, cid in sorted(trunc)[:k]}
+        if true_top:
+            hits = sum(1 for cid in true_top if cid in trunc_top)
+            expect[qid] = (len(true_top), hits)
+
+    cdf = spark_session.createDataFrame(
+        corpus, "vec_id long, embedding array<float>"
+    )
+    qdf = spark_session.createDataFrame(
+        queries, "query_id long, embedding array<float>"
+    )
+    got = {
+        r.query_id: (r.n_true, r.n_hit)
+        for r in truncation_recall(cdf, qdf, dims=dims, k=k).collect()
+    }
+    assert got == expect
