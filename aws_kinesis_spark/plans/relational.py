@@ -1317,3 +1317,46 @@ def d39_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "d40_ordered_sequence_agg",
+    oracle="""
+        SELECT user_id,
+               count(*) AS n_events,
+               count(DISTINCT event_type) AS n_types,
+               string_agg(event_type, ',' ORDER BY ts, event_id)
+                   AS event_sequence
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def d40_ordered_sequence_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8+ ORDER-SENSITIVE AGGREGATION (SQL's string_agg ... ORDER BY /
+    listagg WITHIN GROUP): each user's chronologically ordered event-type
+    sequence — the per-entity event-history assembly behind funnel mining,
+    next-action models, and conversation/session reconstruction for
+    training data. Spark has no ordered collect (collect_list order is
+    partition-arrival nondeterministic), so the deterministic form is
+    sort_array(collect_list(struct(ts, event_id, type))) — the struct
+    sorts lexicographically (ts, then event_id as the tie-break), making
+    the sequence reproducible on ANY partitioning — then a transform/
+    array_join projection peels the ordering keys off. Scale: one
+    user-hashed shuffle with map-side partial collect; the sort is
+    per-group over that user's own events (never a global or per-partition
+    sort), so a 100 TB event log costs one exchange and group-local
+    sorts. Reference: the per-key ordered consumption contract
+    (README.md:75-76, 204 — records with the same key replay in order)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        ",",
+    )
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        seq.alias("event_sequence"),
+    )

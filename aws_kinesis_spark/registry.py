@@ -582,6 +582,16 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        smoothed, absent-token mass in closed form so sources x vocab
 #        never materializes, token stream shuffles once;
 #        operators/sketch.py:source_kl_drift)
+# Round-13 late registration #4 (same session — windowed the round it
+# registers):
+#   out: d23 (latest hard row r12, the freshest possible; d24 stays
+#        in-window = the same correlated-subquery machinery Catalyst
+#        decorrelates — the r12 d28-out precedent named d23/d24 as one
+#        subquery family, reversed here onto the scalar twin)
+#   in:  d40 (NEW: order-sensitive aggregation — string_agg ORDER BY /
+#        listagg WITHIN GROUP as sort_array(collect_list(struct)), the
+#        deterministic ordered collect Spark lacks natively;
+#        plans/relational.py:d40_ordered_sequence_agg)
 # Post-r13 freshness ledger (for the round-14 rotation): the r8 block
 # (13: a13, c10, d06, d10b, g14b, g17, g21, g28, g29, g31, g33, g34,
 # o07) is the next incoming set, then the r9 block — g14 (rotated out
@@ -590,10 +600,10 @@ DRIVER_WINDOW: list[str] = [
     # D — relational core (6)
     "d14d_pivot",
     "d22_golden_point_lookup",
-    "d23_correlated_scalar_subquery",
     "d24_exists_subquery",
     "d29_interval_overlap_join",
     "d36_approx_percentile_check",
+    "d40_ordered_sequence_agg",
     # C — record transforms (2)
     "c07_composite_key",
     "c12_jsonl_roundtrip",

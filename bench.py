@@ -117,6 +117,7 @@ HEADLINE = [
     "g56_truncation_recall",
     "g57_hybrid_rrf",
     "g58_source_drift",
+    "d40_ordered_sequence_agg",
 ]
 
 

@@ -73,6 +73,7 @@ def test_driver_window_covers_every_family():
         "g56_truncation_recall",
         "g57_hybrid_rrf",
         "g58_source_drift",
+        "d40_ordered_sequence_agg",
     }
     assert rotated_in <= set(window)
     # every rotated-out slot holds a green CORRECTNESS_r12 row (the
@@ -115,6 +116,10 @@ def test_driver_window_covers_every_family():
         # same G5 Arrow mapInPandas plumbing family; g07d's 1->N batch
         # shape stays pinned in tests/test_ext.py)
         "g07d_multimodal_frame_sample",
+        # d40 takes the d23 slot (r12-green; d24 stays = the same
+        # correlated-subquery machinery — the r12 d28 precedent reversed
+        # onto the scalar twin)
+        "d23_correlated_scalar_subquery",
     }
     assert rotated_out & set(window) == set()
     # with this window, every registered query has had a driver slot
@@ -130,7 +135,7 @@ def test_registry_counts_pinned():
 
     registry._ensure_loaded()
     assert len(registry.DRIVER_WINDOW) == 50
-    assert len(registry.REGISTRY) == 173, len(registry.REGISTRY)
+    assert len(registry.REGISTRY) == 174, len(registry.REGISTRY)
     assert len(set(registry.DRIVER_WINDOW)) == 50  # no duplicate slots
     # round 7 closed the rows-only dead end: every registered query now
     # carries a DuckDB twin (the sketch/ANN paths via deterministic
