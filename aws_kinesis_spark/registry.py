@@ -594,8 +594,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        plans/relational.py:d40_ordered_sequence_agg)
 # Post-r13 freshness ledger (for the round-14 rotation): the r8 block
 # (13: a13, c10, d06, d10b, g14b, g17, g21, g28, g29, g31, g33, g34,
-# o07) is the next incoming set, then the r9 block — g14 (rotated out
-# here with its r12 row) joins the r12 cohort for later rotation.
+# o07) is the next incoming set, then the r9 block — g14, g06, g07d and
+# d23 (rotated out by the session-3 registrations below, each on its
+# fresh r12 row) join the r12 cohort for later rotation.
 DRIVER_WINDOW: list[str] = [
     # D — relational core (6)
     "d14d_pivot",
