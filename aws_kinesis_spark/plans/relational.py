@@ -1360,3 +1360,122 @@ def d40_ordered_sequence_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("n_types"),
         seq.alias("event_sequence"),
     )
+
+
+@register(
+    "d41_linear_interpolate",
+    oracle="""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS h,
+                   round(avg(value), 4) AS sv
+            FROM events WHERE user_id < 30 GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT user_id, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1
+        ),
+        spine AS (
+            SELECT user_id,
+                   unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+            FROM bounds
+        ),
+        f AS (
+            SELECT s.user_id, s.hour_start, h.sv
+            FROM spine s
+            LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour_start = h.h
+        ),
+        m AS (
+            SELECT user_id, hour_start, sv,
+                   last_value(sv IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY hour_start) AS pv,
+                   last_value(CASE WHEN sv IS NOT NULL THEN hour_start END
+                              IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY hour_start) AS ph,
+                   first_value(sv IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY hour_start
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                   first_value(CASE WHEN sv IS NOT NULL THEN hour_start END
+                               IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY hour_start
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+            FROM f
+        )
+        SELECT user_id, hour_start,
+               floor((CASE WHEN sv IS NOT NULL THEN sv
+                      ELSE pv + (nv - pv)
+                           * (CAST(epoch(hour_start) - epoch(ph) AS DOUBLE)
+                              / CAST(epoch(nh) - epoch(ph) AS DOUBLE)) END)
+                     * 10000 + 0.5) / 10000.0 AS gauge,
+               sv IS NULL AS interpolated
+        FROM m
+    """,
+)
+def d41_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9+ LINEAR-INTERPOLATION gap fill — d32's twin for GAUGE series
+    where carry-forward lies (TimescaleDB's interpolate() next to locf()):
+    every missing hour gets the value linearly interpolated between the
+    nearest known readings on either side. Gaps are strictly interior
+    (the spine spans each key's own first..last known hour), so both
+    anchors always exist and no boundary branch is needed.
+
+    Plan: the d32 spine machinery (hourly partial+final agg, in-row
+    sequence()+explode spine, one left join back), then FOUR window
+    expressions over the SAME (user_id, hour_start) sort — previous/next
+    known value and their timestamps via last/first ignorenulls over the
+    preceding/following frames — Spark evaluates them in one exchange +
+    two sorts (asc frame pair, desc frame pair share the asc sort).
+    The interpolation itself is in-row double math on exact whole-second
+    epochs, identical expression order in both engines; the output
+    quantizes via explicit floor(x*1e4 + 0.5) rather than round(x, 4) —
+    interpolated values legitimately land ON decimal half-way points
+    (rational step fractions over 4-decimal anchors), where Spark rounds
+    the exact binary expansion and DuckDB the shortest decimal repr
+    (seen live: 101.72025 -> 101.7203 vs 101.7202); floor on the
+    bit-identical double is engine-independent (the g14 quantizer
+    trick)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.avg("value"), 4).alias("sv"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start"),
+    )
+    filled = spine.join(
+        hourly,
+        (spine["user_id"] == hourly["user_id"])
+        & (spine["hour_start"] == hourly["h"]),
+        "left",
+    ).select(spine["user_id"], "hour_start", "sv")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_start")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_h = F.when(F.col("sv").isNotNull(), F.col("hour_start"))
+    pv = F.last("sv", ignorenulls=True).over(wp)
+    ph = F.last(known_h, ignorenulls=True).over(wp)
+    nv = F.first("sv", ignorenulls=True).over(wn)
+    nh = F.first(known_h, ignorenulls=True).over(wn)
+    frac = (
+        (F.unix_timestamp("hour_start") - F.unix_timestamp(ph)).cast("double")
+        / (F.unix_timestamp(nh) - F.unix_timestamp(ph)).cast("double")
+    )
+    gauge = F.when(F.col("sv").isNotNull(), F.col("sv")).otherwise(
+        pv + (nv - pv) * frac
+    )
+    return filled.select(
+        "user_id",
+        "hour_start",
+        (F.floor(gauge * 10000 + F.lit(0.5)) / 10000.0).alias("gauge"),
+        F.col("sv").isNull().alias("interpolated"),
+    )

@@ -592,6 +592,18 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        listagg WITHIN GROUP as sort_array(collect_list(struct)), the
 #        deterministic ordered collect Spark lacks natively;
 #        plans/relational.py:d40_ordered_sequence_agg)
+# Round-13 late registration #5 (same session — windowed the round it
+# registers):
+#   out: d22 (latest hard row r12, the freshest possible; a10 stays
+#        in-window = discovery + pruning over the same hive layout — the
+#        r12 d03-out witness pair, reversed onto the point-lookup twin —
+#        and the PushedFilters/partition-pruning plan locks keep running
+#        in tests/test_plans.py)
+#   in:  d41 (NEW: linear-interpolation gap fill, d32-LOCF's gauge twin
+#        — TimescaleDB interpolate() next to locf(); four ignorenulls
+#        window expressions over one (key, hour) sort, floor-quantized
+#        output so decimal half-way interpolants round identically on
+#        every engine; plans/relational.py:d41_linear_interpolate)
 # Post-r13 freshness ledger (for the round-14 rotation): the r8 block
 # (13: a13, c10, d06, d10b, g14b, g17, g21, g28, g29, g31, g33, g34,
 # o07) is the next incoming set, then the r9 block — g14, g06, g07d and
@@ -600,11 +612,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 DRIVER_WINDOW: list[str] = [
     # D — relational core (6)
     "d14d_pivot",
-    "d22_golden_point_lookup",
     "d24_exists_subquery",
     "d29_interval_overlap_join",
     "d36_approx_percentile_check",
     "d40_ordered_sequence_agg",
+    "d41_linear_interpolate",
     # C — record transforms (2)
     "c07_composite_key",
     "c12_jsonl_roundtrip",

@@ -118,6 +118,7 @@ HEADLINE = [
     "g57_hybrid_rrf",
     "g58_source_drift",
     "d40_ordered_sequence_agg",
+    "d41_linear_interpolate",
 ]
 
 

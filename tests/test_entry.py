@@ -74,6 +74,7 @@ def test_driver_window_covers_every_family():
         "g57_hybrid_rrf",
         "g58_source_drift",
         "d40_ordered_sequence_agg",
+        "d41_linear_interpolate",
     }
     assert rotated_in <= set(window)
     # every rotated-out slot holds a green CORRECTNESS_r12 row (the
@@ -120,6 +121,10 @@ def test_driver_window_covers_every_family():
         # correlated-subquery machinery — the r12 d28 precedent reversed
         # onto the scalar twin)
         "d23_correlated_scalar_subquery",
+        # d41 takes the d22 slot (r12-green; a10 stays = discovery +
+        # pruning over the same hive layout — the r12 d03-out witness
+        # pair reversed; the pruning plan locks run in tests/test_plans.py)
+        "d22_golden_point_lookup",
     }
     assert rotated_out & set(window) == set()
     # with this window, every registered query has had a driver slot
@@ -135,7 +140,7 @@ def test_registry_counts_pinned():
 
     registry._ensure_loaded()
     assert len(registry.DRIVER_WINDOW) == 50
-    assert len(registry.REGISTRY) == 174, len(registry.REGISTRY)
+    assert len(registry.REGISTRY) == 175, len(registry.REGISTRY)
     assert len(set(registry.DRIVER_WINDOW)) == 50  # no duplicate slots
     # round 7 closed the rows-only dead end: every registered query now
     # carries a DuckDB twin (the sketch/ANN paths via deterministic
