@@ -508,6 +508,48 @@ def c09_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c15_xml_roundtrip",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               count(*) AS n,
+               round(sum(o_totalprice), 4) AS total,
+               min(o_orderkey) AS first_key
+        FROM orders GROUP BY 1
+    """,
+)
+def c15_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format conversion, XML variant (C9 family): write orders as XML
+    (Spark 4's built-in XML source — the spark-xml package folded into the
+    engine, public), read back under an EXPLICIT schema (XML carries no
+    types, so inference would wobble dates/decimals across engines), and
+    aggregate — proving the third text interchange format next to JSONL
+    (c12) and CSV (c13) roundtrips losslessly through the engine.
+    Reference: the C9 conversion surface (README.md:606)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    lake = os.path.join(_scratch("c15_xml"), "orders")
+    (
+        o.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .save(lake)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema("o_orderkey long, o_orderstatus string, o_totalprice double")
+        .load(lake)
+    )
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        F.min("o_orderkey").alias("first_key"),
+    )
+
+
+@register(
     "d10b_approx_distinct",
     oracle="""
         SELECT event_type,

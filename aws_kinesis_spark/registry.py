@@ -604,6 +604,15 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        window expressions over one (key, hour) sort, floor-quantized
 #        output so decimal half-way interpolants round identically on
 #        every engine; plans/relational.py:d41_linear_interpolate)
+# Round-13 late registration #6 (same session — windowed the round it
+# registers):
+#   out: c07 (latest hard row r12, the freshest possible; b04 stays
+#        in-window = keyed sequence construction, the r5 c07-out witness
+#        precedent, and incoming c12 stays = the composite-key concat
+#        surface inside its envelope roundtrip)
+#   in:  c15 (NEW: XML format roundtrip — Spark 4's built-in XML source,
+#        explicit read schema, the third text interchange format next to
+#        c12 JSONL / c13 CSV; plans/pipeline_queries.py:c15_xml_roundtrip)
 # Post-r13 freshness ledger (for the round-14 rotation): the r8 block
 # (13: a13, c10, d06, d10b, g14b, g17, g21, g28, g29, g31, g33, g34,
 # o07) is the next incoming set, then the r9 block — g14, g06, g07d and
@@ -618,8 +627,8 @@ DRIVER_WINDOW: list[str] = [
     "d40_ordered_sequence_agg",
     "d41_linear_interpolate",
     # C — record transforms (2)
-    "c07_composite_key",
     "c12_jsonl_roundtrip",
+    "c15_xml_roundtrip",
     # B — streaming-core batch analogues (2)
     "b04_dedup_by_sequence",
     "b05_bucketed_join",

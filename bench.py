@@ -119,6 +119,7 @@ HEADLINE = [
     "g58_source_drift",
     "d40_ordered_sequence_agg",
     "d41_linear_interpolate",
+    "c15_xml_roundtrip",
 ]
 
 

@@ -75,6 +75,7 @@ def test_driver_window_covers_every_family():
         "g58_source_drift",
         "d40_ordered_sequence_agg",
         "d41_linear_interpolate",
+        "c15_xml_roundtrip",
     }
     assert rotated_in <= set(window)
     # every rotated-out slot holds a green CORRECTNESS_r12 row (the
@@ -125,6 +126,10 @@ def test_driver_window_covers_every_family():
         # pruning over the same hive layout — the r12 d03-out witness
         # pair reversed; the pruning plan locks run in tests/test_plans.py)
         "d22_golden_point_lookup",
+        # c15 takes the c07 slot (r12-green; b04 stays = keyed sequence
+        # construction — the r5 precedent — and c12 stays = the
+        # composite-key concat surface inside its envelope roundtrip)
+        "c07_composite_key",
     }
     assert rotated_out & set(window) == set()
     # with this window, every registered query has had a driver slot
@@ -140,7 +145,7 @@ def test_registry_counts_pinned():
 
     registry._ensure_loaded()
     assert len(registry.DRIVER_WINDOW) == 50
-    assert len(registry.REGISTRY) == 175, len(registry.REGISTRY)
+    assert len(registry.REGISTRY) == 176, len(registry.REGISTRY)
     assert len(set(registry.DRIVER_WINDOW)) == 50  # no duplicate slots
     # round 7 closed the rows-only dead end: every registered query now
     # carries a DuckDB twin (the sketch/ANN paths via deterministic
