@@ -1984,3 +1984,40 @@ def test_source_kl_drift_matches_bruteforce_reference(spark):
         assert got[s].n_distinct == len(cnt)
         assert abs(got[s].kl_vs_corpus - kl) < 1e-6, (s, got[s].kl_vs_corpus, kl)
         assert got[s].kl_vs_corpus >= 0.0
+
+
+def test_ordered_sequence_agg_nulls_and_ties(spark):
+    """d40's kernel semantics pinned on synthetic frames: same-timestamp
+    ties break on event_id; a NULL payload inside the struct is skipped by
+    array_join exactly as string_agg skips NULL inputs (one fewer element,
+    no dangling separator); counts still include the NULL-payload row."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 2, "b"),
+            (1, "2024-01-01 00:00:00", 1, "a"),   # tie -> event_id order
+            (1, "2024-01-01 00:00:01", 3, None),  # null payload: counted, not joined
+            (1, "2024-01-01 00:00:02", 4, "c"),
+        ],
+        "user_id long, ts_s string, event_id long, event_type string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_id", "event_type")
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        ",",
+    )
+    row = (
+        df.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            seq.alias("event_sequence"),
+        )
+        .collect()[0]
+    )
+    assert row.n_events == 4
+    assert row.n_types == 3  # countDistinct skips the NULL
+    assert row.event_sequence == "a,b,c"  # tie by id; NULL skipped cleanly
