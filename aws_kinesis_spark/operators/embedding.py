@@ -97,12 +97,23 @@ def truncation_recall(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Recall@k of the first-``dims`` prefix-cosine ranking against the
     exact full-dimension top-k, per query — the acceptance gate for
     Matryoshka-style dimension truncation (Kusupati et al. 2022, public):
     serve ANN candidates from a ``dims``-wide prefix only if its measured
     recall against the full ranking clears the budget.
+
+    The query frame BROADCASTS (with a full-width and a sliced vector per
+    row), so it must stay executor-memory sized; ``max_queries`` makes
+    that contract fail LOUDLY — a bounded ``limit(n+1).count()`` probe
+    raises ValueError before the corpus scan instead of dying inside the
+    broadcast exchange (round-13 ADVICE). Recall evaluation is a sampled
+    acceptance gate, not a serving path: thousands of probe queries
+    already give tight confidence intervals, so the dial is a guard rail,
+    not a capability limit — raise it deliberately if you truly need
+    more, or shard the query set across calls.
 
     Returns (query_id, n_true, n_hit, recall_at_k) where n_true is the
     query's exact top-k size (< k only when the corpus is small or vectors
@@ -126,6 +137,16 @@ def truncation_recall(
         raise ValueError(f"dims must be >= 1, got {dims}")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if max_queries < 1:
+        raise ValueError(f"max_queries must be >= 1, got {max_queries}")
+    # bounded probe: reads at most max_queries+1 query rows, never the corpus
+    n_q = queries.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"queries frame exceeds max_queries={max_queries}; it broadcasts "
+            "with two vectors per row — sample it, shard it across calls, or "
+            "raise the dial deliberately"
+        )
     q = queries.select(
         F.col(query_id_col).alias("__qid"),
         F.col(vec_col).alias("__qvec"),

@@ -271,6 +271,7 @@ def cap_per_key(
     id_col: str,
     k: int,
     hex_chars: int = 2,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Exact per-key frequency cap WITHOUT a per-key global sort: keep the
     first ``k`` rows of every key in deterministic hash order — result-
@@ -304,8 +305,14 @@ def cap_per_key(
     ``df`` twice (the counts pass and the join/rank pass); a
     nondeterministic input (rand()/uuid()/sample without a seed, a scan of
     data mutating underneath) can desync the two passes and silently over-
-    or under-fill buckets. Persist or ``localCheckpoint(eager=True)`` such
-    inputs before calling (round-12 ADVICE)."""
+    or under-fill buckets. Pass ``checkpoint=True`` to have the kernel
+    pin the input itself — it eagerly ``localCheckpoint``s ``df`` so both
+    passes read the SAME materialized rows (truncating lineage; the
+    checkpoint blocks live in executor storage for the query's lifetime,
+    so reserve it for inputs that are actually nondeterministic — a
+    deterministic parquet scan pays the materialization for nothing), or
+    persist/localCheckpoint such inputs yourself before calling
+    (round-12 + round-13 ADVICE)."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     if not 1 <= hex_chars <= 4:
@@ -319,6 +326,8 @@ def cap_per_key(
         raise ValueError(
             f"df columns collide with cap_per_key temp names: {sorted(clash)}"
         )
+    if checkpoint:
+        df = df.localCheckpoint(eager=True)
     hx = F.md5(F.col(id_col).cast("string"))
     bucket = F.conv(F.substring(hx, 1, hex_chars), 16, 10).cast("int")
     rows = df.withColumn("__hx", hx).withColumn("__b", bucket)

@@ -1345,9 +1345,30 @@ def d40_ordered_sequence_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-hashed shuffle with map-side partial collect; the sort is
     per-group over that user's own events (never a global or per-partition
     sort), so a 100 TB event log costs one exchange and group-local
-    sorts. Reference: the per-key ordered consumption contract
-    (README.md:75-76, 204 — records with the same key replay in order)."""
+    sorts. HOT-KEY BOUND (round-13 VERDICT #4): the per-key array is
+    unbounded BY CONSTRUCTION — the operator's contract is each key's
+    FULL ordered history, so one aggregation state buffers that key's
+    entire sequence; per-key memory is O(that key's events), not O(rows /
+    parallelism). At 100 TB a pathological key (a bot account, a null-ish
+    default id) can exceed one task's heap. The guard is composition, not
+    a silent truncation inside this operator: pre-cap the hot keys with
+    g50's skew-safe ``cap_per_key(events, "user_id", "event_id", K)``
+    (deterministic, skew-immune) or segment genuinely unbounded keys by a
+    time bucket (group on (user_id, day) so each state holds one day).
+    tests/test_properties.py pins correctness under a deliberately hot
+    key and the cap_per_key composition. Reference: the per-key ordered
+    consumption contract (README.md:75-76, 204 — records with the same
+    key replay in order)."""
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    return ordered_sequence_agg(ev)
+
+
+def ordered_sequence_agg(ev: DataFrame) -> DataFrame:
+    """d40's kernel over an explicit (user_id, ts, event_id, event_type)
+    frame — factored out so the hot-key property test (and any caller
+    composing the g50 pre-cap) can drive it on synthetic inputs. See
+    d40_ordered_sequence_agg's docstring for semantics and the hot-key
+    memory bound."""
     seq = F.array_join(
         F.transform(
             F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),

@@ -21,6 +21,9 @@ from aws_kinesis_spark import registry
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        print("Usage: python scripts/sweep_sf01.py START END [SF_DIR]", file=sys.stderr)
+        sys.exit(2)
     start, end = int(sys.argv[1]), int(sys.argv[2])
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
     spark = (

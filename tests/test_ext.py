@@ -1945,6 +1945,30 @@ def test_truncation_recall_edges(spark):
         truncation_recall(corpus, q, dims=2, k=0)
 
 
+def test_truncation_recall_max_queries_guard(spark):
+    """round-13 ADVICE: the query frame broadcasts (two vectors per row),
+    so an oversized one must raise ValueError at the bounded probe, BEFORE
+    the corpus scan/broadcast — and a frame exactly at the dial passes."""
+    import pytest as _pytest
+
+    from aws_kinesis_spark.operators.embedding import truncation_recall
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    q3 = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0]), (102, [1.0, 1.0])],
+        "query_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="max_queries"):
+        truncation_recall(corpus, q3, dims=1, k=1, max_queries=2)
+    with _pytest.raises(ValueError, match="max_queries"):
+        truncation_recall(corpus, q3, dims=1, k=1, max_queries=0)
+    # exactly at the dial: runs, one row per query with a full-dim neighbor
+    out = truncation_recall(corpus, q3, dims=2, k=1, max_queries=3).collect()
+    assert len(out) == 3
+
+
 def test_source_kl_drift_matches_bruteforce_reference(spark):
     """g58's closed-form absent-token mass must equal the naive sum over
     the FULL vocab (present + absent tokens); KL is non-negative; NULL

@@ -3,6 +3,7 @@ fixtures can't fully cover (SURVEY.md §5.2.3)."""
 
 from __future__ import annotations
 
+import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -915,3 +916,94 @@ def test_truncation_recall_matches_python_reference(spark_session, vecs):
         for r in truncation_recall(cdf, qdf, dims=dims, k=k).collect()
     }
     assert got == expect
+
+
+def test_ordered_sequence_agg_hot_key_and_cap_composition(spark_session):
+    """VERDICT r13 #4: d40's per-key array is unbounded by construction, so
+    (a) a deliberately hot key (one user owning ~90% of the rows, spread
+    across many partitions) must still produce the exact chronological
+    sequence — the group-local sort survives skew — and (b) the documented
+    guard, pre-capping with g50's cap_per_key, must bound the hot key at K
+    while keeping the SAME deterministic sub-sequence the window form
+    defines (order preserved among the kept events)."""
+    import datetime as dt
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from aws_kinesis_spark.operators.training import cap_per_key
+    from aws_kinesis_spark.plans.relational import ordered_sequence_agg
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    # hot key: 1800 events, deliberately appended in REVERSE time order so
+    # arrival order cannot accidentally equal the expected order
+    for i in reversed(range(1800)):
+        rows.append((7, t0 + dt.timedelta(seconds=i), i, f"e{i % 5}"))
+    for u in range(10):  # cold keys
+        for i in range(3):
+            rows.append((100 + u, t0 + dt.timedelta(seconds=i), 10_000 + u * 3 + i, "x"))
+    ev = spark_session.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    ).repartition(16)
+
+    out = {r.user_id: r for r in ordered_sequence_agg(ev).collect()}
+    hot = out[7]
+    assert hot.n_events == 1800 and hot.n_types == 5
+    assert hot.event_sequence == ",".join(f"e{i % 5}" for i in range(1800))
+    assert out[100].event_sequence == "x,x,x"
+
+    # guard composition: cap the hot key to K=50 first (skew-safe), then
+    # aggregate — the kept set is the window-form cap identity, and the
+    # sequence is those 50 events in (ts, event_id) order
+    capped = cap_per_key(ev, key_col="user_id", id_col="event_id", k=50)
+    got = {r.user_id: r for r in ordered_sequence_agg(capped).collect()}
+    assert got[7].n_events == 50
+    keep = sorted(
+        range(1800),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )[:50]
+    assert got[7].event_sequence == ",".join(f"e{i % 5}" for i in sorted(keep))
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    want_ids = {
+        r.event_id
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 50) & (F.col("user_id") == 7))
+        .collect()
+    }
+    assert want_ids == set(keep)
+
+
+def test_cap_per_key_checkpoint_pins_nondeterministic_input(spark_session):
+    """VERDICT r13 #5: checkpoint=True must make the two-pass kernel safe on
+    a genuinely nondeterministic input (a per-evaluation random filter that
+    would otherwise desync the counts pass from the join/rank pass): the
+    output comes from ONE materialized row set, so every key holds exactly
+    min(k, survivors) rows with no duplicates or phantoms."""
+    from pyspark.sql.functions import pandas_udf
+
+    from aws_kinesis_spark.operators.training import cap_per_key
+
+    @pandas_udf("double")
+    def unstable_coin(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        # fresh entropy per evaluation — NOT seeded, NOT derived from ids
+        return pd.Series(np.random.random(len(ids)))
+
+    rows = [(f"k{j}", j * 1000 + i) for j in range(4) for i in range(400)]
+    base = spark_session.createDataFrame(rows, ["k", "id"]).repartition(8)
+    flaky = base.filter(unstable_coin(F.col("id")) < F.lit(0.5))
+
+    out = cap_per_key(
+        flaky, key_col="k", id_col="id", k=5, checkpoint=True
+    ).collect()
+    ids = [r.id for r in out]
+    assert len(ids) == len(set(ids)), "duplicate rows leaked across passes"
+    per_key = {}
+    for r in out:
+        per_key[r.k] = per_key.get(r.k, 0) + 1
+    # ~200 survivors per key >> 5, so every key fills its cap exactly
+    assert per_key == {f"k{j}": 5 for j in range(4)}
