@@ -2822,3 +2822,199 @@ def g55_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_tokens")
     )
     return cap_per_key(deduped, key_col="source", id_col="doc_id", k=10)
+
+
+@register(
+    "g59_url_dedup",
+    oracle="""
+        WITH raw AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN 'https://www.' || source || '.example.com/'
+                          || lang || '/item' || CAST(doc_id % 50 AS VARCHAR)
+                          || '?utm_source=crawl&utm_medium=rss'
+                     WHEN 1 THEN 'http://' || source || '.example.com/'
+                          || lang || '/item' || CAST(doc_id % 50 AS VARCHAR) || '/'
+                     ELSE 'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM/'
+                          || lang || '/item' || CAST(doc_id % 50 AS VARCHAR)
+                          || '?ref=feed'
+                   END AS url
+            FROM documents
+        ),
+        canon AS (
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(lower(url), '^https?://', ''),
+                       '^www\\.', ''),
+                     '\\?.*$', ''),
+                   '/$', '') AS canonical_url
+            FROM raw
+        )
+        SELECT canonical_url,
+               regexp_extract(canonical_url, '^[^/]+') AS domain,
+               min(doc_id) AS keeper_id,
+               count(*)    AS n_dups
+        FROM canon
+        GROUP BY canonical_url
+    """,
+)
+def g59_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — the crawl-curation step that runs BEFORE any
+    content dedup (CCNet/RefinedWeb: canonicalize the record's URL, keep
+    one fetch per canonical URL, count the collapse): scheme + leading
+    "www." stripped, query string (tracking params) dropped, trailing
+    slash removed, everything lowercased; the registered domain falls out
+    as the prefix up to the first "/". The fixture synthesizes three
+    messy variants of each logical URL from (source, lang, doc_id % 50) —
+    mixed case, http vs https, tracking suffixes — so canonical collisions
+    are real and the keeper (min doc_id) is deterministic.
+
+    Scale: canonicalization is four anchored regexp_replaces IN the scan
+    stage (whole-stage codegen, no Python); the only exchange is one
+    partial-agg hash shuffle on canonical_url with two scalars of state —
+    a hot URL (the crawl's most-refetched page) collapses map-side, no
+    per-group buffering anywhere. Reference: per-record key extraction +
+    dedup-on-key ingest (README.md:75-76, 141-143)."""
+    d = load(spark, sf_dir, "documents")
+    item = F.concat(
+        F.col("lang"), F.lit("/item"), (F.col("doc_id") % 50).cast("string")
+    )
+    url = (
+        F.when(
+            (F.col("doc_id") % 3) == 0,
+            F.concat(
+                F.lit("https://www."), F.col("source"), F.lit(".example.com/"),
+                item, F.lit("?utm_source=crawl&utm_medium=rss"),
+            ),
+        )
+        .when(
+            (F.col("doc_id") % 3) == 1,
+            F.concat(
+                F.lit("http://"), F.col("source"), F.lit(".example.com/"),
+                item, F.lit("/"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("HTTPS://WWW."), F.upper("source"), F.lit(".EXAMPLE.COM/"),
+                item, F.lit("?ref=feed"),
+            )
+        )
+    )
+    canon = F.lower(url)
+    for pat in (r"^https?://", r"^www\.", r"\?.*$", r"/$"):
+        canon = F.regexp_replace(canon, pat, "")
+    c = d.select("doc_id", canon.alias("canonical_url"))
+    return c.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count("*").alias("n_dups"),
+    ).select(
+        "canonical_url",
+        F.regexp_extract("canonical_url", r"^[^/]+", 0).alias("domain"),
+        "keeper_id",
+        "n_dups",
+    )
+
+
+@register(
+    "g60_line_dedup",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        ids AS (
+            SELECT doc_id, ts,
+                   unnest(range(0, CAST(ceil(len(ts) / 8.0) AS BIGINT)))
+                       AS line_id
+            FROM tok
+        ),
+        lt AS (
+            SELECT doc_id, line_id,
+                   array_to_string(ts[line_id * 8 + 1 : line_id * 8 + 8], ' ')
+                       AS line_text
+            FROM ids
+        ),
+        k AS (
+            SELECT doc_id, line_id, line_text,
+                   row_number() OVER (PARTITION BY line_text
+                                      ORDER BY doc_id, line_id) AS rn
+            FROM lt
+        ),
+        per AS (
+            SELECT doc_id,
+                   count(*) AS n_lines,
+                   CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept
+            FROM k GROUP BY doc_id
+        ),
+        kept AS (
+            SELECT doc_id, string_agg(line_text, ' ' ORDER BY line_id) AS ct
+            FROM k WHERE rn = 1 GROUP BY doc_id
+        )
+        SELECT p.doc_id, p.n_lines, p.n_kept,
+               coalesce(kt.ct, '') AS cleaned_text
+        FROM per p LEFT JOIN kept kt USING (doc_id)
+    """,
+)
+def g60_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LINE-level dedup across the whole corpus (Wenzek et al.
+    2020, public): split every document into lines (fixed 8-token segments
+    here — the fixture text has no newlines), keep each distinct line's
+    GLOBAL first occurrence (ordered by doc_id, then position), drop every
+    later copy, and reassemble each document from its surviving lines in
+    original order. This is the boilerplate-stripping pass that removes
+    headers/footers/nav chrome repeated across a crawl — finer than g01's
+    whole-doc hash, coarser than g25's rolling k-gram spans — and the
+    reassembly reuses d40's ordered-collect pattern, so a fully-deduped
+    document survives as an EMPTY row (n_kept = 0), not a dropped one.
+
+    Scale: line construction is ONE linear regexp pass per document —
+    a global regexp_replace turns every 8th token separator into a
+    newline, then one split + posexplode emits the line rows (the
+    obvious slice-per-line form re-evaluates split(text) in the Project
+    under the Generate — O(tokens) per LINE, quadratic per document; the
+    delimiter rewrite is O(tokens) per DOC and the generator expression
+    evaluates once per input row). The oracle keeps the naive
+    slice-per-line definition, so hash parity PROVES the regexp form
+    computes the same segmentation. After that: ONE hash exchange on
+    line_text for the first-occurrence window (a boilerplate line
+    repeated millions of times lands in one partition but its state is a
+    row_number counter — the sort is per-line-text over (doc_id,
+    line_id) pairs, not text), then one doc_id shuffle to reassemble
+    only KEPT lines (the d40 hot-key bound applies to pathological
+    single docs, not dup volume). At 100 TB swap the window's partition
+    key for the line's hash and carry text beside it — same plan shape.
+    Reference: record-content dedup before delivery (README.md:141-143)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # every 8 tokens, swap the following separator space for \n: 7 of
+    # (token + space) then a token, then the space to consume — a final
+    # partial group (or a trailing full group at end-of-string) has no
+    # trailing space, so it stays put and becomes the last line
+    delim = F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1\n")
+    lt = d.select(
+        "doc_id",
+        F.posexplode(F.split(delim, "\n")).alias("line_id", "line_text"),
+    ).select(
+        "doc_id",
+        F.col("line_id").cast("bigint").alias("line_id"),
+        "line_text",
+    )
+    w = Window.partitionBy("line_text").orderBy("doc_id", "line_id")
+    k = lt.withColumn("__rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("__rn") == 1, F.struct("line_id", "line_text")
+    )
+    return k.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.count(kept_struct).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(kept_struct)),
+                lambda x: x["line_text"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )

@@ -1500,3 +1500,75 @@ def d41_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(gauge * 10000 + F.lit(0.5)) / 10000.0).alias("gauge"),
         F.col("sv").isNull().alias("interpolated"),
     )
+
+
+@register(
+    "d42_mad_outliers",
+    oracle="""
+        WITH med AS (
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS med
+            FROM events GROUP BY event_type
+        ),
+        mad AS (
+            SELECT e.event_type,
+                   round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+            FROM events e JOIN med m USING (event_type)
+            GROUP BY e.event_type
+        )
+        SELECT e.event_type,
+               count(*) AS n,
+               m.med   AS median_value,
+               d.mad   AS mad,
+               CAST(count(*) FILTER (
+                   WHERE abs(e.value - m.med) > 3 * 1.4826 * d.mad
+               ) AS BIGINT) AS n_outliers
+        FROM events e
+        JOIN med m USING (event_type)
+        JOIN mad d USING (event_type)
+        GROUP BY e.event_type, m.med, d.mad
+    """,
+)
+def d42_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D18+ ROBUST outlier detection per group: median absolute deviation
+    (MAD) with the 1.4826 normal-consistency constant — the robust
+    z-score fence (|x - median| > 3 * 1.4826 * MAD) that mean/stddev
+    fences (d08b's surface) cannot provide, because a heavy-tailed
+    metric's outliers inflate the very stddev meant to catch them
+    (Hampel's estimator; Leys et al. 2013, public). The per-group
+    medians are EXACT continuous percentiles (the d35 posture), rounded
+    to 6 decimals BEFORE the fence comparison in BOTH engines so the
+    boundary predicate cannot de-synchronize on a last-ulp interpolation
+    difference (the g53 integer-boundary principle, applied to doubles).
+
+    Scale: three scans of the events table — median pass, MAD pass,
+    fence pass — each a partial-agg hash shuffle on event_type; the two
+    per-group scalar frames broadcast back (group count is tiny by
+    definition of a profiling key). Exact percentiles buffer each
+    group's values (d35's caveat): for 100 TB single-group profiles,
+    swap both median passes for approx_percentile t-digests certified
+    by d36's in-band check — identical plan shape, O(accuracy) state.
+    Reference: metric profiling / threshold alerting over the delivered
+    stream (README.md:155-158)."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 6).alias("__med")
+    )
+    e2 = ev.join(F.broadcast(med), "event_type")
+    mad = e2.groupBy("event_type").agg(
+        F.round(
+            F.percentile(F.abs(F.col("value") - F.col("__med")), F.lit(0.5)), 6
+        ).alias("__mad")
+    )
+    e3 = e2.join(F.broadcast(mad), "event_type")
+    fence = F.abs(F.col("value") - F.col("__med")) > 3 * 1.4826 * F.col("__mad")
+    return e3.groupBy("event_type", "__med", "__mad").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(fence, 1)).alias("n_outliers"),
+    ).select(
+        "event_type",
+        "n",
+        F.col("__med").alias("median_value"),
+        F.col("__mad").alias("mad"),
+        "n_outliers",
+    )

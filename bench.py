@@ -120,6 +120,13 @@ HEADLINE = [
     "d40_ordered_sequence_agg",
     "d41_linear_interpolate",
     "c15_xml_roundtrip",
+    # round-14 additions: URL-level dedup (canonicalize + collapse), CCNet
+    # line-level dedup (explode + first-occurrence window + ordered
+    # reassembly) and robust MAD outlier fences join the headline the
+    # round they land
+    "g59_url_dedup",
+    "g60_line_dedup",
+    "d42_mad_outliers",
 ]
 
 

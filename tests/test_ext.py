@@ -2045,3 +2045,97 @@ def test_ordered_sequence_agg_nulls_and_ties(spark):
     assert row.n_events == 4
     assert row.n_types == 3  # countDistinct skips the NULL
     assert row.event_sequence == "a,b,c"  # tie by id; NULL skipped cleanly
+
+
+def test_url_and_line_dedup_edge_semantics(spark, tmp_path):
+    """g59/g60 edge cases on a hand-built corpus, each pinned BOTH ways:
+    direct semantic assertions and value-hash parity with the DuckDB
+    oracle (the regexp line-segmentation must equal the oracle's naive
+    slice definition on partial lines, exact multiples of 8, within-doc
+    dups, cross-doc steals, fully-deduplicated docs, and empty text)."""
+    import hashlib
+
+    import duckdb
+
+    from aws_kinesis_spark import registry
+
+    line1 = "a1 a2 a3 a4 a5 a6 a7 a8"          # 8 tokens, one full line
+    uniq = "u1 u2 u3 u4 u5 u6 u7 u8"
+    sf = str(tmp_path / "edge")
+    spark.createDataFrame(
+        [
+            (1, line1 + " " + line1, "web", "en", 0),   # within-doc dup
+            (2, line1 + " " + uniq, "web", "en", 0),    # steals nothing, loses line1
+            (3, line1, "crawl", "en", 0),               # fully deduplicated
+            (4, "p1 p2 p3", "web", "de", 0),            # partial line only
+            (54, "x y", "web", "en", 0),                # 54%50=4: URL collision w/ doc 4? (lang differs -> no)
+            (104, "z", "web", "de", 0),                 # 104%50=4, de: collides with doc 4's URL
+        ],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(sf + "/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    q, o = registry.queries(), registry.oracles()
+
+    def h(df):
+        cols = sorted(df.columns)
+        d = df[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        return hashlib.md5(d.to_csv(index=False).encode()).hexdigest()
+
+    # --- g60: semantics ---
+    rows = {r.doc_id: r for r in q["g60_line_dedup"](spark, sf).collect()}
+    assert rows[1].n_lines == 2 and rows[1].n_kept == 1
+    assert rows[1].cleaned_text == line1          # second copy dropped in-doc
+    assert rows[2].n_lines == 2 and rows[2].n_kept == 1
+    assert rows[2].cleaned_text == uniq           # line1 already owned by doc 1
+    assert rows[3].n_lines == 1 and rows[3].n_kept == 0
+    assert rows[3].cleaned_text == ""             # fully deduplicated, row kept
+    assert rows[4].cleaned_text == "p1 p2 p3"     # partial line intact
+    # --- g59: semantics ---
+    urls = {r.canonical_url: r for r in q["g59_url_dedup"](spark, sf).collect()}
+    # doc 4 (variant 1) and doc 104 (variant 2) share (web, de, item4)
+    key = "web.example.com/de/item4"
+    assert urls[key].keeper_id == 4 and urls[key].n_dups == 2
+    assert urls[key].domain == "web.example.com"
+    # doc 54 (en) does NOT collide with doc 4 (de)
+    assert urls["web.example.com/en/item4"].n_dups == 1
+    # --- both: oracle parity on the edge corpus ---
+    for name in ("g59_url_dedup", "g60_line_dedup"):
+        sdf = q[name](spark, sf).toPandas()
+        odf = con.execute(o[name]).df()
+        assert len(sdf) == len(odf), name
+        assert h(sdf) == h(odf), name
+
+
+def test_mad_outliers_matches_numpy_reference(spark, tmp_path):
+    """d42 on a planted distribution: a tight cluster plus gross outliers —
+    the robust fence must flag exactly the planted points (a mean/stddev
+    fence would be dragged by them), and median/MAD match numpy."""
+    import datetime as dt
+
+    import numpy as np
+
+    from aws_kinesis_spark import registry
+
+    base = [float(v) for v in np.linspace(9.0, 11.0, 101)]   # median 10.0
+    planted = [1000.0, -500.0, 999.0]
+    vals = base + planted
+    t0 = dt.datetime(2026, 1, 1)
+    sf = str(tmp_path / "mad")
+    spark.createDataFrame(
+        [(i, t0, i, "click", v, "{}") for i, v in enumerate(vals)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(sf + "/events.parquet")
+    q = registry.queries()
+    row = q["d42_mad_outliers"](spark, sf).collect()[0]
+    med = round(float(np.median(vals)), 6)
+    mad = round(float(np.median(np.abs(np.array(vals) - med))), 6)
+    assert row.n == len(vals)
+    assert abs(row.median_value - med) < 1e-9
+    assert abs(row.mad - mad) < 1e-9
+    expect_out = sum(1 for v in vals if abs(v - med) > 3 * 1.4826 * mad)
+    assert row.n_outliers == expect_out
+    assert expect_out == len(planted)   # the fence catches exactly the plants
