@@ -618,65 +618,132 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # o07) is the next incoming set, then the r9 block — g14, g06, g07d and
 # d23 (rotated out by the session-3 registrations below, each on its
 # fresh r12 row) join the r12 cohort for later rotation.
+# Round-14 rotation (32 swapped — the COMPLETE r8 backlog (13) AND the
+# COMPLETE r9 backlog (16) rotate in together with the three round-14
+# registrations (g59/g60/d42, which window the round they register, the
+# r9/r10/r12/r13 precedent). Every rotated-out slot carries a green
+# CORRECTNESS_r13 row — the freshest possible — and keeps re-running in
+# the local 179-query differential suite every CI pass; named witnesses
+# in parens. The 18 stayers include every kernel changed this round:
+# d40 (ordered_sequence_agg factored out), g50/g55 (cap_per_key gained
+# the checkpoint dial), g56 (truncation_recall max_queries guard) —
+# changed kernels hold an in-window hard row the round they change.
+#   out: d24 (incoming d06 = EXISTS compiles to the same left-semi/anti
+#        exchange machinery — the r12 d28-out precedent), d36 (incoming
+#        d35 = the exact/approx percentile twin pair reversed; incoming
+#        d10b = the same sketch-inside-exact-bounds certification form),
+#        c15 (c12 stays = the C9 format-roundtrip family, the r5/r13
+#        precedent), b04 (incoming g59 = dedup-on-canonical-key ingest,
+#        the same keyed first-wins collapse; incoming g19 = dedup-keeper
+#        selection), b05 (incoming d06 = the equi-join exchange
+#        machinery; incoming b02 = keyed/salted shuffle core), a03
+#        (incoming a01b = the same kinesis_sim source + reshard
+#        lineage), a10 (incoming a13 = the same hive-layout partition
+#        discovery family), a12 (incoming a17 = snapshot diff reads the
+#        same committed-manifest atomic protocol), a14 (incoming a23 =
+#        the same atomic lake rewrite/maintenance protocol; incoming o07
+#        = the compaction family), o05/o06 (incoming o07 = the same
+#        CDC/upsert log-maintenance kernels; collapse_cdc unchanged this
+#        round), e02 (e01 stays = the streaming window-agg family —
+#        sliding is the tumbling machinery with overlap), e07 (e11
+#        stays = the stream-join family in its strictly-stronger outer
+#        form), e13 (incoming a01b = the same reshard lineage-ordered
+#        drain over kinesis_sim), g03d (incoming g33 = the masked
+#        cosine top-k kernel family), g04d (incoming g30 = BM25 shares
+#        the same tf/df statistics machinery TF-IDF runs on — the
+#        extracted _bm25_scores kernel), g08 (incoming g14b = the
+#        per-vector array-math aggregate surface), g11 (incoming g47 =
+#        the token-length budget family; incoming g36 = token-budget
+#        packing twin), g13 (incoming g28 = the n-gram overlap
+#        contamination family; incoming g32 = exact set-sim machinery),
+#        g15 (incoming g31 = the in-row n-gram text-quality family),
+#        g18 (incoming g18b = the exact/SpaceSaving top-k precedent
+#        pair), g22 (incoming g34 = the corpus-stats/datacard family),
+#        g23 (incoming g17 = the deterministic md5-bucketing split
+#        family), g24 (incoming g29 = the same md5-threshold keep-rate
+#        mechanism — the r13 g12-out precedent), g25 (incoming g60 =
+#        segment-hash first-occurrence dedup, the fixed-window form of
+#        the span machinery), g26 (incoming g31 = the unigram-to-bigram
+#        LM family), g51 (incoming d42 = the same per-group
+#        median-threshold broadcast mechanism in robust-fence form; g55
+#        stays = composed pipeline with a quality-gate stage), g52 (g48
+#        stays = the same standing-store probe/tombstone read path —
+#        the r13 precedent reversed), g53 (g55 stays = the composed
+#        pipeline's FIRST stage is the g53 hashed-linear gate itself),
+#        g54 (incoming g29 = the keep-rate sampling family g54
+#        generalizes), g57 (incoming g30 = g57's keyword arm scores
+#        with the extracted _bm25_scores kernel itself), g58 (incoming
+#        g34 = per-source corpus distribution stats; incoming g31 =
+#        unigram LM mass machinery)
+#   in:  a13, c10, d06, d10b, g14b, g17, g21, g28, g29, g31, g33, g34,
+#        o07 (the r8 block), a01b, a17, a23, a24, b02, d07, d33, d35,
+#        d38, g02c, g18b, g19, g30, g32, g36, g47 (the r9 block), g59,
+#        g60, d42 (NEW this round)
+# Post-r14 freshness ledger (for the round-15 rotation): the r10 block
+# is the next incoming set (f01, c06, c09, c14, d01, d02, d09, d17,
+# d30, d34, e04, e05, e06, e08, b03, b12, a09, a11, g02, g02b, g04,
+# g07b, g10, g16, g20, g27, g37, g40, g45 — 29 queries with r10 latest
+# hard rows), then the r11 cohort; the 32 rotated out above join the
+# r13 cohort on their fresh r13 rows.
 DRIVER_WINDOW: list[str] = [
-    # D — relational core (6)
+    # D — relational core (11)
+    "d06_join_semi_anti",
+    "d07_set_ops",
+    "d10b_approx_distinct",
     "d14d_pivot",
-    "d24_exists_subquery",
     "d29_interval_overlap_join",
-    "d36_approx_percentile_check",
+    "d33_histogram",
+    "d35_percentile_profile",
+    "d38_funnel_steps",
     "d40_ordered_sequence_agg",
     "d41_linear_interpolate",
+    "d42_mad_outliers",
     # C — record transforms (2)
+    "c10_cost_accounting",
     "c12_jsonl_roundtrip",
-    "c15_xml_roundtrip",
-    # B — streaming-core batch analogues (2)
-    "b04_dedup_by_sequence",
-    "b05_bucketed_join",
-    # A — sources/sinks/lake maintenance (4)
-    "a03_efo_push_consumer",
-    "a10_catalog_partition_discovery",
-    "a12_lake_roundtrip",
-    "a14_lake_compaction",
-    # O — CDC family (2)
-    "o05_scd2_history",
-    "o06_cdc_net_changes",
-    # E — streaming semantics, batch-equivalent oracle form (6)
+    # B — streaming-core batch analogues (1)
+    "b02_salted_aggregation",
+    # A — sources/sinks/lake maintenance (5)
+    "a01b_kinesis_reshard",
+    "a13_dynamic_table_partitioning",
+    "a17_snapshot_diff",
+    "a23_zorder_clustering",
+    "a24_symlink_manifest_export",
+    # O — CDC family (1)
+    "o07_log_compaction",
+    # E — streaming semantics, batch-equivalent oracle form (3)
     "e01_stream_tumbling_hourly",
-    "e02_stream_sliding_window",
     "e03_stream_session_window",
-    "e07_stream_static_join",
     "e11_stream_stream_outer_join",
-    "e13_stream_reshard_drain",
     # F — UDF/UDAF/UDTF surface (3)
     "f02_grouped_map",
     "f03_grouped_agg_udaf",
     "f04_python_udtf",
-    # G — LLM-data-pipeline operators (25)
-    "g03d_knn_classify",
+    # G — LLM-data-pipeline operators (24)
+    "g02c_dedup_simhash",
     "g04c_rolling_fingerprint",
-    "g04d_tfidf_top_terms",
     "g07c_multimodal_resize",
-    "g08_label_centroids",
-    "g11_sequence_packing",
-    "g13_decontaminate",
-    "g15_repetition_filter",
-    "g18_token_topk",
-    "g22_corpus_stats",
-    "g23_leakage_safe_split",
-    "g24_temperature_mixture",
-    "g25_span_dedup",
-    "g26_unigram_logprob",
+    "g14b_quantization_error",
+    "g17_training_order",
+    "g18b_token_topk_sketch",
+    "g19_dedup_keepers",
+    "g21_doc_chunking",
+    "g28_source_overlap",
+    "g29_importance_sample",
+    "g30_bm25_score",
+    "g31_bigram_logprob",
+    "g32_setsim_prefix_join",
+    "g33_hard_negatives",
+    "g34_source_datacard",
     "g35_stream_dedup_ingest",
+    "g36_token_budget_sample",
+    "g47_length_bucketing",
     "g48_persistent_ivf",
     "g50_source_cap",
-    "g51_per_source_quality_gate",
-    "g52_ivf_delete",
-    "g53_quality_classifier",
-    "g54_mixture_oversample",
     "g55_pipeline_end_to_end",
     "g56_truncation_recall",
-    "g57_hybrid_rrf",
-    "g58_source_drift",
+    "g59_url_dedup",
+    "g60_line_dedup",
 ]
 
 
