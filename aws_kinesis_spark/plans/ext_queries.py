@@ -3018,3 +3018,107 @@ def g60_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("cleaned_text"),
     )
+
+
+@register(
+    "g61_dsir_selection",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   CAST(concat('0x', substr(md5(t), 1, 4)) AS INT) % 256 AS b
+            FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+                  FROM documents)
+        ),
+        ct AS (SELECT b, count(*) AS c FROM tok WHERE lang = 'en' GROUP BY b),
+        cr AS (SELECT b, count(*) AS c FROM tok GROUP BY b),
+        tt AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM ct),
+        tr AS (SELECT CAST(sum(c) AS DOUBLE) AS r FROM cr),
+        w AS (
+            SELECT s.b,
+                   CAST(round(ln(
+                       ((coalesce(ct.c, 0) + 1.0) / (tt.t + 256.0))
+                       / ((coalesce(cr.c, 0) + 1.0) / (tr.r + 256.0))
+                   ) * 1000000.0) AS BIGINT) AS w
+            FROM (SELECT unnest(range(0, 256)) AS b) s
+            LEFT JOIN ct USING (b) LEFT JOIN cr USING (b), tt, tr
+        ),
+        sc AS (
+            SELECT tok.doc_id, tok.lang,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(w.w) AS BIGINT) AS score_micro_nats
+            FROM tok JOIN w USING (b)
+            GROUP BY tok.doc_id, tok.lang
+        )
+        SELECT doc_id, lang, n_tokens, score_micro_nats
+        FROM sc WHERE score_micro_nats > 0
+    """,
+)
+def g61_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, public): score every
+    document by the log-likelihood ratio between a hashed-unigram LM of
+    the TARGET distribution (here the lang='en' slice plays the
+    high-quality target) and one of the RAW pool, and keep documents the
+    target model prefers. Both 256-bucket LMs use add-1 smoothing; each
+    bucket's log-ratio is quantized to INTEGER micro-nats
+    (round(ln(p_t/p_r) * 1e6)) so a document's score is an exact integer
+    sum — order-independent and engine-exact (the g53 integer-boundary
+    discipline; the only float op is one ln per BUCKET on identical
+    doubles, never per token, and a last-ulp libm difference would need
+    to land within 5e-7 of a rounding boundary to flip a weight). True
+    DSIR resamples with probability min(1, exp(score)); the registered
+    form gates at ratio > 1 (score > 0), which is the same decision
+    boundary without ln/exp in the per-doc path (the g29 discipline).
+
+    Scale: the corpus is scanned twice — once for the two bucket-count
+    aggregates (a 256-key partial-agg shuffle, map-side combined to
+    nothing) and once for scoring, where the 256-row weight table
+    BROADCASTS into the token stream and partial sums shuffle one
+    integer per (doc, lang). No all-token materialization, no Python,
+    no driver collect; the weight table is metadata-scale by
+    construction (B buckets, not |vocab|). Reference: the quality-gated
+    delivery path (README.md:141-143, 155-158)."""
+    d = load(spark, sf_dir, "documents")
+    B = 256
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("__t"),
+    ).select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5("__t"), 1, 4), 16, 10).cast("int") % B).alias("__b"),
+    )
+    ct = tok.filter(F.col("lang") == "en").groupBy("__b").agg(F.count("*").alias("__ct"))
+    cr = tok.groupBy("__b").agg(F.count("*").alias("__cr"))
+    tt = ct.agg(F.sum("__ct").cast("double").alias("__tt"))
+    tr = cr.agg(F.sum("__cr").cast("double").alias("__tr"))
+    spine = spark.range(B).select(F.col("id").cast("int").alias("__b"))
+    w = (
+        spine.join(ct, "__b", "left")
+        .join(cr, "__b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "__b",
+            F.round(
+                F.log(
+                    ((F.coalesce("__ct", F.lit(0)) + 1.0) / (F.col("__tt") + 256.0))
+                    / ((F.coalesce("__cr", F.lit(0)) + 1.0) / (F.col("__tr") + 256.0))
+                )
+                * 1_000_000.0
+            )
+            .cast("bigint")
+            .alias("__w"),
+        )
+    )
+    sc = (
+        tok.join(F.broadcast(w), "__b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("__w").alias("score_micro_nats"),
+        )
+    )
+    return sc.filter(F.col("score_micro_nats") > 0).select(
+        "doc_id", "lang", "n_tokens", "score_micro_nats"
+    )

@@ -1572,3 +1572,58 @@ def d42_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__mad").alias("mad"),
         "n_outliers",
     )
+
+
+@register(
+    "d43_markov_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        )
+        SELECT prev_type,
+               event_type AS next_type,
+               count(*) AS n,
+               round(count(*) * 1.0 /
+                     sum(count(*)) OVER (PARTITION BY prev_type), 4) AS p
+        FROM seq
+        WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    """,
+)
+def d43_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13+ first-order Markov transition matrix over per-user event
+    streams: for every ordered (prev, next) event-type pair, the
+    transition count and the row-normalized probability — the
+    next-action model behind session simulation, churn prediction, and
+    the synthetic-trajectory generators that train agentic models (the
+    aggregate twin of d40's full-sequence assembly: d40 materializes
+    each user's history, this distills the corpus-wide transition
+    structure). Ordering is (ts, event_id) with the event_id tie-break,
+    the d40 determinism contract.
+
+    Scale: ONE user-hashed exchange for the lag window (sorts are
+    group-local per user; a hot user costs one task's sort, state is one
+    row of lookback — no d40-style array buffering), then a (prev, next)
+    partial-agg shuffle whose cardinality is |event_types|^2 — metadata-
+    scale — and the row-normalizing window runs over THAT tiny frame,
+    not the events. The probability is a ratio of exact counts, so
+    round(4) is engine-exact. Reference: the per-key ordered consumption
+    contract (README.md:75-76, 204)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(wseq))
+    counts = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    wrow = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(wrow), 4).alias("p"),
+    )

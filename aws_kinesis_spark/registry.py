@@ -679,6 +679,23 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        o07 (the r8 block), a01b, a17, a23, a24, b02, d07, d33, d35,
 #        d38, g02c, g18b, g19, g30, g32, g36, g47 (the r9 block), g59,
 #        g60, d42 (NEW this round)
+# Round-14 late registrations (2 more new queries registered AND
+# windowed the same round — the standing precedent; witnesses for the
+# two evicted r13-fresh slots in parens):
+#   out: d14d (incoming d33 = the same groupBy partial-agg shuffle
+#        family — the r12 d08-out argument; pivot's expand semantics
+#        stay pinned by the local differential suite every CI pass),
+#        g04c (incoming g28 = the shingle-fingerprint machinery the
+#        minhash path hashes with; incoming g60 = segment-hash
+#        first-occurrence dedup, the fixed-window form of the rolling
+#        fingerprint surface)
+#   in:  g61 (NEW: DSIR-style importance selection — hashed-unigram
+#        target/raw LM log-ratio quantized to integer micro-nats,
+#        broadcast weight table into the token stream;
+#        plans/ext_queries.py:g61_dsir_selection), d43 (NEW: first-order
+#        Markov transition matrix — lag window + row-normalized
+#        transition probabilities over the metadata-scale pair frame;
+#        plans/relational.py:d43_markov_transitions)
 # Post-r14 freshness ledger (for the round-15 rotation): the r10 block
 # is the next incoming set (f01, c06, c09, c14, d01, d02, d09, d17,
 # d30, d34, e04, e05, e06, e08, b03, b12, a09, a11, g02, g02b, g04,
@@ -690,7 +707,6 @@ DRIVER_WINDOW: list[str] = [
     "d06_join_semi_anti",
     "d07_set_ops",
     "d10b_approx_distinct",
-    "d14d_pivot",
     "d29_interval_overlap_join",
     "d33_histogram",
     "d35_percentile_profile",
@@ -698,6 +714,7 @@ DRIVER_WINDOW: list[str] = [
     "d40_ordered_sequence_agg",
     "d41_linear_interpolate",
     "d42_mad_outliers",
+    "d43_markov_transitions",
     # C — record transforms (2)
     "c10_cost_accounting",
     "c12_jsonl_roundtrip",
@@ -721,7 +738,6 @@ DRIVER_WINDOW: list[str] = [
     "f04_python_udtf",
     # G — LLM-data-pipeline operators (24)
     "g02c_dedup_simhash",
-    "g04c_rolling_fingerprint",
     "g07c_multimodal_resize",
     "g14b_quantization_error",
     "g17_training_order",
@@ -744,6 +760,7 @@ DRIVER_WINDOW: list[str] = [
     "g56_truncation_recall",
     "g59_url_dedup",
     "g60_line_dedup",
+    "g61_dsir_selection",
 ]
 
 

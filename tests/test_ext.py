@@ -2139,3 +2139,41 @@ def test_mad_outliers_matches_numpy_reference(spark, tmp_path):
     expect_out = sum(1 for v in vals if abs(v - med) > 3 * 1.4826 * mad)
     assert row.n_outliers == expect_out
     assert expect_out == len(planted)   # the fence catches exactly the plants
+
+
+def test_dsir_selection_prefers_target_distribution(spark, tmp_path):
+    """g61 on a planted corpus: 'en' docs draw from vocabulary A, 'de'
+    docs from disjoint vocabulary B, and two probe docs mix them — the
+    hashed-LM log-ratio must score pure-A docs positive (kept), pure-B
+    docs negative (dropped), and rank the A-heavy probe above the B-heavy
+    probe. Also pins the integer-micro-nat determinism: two runs return
+    identical scores."""
+    from aws_kinesis_spark import registry
+
+    a_words = "alpha beta gamma delta epsilon zeta eta theta"
+    b_words = "uno dos tres cuatro cinco seis siete ocho"
+    sf = str(tmp_path / "dsir")
+    # 50+50 background docs so the two probes cannot materially shift
+    # the raw-pool statistics their own scores divide by
+    rows = [(i, a_words, "en", "s", 0) for i in range(50)]
+    rows += [(100 + i, b_words, "de", "s", 0) for i in range(50)]
+    # A-heavy probe: 32 target-vocab tokens against ONE out-of-target
+    # token — enough that the add-1 smoothing penalty for the unseen
+    # token (ln((0+1)/T / p_raw), strongly negative) cannot flip the doc
+    rows.append((200, " ".join([a_words] * 4) + " uno", "xx", "s", 0))
+    rows.append((201, " ".join([b_words] * 4) + " alpha", "xx", "s", 0))  # B-heavy
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(sf + "/documents.parquet")
+    q = registry.queries()
+    out = {r.doc_id: r.score_micro_nats for r in q["g61_dsir_selection"](spark, sf).collect()}
+    # every pure-A ('en') doc is kept with a positive score
+    for i in range(50):
+        assert out.get(i, 0) > 0
+    # pure-B docs are dropped (score <= 0 -> absent from the kept set)
+    for i in range(50):
+        assert (100 + i) not in out
+    # the A-heavy probe is kept; the B-heavy probe is not
+    assert 200 in out and 201 not in out
+    again = {r.doc_id: r.score_micro_nats for r in q["g61_dsir_selection"](spark, sf).collect()}
+    assert again == out
