@@ -3069,14 +3069,22 @@ def g61_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     form gates at ratio > 1 (score > 0), which is the same decision
     boundary without ln/exp in the per-doc path (the g29 discipline).
 
-    Scale: the corpus is scanned twice — once for the two bucket-count
-    aggregates (a 256-key partial-agg shuffle, map-side combined to
-    nothing) and once for scoring, where the 256-row weight table
-    BROADCASTS into the token stream and partial sums shuffle one
-    integer per (doc, lang). No all-token materialization, no Python,
-    no driver collect; the weight table is metadata-scale by
-    construction (B buckets, not |vocab|). Reference: the quality-gated
-    delivery path (README.md:141-143, 155-158)."""
+    Scale: the corpus is scanned exactly TWICE — one pass feeds a single
+    combined bucket-count aggregate (target count as a conditional count
+    in the same 256-key partial-agg shuffle, map-side combined to
+    nothing; totals come from a window over the 256-row counts frame
+    itself, so no lineage re-derivation triggers extra scans — the naive
+    ct/cr/total-as-separate-frames form re-scans the corpus five times,
+    visible in its physical plan), and one pass scores, where the
+    256-row weight table BROADCASTS into the token stream and partial
+    sums shuffle one integer per (doc, lang). A bucket with zero corpus
+    tokens needs no weight row (no token can join to it), so there is no
+    bucket spine. No all-token materialization, no Python, no driver
+    collect; the weight table is metadata-scale by construction (B
+    buckets, not |vocab|). Reference: the quality-gated delivery path
+    (README.md:141-143, 155-158)."""
+    from pyspark.sql import Window
+
     d = load(spark, sf_dir, "documents")
     B = 256
     tok = d.select(
@@ -3088,28 +3096,27 @@ def g61_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (F.conv(F.substring(F.md5("__t"), 1, 4), 16, 10).cast("int") % B).alias("__b"),
     )
-    ct = tok.filter(F.col("lang") == "en").groupBy("__b").agg(F.count("*").alias("__ct"))
-    cr = tok.groupBy("__b").agg(F.count("*").alias("__cr"))
-    tt = ct.agg(F.sum("__ct").cast("double").alias("__tt"))
-    tr = cr.agg(F.sum("__cr").cast("double").alias("__tr"))
-    spine = spark.range(B).select(F.col("id").cast("int").alias("__b"))
-    w = (
-        spine.join(ct, "__b", "left")
-        .join(cr, "__b", "left")
-        .crossJoin(F.broadcast(tt))
-        .crossJoin(F.broadcast(tr))
-        .select(
-            "__b",
-            F.round(
-                F.log(
-                    ((F.coalesce("__ct", F.lit(0)) + 1.0) / (F.col("__tt") + 256.0))
-                    / ((F.coalesce("__cr", F.lit(0)) + 1.0) / (F.col("__tr") + 256.0))
-                )
-                * 1_000_000.0
+    counts = tok.groupBy("__b").agg(
+        F.count("*").alias("__cr"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("__ct"),
+    )
+    # totals via a window over the 256-row counts frame (single partition
+    # is fine at B rows) — an agg-on-a-separate-frame would re-derive the
+    # whole counts lineage and re-scan the corpus
+    wall = Window.partitionBy(F.lit(1))
+    w = counts.select(
+        "__b",
+        F.round(
+            F.log(
+                ((F.col("__ct") + 1.0)
+                 / (F.sum("__ct").over(wall).cast("double") + 256.0))
+                / ((F.col("__cr") + 1.0)
+                   / (F.sum("__cr").over(wall).cast("double") + 256.0))
             )
-            .cast("bigint")
-            .alias("__w"),
+            * 1_000_000.0
         )
+        .cast("bigint")
+        .alias("__w"),
     )
     sc = (
         tok.join(F.broadcast(w), "__b")

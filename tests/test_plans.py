@@ -855,3 +855,28 @@ def test_mixture_oversample_is_map_only_generate(spark):
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "Generate" in plan and "explode" in plan, plan
+
+
+def test_dsir_selection_scans_corpus_exactly_twice(spark):
+    """g61: the weight table derives from ONE combined counts pass (target
+    count as a conditional count, totals via a window over the 256-row
+    counts frame) — the naive ct/cr/totals-as-separate-frames form
+    re-derives lineage and scans the corpus FIVE times. Lock the 2-scan
+    shape and the broadcast of the weight table into the token stream."""
+    plan = _plan(queries()["g61_dsir_selection"](spark, SF), mode="simple")
+    assert plan.count("documents.parquet") == 2, plan.count("documents.parquet")
+    assert "BroadcastHashJoin" in plan  # 256-row weight table broadcasts
+    # the keep gate is an integer compare, not a float/exp boundary
+    assert "score_micro_nats" in plan
+
+
+def test_line_dedup_segments_once_per_doc(spark):
+    """g60: line segmentation must be the single regexp pass inside the
+    Generate (one evaluation per doc row) — the slice-per-line form shows
+    split(text) recomputed in a Project ABOVE the Generate, O(tokens) per
+    LINE. Lock the linear shape."""
+    plan = _plan(queries()["g60_line_dedup"](spark, SF))
+    gen = [seg for seg in plan.split("\n\n") if seg.startswith("(2) Generate")]
+    assert gen and "regexp_replace" in gen[0]
+    proj = [seg for seg in plan.split("\n\n") if seg.startswith("(3) Project")]
+    assert proj and "split(" not in proj[0]  # no re-split above the Generate
