@@ -1541,25 +1541,29 @@ def d42_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary predicate cannot de-synchronize on a last-ulp interpolation
     difference (the g53 integer-boundary principle, applied to doubles).
 
-    Scale: three scans of the events table — median pass, MAD pass,
-    fence pass — each a partial-agg hash shuffle on event_type; the two
-    per-group scalar frames broadcast back (group count is tiny by
-    definition of a profiling key). Exact percentiles buffer each
-    group's values (d35's caveat): for 100 TB single-group profiles,
-    swap both median passes for approx_percentile t-digests certified
-    by d36's in-band check — identical plan shape, O(accuracy) state.
-    Reference: metric profiling / threshold alerting over the delivered
-    stream (README.md:155-158)."""
+    Scale: exactly THREE scans of the events table — median pass, MAD
+    pass, fence pass — each a partial-agg hash shuffle on event_type;
+    the two per-group scalar frames are pinned with an eager
+    localCheckpoint (the g48/g52 convention) so the later passes read
+    the tiny materialized frames instead of re-deriving their
+    corpus-scan lineage (the naive dataflow re-scans events four times,
+    visible in its physical plan), then broadcast back (group count is
+    tiny by definition of a profiling key). Exact percentiles buffer
+    each group's values (d35's caveat): for 100 TB single-group
+    profiles, swap both median passes for approx_percentile t-digests
+    certified by d36's in-band check — identical plan shape,
+    O(accuracy) state. Reference: metric profiling / threshold alerting
+    over the delivered stream (README.md:155-158)."""
     ev = load(spark, sf_dir, "events").select("event_type", "value")
     med = ev.groupBy("event_type").agg(
         F.round(F.percentile(F.col("value"), F.lit(0.5)), 6).alias("__med")
-    )
+    ).localCheckpoint(eager=True)
     e2 = ev.join(F.broadcast(med), "event_type")
     mad = e2.groupBy("event_type").agg(
         F.round(
             F.percentile(F.abs(F.col("value") - F.col("__med")), F.lit(0.5)), 6
         ).alias("__mad")
-    )
+    ).localCheckpoint(eager=True)
     e3 = e2.join(F.broadcast(mad), "event_type")
     fence = F.abs(F.col("value") - F.col("__med")) > 3 * 1.4826 * F.col("__mad")
     return e3.groupBy("event_type", "__med", "__mad").agg(
