@@ -97,7 +97,7 @@ def truncation_recall(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
-    max_queries: int = 10_000,
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Recall@k of the first-``dims`` prefix-cosine ranking against the
     exact full-dimension top-k, per query — the acceptance gate for
@@ -113,7 +113,14 @@ def truncation_recall(
     acceptance gate, not a serving path: thousands of probe queries
     already give tight confidence intervals, so the dial is a guard rail,
     not a capability limit — raise it deliberately if you truly need
-    more, or shard the query set across calls.
+    more, or shard the query set across calls. The probe costs one tiny
+    Spark job per call; pass ``max_queries=None`` to skip it when the
+    caller already bounds the frame (plan-only contexts, hot loops).
+    Like cap_per_key's two-pass precondition, the probe counts ONE
+    evaluation of the lineage — a NONDETERMINISTIC query frame (unseeded
+    sample/rand) can pass the probe and still oversize the broadcast's
+    re-evaluation: pin such frames (localCheckpoint) before calling
+    (round-14 review).
 
     Returns (query_id, n_true, n_hit, recall_at_k) where n_true is the
     query's exact top-k size (< k only when the corpus is small or vectors
@@ -137,16 +144,17 @@ def truncation_recall(
         raise ValueError(f"dims must be >= 1, got {dims}")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    if max_queries < 1:
-        raise ValueError(f"max_queries must be >= 1, got {max_queries}")
-    # bounded probe: reads at most max_queries+1 query rows, never the corpus
-    n_q = queries.limit(max_queries + 1).count()
-    if n_q > max_queries:
-        raise ValueError(
-            f"queries frame exceeds max_queries={max_queries}; it broadcasts "
-            "with two vectors per row — sample it, shard it across calls, or "
-            "raise the dial deliberately"
-        )
+    if max_queries is not None:
+        if max_queries < 1:
+            raise ValueError(f"max_queries must be >= 1, got {max_queries}")
+        # bounded probe: reads at most max_queries+1 query rows, never the corpus
+        n_q = queries.limit(max_queries + 1).count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"queries frame exceeds max_queries={max_queries}; it broadcasts "
+                "with two vectors per row — sample it, shard it across calls, or "
+                "raise the dial deliberately"
+            )
     q = queries.select(
         F.col(query_id_col).alias("__qid"),
         F.col(vec_col).alias("__qvec"),

@@ -2922,7 +2922,10 @@ def g59_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g60_line_dedup",
     oracle="""
         WITH tok AS (
-            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                                ' ') AS ts
+            FROM documents
         ),
         ids AS (
             SELECT doc_id, ts,
@@ -2959,8 +2962,10 @@ def g59_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def g60_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LINE-level dedup across the whole corpus (Wenzek et al.
-    2020, public): split every document into lines (fixed 8-token segments
-    here — the fixture text has no newlines), keep each distinct line's
+    2020, public): split every document into lines (whitespace-normalized
+    fixed 8-token segments here — the fixture text has no newlines; real
+    newline-delimited text would swap the segmenter for the raw '\\n'
+    split and keep everything downstream), keep each distinct line's
     GLOBAL first occurrence (ordered by doc_id, then position), drop every
     later copy, and reassemble each document from its surviving lines in
     original order. This is the boilerplate-stripping pass that removes
@@ -2989,11 +2994,16 @@ def g60_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # whitespace-normalize FIRST (runs of spaces/tabs/newlines -> one
+    # space, trimmed) — without it the 8-token regex cannot match across
+    # a double space and would silently emit a different segmentation
+    # than the oracle's token-split definition (round-14 review)
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
     # every 8 tokens, swap the following separator space for \n: 7 of
     # (token + space) then a token, then the space to consume — a final
     # partial group (or a trailing full group at end-of-string) has no
     # trailing space, so it stays put and becomes the last line
-    delim = F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1\n")
+    delim = F.regexp_replace(norm, r"((?:\S+ ){7}\S+) ", "$1\n")
     lt = d.select(
         "doc_id",
         F.posexplode(F.split(delim, "\n")).alias("line_id", "line_text"),

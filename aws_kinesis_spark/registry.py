@@ -700,8 +700,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # is the next incoming set (f01, c06, c09, c14, d01, d02, d09, d17,
 # d30, d34, e04, e05, e06, e08, b03, b12, a09, a11, g02, g02b, g04,
 # g07b, g10, g16, g20, g27, g37, g40, g45 — 29 queries with r10 latest
-# hard rows), then the r11 cohort; the 32 rotated out above join the
-# r13 cohort on their fresh r13 rows.
+# hard rows), then the r11 cohort; the 34 rotated out this round (the
+# 32 from the main rotation block PLUS d14d/g04c, evicted by the
+# g61/d43 late registrations below) join the r13 cohort on their fresh
+# r13 rows.
 DRIVER_WINDOW: list[str] = [
     # D — relational core (11)
     "d06_join_semi_anti",

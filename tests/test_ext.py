@@ -2070,6 +2070,8 @@ def test_url_and_line_dedup_edge_semantics(spark, tmp_path):
             (4, "p1 p2 p3", "web", "de", 0),            # partial line only
             (54, "x y", "web", "en", 0),                # 54%50=4: URL collision w/ doc 4? (lang differs -> no)
             (104, "z", "web", "de", 0),                 # 104%50=4, de: collides with doc 4's URL
+            (5, "m1  m2\tm3\nm4 m5 m6 m7 m8 m9 ", "web", "fr", 0),  # messy whitespace
+            (6, "", "web", "fr", 0),                    # empty text
         ],
         "doc_id long, text string, source string, lang string, n_chars long",
     ).coalesce(1).write.mode("overwrite").parquet(sf + "/documents.parquet")
@@ -2093,6 +2095,13 @@ def test_url_and_line_dedup_edge_semantics(spark, tmp_path):
     assert rows[3].n_lines == 1 and rows[3].n_kept == 0
     assert rows[3].cleaned_text == ""             # fully deduplicated, row kept
     assert rows[4].cleaned_text == "p1 p2 p3"     # partial line intact
+    # messy whitespace normalizes to 9 single-spaced tokens -> 2 lines
+    assert rows[5].n_lines == 2 and rows[5].n_kept == 2
+    assert rows[5].cleaned_text == "m1 m2 m3 m4 m5 m6 m7 m8 m9"
+    # empty text survives as one empty line; the empty line itself is
+    # owned by whichever doc saw it first (doc 3's dedup produced none —
+    # '' the LINE exists only here), so the doc keeps its empty line
+    assert rows[6].n_lines == 1
     # --- g59: semantics ---
     urls = {r.canonical_url: r for r in q["g59_url_dedup"](spark, sf).collect()}
     # doc 4 (variant 1) and doc 104 (variant 2) share (web, de, item4)
