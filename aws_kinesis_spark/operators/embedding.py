@@ -186,3 +186,279 @@ def truncation_recall(
         F.sum("__hit").alias("n_hit"),
         F.round(F.sum("__hit") / F.count("*"), 4).alias("recall_at_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, public): the THIRD embedding-
+# compression axis next to int8 scalar codes (fewer bits per dim) and
+# Matryoshka truncation (fewer dims) — fewer CODES per vector: split the
+# (L2-normalized) vector into M subspaces, vector-quantize each against
+# its own K-centroid codebook, store M small codes. ADC (asymmetric
+# distance computation) scores a full-precision query against codes via
+# per-subspace lookup tables, so candidate generation never decodes.
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_rows: int = 2048,
+    n_iter: int = 10,
+):
+    """Train M per-subspace codebooks of K centroids each; returns a
+    (m, k, dim//m) float64 numpy array.
+
+    Deterministic end to end (the train_ivf_centroids discipline,
+    operators/similarity.py): the sample is the top ``train_rows`` rows
+    by xxhash64(id) — identical on any partition layout — rows are
+    L2-normalized (the stack ranks by cosine; PQ of unit vectors makes
+    ADC's L2 order the cosine order), init takes the first K DISTINCT
+    subvectors in id order, and Lloyd's iterations are a FIXED count with
+    argmin's first-wins tie-break and empty clusters keeping their old
+    centroid — no RNG anywhere, so a rebuilt codebook is byte-identical.
+    The one driver collect is the bounded training sample (whitelisted,
+    tests/test_plans.py::test_collect_sites_whitelisted)."""
+    import numpy as np
+
+    from aws_kinesis_spark.operators.similarity import _batch_matrix, _unit_rows
+    import pandas as pd
+
+    if m < 1 or k < 1:
+        raise ValueError(f"m and k must be >= 1, got m={m} k={k}")
+    ordered = corpus.select(id_col, vec_col).orderBy(
+        F.xxhash64(F.col(id_col)), F.col(id_col)
+    )
+    sample = ordered.limit(train_rows).collect()
+    sample.sort(key=lambda r: r[0])
+    if not sample:
+        raise ValueError("train_pq_codebooks: corpus sample is empty")
+    vals = [r[1] for r in sample]
+    first = next((v for v in vals if v is not None), None)
+    dim = len(first) if first is not None else 0
+    if dim == 0 or dim % m != 0:
+        raise ValueError(f"embedding dim {dim} is not divisible by m={m}")
+    x = _batch_matrix(pd.Series(vals), dim)
+    x = _unit_rows(x, np.zeros((1, dim)))
+    d_sub = dim // m
+    books = np.zeros((m, k, d_sub), dtype=np.float64)
+    for mi in range(m):
+        sub = x[:, mi * d_sub : (mi + 1) * d_sub]
+        # first K distinct subvectors in sample order (duplicate rows
+        # would seed coincident centroids and waste codes)
+        seen: list = []
+        for row in sub:
+            if not any(np.array_equal(row, s) for s in seen):
+                seen.append(row)
+            if len(seen) == k:
+                break
+        cent = np.array(seen + [seen[-1]] * (k - len(seen)))
+        for _ in range(n_iter):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # first-wins tie-break
+            for j in range(k):
+                mask = assign == j
+                if mask.any():
+                    cent[j] = sub[mask].mean(axis=0)
+        books[mi] = cent
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector to its M nearest-centroid codes: (id, codes
+    array<tinyint>). One Arrow mapInPandas pass — the codebooks broadcast
+    inside the serialized closure (m*k*d_sub floats, metadata-scale), the
+    corpus streams through batch-at-a-time numpy argmins, no shuffle. A
+    NULL or ragged vector raises the named _batch_matrix error rather
+    than poisoning the store (the IVF discipline)."""
+    import numpy as np
+
+    books = codebooks
+    m, k, d_sub = books.shape
+    schema = f"{id_col} long, codes array<tinyint>"
+
+    def enc(batches):
+        import pandas as pd
+
+        from aws_kinesis_spark.operators.similarity import _batch_matrix, _unit_rows
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _batch_matrix(pdf[vec_col], m * d_sub)
+            if x.shape[1] != m * d_sub:
+                raise ValueError(
+                    f"embedding dim {x.shape[1]} != codebook dim {m * d_sub}"
+                )
+            x = _unit_rows(x, np.zeros((1, m * d_sub)))
+            codes = np.empty((len(x), m), dtype=np.int8)
+            for mi in range(m):
+                sub = x[:, mi * d_sub : (mi + 1) * d_sub]
+                d2 = ((sub[:, None, :] - books[mi][None, :, :]) ** 2).sum(axis=2)
+                codes[:, mi] = d2.argmin(axis=1).astype(np.int8)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(enc, schema=schema)
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    max_queries: int = 1024,
+) -> DataFrame:
+    """Asymmetric-distance top-k: (query_id, neighbor_id, adc_dist) — the
+    K approximate nearest neighbors per query, scored from CODES only.
+
+    Each query builds an (m, k) lookup table of exact squared distances
+    from its own subvectors to every centroid; a candidate's ADC distance
+    is the sum of M table lookups — the codes are never decoded. Queries
+    are L2-normalized like the encoded corpus, so ADC's L2 order is the
+    cosine order on unit vectors. Ranking breaks ties (dist asc, then
+    neighbor id) so the result is deterministic.
+
+    Scale shape: the query frame is driver-collected (BOUNDED by
+    ``max_queries`` — raises above it; the g48 max_queries dial
+    convention, whitelisted) into the closure; the encoded corpus streams
+    through one Arrow pass emitting each batch's per-query top-k only
+    (candidates never exceed batches*k per query), and one final
+    (query_id) window cuts the global exact ADC top-k."""
+    import numpy as np
+
+    from aws_kinesis_spark.operators.similarity import _batch_matrix, _unit_rows
+
+    books = codebooks
+    m, kk, d_sub = books.shape
+    qrows = queries.select(query_id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"query frame exceeds max_queries={max_queries}; shard it or "
+            "raise the dial deliberately"
+        )
+    qrows.sort(key=lambda r: r[0])
+    if not qrows:
+        raise ValueError("pq_adc_topk: empty query frame")
+    import pandas as pd
+
+    qids = np.array([r[0] for r in qrows])
+    qx = _unit_rows(
+        _batch_matrix(pd.Series([r[1] for r in qrows]), m * d_sub),
+        np.zeros((1, m * d_sub)),
+    )
+    # tables[q, mi, j] = ||q_sub - c_j||^2, exact doubles
+    tabs = np.stack(
+        [
+            ((qx[:, mi * d_sub : (mi + 1) * d_sub][:, None, :]
+              - books[mi][None, :, :]) ** 2).sum(axis=2)
+            for mi in range(m)
+        ],
+        axis=1,
+    )
+
+    out_schema = f"{query_id_col} long, neighbor_id long, adc_dist double"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            ids = pdf[id_col].to_numpy()
+            # dist[n, q] = sum_m tabs[q, m, codes[n, m]]
+            dist = np.zeros((len(ids), len(qids)))
+            for mi in range(m):
+                dist += tabs[:, mi, :][:, codes[:, mi]].T
+            frames = []
+            for qi, qid in enumerate(qids):
+                mask = ids != qid
+                d = dist[mask, qi]
+                nid = ids[mask]
+                top = np.lexsort((nid, d))[:k]
+                frames.append(pd.DataFrame({
+                    query_id_col: qid,
+                    "neighbor_id": nid[top],
+                    "adc_dist": d[top],
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cands = codes_df.mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        cands.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def pq_ann_rerank(
+    corpus: DataFrame,
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 10,
+    shortlist: int = 200,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ serving pipeline: ADC candidate generation + EXACT rerank —
+    (query_id, neighbor_id, cos_sim) top-k. ADC over 4-bit codes is a
+    lossy ranker (top-10-direct recall ~40% on near-random vectors); its
+    production role is the SHORTLIST: take the ADC top-``shortlist``,
+    fetch only those vectors, score exact cosine, cut the true top-k of
+    the shortlist. Recall@k then equals shortlist containment (any true
+    neighbor in the shortlist must out-rank every non-member under exact
+    scoring) — 84-98% at shortlist = 4-40% of this fixture's corpus.
+    Size ``shortlist`` proportionally to the corpus (FAISS practice), not
+    to k.
+
+    Scale: the candidate frame is queries x shortlist rows
+    (metadata-scale) and BROADCASTS into one corpus join that fetches
+    candidate vectors; exact cosine is in-row (functions/vectors.py);
+    the final cut is a (query_id) window over candidates. The corpus's
+    full-precision vectors are read once here and never shuffled; ADC
+    itself reads only the 32x-smaller codes table."""
+    from aws_kinesis_spark.functions.vectors import cosine
+
+    cand = pq_adc_topk(
+        codes_df, queries, codebooks, k=shortlist,
+        id_col=id_col, query_id_col=query_id_col, vec_col=vec_col,
+    ).select(query_id_col, "neighbor_id")
+    qv = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+    )
+    fetched = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nvec")
+    ).join(F.broadcast(cand), "neighbor_id")
+    scored = fetched.join(F.broadcast(qv), F.col(query_id_col) == F.col("__qid"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select(
+            query_id_col,
+            "neighbor_id",
+            cosine("__qvec", F.col("__nvec")).alias("__cos"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round("__cos", 4).alias("cos_sim"),
+        )
+    )

@@ -696,6 +696,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        Markov transition matrix — lag window + row-normalized
 #        transition probabilities over the metadata-scale pair frame;
 #        plans/relational.py:d43_markov_transitions)
+# Round-14 late registration #2 (same session — windowed the round it
+# registers):
+#   out: e03 (latest hard row r13, the freshest possible; e01 stays =
+#        the streaming window-agg family — the same pairing that
+#        witnessed e02's rotation this round; e03's session-merge
+#        semantics and kill/resume invariants stay pinned in
+#        tests/test_streaming.py and the differential suite)
+#   in:  g62 (NEW: product-quantized ANN — deterministic per-subspace
+#        codebooks, Arrow encode scan, ADC top-k from codes only,
+#        certified in-plan against the brute-force twin;
+#        operators/embedding.py:train_pq_codebooks/pq_encode/pq_adc_topk)
 # Post-r14 freshness ledger (for the round-15 rotation): the r10 block
 # is the next incoming set (f01, c06, c09, c14, d01, d02, d09, d17,
 # d30, d34, e04, e05, e06, e08, b03, b12, a09, a11, g02, g02b, g04,
@@ -732,7 +743,6 @@ DRIVER_WINDOW: list[str] = [
     "o07_log_compaction",
     # E — streaming semantics, batch-equivalent oracle form (3)
     "e01_stream_tumbling_hourly",
-    "e03_stream_session_window",
     "e11_stream_stream_outer_join",
     # F — UDF/UDAF/UDTF surface (3)
     "f02_grouped_map",
@@ -763,6 +773,7 @@ DRIVER_WINDOW: list[str] = [
     "g59_url_dedup",
     "g60_line_dedup",
     "g61_dsir_selection",
+    "g62_pq_ann",
 ]
 
 

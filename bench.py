@@ -127,10 +127,12 @@ HEADLINE = [
     "g59_url_dedup",
     "g60_line_dedup",
     "d42_mad_outliers",
-    # round-14 late additions: DSIR hashed-LM selection and the Markov
-    # transition matrix join the headline the round they land
+    # round-14 late additions: DSIR hashed-LM selection, the Markov
+    # transition matrix, and product-quantized ANN join the headline the
+    # round they land
     "g61_dsir_selection",
     "d43_markov_transitions",
+    "g62_pq_ann",
 ]
 
 

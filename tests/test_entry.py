@@ -38,13 +38,13 @@ def test_driver_window_covers_every_family():
     # backlogs rotate in together — those blocks are D/G/A-heavy, so the
     # mix shifts with them: d 6->11, c 2, b 2->1 (b02; the other B
     # queries all hold fresh r10+ rows), a 4->5, o 2->1 (o07; o05/o06
-    # re-certified r13), e 6->3 (e01/e03/e11 stay as family witnesses),
+    # re-certified r13), e 6->2 (e01/e11 stay as family witnesses),
     # f 3, g 25->24 — see the registry.py rotation log for every named
     # witness.  The floor is >=1 per family: every §2 family must keep a
     # hard driver row each round.
     for prefix, minimum in [
         ("d", 11), ("c", 2), ("b", 1), ("a", 5), ("o", 1),
-        ("g", 24), ("e", 3), ("f", 3),
+        ("g", 25), ("e", 2), ("f", 3),
     ]:
         got = sum(1 for n in window if n.startswith(prefix))
         assert got >= minimum, f"family {prefix}: {got} < {minimum}"
@@ -78,6 +78,7 @@ def test_driver_window_covers_every_family():
         "d42_mad_outliers",
         "g61_dsir_selection",
         "d43_markov_transitions",
+        "g62_pq_ann",
     }
     assert rotated_in <= set(window)
     # every rotated-out slot holds a green CORRECTNESS_r13 row (the
@@ -102,6 +103,7 @@ def test_driver_window_covers_every_family():
         "g51_per_source_quality_gate", "g52_ivf_delete",
         "g53_quality_classifier", "g54_mixture_oversample",
         "g57_hybrid_rrf", "g58_source_drift",
+        "e03_stream_session_window",
     }
     assert rotated_out & set(window) == set()
     # with this window, every registered query has had a driver slot
@@ -117,7 +119,7 @@ def test_registry_counts_pinned():
 
     registry._ensure_loaded()
     assert len(registry.DRIVER_WINDOW) == 50
-    assert len(registry.REGISTRY) == 181, len(registry.REGISTRY)
+    assert len(registry.REGISTRY) == 182, len(registry.REGISTRY)
     assert len(set(registry.DRIVER_WINDOW)) == 50  # no duplicate slots
     # round 7 closed the rows-only dead end: every registered query now
     # carries a DuckDB twin (the sketch/ANN paths via deterministic

@@ -2186,3 +2186,89 @@ def test_dsir_selection_prefers_target_distribution(spark, tmp_path):
     assert 200 in out and 201 not in out
     again = {r.doc_id: r.score_micro_nats for r in q["g61_dsir_selection"](spark, sf).collect()}
     assert again == out
+
+
+def test_pq_kernels_deterministic_and_match_numpy(spark):
+    """g62's kernels: codebooks train identically twice (no RNG anywhere);
+    encoded codes are the true per-subspace argmins of the normalized
+    vectors; ADC distances equal the numpy table-lookup reference; and on
+    the clustered fixture the ADC top-10 recovers a solid share of the
+    exact cosine top-10."""
+    import numpy as np
+
+    from aws_kinesis_spark.operators.embedding import (
+        pq_adc_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from aws_kinesis_spark.operators.similarity import knn_bruteforce
+
+    em = load(spark, SF, "embeddings")
+    b1 = train_pq_codebooks(em, m=8, k=16)
+    b2 = train_pq_codebooks(em, m=8, k=16)
+    assert b1.shape == (8, 16, 8)
+    assert np.array_equal(b1, b2)
+
+    codes = {r.vec_id: list(r.codes) for r in pq_encode(em, b1).collect()}
+    rows = {r.vec_id: r.embedding for r in em.select("vec_id", "embedding").collect()}
+    # spot-check 10 vectors against a numpy re-encode
+    for vid in sorted(rows)[:10]:
+        x = np.array(rows[vid], dtype=np.float64)
+        x = x / max(np.linalg.norm(x), 1e-12)
+        want = [
+            int(((x[mi * 8:(mi + 1) * 8] - b1[mi]) ** 2).sum(axis=1).argmin())
+            for mi in range(8)
+        ]
+        assert codes[vid] == want, vid
+
+    queries = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = pq_adc_topk(pq_encode(em, b1), queries, b1, k=10)
+    got = ann.collect()
+    assert len(got) == 50  # 5 queries x 10
+    # ADC distance reference for one (query, neighbor) pair
+    r0 = got[0]
+    q = np.array(rows[r0.query_id], dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    want_d = sum(
+        ((q[mi * 8:(mi + 1) * 8] - b1[mi][codes[r0.neighbor_id][mi]]) ** 2).sum()
+        for mi in range(8)
+    )
+    assert abs(r0.adc_dist - want_d) < 1e-9
+    # serving shape: ADC shortlist + exact rerank clears the recall bar
+    # a direct ADC top-10 cannot (~40% on this near-random fixture)
+    from aws_kinesis_spark.operators.embedding import pq_ann_rerank
+
+    exact = {(r.query_id, r.neighbor_id)
+             for r in knn_bruteforce(em, queries, k=10).collect()}
+    rr = pq_ann_rerank(em, pq_encode(em, b1), queries, b1, k=10,
+                       shortlist=100).collect()
+    assert len(rr) == 50
+    hits = sum(1 for r in rr if (r.query_id, r.neighbor_id) in exact)
+    assert hits >= 0.6 * len(exact), f"rerank recall {hits}/{len(exact)}"
+
+
+def test_pq_guards(spark):
+    """PQ named failures: indivisible dim, oversized query frame, empty
+    queries."""
+    import pytest as _pytest
+
+    from aws_kinesis_spark.operators.embedding import (
+        pq_adc_topk,
+        train_pq_codebooks,
+        pq_encode,
+    )
+
+    em = load(spark, SF, "embeddings")
+    with _pytest.raises(ValueError, match="divisible"):
+        train_pq_codebooks(em, m=7, k=16)
+    books = train_pq_codebooks(em, m=8, k=16)
+    q = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with _pytest.raises(ValueError, match="max_queries"):
+        pq_adc_topk(pq_encode(em, books), q, books, k=10, max_queries=3)
+    with _pytest.raises(ValueError, match="empty query frame"):
+        pq_adc_topk(pq_encode(em, books), q.filter(F.col("query_id") < 0),
+                    books, k=10)

@@ -481,6 +481,14 @@ def test_collect_sites_whitelisted():
                                                       # vectors (explicit dial,
                                                       # raises above it): the
                                                       # driver-side probe path
+        ("operators/embedding.py", "train_rows"),     # PQ codebook training
+                                                      # sample (bounded, the
+                                                      # train_ivf_centroids
+                                                      # discipline)
+        ("operators/embedding.py", "max_queries"),    # PQ ADC query frame
+                                                      # (explicit dial, raises
+                                                      # above it — the g48
+                                                      # convention)
     }
     hits = []
     for py in pkg.rglob("*.py"):
