@@ -306,6 +306,44 @@ SHOWCASE = [
         "the sources x vocab cross product never materializes (the "
         "absent-token mass is a closed-form expression).",
     ),
+    (
+        "g59_url_dedup",
+        "All four canonicalization regexps run inside the scan-stage "
+        "Project (whole-stage codegen); the only Exchange is the "
+        "canonical_url `HashAggregate` pair with two scalars of state — "
+        "a hot refetched URL collapses map-side.",
+    ),
+    (
+        "g60_line_dedup",
+        "Line segmentation is ONE regexp pass evaluated inside the "
+        "Generate (once per doc row) — no `split(` recompute in the "
+        "Project above it (the slice-per-line form is quadratic per "
+        "document); then one line_text Exchange for the first-occurrence "
+        "window and one doc_id Exchange reassembling kept lines.",
+    ),
+    (
+        "g61_dsir_selection",
+        "Exactly TWO documents scans: one combined bucket-counts "
+        "aggregate (target count as a conditional count in the same "
+        "256-key shuffle, totals from a window over the counts frame "
+        "itself) and one scoring pass with the 256-row weight table on "
+        "the `BroadcastHashJoin` build side — the naive "
+        "separate-frames dataflow scans the corpus five times.",
+    ),
+    (
+        "d42_mad_outliers",
+        "Three scans total for the exact three-pass algorithm: the two "
+        "per-group scalar frames are eagerly localCheckpointed (read "
+        "back as `ExistingRDD`, no lineage re-derivation) and broadcast "
+        "into the fence pass.",
+    ),
+    (
+        "d43_markov_transitions",
+        "One user-hashed Exchange for the lag window (one-row lookback "
+        "state, group-local sort), then the (prev, next) partial-agg "
+        "pair; the row-normalizing window runs over the "
+        "|event_types|^2 frame, never the events.",
+    ),
 ]
 
 
