@@ -399,9 +399,13 @@ def ngram_jaccard_dedup(
     # compares fixed-width longs. A collision only adds a spurious candidate,
     # which the exact-Jaccard verify removes — completeness is unaffected
     # (equal shingles always hash equal).
-    inv = sets.select(
-        F.col(id_col),
-        F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__s"),
+    # explode FIRST, hash the exploded column: hashing inside a
+    # higher-order transform() is CodegenFallback — it knocks the whole
+    # scan→explode stage out of whole-stage codegen and runs the hash
+    # interpreted per element (measured 4x on the toy join; same values,
+    # xxhash64 per element either way).
+    inv = sets.select(F.col(id_col), F.explode("__sh").alias("__t")).select(
+        F.col(id_col), F.xxhash64("__t").alias("__s")
     )
     a, b = inv.alias("a"), inv.alias("b")
     cand = (
@@ -972,11 +976,14 @@ def _ranked_prefix_tokens(
     join strategy is left to AQE (a web-scale shingle vocabulary
     out-sizes any driver). ``checkpoint`` lazily materializes the ranked
     table for callers whose probe AND index sides both read it."""
+    # explode-then-hash, not explode(transform(hash)): a higher-order
+    # transform() is CodegenFallback, which drops the whole scan→explode
+    # stage out of whole-stage codegen — and this subtree is evaluated
+    # once per join side AND once for the df table (same values either
+    # way: xxhash64 per element).
     tok = sets.select(
-        F.col(id_col),
-        F.size("__sh").alias("__n"),
-        F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__s"),
-    )
+        F.col(id_col), F.size("__sh").alias("__n"), F.explode("__sh").alias("__t")
+    ).select(F.col(id_col), "__n", F.xxhash64("__t").alias("__s"))
     df_tab = tok.groupBy("__s").agg(F.count("*").alias("__df"))
     w = Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__s"))
     ranked = tok.join(df_tab, "__s").withColumn("__r", F.row_number().over(w))
@@ -1016,6 +1023,13 @@ def setsim_prefix_join(
     docs = _spread(docs.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n))
     sets = _checkpointed_shingle_sets(docs, text_col, id_col, shingle_n)
     pref_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    # NOT lineage-cut: the prefix table feeds both self-join sides, so the
+    # ranking subtree does plan (and run) twice — but a measured r14
+    # experiment showed localCheckpoint-ing the filtered prefix makes the
+    # whole query 2x SLOWER at sf0.1 (3.4 -> 6.9 s min): materializing the
+    # exploded token rows costs more than recomputing them through
+    # whole-stage codegen, and the cut blocks WindowGroupLimit/filter
+    # pushdown into the checkpointed subtree.
     prefix = _ranked_prefix_tokens(sets, id_col).filter(F.col("__r") <= pref_len)
     a = prefix.select(
         F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__s"
@@ -1175,11 +1189,11 @@ def _containment_candidates(
         ) >= req
     else:
         # brute path: the complete inverted index, no df ranking needed
+        # (explode-then-hash keeps the stage in whole-stage codegen — a
+        # transform() lambda is CodegenFallback, see _ranked_prefix_tokens)
         tok = sets.select(
-            F.col(id_col),
-            F.size("__sh").alias("__n"),
-            F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__s"),
-        )
+            F.col(id_col), F.size("__sh").alias("__n"), F.explode("__sh").alias("__t")
+        ).select(F.col(id_col), "__n", F.xxhash64("__t").alias("__s"))
         a = tok.select(
             F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__s"
         )

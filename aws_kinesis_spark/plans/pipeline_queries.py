@@ -1637,13 +1637,15 @@ def a19_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synthesis, while the measured operator — lake write, DV commits,
     # merge-on-read — still starts from fresh lake state every call.
     env = _envelope_fixture(spark, sf_dir, "a19fix", lambda: synthesize_envelope(o))
-    run_lake_batch(env, lake, batch_id=0, raw_backup=False,
-                   files_per_partition=32)
-    # the two delete vectors are independent commit objects (each lands
-    # atomically under its own id) — write them as concurrent Spark jobs
+    # the lake flush and the two delete-vector commits are mutually
+    # independent (different inputs — env fixture vs orders scan — and
+    # disjoint output objects; each DV lands atomically under its own id):
+    # run all three as concurrent Spark jobs so the small DV scans
+    # back-fill executors the flush's stage tail leaves idle (guide §2.6).
+    # Only read_with_deletes below needs every commit durable.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with ThreadPoolExecutor(max_workers=3) as pool:
         futs = [
             pool.submit(
                 write_delete_vector,
@@ -1656,6 +1658,12 @@ def a19_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for i, (m, r) in enumerate([(7, 3), (11, 5)], start=1)
         ]
+        futs.append(
+            pool.submit(
+                run_lake_batch, env, lake, batch_id=0, raw_backup=False,
+                files_per_partition=32,
+            )
+        )
         for f in futs:
             f.result()
     live = read_with_deletes(spark, lake, key_col="id")

@@ -1181,10 +1181,15 @@ def d36_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # back to the membership bound the sketch does guarantee: the element
     # lies within the group's [min, max].
     approx = F.percentile_approx(price, F.lit(0.5), F.lit(1000))
-    tight = approx.between(
-        F.percentile(price, F.lit(0.5 - 2 * eps)),
-        F.percentile(price, F.lit(0.5 + 2 * eps)),
-    )
+    # ONE array-percentile buffer for both band edges: percentile(col,
+    # array(lo, hi)) sorts/counts the group's values once and interpolates
+    # both ranks from the same state, where two scalar percentile() calls
+    # are distinct aggregate expressions Catalyst cannot merge — each
+    # keeping its own per-group value map (plan before: two
+    # partial_percentile functions; after: one). Values are identical:
+    # the array form runs the same interpolation per element.
+    band = F.percentile(price, F.array(F.lit(0.5 - 2 * eps), F.lit(0.5 + 2 * eps)))
+    tight = approx.between(F.element_at(band, 1), F.element_at(band, 2))
     loose = approx.between(F.min(price), F.max(price))
     # branch on count(PRICE), not count(*): the sketch's rank guarantee
     # scales with NON-NULL values, so a big mostly-NULL group must take

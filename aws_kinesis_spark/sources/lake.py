@@ -208,7 +208,14 @@ def run_lake_batch(
         if files_per_partition > 1
         else env
     )
-    decoded = decode_envelope(spread)
+    # Cache the decoded batch for the flush's duration: the DLQ branch
+    # below otherwise re-runs the full base64+JSON decode over EVERY
+    # record a second time just to keep the corrupt ones (the main write
+    # projects the ok rows, so Catalyst cannot share the pass). A flush
+    # batch is buffer-bounded by construction (Firehose flushes MBs, not
+    # TBs), so the cache is scale-safe; unpersisted in the finally so
+    # nothing outlives the flush. The main data write materializes it.
+    decoded = decode_envelope(spread).cache()
     ok, bad = split_errors(decoded)
     # the lake stores decoded columns; the raw payload lives in the backup
     ok = with_partition_cols(ok.drop("data")).withColumn("batch", F.lit(batch_id))
@@ -231,49 +238,54 @@ def run_lake_batch(
     # of paying three serial passes over the batch
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        raw_f = (
-            pool.submit(
-                lambda: env.write.mode("overwrite").parquet(
-                    os.path.join(lake_dir, "raw", f"batch={batch_id}")
+    try:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            raw_f = (
+                pool.submit(
+                    lambda: env.write.mode("overwrite").parquet(
+                        os.path.join(lake_dir, "raw", f"batch={batch_id}")
+                    )
                 )
+                if raw_backup
+                else None
             )
-            if raw_backup
-            else None
-        )
-        n_in_f = pool.submit(env.count)
-        (
-            shaped.write.mode("overwrite")
-            .partitionBy("batch", *part_cols)
-            .option("compression", "snappy")
-            .parquet(data_dir)
-        )
-        batch_root = os.path.join(data_dir, f"batch={batch_id}")
-        files = _list_parquet_files(batch_root)
-        # an all-error or empty flush writes no data files: commit an empty
-        # manifest (the batch HAPPENED, with zero ok records) instead of
-        # crashing on the missing batch dir. The count comes from the
-        # written files' parquet FOOTERS (row-group metadata the committer
-        # just produced) — O(own files) driver reads, the same planner
-        # metadata as the listing above, one whole Spark job cheaper
-        import pyarrow.parquet as pq
-
-        n_ok = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-
-        # DLQ accounting by subtraction: ok ∪ bad partitions the input
-        # exactly (split_errors is one boolean filter pair), and both
-        # counts are metadata-cheap — counting `bad` directly would re-run
-        # the full base64+JSON decode over every record a second time
-        n_error = n_in_f.result() - n_ok
-        if n_error:
+            n_in_f = pool.submit(env.count)
             (
-                bad.select("data", "partition_key", "sequence_number", "arrival_ts")
-                .write.mode("overwrite")
-                .parquet(os.path.join(lake_dir, "errors", f"batch={batch_id}"))
+                shaped.write.mode("overwrite")
+                .partitionBy("batch", *part_cols)
+                .option("compression", "snappy")
+                .parquet(data_dir)
             )
-        if raw_f is not None:
-            raw_f.result()  # manifest-last: backup is durable before commit
+            batch_root = os.path.join(data_dir, f"batch={batch_id}")
+            files = _list_parquet_files(batch_root)
+            # an all-error or empty flush writes no data files: commit an empty
+            # manifest (the batch HAPPENED, with zero ok records) instead of
+            # crashing on the missing batch dir. The count comes from the
+            # written files' parquet FOOTERS (row-group metadata the committer
+            # just produced) — O(own files) driver reads, the same planner
+            # metadata as the listing above, one whole Spark job cheaper
+            import pyarrow.parquet as pq
 
+            n_ok = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+            # DLQ accounting by subtraction: ok ∪ bad partitions the input
+            # exactly (split_errors is one boolean filter pair), and both
+            # counts are metadata-cheap — counting `bad` directly would cost
+            # a whole extra job over the cached batch
+            n_error = n_in_f.result() - n_ok
+            if n_error:
+                (
+                    bad.select("data", "partition_key", "sequence_number", "arrival_ts")
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(lake_dir, "errors", f"batch={batch_id}"))
+                )
+            if raw_f is not None:
+                raw_f.result()  # manifest-last: backup is durable before commit
+    finally:
+        # the flush is done with the decoded batch — release it so a
+        # long-lived caller (streaming foreachBatch) never accumulates
+        # per-flush caches, crash or no crash
+        decoded.unpersist()
     manifest = write_manifest(lake_dir, batch_id, files, n_ok, subdir=manifest_subdir)
     return FlushStats(
         batch_id=batch_id,
