@@ -35,6 +35,18 @@ def get_spark(app_name: str = "aws-kinesis-spark", cpus: str | None = None) -> S
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # join strategy (guide §3.1): let the planner pick shuffled-hash
+        # over sort-merge when its size conditions fit (skips both sorts),
+        # and let AQE rewrite SMJ->SHJ at runtime when every post-shuffle
+        # partition is under 64 MB — a PER-PARTITION bound, so the build
+        # side stays memory-safe at any corpus size (AQE skew-split keeps
+        # partitions under it). Interleaved A/B over the 10 join-heaviest
+        # headline queries: 15.33 s vs 15.73 s min-of-4, 7/10 faster.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP_MAX", "64m"),
+        )
         # runtime bloom filters: inject a filter from a selective dim side
         # into the fact-side scan — at 100 TB this skips fact row groups
         # before the join shuffle ever forms. (semiJoinReduction stays off:
@@ -74,6 +86,11 @@ def configure(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    spark.conf.set(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP_MAX", "64m"),
+    )
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     # events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos timestamp —
