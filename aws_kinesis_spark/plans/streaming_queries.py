@@ -121,6 +121,9 @@ def _stamp_hive_dir_mtimes(inp: str) -> None:
             if f.endswith(".parquet"):
                 os.utime(os.path.join(inp, qdir, f), (i * 1000, i * 1000))
 
+# per-process cache of b12's deterministic arrival fixture (sf_dir -> path)
+_B12_FIXTURES: dict[str, str] = {}
+
 # per-process cache of the sentinel fixtures ((variant, sf_dir) -> (path, n))
 _SENTINEL_FIXTURES: dict[tuple[str, str], tuple[str, int]] = {}
 
@@ -1049,19 +1052,27 @@ def b12_stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side by nature, like any metrics scrape."""
     o = load(spark, sf_dir, "orders")
     root = _tmp("b12")
-    inp = os.path.join(root, "input")
-    # ONE write lands all four arrival quarters (hive dirs q=0..3, one
-    # file each: a quarter's rows hash to one task); per-dir mtimes then
-    # pin arrival order = quarter order, exactly as the four sequential
-    # writes did — the g35 fixture technique
-    (
-        o.withColumn("q", (F.col("o_orderkey") % 4).cast("int"))
-        .repartition(4, "q")
-        .write.partitionBy("q")
-        .mode("overwrite")
-        .parquet(inp)
-    )
-    _stamp_hive_dir_mtimes(inp)
+    # the arrival fixture is a pure function of the input table — build it
+    # once per sf_dir and reuse across repeat calls (the g35 fixture
+    # precedent); the CHECKPOINT is fresh per call, so the measured
+    # operator — the engine's per-trigger progress metrics — always runs
+    # a fresh 4-trigger stream
+    inp = _B12_FIXTURES.get(sf_dir)
+    if inp is None or not os.path.isdir(inp):
+        inp = os.path.join(_tmp(f"b12fix-{_sf_tag(sf_dir)}"), "input")
+        # ONE write lands all four arrival quarters (hive dirs q=0..3, one
+        # file each: a quarter's rows hash to one task); per-dir mtimes
+        # then pin arrival order = quarter order, exactly as the four
+        # sequential writes did
+        (
+            o.withColumn("q", (F.col("o_orderkey") % 4).cast("int"))
+            .repartition(4, "q")
+            .write.partitionBy("q")
+            .mode("overwrite")
+            .parquet(inp)
+        )
+        _stamp_hive_dir_mtimes(inp)
+        _B12_FIXTURES[sf_dir] = inp
     stream = _file_stream(
         spark, o.schema, inp, max_files_per_trigger=1, recursive_file_lookup=True
     )
