@@ -10,6 +10,7 @@ streaming queries with separate checkpoints on the same source.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -25,6 +26,20 @@ from aws_kinesis_spark.sources.lake import (
     with_partition_cols,
     write_manifest,
 )
+
+
+# Opt-in per-trigger phase profiler (scripts/profile_g35.py): when a list
+# is installed here, start_dedup_ingest's flush appends
+# (batch_id, phase, seconds) rows so a profiling run can attribute the
+# trigger's wall time to its serial steps (guide §1 / VERDICT r14 #2 —
+# the 9 s g35 floor needs a stage-level breakdown, not a hypothesis).
+# None in production: the hook costs one attribute check per phase.
+_PROFILE_SINK: list | None = None
+
+
+def _prof(batch_id: int, phase: str, seconds: float) -> None:
+    if _PROFILE_SINK is not None:
+        _PROFILE_SINK.append((batch_id, phase, round(seconds, 4)))
 
 
 def _file_stream(
@@ -940,6 +955,7 @@ def start_dedup_ingest(
         spark = batch_df.sparkSession
         pool = ThreadPoolExecutor(max_workers=2)
         cached: list[DataFrame] = []
+        t_flush0 = time.perf_counter()
 
         def keep(df: DataFrame) -> DataFrame:
             # caching the batch/bands beats recompute decisively even for
@@ -992,12 +1008,14 @@ def start_dedup_ingest(
             batch_bands_dir = os.path.join(bands_dir, f"batch={batch_id}")
 
             def _write_bands() -> None:
+                t0 = time.perf_counter()
                 (
                     bb.repartition(F.col("bucket"))
                     .write.partitionBy("bucket")
                     .mode("overwrite")
                     .parquet(batch_bands_dir)
                 )
+                _prof(batch_id, "bands_write_thread", time.perf_counter() - t0)
 
             # Trigger shape from DRIVER METADATA only (no Spark job): the
             # micro-batch's input bytes via the file source's WAL for this
@@ -1037,12 +1055,16 @@ def start_dedup_ingest(
                 # band rows) yields the partition-pruning key list and
                 # the batch size: the scale win when the standing index
                 # dwarfs the batch
+                t0 = time.perf_counter()
                 bucket_counts = bb.groupBy("bucket").count().collect()
+                _prof(batch_id, "bucket_collect", time.perf_counter() - t0)
                 batch_buckets = [r[0] for r in bucket_counts]
                 batch_is_small = sum(r[1] for r in bucket_counts) <= 2_000_000
                 _coverage["frac"] = len(batch_buckets) / max(n_buckets, 1)
             if compact_f is not None:
+                t0 = time.perf_counter()
                 compact_f.result()  # dir layout must be stable before listing
+                _prof(batch_id, "compact_wait", time.perf_counter() - t0)
             standing = _read_index_dirs(
                 spark,
                 _index_dirs(bands_dir, upto_exclusive=batch_id),
@@ -1096,10 +1118,12 @@ def start_dedup_ingest(
                 # runtime stats
                 pairs_small = False
             else:
+                t0 = time.perf_counter()
                 cand_idb = cand.select(
                     F.pmod("id_a", F.lit(n_buckets)).cast("int").alias("idb")
                 )
                 cand_buckets_n = cand_idb.groupBy("idb").count().collect()
+                _prof(batch_id, "cand_bucket_collect", time.perf_counter() - t0)
                 cand_buckets = [r["idb"] for r in cand_buckets_n]
                 # the same bounded collect now also yields the TRUE pair
                 # count, so the verify broadcast is gated on the thing
@@ -1149,10 +1173,14 @@ def start_dedup_ingest(
                 .drop("__dup")
                 .withColumn("idb", F.pmod("doc_id", F.lit(n_buckets)).cast("int"))
             )
+            t0 = time.perf_counter()
             out.repartition(F.col("idb")).write.partitionBy("idb").mode(
                 "overwrite"
             ).parquet(os.path.join(corpus_dir, f"batch={batch_id}"))
+            _prof(batch_id, "landing_write", time.perf_counter() - t0)
+            t0 = time.perf_counter()
             bands_write_f.result()
+            _prof(batch_id, "bands_wait", time.perf_counter() - t0)
             if bulk:
                 # refresh the coverage stat from the landed layout (one
                 # driver listing) so a shrinking stream falls back to the
@@ -1166,6 +1194,7 @@ def start_dedup_ingest(
             pool.shutdown(wait=True)
             for df in cached:
                 df.unpersist()
+            _prof(batch_id, "flush_total", time.perf_counter() - t_flush0)
 
     return (
         doc_stream.writeStream.foreachBatch(flush)

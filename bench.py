@@ -291,6 +291,11 @@ RUNS = 3
 # machine cost; every other query keeps N=3.
 RUNS_OVERRIDE: dict[str, int] = {"g35_stream_dedup_ingest": 5}
 
+# Byte budget for the FINAL printed line: the driver stores a 2000-char
+# stdout tail and json.loads the last line inside it, so the line must
+# stay comfortably under the cap (tests/test_bench_record.py pins this).
+COMPACT_BUDGET = 1880
+
 SPREAD: dict[str, dict[str, float]] = {}
 
 
@@ -584,6 +589,29 @@ def build_records(
         "full_record": "BENCH_FULL.json",
         "contended": contended,
     }
+    # Per-query mins IN the final line (VERDICT r14 #1: the driver's PERF
+    # per_query/geomean/scaling blocks populate only from the parsed last
+    # line). The COMPLETE map cannot ride here: the registry names alone
+    # serialize to ~1.8 KB and the driver keeps only a 2000-char stdout
+    # tail (BENCH_r09.parsed is null because exactly that cap front-
+    # truncated the line). So the line carries as many entries as fit the
+    # byte budget, slowest first — the queries that move the headline and
+    # whose regressions matter — with "queries_omitted" naming the count
+    # that only BENCH_FULL.json holds. Additions-only: every pre-existing
+    # key of the compact record is unchanged.
+    compact["queries"] = {}
+    compact["queries_omitted"] = len(results)  # worst-case width reserved
+    base_len = len(json.dumps(compact))
+    budget = COMPACT_BUDGET - base_len
+    used = 0
+    for name in sorted(results, key=results.get, reverse=True):
+        # an added entry costs exactly its inner '"name": v' plus ", ":
+        # len(json.dumps({...})) = inner + 2 braces = inner + separator
+        entry = len(json.dumps({name: results[name]}))
+        if used + entry <= budget:
+            compact["queries"][name] = results[name]
+            used += entry
+    compact["queries_omitted"] = len(results) - len(compact["queries"])
     return full, compact
 
 

@@ -71,6 +71,41 @@ def test_compact_line_fits_the_driver_tail_cap():
     for name, (mn, mx) in back["slowest_spread"].items():
         assert mn == results[name]
         assert mx >= mn
+    # VERDICT r14 #1: the final line carries a per-query map for the
+    # driver's PERF/scaling diff — as many entries as the tail cap allows,
+    # slowest first, with the omitted count declared
+    assert back["queries"], "final line must carry a per-query map"
+    for name, v in back["queries"].items():
+        assert v == results[name]
+    assert back["queries_omitted"] == 80 - len(back["queries"])
+    # slowest-first fill: every carried entry is >= every omitted one
+    if back["queries_omitted"]:
+        carried_min = min(back["queries"].values())
+        omitted = {n: v for n, v in results.items() if n not in back["queries"]}
+        assert carried_min >= max(omitted.values())
+
+
+def test_compact_queries_map_covers_todays_headline():
+    # with REAL registry name lengths (not the synthetic worst case) the
+    # budget must fit a large majority of today's headline — this is what
+    # makes PERF_r15's n_common meaningful
+    results = {
+        name: round(0.2 + (i % 11) / 7.0, 4)
+        for i, name in enumerate(bench.HEADLINE)
+    }
+    results["lake_microbatch"] = 0.33
+    results["point_query"] = 0.298
+    results["ivf_second_probe"] = 0.4733
+    spread = {n: {"min": v, "max": round(v * 1.3, 4)} for n, v in results.items()}
+    canary = {"n_samples": 15, "min": 0.63, "median": 0.76, "max": 1.24,
+              "ref_r10_sec": 0.6414, "ratio_vs_r10_median": 1.19,
+              "ratio_vs_r10_min": 0.98}
+    _, compact = bench.build_records(
+        results, spread, canary, {"before": 0.29, "after": 0.08,
+                                  "idle_budget": 0.525}, False)
+    line = json.dumps(compact)
+    assert len(line) < COMPACT_BUDGET, len(line)
+    assert len(compact["queries"]) >= 30, len(compact["queries"])
 
 
 def test_bench_compare_normalizes_by_canary_and_flags():
