@@ -774,44 +774,57 @@ def semdedup(
 
     id_sql = embeddings.schema[id_col].dataType.simpleString()
 
-    def cluster_dropped(pdf: pd.DataFrame) -> pd.DataFrame:
+    def cluster_verdicts(pdf: pd.DataFrame) -> pd.DataFrame:
+        # The kernel emits the FULL per-row verdict (id, cluster, is_kept)
+        # instead of dropped ids only: the old dropped-ids shape needed a
+        # join back onto `av`, which re-ran the literal-centroid
+        # assignment (n_clusters interpreted HOF cosines per row) over the
+        # whole corpus a second time — `av` fed both the pandas stage and
+        # the join side (r15; one corpus pass instead of two, join and its
+        # exchanges gone: 1.97 -> 1.54 s min-of-5 at sf0.1 back-to-back).
+        ids_all = pdf["__id"].to_numpy()
+        kept = np.ones(len(ids_all), dtype=bool)
         # NULL vectors ride through assign_clusters (cluster 0 via the
         # coalesced cosine) but have no cosine to anything — they are
-        # never dups and never drop others, so they leave the pair stage
-        # here instead of crashing the matrix build (round-13 review)
-        pdf = pdf[pdf["__v"].notna()]
-        if not len(pdf):
-            return pd.DataFrame({"__id": pd.Series([], dtype=object)})
-        ids = pdf["__id"].to_numpy()
-        order = np.argsort(ids)  # lower-id keeper convention
-        ids = ids[order]
-        V = np.array(pdf["__v"].to_numpy()[order].tolist(), dtype=np.float64)
-        nm = np.linalg.norm(V, axis=1, keepdims=True)
-        # zero-norm rows: cosine undefined (NULL in the expression twin)
-        # -> never a dup and never drop others; a zeroed row scores 0 < t
-        np.divide(V, nm, out=V, where=nm > 0)
-        V[(nm == 0).ravel()] = 0.0
-        n = len(ids)
-        dup = np.zeros(n, dtype=bool)
-        block = 1024  # rows of the gram matrix per BLAS call: O(block*n)
-        for s in range(0, n, block):
-            e = min(s + block, n)
-            G = V[s:e] @ V.T  # (block, n)
-            hit = G >= threshold
-            # row i may only drop strictly higher-id columns j > i
-            for bi in range(e - s):
-                hit[bi, : s + bi + 1] = False
-            dup |= hit.any(axis=0)
-        return pd.DataFrame({"__id": ids[dup]})
-
-    dropped = av.groupBy("cluster_id").applyInPandas(
-        cluster_dropped, schema=f"__id {id_sql}"
-    )
-    return (
-        av.join(dropped.withColumn("__dup", F.lit(True)), "__id", "left")
-        .select(
-            F.col("__id").alias(id_col),
-            "cluster_id",
-            F.coalesce(~F.col("__dup"), F.lit(True)).alias("is_kept"),
+        # never dups and never drop others, so they skip the matrix build
+        # (round-13 review) and land kept=True.
+        sub = pdf[pdf["__v"].notna()]
+        if len(sub):
+            ids = sub["__id"].to_numpy()
+            order = np.argsort(ids)  # lower-id keeper convention
+            ids = ids[order]
+            V = np.array(sub["__v"].to_numpy()[order].tolist(), dtype=np.float64)
+            nm = np.linalg.norm(V, axis=1, keepdims=True)
+            # zero-norm rows: cosine undefined (NULL in the expression
+            # twin) -> never a dup and never drop others; a zeroed row
+            # scores 0 < t
+            np.divide(V, nm, out=V, where=nm > 0)
+            V[(nm == 0).ravel()] = 0.0
+            n = len(ids)
+            dup = np.zeros(n, dtype=bool)
+            block = 1024  # rows of the gram matrix per BLAS call: O(block*n)
+            for s in range(0, n, block):
+                e = min(s + block, n)
+                G = V[s:e] @ V.T  # (block, n)
+                hit = G >= threshold
+                # row i may only drop strictly higher-id columns j > i
+                for bi in range(e - s):
+                    hit[bi, : s + bi + 1] = False
+                dup |= hit.any(axis=0)
+            kept &= ~np.isin(ids_all, ids[dup])
+        return pd.DataFrame(
+            {
+                "__id": ids_all,
+                "cluster_id": pdf["cluster_id"].to_numpy(),
+                "is_kept": kept,
+            }
         )
+
+    return (
+        av.groupBy("cluster_id")
+        .applyInPandas(
+            cluster_verdicts,
+            schema=f"__id {id_sql}, cluster_id int, is_kept boolean",
+        )
+        .withColumnRenamed("__id", id_col)
     )

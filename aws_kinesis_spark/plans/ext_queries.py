@@ -238,15 +238,26 @@ def g03c_knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver-checkable oracle form: same (n_exact, recall_ok) shape as g03b,
     aggregate recall@10 >= 0.5 vs brute force asserted in-plan (0.6
     measured on the fixture with nprobe=8)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     em = load(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return _ann_recall_check(
-        knn_ivf(em, queries, k=10, nlist=32, nprobe=8),
-        knn_bruteforce(em, queries, k=10),
-        min_recall=0.5,
-    )
+    # The brute-force twin shares nothing with the IVF build/probe, but
+    # knn_ivf materializes eagerly (temp-store lifecycle), so left inline
+    # the twin only started computing at action time — AFTER the build's
+    # serial store jobs finished. Materialize it on a pool thread instead
+    # (guide §2.6, the a19 overlapped-commits pattern): its stages fill
+    # the build/probe jobs' scheduling tail. Values unchanged — the twin
+    # was always fully computed, just later.
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        exact_f = pool.submit(
+            lambda: knn_bruteforce(em, queries, k=10).localCheckpoint(eager=True)
+        )
+        ann = knn_ivf(em, queries, k=10, nlist=32, nprobe=8)
+        exact = exact_f.result()
+    return _ann_recall_check(ann, exact, min_recall=0.5)
 
 
 @register(
@@ -2247,24 +2258,35 @@ def g48_persistent_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch would lose every neighbor living there)."""
     import shutil
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     em = load(spark, sf_dir, "embeddings")
     idx = tempfile.mkdtemp(prefix="kinesis_g48_")
     try:
-        build_ivf_index(em.filter(F.col("vec_id") % 4 != 3), idx, nlist=32)
-        update_ivf_index(em.filter(F.col("vec_id") % 4 == 3), idx)
         queries = em.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
+        # the brute-force twin is independent of the store build/append —
+        # materialize it on a pool thread so its stages fill the build
+        # jobs' tails (guide §2.6; same values, computed concurrently
+        # instead of serially at action time)
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            exact_f = pool.submit(
+                lambda: knn_bruteforce(em, queries, k=10).localCheckpoint(
+                    eager=True
+                )
+            )
+            build_ivf_index(em.filter(F.col("vec_id") % 4 != 3), idx, nlist=32)
+            update_ivf_index(em.filter(F.col("vec_id") % 4 == 3), idx)
+            ann = knn_ivf_indexed(spark, idx, queries, k=10, nprobe=8)
+            exact = exact_f.result()
         # materialize the one-row verdict (eager localCheckpoint) so the
         # corpus-sized temp store is reclaimed NOW, not leaked to /tmp on
         # every harness run (ADVICE r10) — the returned frame no longer
         # reads the index files
-        return _ann_recall_check(
-            knn_ivf_indexed(spark, idx, queries, k=10, nprobe=8),
-            knn_bruteforce(em, queries, k=10),
-            min_recall=0.5,
-        ).localCheckpoint(eager=True)
+        return _ann_recall_check(ann, exact, min_recall=0.5).localCheckpoint(
+            eager=True
+        )
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 

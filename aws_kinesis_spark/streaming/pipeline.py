@@ -956,6 +956,7 @@ def start_dedup_ingest(
         pool = ThreadPoolExecutor(max_workers=2)
         cached: list[DataFrame] = []
         t_flush0 = time.perf_counter()
+        prev_parts: str | None = None  # set iff the trigger narrows the conf
 
         def keep(df: DataFrame) -> DataFrame:
             # caching the batch/bands beats recompute decisively even for
@@ -996,6 +997,30 @@ def start_dedup_ingest(
                 if in_bytes is None
                 else min(par, max(4, in_bytes // (256 << 10)))
             )
+            # Trigger-scoped SHUFFLE partition count, derived from the
+            # batch's input bytes exactly like sign_par (guide §2.2/§2.5:
+            # partition counts must scale with the data, not sit at a
+            # constant tuned for either local mode or the cluster). Every
+            # shuffle stage inside the trigger carries O(batch+candidates)
+            # rows — the standing index only ever enters through broadcast
+            # or pruned scans — so a KB-scale trickle batch at the
+            # session-wide count pays tens of near-empty tasks per stage,
+            # pure scheduling latency at trigger rate. Interleaved A/B at
+            # sf0.1 (145 KB quarters, min-of-3 per arm, one process):
+            # 13.55 s at 32 partitions vs 9.89 s at 8 vs 10.05 s at 4 —
+            # the floor of the byte formula. A GB-scale catch-up batch
+            # derives the session value unchanged (min with it), so the
+            # dial never CAPS real work. Restored in the finally block;
+            # like the partitionOverwriteMode note in pipeline_queries,
+            # this is a session-conf write from the micro-batch thread —
+            # single-stream-per-session posture (the foreachBatch worker
+            # and its two pool threads all want the trigger's value).
+            if in_bytes is not None:
+                cur = spark.conf.get("spark.sql.shuffle.partitions")
+                trig = min(int(cur), max(4, in_bytes // (256 << 10)))
+                if trig < int(cur):
+                    prev_parts = cur
+                    spark.conf.set("spark.sql.shuffle.partitions", str(trig))
             bb = keep(
                 band_rows(docs.repartition(sign_par)).withColumn(
                     "bucket", F.pmod("bh", F.lit(n_buckets)).cast("int")
@@ -1192,6 +1217,8 @@ def start_dedup_ingest(
                 _coverage["frac"] = touched / max(n_buckets, 1)
         finally:
             pool.shutdown(wait=True)
+            if prev_parts is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
             for df in cached:
                 df.unpersist()
             _prof(batch_id, "flush_total", time.perf_counter() - t_flush0)
