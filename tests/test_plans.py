@@ -434,6 +434,55 @@ def test_aqe_splits_skewed_join(spark):
             spark.conf.set(k, v)
 
 
+def test_shj_preference_respects_size_bounds(spark):
+    """Scale-safety of the session's preferSortMergeJoin=false (VERDICT
+    r14 #3 / ADVICE): the STATIC planner may only pick shuffled-hash when
+    the build side's size ESTIMATE is under autoBroadcastJoinThreshold x
+    shuffle.partitions (canBuildLocalHashMap) AND 3x smaller than the
+    other side — i.e. the preference is bounded to ~10 MB of estimated
+    build rows per partition on average, not an unconditional SHJ. This
+    pins the fallback: the same join must plan SortMergeJoin once the
+    build side's estimate exceeds the bound. The residual risk at scale
+    is a badly UNDERESTIMATED build side (post-filter stats) — that is an
+    estimate-quality problem the SPARK_GRAFT_SHJ_LOCAL_MAP_MAX /
+    preferSortMergeJoin escape hatches exist for (SCALE.md §0), while a
+    skewed build PARTITION is split by AQE's OptimizeSkewedJoin, which
+    handles ShuffledHashJoinExec (test_aqe_splits_skewed_join runs under
+    this session's SHJ preference and still sees skew=true)."""
+    big = spark.range(0, 2_000_000).select(
+        F.col("id").alias("k"), F.xxhash64("id").alias("a")
+    )
+    small = spark.range(0, 200_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("b")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # positive control: build estimate (~4 MB of range rows) sits
+        # above the broadcast threshold (no BHJ) but under threshold x
+        # partitions (the SHJ build cap) — the preference may hash.
+        # NOTE the cap derives from the SAME autoBroadcastJoinThreshold:
+        # setting it to -1 disables static SHJ too, which is itself part
+        # of the safety story (no broadcast budget => no local-hash-map
+        # budget either).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1MB")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        plan_ok = _plan(big.join(small, "k"), "simple")
+        assert "ShuffledHashJoin" in plan_ok, plan_ok[:1500]
+        # negative control: shrink the bound so the SAME build side's
+        # estimate exceeds threshold x partitions — the planner must fall
+        # back to sort-merge, proving the preference cannot force an
+        # unbounded build-side hash map from the static path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "16KB")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        plan_fb = _plan(big.join(small, "k"), "simple")
+        assert "SortMergeJoin" in plan_fb, plan_fb[:1500]
+        assert "ShuffledHashJoin" not in plan_fb
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 def test_interval_overlap_join_is_equi_join(spark):
     """d29: the no-equi-key overlap join must run as a hash join on the
     hour-grid bin — a BroadcastNestedLoopJoin/CartesianProduct regression
