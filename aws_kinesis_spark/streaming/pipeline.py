@@ -821,6 +821,43 @@ def _fold_store_driver_side(srcs: list[str], tmp: str, part_col: str) -> None:
     )
 
 
+# Upper bound on a micro-batch's INPUT bytes for the driver-side store
+# write (the _fold_store_driver_side / centroid-IO reasoning): below it,
+# the per-trigger bands/corpus dirs are laid out with pyarrow from one
+# bounded Arrow collect — no Spark write job, no shuffle, no
+# dynamic-partition commit on the trigger's critical path. Above it the
+# write stays a clustered Spark job (real data work belongs on the
+# cluster). The gate measures the batch's compressed input; the collect
+# holds the decoded rows once in driver memory — same headroom argument
+# as _compact_store's driver_fold_max_bytes.
+_DRIVER_WRITE_MAX_BYTES = 32 << 20
+
+
+def _write_hive_driver_side(df: DataFrame, out_dir: str, part_col: str) -> None:
+    """KB/MB-scale per-trigger store write without a Spark write job:
+    collect the frame as ONE Arrow table (the caller byte-gates this) and
+    lay out the same hive-partitioned snappy parquet dirs the Spark
+    writer produces (the _fold_store_driver_side layout contract —
+    readers cannot tell which path wrote the store). Replay-idempotent
+    like mode("overwrite"): the dir is wiped and rewritten."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.dataset as pds
+
+    tbl = df.toArrow()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    pds.write_dataset(
+        tbl,
+        out_dir,
+        format="parquet",
+        partitioning=pds.partitioning(
+            pa.schema([tbl.schema.field(part_col)]), flavor="hive"
+        ),
+        existing_data_behavior="overwrite_or_ignore",
+    )
+
+
 def compact_dedup_index(spark: SparkSession, index_dir: str, upto: int) -> int:
     """Fold a dedup-ingest index's per-batch directories at or below
     ``upto`` into one ``compact=<upto>`` dir per store (see
@@ -1031,15 +1068,26 @@ def start_dedup_ingest(
             # otherwise fan every bucket across sign_par files and bloat
             # the standing index's listing/open cost).
             batch_bands_dir = os.path.join(bands_dir, f"batch={batch_id}")
+            # KB/MB-scale batches write both stores driver-side (one Arrow
+            # collect each, pyarrow hive layout — no Spark write job, no
+            # per-trigger dynamic-partition commit); see
+            # _write_hive_driver_side. Byte-gated: a GB-scale catch-up
+            # batch keeps the clustered Spark write.
+            driver_write = (
+                in_bytes is not None and in_bytes <= _DRIVER_WRITE_MAX_BYTES
+            )
 
             def _write_bands() -> None:
                 t0 = time.perf_counter()
-                (
-                    bb.repartition(F.col("bucket"))
-                    .write.partitionBy("bucket")
-                    .mode("overwrite")
-                    .parquet(batch_bands_dir)
-                )
+                if driver_write:
+                    _write_hive_driver_side(bb, batch_bands_dir, "bucket")
+                else:
+                    (
+                        bb.repartition(F.col("bucket"))
+                        .write.partitionBy("bucket")
+                        .mode("overwrite")
+                        .parquet(batch_bands_dir)
+                    )
                 _prof(batch_id, "bands_write_thread", time.perf_counter() - t0)
 
             # Trigger shape from DRIVER METADATA only (no Spark job): the
@@ -1199,9 +1247,13 @@ def start_dedup_ingest(
                 .withColumn("idb", F.pmod("doc_id", F.lit(n_buckets)).cast("int"))
             )
             t0 = time.perf_counter()
-            out.repartition(F.col("idb")).write.partitionBy("idb").mode(
-                "overwrite"
-            ).parquet(os.path.join(corpus_dir, f"batch={batch_id}"))
+            corpus_batch_dir = os.path.join(corpus_dir, f"batch={batch_id}")
+            if driver_write:
+                _write_hive_driver_side(out, corpus_batch_dir, "idb")
+            else:
+                out.repartition(F.col("idb")).write.partitionBy("idb").mode(
+                    "overwrite"
+                ).parquet(corpus_batch_dir)
             _prof(batch_id, "landing_write", time.perf_counter() - t0)
             t0 = time.perf_counter()
             bands_write_f.result()

@@ -2169,3 +2169,44 @@ def test_stream_source_file_kind_rejects_kinesis_mode_args(spark, tmp_path):
         stream_source(
             spark, kind="file", path=str(tmp_path), reader_factory=lambda s: None
         )
+
+
+def test_driver_side_store_write_matches_spark_layout(spark, tmp_path):
+    """r15 optimization: KB-scale micro-batches write their bands/corpus
+    dirs driver-side with pyarrow (_write_hive_driver_side) instead of a
+    Spark partitioned-write job. The layout contract is that READERS
+    cannot tell the two writers apart: same hive partition dirs, same
+    rows under both the schema-pinned per-trigger read and the
+    inference read the corpus reader uses."""
+    from pyspark.sql import functions as F
+
+    from aws_kinesis_spark.streaming.pipeline import _write_hive_driver_side
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+        (F.col("id") % 2 == 0).alias("kept"),
+        F.pmod("id", F.lit(16)).cast("int").alias("idb"),
+    )
+    d_driver = str(tmp_path / "driver")
+    d_spark = str(tmp_path / "sparkw")
+    _write_hive_driver_side(df, d_driver, "idb")
+    df.repartition(F.col("idb")).write.partitionBy("idb").mode(
+        "overwrite"
+    ).parquet(d_spark)
+
+    import os
+
+    hive_dirs = sorted(
+        n for n in os.listdir(d_driver) if n.startswith("idb=")
+    )
+    assert hive_dirs == sorted(
+        n for n in os.listdir(d_spark) if n.startswith("idb=")
+    )
+    a = spark.read.parquet(d_driver)
+    b = spark.read.parquet(d_spark)
+    cols = ["doc_id", "text", "kept", "idb"]
+    assert sorted(a.select(cols).collect()) == sorted(b.select(cols).collect())
+    # replay idempotency: rewriting the same dir converges, no stale files
+    _write_hive_driver_side(df.filter(F.col("doc_id") < 100), d_driver, "idb")
+    assert spark.read.parquet(d_driver).count() == 100
