@@ -135,6 +135,37 @@ def _cells_schema(meta: dict) -> T.StructType:
     return T.StructType(list(base.fields) + [T.StructField("cell", T.IntegerType())])
 
 
+def _input_bytes_estimate(df: DataFrame, max_files: int = 256) -> int | None:
+    """Upper bound on a frame's INPUT bytes from its scan's file list
+    (public ``inputFiles()``; sizes from the local filesystem). None means
+    \"unknown or definitionally large\": no resolvable files, more than
+    ``max_files`` of them (a corpus-scale scan must not pay a driver stat
+    loop just to learn it is large), or a non-local path."""
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — any resolution failure => unknown
+        return None
+    if not files or len(files) > max_files:
+        return None
+    total = 0
+    for f in files:
+        p = unquote(urlparse(f).path) if "://" in f else f
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+    return total
+
+
+# Same dial as streaming.pipeline's trickle-batch store writes: below it
+# a cells batch is laid out driver-side with pyarrow (one bounded Arrow
+# collect, no Spark write job / dynamic-partition commit); above it (or
+# when the input size is unknowable) the clustered Spark write runs.
+_DRIVER_CELLS_WRITE_MAX_BYTES = 32 << 20
+
+
 def _write_cells_batch(assigned: DataFrame, cells_dir: str, batch_id: int) -> None:
     """One batch dir, committed ATOMICALLY (write to ``batch=N.tmp``, one
     rename): a crash mid-append must not leave a torn batch visible under
@@ -144,16 +175,26 @@ def _write_cells_batch(assigned: DataFrame, cells_dir: str, batch_id: int) -> No
     auto-numbering listdir, and a stale one is reclaimed by the next write
     of the same batch id. Clustered by cell so each batch lands ~one file
     per cell (a probe's open cost is O(probed cells), not
-    O(writer parallelism x cells))."""
+    O(writer parallelism x cells)). MB-scale inputs (estimated from the
+    scan's own file sizes) skip the Spark write job entirely and lay the
+    same hive dirs out driver-side — the per-trigger-store reasoning of
+    streaming.pipeline._write_hive_driver_side; the commit protocol
+    (tmp + _swap_in) is identical on both paths."""
+    from aws_kinesis_spark.streaming.pipeline import _write_hive_driver_side
+
     final = os.path.join(cells_dir, f"batch={batch_id}")
     tmp = final + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    (
-        assigned.repartition(F.col("cell"))
-        .write.partitionBy("cell")
-        .mode("overwrite")
-        .parquet(tmp)
-    )
+    est = _input_bytes_estimate(assigned)
+    if est is not None and est <= _DRIVER_CELLS_WRITE_MAX_BYTES:
+        _write_hive_driver_side(assigned, tmp, "cell")
+    else:
+        (
+            assigned.repartition(F.col("cell"))
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
     _swap_in(tmp, final)
 
 
