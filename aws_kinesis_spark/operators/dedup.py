@@ -998,6 +998,7 @@ def setsim_prefix_join(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     shingle_n: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """G2 exact variant with GUARANTEED recall at bounded candidate cost:
     prefix-filtering set-similarity self-join (AllPairs, Bayardo et al.
@@ -1023,14 +1024,26 @@ def setsim_prefix_join(
     docs = _spread(docs.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n))
     sets = _checkpointed_shingle_sets(docs, text_col, id_col, shingle_n)
     pref_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
-    # NOT lineage-cut: the prefix table feeds both self-join sides, so the
-    # ranking subtree does plan (and run) twice — but a measured r14
-    # experiment showed localCheckpoint-ing the filtered prefix makes the
-    # whole query 2x SLOWER at sf0.1 (3.4 -> 6.9 s min): materializing the
-    # exploded token rows costs more than recomputing them through
-    # whole-stage codegen, and the cut blocks WindowGroupLimit/filter
-    # pushdown into the checkpointed subtree.
+    # The prefix table feeds both self-join sides, so uncut the ranking
+    # subtree plans (and runs) twice. The right cut is CACHE, not
+    # checkpoint (measured, r14+r15): localCheckpoint — lazy or eager —
+    # cuts the lineage at plan-build time, which blocks the
+    # WindowGroupLimit/filter pushdown and materializes ALL ranked tokens
+    # (5.7-5.8 s min at sf0.1, 2-3x slower); .cache() builds its
+    # InMemoryRelation from the optimized plan INCLUDING the prefix
+    # filter, so only the prefix rows are stored and the first consumer
+    # materializes them as a side effect (2.81 -> 1.71 s min,
+    # interleaved). With ``materialize`` (the default) the verified pair
+    # output — pair-count-sized, the final answer's own scale — is
+    # eagerly local-checkpointed and the prefix cache RELEASED before
+    # returning, so no cache entry outlives the call (the round-12
+    # persist-leak discipline) and multi-reference consumers (g49's
+    # two-orientation union) read materialized pairs instead of planning
+    # this whole subtree per reference. materialize=False keeps the fully
+    # lazy single-plan form (plan locks, composition).
     prefix = _ranked_prefix_tokens(sets, id_col).filter(F.col("__r") <= pref_len)
+    if materialize:
+        prefix = prefix.cache()
     a = prefix.select(
         F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__s"
     )
@@ -1048,9 +1061,15 @@ def setsim_prefix_join(
         .distinct()
     )
     verified = _exact_jaccard_on_pairs(cand, sets, id_col)
-    return verified.filter(F.col("jaccard") >= threshold).select(
+    out = verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
+    if materialize:
+        try:
+            out = out.localCheckpoint(eager=True)
+        finally:
+            prefix.unpersist()
+    return out
 
 
 def band_rows(
@@ -1151,6 +1170,7 @@ def _containment_candidates(
     threshold: float,
     prefix_filter: bool,
     checkpoint: bool = True,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """Directional candidate pairs (id_a, id_b) for the containment join
     over a (id, __sh shingle-string-array) table. With ``prefix_filter``
@@ -1166,10 +1186,14 @@ def _containment_candidates(
     shape the skewed-fixture shrinkage test pins (test_properties.py)."""
     req = F.ceil(F.lit(threshold) * F.col("__na"))  # required overlap
     if prefix_filter:
-        # checkpoint: the ranked table feeds probe AND index side; lazy —
-        # materializes inside the first downstream job (checkpoint=False
-        # keeps the lineage visible for the plan-lock test)
-        ranked = _ranked_prefix_tokens(sets, id_col, checkpoint=checkpoint)
+        # the ranked table feeds probe AND index side. ``ranked`` lets the
+        # caller hand in its own cut (containment_join passes a .cache()d
+        # frame it releases after materializing — measured faster than the
+        # lazy checkpoint, see containment_join); otherwise fall back to
+        # the checkpoint flag (checkpoint=False keeps the lineage visible
+        # for the plan-lock test).
+        if ranked is None:
+            ranked = _ranked_prefix_tokens(sets, id_col, checkpoint=checkpoint)
         pref_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
         a = ranked.filter(F.col("__r") <= pref_len).select(
             F.col(id_col).alias("id_a"),
@@ -1218,6 +1242,7 @@ def containment_join(
     threshold: float = 0.5,
     shingle_n: int = 3,
     prefix_filter: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """G2 asymmetric variant: set-CONTAINMENT join — pairs (a, b) where
     |S_a ∩ S_b| / |S_a| >= threshold over n-gram shingle sets. Catches
@@ -1263,7 +1288,18 @@ def containment_join(
     the final verify join)."""
     docs = _spread(docs.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n))
     sets = _checkpointed_shingle_sets(docs, text_col, id_col, shingle_n)
-    cand = _containment_candidates(sets, id_col, threshold, prefix_filter)
+    # Cut the twice-consumed ranked table with CACHE, not the lazy
+    # checkpoint (the setsim_prefix_join lesson, measured here too:
+    # interleaved min-of-4 at sf0.1 — checkpoint 2.31 s, cache 1.83 s,
+    # no cut 2.67 s); the cache is released below once the output is
+    # materialized, so no entry outlives the call. materialize=False
+    # keeps the old lazy form (composition/plan inspection).
+    cached_ranked = None
+    if prefix_filter and materialize:
+        cached_ranked = _ranked_prefix_tokens(sets, id_col).cache()
+    cand = _containment_candidates(
+        sets, id_col, threshold, prefix_filter, ranked=cached_ranked
+    )
     hashed = sets.select(
         F.col(id_col),
         F.transform("__sh", lambda s: F.xxhash64(s)).alias("__hs"),
@@ -1305,8 +1341,15 @@ def containment_join(
             / F.size("__sha"),
         )
     )
-    return verified.filter(F.col("containment") >= threshold).select(
+    out = verified.filter(F.col("containment") >= threshold).select(
         F.col("id_a").alias(id_col),
         F.col("id_b").alias("contained_in"),
         (F.round("containment", 4) + F.lit(0.0)).alias("containment"),
     )
+    if materialize:
+        try:
+            out = out.localCheckpoint(eager=True)
+        finally:
+            if cached_ranked is not None:
+                cached_ranked.unpersist()
+    return out

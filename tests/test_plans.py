@@ -612,8 +612,17 @@ def test_setsim_prefix_join_shuffles_prefix_only(spark):
     """G32: the candidate self-join must key on shingle hashes from the
     PREFIX selection (a row_number window feeds the join), and the full
     text column must not appear in the candidate join stage — strings
-    only re-enter at the final verify joins."""
-    plan = _plan(queries()["g32_setsim_prefix_join"](spark, SF))
+    only re-enter at the final verify joins. Locked on the
+    materialize=False form: the default eagerly materializes the
+    pair-sized output (and releases its prefix cache), so the returned
+    frame's plan is a checkpoint scan — the lazy form is the same plan
+    the eager path executes."""
+    from aws_kinesis_spark.operators.dedup import setsim_prefix_join
+
+    df = setsim_prefix_join(
+        load(spark, SF, "documents"), threshold=0.7, materialize=False
+    )
+    plan = _plan(df)
     assert "row_number" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
