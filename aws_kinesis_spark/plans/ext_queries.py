@@ -186,15 +186,27 @@ def _ann_recall_check(ann: DataFrame, exact: DataFrame, min_recall: float) -> Da
     exact top-k pair count and assert aggregate recall@k in-plan. The ANN
     result itself is not SQL-expressible (bucket hashes / trained
     centroids), but its recall against the in-Spark brute-force twin is a
-    deterministic boolean DuckDB can co-sign."""
-    n_exact = exact.agg(F.count("*").alias("n_exact"))
-    n_hits = (
-        ann.join(exact, ["query_id", "neighbor_id"], "left_semi")
-        .agg(F.count("*").alias("__n_hits"))
-    )
-    return n_exact.crossJoin(n_hits).select(
-        "n_exact",
-        (F.col("__n_hits") >= min_recall * F.col("n_exact")).alias("recall_ok"),
+    deterministic boolean DuckDB can co-sign.
+
+    ONE pass over the twin (r15): the old two-aggregate shape (count of
+    exact, then ann semi-join exact, then a crossJoin) referenced `exact`
+    twice, so callers that pass the lazy brute-force frame computed the
+    whole blocked-matmul twin TWICE (g62's plan showed the embeddings
+    scan 14x / 2 extra Python stages). A left join from exact marks the
+    hit pairs and one aggregate counts both — |ann ∩ exact| is unchanged
+    because a top-k frame has unique (query_id, neighbor_id) keys."""
+    hits = ann.select("query_id", "neighbor_id").withColumn("__hit", F.lit(True))
+    return (
+        exact.select("query_id", "neighbor_id")
+        .join(hits, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.count("__hit").alias("__n_hits"),
+        )
+        .select(
+            "n_exact",
+            (F.col("__n_hits") >= min_recall * F.col("n_exact")).alias("recall_ok"),
+        )
     )
 
 
