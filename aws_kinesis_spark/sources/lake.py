@@ -183,7 +183,6 @@ def run_lake_batch(
     flush produces zero duplicates (README.md:204).
     """
     spark = env.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     purge_batch(lake_dir, batch_id)
 
     # Spread the DECODE, not just the write: the partition columns derive
@@ -253,6 +252,12 @@ def run_lake_batch(
             (
                 shaped.write.mode("overwrite")
                 .partitionBy("batch", *part_cols)
+                # dynamic overwrite as a PER-WRITE option, not session
+                # conf (ADVICE r14): a session-conf write from this flush
+                # raced any job planning concurrently on a pool thread
+                # (DV commits overlap this very write in a19), and STATIC
+                # overwrite here would truncate every other batch's data
+                .option("partitionOverwriteMode", "dynamic")
                 .option("compression", "snappy")
                 .parquet(data_dir)
             )

@@ -126,7 +126,6 @@ def start_lake_path(
         from concurrent.futures import ThreadPoolExecutor
 
         spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         purge_batch(lake_dir, batch_id)
         decoded = decode_envelope(batch_df)
         ok, bad = split_errors(decoded)
@@ -139,6 +138,11 @@ def start_lake_path(
                 ok.repartition(*PARTITION_COLS)
                 .write.mode("overwrite")
                 .partitionBy("batch", *PARTITION_COLS)
+                # per-write dynamic overwrite (ADVICE r14) — see
+                # run_lake_batch: session-conf writes from a trigger
+                # thread race concurrently planning jobs, and static
+                # overwrite would truncate the other batches' data
+                .option("partitionOverwriteMode", "dynamic")
                 .option("compression", "snappy")
                 .parquet(data_dir)
             )
